@@ -1,0 +1,614 @@
+"""The declared query set — SURVEY.md §2.2 Q1-Q16 plus extensions.
+
+The reference (oap-project/remote-shuffle) is a ShuffleManager plugin; the
+query surface it guarantees is defined by its own test suites (SURVEY.md
+§2.2 cites each).  Every query here is a shuffle-dependent DataFrame shape
+the plugin's primitives carry — repartition, global sort, partial+final
+aggregation, cogroup/joins, distinct, set ops — expressed declaratively so
+Catalyst plans the exchanges (predicate pushdown, partial agg, AQE coalesce
+/ skew-split are free).
+
+Each query is registered with a matching DuckDB oracle SQL string; the
+driver hash-compares both at sf0.01 (CORRECTNESS gate).
+
+Determinism rules (FIXTURES.md):
+- double aggregates go through DECIMAL(18,4) so the sum is exact and the
+  final DOUBLE cast is bit-identical across engines;
+- every multi-row result ends in an ORDER BY over a unique key set with
+  null ordering pinned;
+- collect_list is sorted and joined to a string;
+- session timezone is UTC on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.sources.tables import load_table
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def declared(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+
+
+# --- deterministic-aggregate helpers -------------------------------------
+
+def dec(col_or_name) -> F.Column:
+    """Exact fixed-point view of a 2-decimal double column (DECIMAL(18,4))."""
+    c = F.col(col_or_name) if isinstance(col_or_name, str) else col_or_name
+    return c.cast("decimal(18,4)")
+
+
+def dsum(col_or_name, alias: str) -> F.Column:
+    """Exact SUM of a double column, returned as a deterministic DOUBLE."""
+    return F.sum(dec(col_or_name)).cast("double").alias(alias)
+
+
+def davg(col_or_name, alias: str) -> F.Column:
+    """Deterministic AVG: exact decimal sum, one double division."""
+    c = F.col(col_or_name) if isinstance(col_or_name, str) else col_or_name
+    return (F.sum(dec(c)).cast("double") / F.count(c)).alias(alias)
+
+
+# SQL-side equivalents (DuckDB)
+def SQL_DSUM(col: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+
+
+def SQL_DAVG(col: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({col}) AS {alias}"
+
+
+# =========================================================================
+# Q1-Q16: reference-parity query set (SURVEY.md §2.2)
+# =========================================================================
+
+
+@declared(
+    "q01_scan_filter_agg",
+    oracle=f"""
+    SELECT {SQL_DSUM('l_extendedprice', 'sum_price')}, COUNT(*) AS n
+    FROM lineitem WHERE l_quantity > 30
+    """,
+    tags=("scan", "filter", "agg"),
+)
+def q01_scan_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan+filter+project+aggregate — no shuffle beyond the final agg.
+
+    Parity: the baseline query shape every reference test job implies
+    (SURVEY §2.2 Q1).  The filter and the 2-column projection must push
+    into the parquet scan (checked in tests/test_plans.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 30)
+        .select("l_extendedprice")
+        .agg(dsum("l_extendedprice", "sum_price"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@declared(
+    "q02_repartition",
+    oracle="""
+    SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey
+    FROM lineitem
+    """,
+    tags=("exchange",),
+)
+def q02_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin repartition exchange + checksum.
+
+    Parity: RemoteShuffleManagerSuite.scala:34-35,146-154 (repartition of
+    100/10/20 partitions and a 1M-row job, verified by checksum).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.repartition(20).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("sum_orderkey")
+    )
+
+
+@declared(
+    "q03_repartition_empty",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    tags=("exchange", "edge"),
+)
+def q03_repartition_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repartition a tiny table wide → most map outputs empty.
+
+    Parity: RemoteShuffleManagerSuite.scala:37-38,156-162 (20 rows through
+    40 partitions; empty per-partition blocks must round-trip).
+    """
+    region = load_table(spark, sf_dir, "region")
+    return region.repartition(40).select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+@declared(
+    "q04_global_sort",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    tags=("sort",),
+)
+def q04_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort (range exchange) with skewed partition lengths + top-k.
+
+    Parity: RemoteShuffleManagerSuite.scala:40-41,164-177 (sortBy incl.
+    half-constant keys) and reduce-side sort RemoteShuffleReader.scala:126-142.
+    Spark plans TakeOrderedAndProject for the LIMIT — no full materialized
+    sort at scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@declared(
+    "q05_groupby_aqe",
+    oracle=f"""
+    SELECT l_orderkey, {SQL_DSUM('l_extendedprice', 'sum_price')}
+    FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+    tags=("agg", "aqe"),
+)
+def q05_groupby_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality groupBy+sum under AQE partition coalescing.
+
+    Parity: RemoteShuffleManagerSuite.scala:44-45,180-191 (SQL groupBy/sum
+    with adaptive execution asserting coalesced partition count).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_extendedprice", "sum_price"))
+        .orderBy("l_orderkey")
+    )
+
+
+@declared(
+    "q06_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM('l_quantity', 'sum_qty')},
+           {SQL_DSUM('l_extendedprice', 'sum_base_price')},
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))
+                    * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))), 4) AS DOUBLE)
+             AS sum_charge,
+           {SQL_DAVG('l_quantity', 'avg_qty')},
+           {SQL_DAVG('l_extendedprice', 'avg_price')},
+           {SQL_DAVG('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q06_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: map-side combine → partial+final hash aggregation.
+
+    Parity: the reference's central concern — map-side combine
+    (RemoteShuffleWriter.scala:55-65, RemoteSorter.insertAll:192-205) and
+    reduce-side merge (RemoteAggregator.scala:35-66).  Catalyst splits
+    these aggregates into partial (map-side) + final (reduce-side)
+    HashAggregateExec automatically; 2 grouping keys x 8 aggregates over
+    the largest table is the flagship scale shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # narrow operand precisions so the triple product stays within
+    # DECIMAL(38) and both engines compute it exactly: (12,4)*(7,4)*(7,4)
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    one = F.lit(1).cast("decimal(5,4)")
+    disc_price = price * (one - F.col("l_discount").cast("decimal(6,4)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(6,4)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            # round the scale-12 sums back to scale 4 before the double
+            # cast: a scale-4 unscaled value < 2^53 casts to double exactly
+            # the same way in Spark and DuckDB (scale-12 casts differ 1 ULP)
+            F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@declared(
+    "q07_groupbykey_collect",
+    oracle="""
+    SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS events_sorted
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("agg",),
+)
+def q07_groupbykey_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation WITHOUT map-side combine (groupByKey/collect_list path).
+
+    Parity: combineValuesByKey on the reduce side only
+    (RemoteShuffleReader.scala:114-120) — collect_list cannot partial-merge
+    meaningfully, mirroring the no-combine path.  List sorted then joined
+    for deterministic hashing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias("events_sorted"))
+        .orderBy("user_id")
+    )
+
+
+@declared(
+    "q08_distinct",
+    oracle="SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+    tags=("distinct",),
+)
+def q08_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = aggregation of unit values.
+
+    Parity: aggregator-driven dedup in RemoteAppendOnlyMapSuite.scala:190-204.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+
+@declared(
+    "q09_count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+    tags=("distinct", "agg"),
+)
+def q09_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — expand + two-phase aggregate (two shuffles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@declared(
+    "q10_sort_merge_join",
+    oracle=f"""
+    SELECT COUNT(*) AS n, {SQL_DSUM('l_extendedprice', 'revenue')}
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+    tags=("join",),
+)
+def q10_sort_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle (sort-merge) join — both sides exchange on the join key.
+
+    Parity: cogroup machinery (RemoteAppendOnlyMapSuite.scala:206-223
+    "simple cogroup"); the merge hint forces the shuffled path even though
+    orders would fit under the broadcast threshold at test scale, matching
+    how every reference join flows through its exchange.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = orders.hint("merge").join(li, orders.o_orderkey == li.l_orderkey)
+    return joined.agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "revenue"))
+
+
+@declared(
+    "q11_broadcast_join",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("join", "broadcast"),
+)
+def q11_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join: small dim ships to every task — NO shuffle of the
+    fact side.  At 100 TB this is the difference between a full lineitem
+    exchange and none; checked in tests/test_plans.py that the plan is
+    BroadcastHashJoin.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("p_brand")
+    )
+
+
+@declared(
+    "q12_semi_join",
+    oracle="""
+    SELECT COUNT(*) AS n FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    tags=("join",),
+)
+def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — parity with cogroup machinery P7."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@declared(
+    "q13_anti_join",
+    oracle="""
+    SELECT COUNT(*) AS n FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    tags=("join",),
+)
+def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): parts never ordered."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@declared(
+    "q14_multistage",
+    oracle=f"""
+    SELECT c_mktsegment, {SQL_DSUM('o_totalprice', 'segment_total')}, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY segment_total DESC, c_mktsegment
+    """,
+    tags=("join", "agg", "sort"),
+)
+def q14_multistage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage shuffle chain: join → aggregate → global sort.
+
+    Parity: chained-exchange jobs (RemoteSorterSuite.scala:46-53 spilling
+    across stages in local-cluster mode).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(dsum("o_totalprice", "segment_total"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("segment_total").desc(), "c_mktsegment")
+    )
+
+
+@declared(
+    "q15_skew_groupby",
+    oracle="""
+    SELECT CASE WHEN l_linenumber = 1 THEN 0 ELSE l_orderkey END AS k,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1 ORDER BY k
+    """,
+    tags=("agg", "skew"),
+)
+def q15_skew_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a heavily skewed key (one hot key ~1/6 of rows).
+
+    Parity: half-constant-key sort test (RemoteShuffleManagerSuite.scala:
+    168-170) and hash-collision suites (RemoteAppendOnlyMapSuite.scala:
+    313-412).  Partial aggregation collapses the hot key map-side, so the
+    skew never reaches the exchange — the scale-out answer to the
+    reference's spill-first memory policy.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.when(F.col("l_linenumber") == 1, F.lit(0)).otherwise(F.col("l_orderkey"))
+    return (
+        li.select(k.cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("k")
+    )
+
+
+@declared(
+    "q16_null_keys",
+    oracle="""
+    SELECT CASE WHEN value < 0.1 THEN NULL ELSE event_type END AS g,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1 ORDER BY g NULLS FIRST
+    """,
+    tags=("agg", "edge"),
+)
+def q16_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null grouping keys are legal and form their own group.
+
+    Parity: RemoteAppendOnlyMapSuite.scala:166-188,413-433 (null keys and
+    values through the external hash map).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = F.when(F.col("value") < 0.1, F.lit(None).cast("string")).otherwise(F.col("event_type"))
+    return (
+        ev.select(g.alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("g").asc_nulls_first())
+    )
+
+
+@declared(
+    "q17_window_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window",),
+)
+def q17_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: first-3 orders per customer (top-k per group).
+
+    The window exchange is just another shuffle through the reference's
+    writer paths (SURVEY §2.3 "window functions: inherited").
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@declared(
+    "q18_union_distinct",
+    oracle="""
+    SELECT COUNT(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders
+      UNION
+      SELECT c_custkey AS k FROM customer
+    )
+    """,
+    tags=("setop",),
+)
+def q18_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT — exchange-backed set op (SURVEY §2.3 set ops)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    u = orders.select(F.col("o_custkey").alias("k")).union(
+        cust.select(F.col("c_custkey").alias("k"))
+    )
+    return u.distinct().agg(F.count(F.lit(1)).alias("n"))
+
+
+@declared(
+    "q19_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    ORDER BY nk
+    """,
+    tags=("setop",),
+)
+def q19_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT over nation keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nk"))
+        .intersect(supp.select(F.col("s_nationkey").alias("nk")))
+        .orderBy("nk")
+    )
+
+
+@declared(
+    "q20_except",
+    oracle="""
+    SELECT l_partkey AS pk FROM lineitem WHERE l_quantity >= 45
+    EXCEPT
+    SELECT l_partkey AS pk FROM lineitem WHERE l_quantity <= 5
+    ORDER BY pk
+    """,
+    tags=("setop",),
+)
+def q20_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: parts ordered in bulk but never in small quantities."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = li.filter(F.col("l_quantity") >= 45).select(F.col("l_partkey").alias("pk"))
+    lo = li.filter(F.col("l_quantity") <= 5).select(F.col("l_partkey").alias("pk"))
+    return hi.subtract(lo).orderBy("pk")  # subtract = EXCEPT DISTINCT
+
+
+@declared(
+    "q21_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, {SQL_DSUM('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "rollup"),
+)
+def q21_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (inherited above the plugin — SURVEY §2.3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@declared(
+    "q22_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def q22_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (conditional aggregation) with explicit value list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F"])
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,100 @@
+"""SparkSession factory and engine configuration.
+
+The reference's own config surface is two families of knobs that tune its
+shuffle I/O (``spark.shuffle.remote.*`` — shuffle-hadoop
+RemoteShuffleConf.scala:22-112; ``spark.shuffle.daos.*`` — shuffle-daos
+package.scala:29-283).  In a Spark-first engine those concerns map onto
+Spark's own shuffle/AQE/memory knobs, so :class:`EngineConfig` exposes the
+equivalents that matter at 100 TB scale:
+
+- partial+final aggregation, sort/spill/merge, serialized shuffle are all
+  Tungsten built-ins (SURVEY.md §2.1 P2-P8) — nothing to re-implement, just
+  configure (AQE on, sensible shuffle partitioning).
+- the reference disables bypass-merge by default because the hash path costs
+  3x network I/O on remote storage (RemoteShuffleConf.scala:56-67); the
+  analog here is leaving Spark's sort shuffle as default.
+- AQE batch-fetch of contiguous reduce partitions
+  (RemoteShuffleReader.scala:47-68) maps to
+  ``spark.sql.adaptive.fetchShuffleBlocksInBatch``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+@dataclass
+class EngineConfig:
+    """Engine knobs, mirroring the reference's config families (SURVEY §2.1 P16).
+
+    Defaults target local[N] testing; at cluster scale override
+    ``shuffle_partitions`` (rule of thumb: 2-3x total cores, or let AQE
+    coalesce from a high initial number) and ``max_partition_bytes``.
+    """
+
+    app_name: str = "remote_shuffle_spark"
+    master: str | None = None  # default: local[SPARK_GRAFT_CPUS or ncpu]
+    shuffle_partitions: int = field(default_factory=_default_parallelism)
+    adaptive: bool = True  # AQE: runtime coalesce/skew-join/batch fetch
+    session_timezone: str = "UTC"  # pinned for oracle comparison
+    arrow_enabled: bool = True  # Arrow batches for pandas UDF / toPandas
+    broadcast_threshold_bytes: int = 64 * 1024 * 1024
+    max_partition_bytes: str = "128m"  # scan split size; 128m is the
+    # sweet spot for object-store reads at 100 TB (few, large requests)
+    driver_memory: str | None = None  # only honored before JVM start
+    extra: dict[str, str] = field(default_factory=dict)
+
+    def to_conf(self) -> dict[str, str]:
+        conf = {
+            "spark.sql.shuffle.partitions": str(self.shuffle_partitions),
+            "spark.sql.adaptive.enabled": str(self.adaptive).lower(),
+            "spark.sql.adaptive.coalescePartitions.enabled": str(self.adaptive).lower(),
+            # skew-join split: the engine-level answer to the reference's
+            # spill-first/size-sampled memory policy (MapPartitionsWriter.scala:46-57)
+            "spark.sql.adaptive.skewJoin.enabled": str(self.adaptive).lower(),
+            # batch fetch of contiguous reduce partitions — parity with
+            # fetchContinuousBlocksInBatch (RemoteShuffleReader.scala:47-68)
+            "spark.sql.adaptive.fetchShuffleBlocksInBatch": "true",
+            "spark.sql.session.timeZone": self.session_timezone,
+            "spark.sql.execution.arrow.pyspark.enabled": str(self.arrow_enabled).lower(),
+            "spark.sql.autoBroadcastJoinThreshold": str(self.broadcast_threshold_bytes),
+            "spark.sql.files.maxPartitionBytes": self.max_partition_bytes,
+            # parquet: vectorized reader + pushdown are defaults; keep
+            # timestamps NTZ-stable for the oracle
+            "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+            "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+            # parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark's
+            # timestamp types; read as epoch-nanos long, converted in
+            # sources.tables.load_table
+            "spark.sql.legacy.parquet.nanosAsLong": "true",
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        }
+        if self.driver_memory:
+            conf["spark.driver.memory"] = self.driver_memory
+        conf.update(self.extra)
+        return conf
+
+    def resolved_master(self) -> str:
+        return self.master or f"local[{_default_parallelism()}]"
+
+
+def get_session(config: EngineConfig | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession."""
+    config = config or EngineConfig()
+    builder = SparkSession.builder.appName(config.app_name).master(config.resolved_master())
+    for k, v in config.to_conf().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
