@@ -1,0 +1,333 @@
+"""EXT declared queries: LLM-data-pipeline operators over documents /
+embeddings / events (SURVEY §2.3 EXT — no reference counterpart).
+
+Registered into the same declared-query registry as the parity set;
+hash-based operators (MinHash/SimHash/hyperplane-LSH/fingerprints) have no
+DuckDB-expressible oracle (different hash functions), so they are declared
+oracle-less (driver records a rows-only check) and their semantics are
+pinned by pytest oracles instead (tests/test_dedup.py etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.operators import dedup, multimodal, similarity, text
+from remote_shuffle_spark.queries import declared
+from remote_shuffle_spark.sources.tables import load_table
+from remote_shuffle_spark.streaming import windowed_event_counts
+
+# DuckDB equivalent of functions.hashing.normalized_text ('g' = replace all)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@declared(
+    "ext_dedup_exact",
+    oracle=f"""
+    WITH groups AS (
+      SELECT {_NORM} AS norm, MIN(doc_id) AS keep_id, COUNT(*) AS cnt
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           CAST(SUM(keep_id) AS BIGINT) AS survivor_id_sum
+    FROM groups
+    """,
+    tags=("ext", "dedup"),
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: hash-groupBy on normalized text (keep-first).
+
+    The Spark side groups on xxhash64(normalized text) — 16-byte shuffle
+    keys instead of whole documents; the oracle groups on the text itself,
+    so a hash collision would surface as a mismatch (none expected).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    groups = dedup.exact_duplicates(docs, "doc_id", "text")
+    return groups.agg(
+        F.sum("dup_count").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("keep_id").alias("survivor_id_sum"),
+    )
+
+
+@declared(
+    "ext_dedup_prefix_blocks",
+    oracle=f"""
+    WITH pre AS (
+      SELECT doc_id, array_to_string((string_split({_NORM}, ' '))[1:8], ' ') AS block
+      FROM documents
+    ), g AS (
+      SELECT block, COUNT(*) AS cnt FROM pre GROUP BY block
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE cnt >= 2) AS BIGINT) AS n_dup_blocks,
+           CAST(COALESCE(SUM(cnt) FILTER (WHERE cnt >= 2), 0) AS BIGINT) AS n_docs_in_dup_blocks
+    FROM g
+    """,
+    tags=("ext", "dedup"),
+)
+def ext_dedup_prefix_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint blocking stats (8-token prefix collisions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from remote_shuffle_spark.functions.hashing import tokens
+
+    block = F.concat_ws(" ", F.slice(tokens("text"), 1, 8))
+    g = docs.select(block.alias("block")).groupBy("block").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = g.filter(F.col("cnt") >= 2)
+    return dup.agg(
+        F.count(F.lit(1)).alias("n_dup_blocks"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_docs_in_dup_blocks"),
+    )
+
+
+@declared("ext_dedup_minhash", oracle=None, tags=("ext", "dedup", "lsh"))
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (jaccard ≥ 0.5 on 3-shingles).
+
+    Hash-based — no SQL oracle; recall/precision semantics pinned by
+    tests/test_dedup.py against planted near-duplicates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@declared("ext_dedup_simhash", oracle=None, tags=("ext", "dedup", "lsh"))
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming ≤ 3 on 64-bit fingerprints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+@declared(
+    "ext_ngram_jaccard",
+    oracle=f"""
+    WITH pre AS (
+      SELECT doc_id,
+             array_to_string((string_split(norm, ' '))[1:2], ' ') AS block,
+             list_distinct(string_split(norm, ' ')) AS tset
+      FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+             / len(list_distinct(list_cat(a.tset, b.tset))) AS jaccard
+    FROM pre a JOIN pre b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+             / len(list_distinct(list_cat(a.tset, b.tset))) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    tags=("ext", "dedup"),
+)
+def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard over prefix-blocked candidate pairs.
+
+    Deterministic blocking (first 2 tokens) makes this the one
+    oracle-checkable near-dup query; the LSH variants swap the blocking
+    for hashing but share the verify stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, block_prefix_tokens=2
+    ).orderBy("id_a", "id_b")
+
+
+@declared(
+    "ext_similarity_topk",
+    oracle="""
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+    FROM embeddings e,
+         (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("ext", "similarity"),
+)
+def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 around the vec_id=0 embedding.
+
+    Exact ANN baseline: broadcast 1-row query → JVM-side cosine →
+    TakeOrdered(10).  Scores rounded to 6 dp so last-ULP accumulation
+    differences can't flip the comparison.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=10)
+
+
+@declared("ext_similarity_ivf", oracle=None, tags=("ext", "similarity"))
+def ext_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (16 cells, nprobe=4) around vec_id=0.
+
+    Approximate by construction — no SQL oracle; recall vs brute force is
+    pinned by tests/test_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.ivf_topk(emb, "vec_id", "embedding", q, k=10, num_cells=16, nprobe=4)
+
+
+@declared("ext_embedding_neardup", oracle=None, tags=("ext", "dedup", "similarity"))
+def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.99 via hyperplane LSH)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates(
+        emb, "vec_id", "embedding", dim=64, threshold=0.99
+    ).orderBy("id_a", "id_b")
+
+
+@declared(
+    "ext_text_stats",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("ext", "text"),
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc count, token totals, mean length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count("text")).alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@declared(
+    "ext_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(string_split({_NORM}, ' '),
+                             x -> x IN ('the','and','of','to','is'))) AS stop_toks,
+             len(string_split({_NORM}, ' ')) AS toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(stop_toks) AS BIGINT) AS stop_tokens,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(stop_toks) AS DOUBLE) / SUM(toks) AS stopword_ratio
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    tags=("ext", "text"),
+)
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signal: per-language stopword density (exact int sums)."""
+    from remote_shuffle_spark.functions.hashing import tokens
+    from remote_shuffle_spark.operators.text import LANG_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stops = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    per_doc = docs.select("lang", stops.alias("stop_toks"), F.size(toks).alias("toks"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("stop_toks").alias("stop_tokens"),
+            F.sum("toks").alias("total_tokens"),
+            (F.sum("stop_toks").cast("double") / F.sum("toks")).alias("stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@declared(
+    "ext_lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id,
+        len(list_filter(string_split({_NORM},' '), x -> x IN ('the','and','of','to','is'))) AS s_en,
+        len(list_filter(string_split({_NORM},' '), x -> x IN ('der','die','und','ist','nicht'))) AS s_de,
+        len(list_filter(string_split({_NORM},' '), x -> x IN ('le','la','et','est','les'))) AS s_fr,
+        len(list_filter(string_split({_NORM},' '), x -> x IN ('el','la','que','de','es'))) AS s_es,
+        len(list_filter(string_split({_NORM},' '), x -> x IN ('的','是','了','在','我'))) AS s_zh
+      FROM documents
+    ), pred AS (
+      SELECT CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) < 1 THEN 'und'
+                  WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+                  WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+                  WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+                  ELSE 'de' END AS pred_lang
+      FROM scores
+    )
+    SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY pred_lang ORDER BY pred_lang
+    """,
+    tags=("ext", "text"),
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID distribution (argmax, ties to later code)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.identify_language("text")
+    return (
+        docs.select(pred.alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred_lang")
+    )
+
+
+@declared("ext_fingerprint", oracle=None, tags=("ext", "text"))
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint summary (order-sensitive document hash).
+
+    xxhash64-based — no SQL oracle; invariants (order sensitivity,
+    whitespace insensitivity) pinned in tests/test_text.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text.with_fingerprint(docs, "text")
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct_fp"),
+    )
+
+
+@declared(
+    "ext_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) // 640) % 480 + 1 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) % 24 + 1 AS INTEGER) AS n_frames
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("ext", "multimodal"),
+)
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode through the real mapInPandas plumbing.
+
+    The decode itself is a deterministic stub (no media libs in the
+    container — operators.multimodal._decode_bytes documents the seam);
+    the oracle reproduces the stub arithmetic in SQL, so what's actually
+    verified is the binary column + Arrow batch + schema plumbing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs, "doc_id", "text")
+    return multimodal.decode_media(with_payload).orderBy("doc_id")
+
+
+@declared(
+    "ext_stream_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    tags=("ext", "streaming"),
+)
+def ext_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation (real readStream →
+    memory sink, drained synchronously) vs the batch SQL equivalent."""
+    return windowed_event_counts(spark, sf_dir)

@@ -1,0 +1,24 @@
+from remote_shuffle_spark.functions.hashing import (
+    band_hashes,
+    minhash_signature,
+    normalized_text,
+    rolling_fingerprint,
+    simhash64,
+    tokens as token_array,
+    word_shingles,
+)
+from remote_shuffle_spark.functions.vectors import cosine_similarity, dot, l2_norm, to_double_array
+
+__all__ = [
+    "band_hashes",
+    "minhash_signature",
+    "normalized_text",
+    "rolling_fingerprint",
+    "simhash64",
+    "token_array",
+    "word_shingles",
+    "cosine_similarity",
+    "dot",
+    "l2_norm",
+    "to_double_array",
+]

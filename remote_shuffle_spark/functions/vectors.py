@@ -1,0 +1,34 @@
+"""Vector math over array<float>/array<double> embedding columns.
+
+Pure higher-order SQL expressions (zip_with + aggregate) — the dot
+products run inside whole-stage codegen on the JVM, never in Python.
+For 100 TB embedding tables this is the difference between a vectorized
+scan-side computation and an Arrow round-trip per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double_array(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product: left-to-right fold, deterministic accumulation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays; 0.0 for zero vectors."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))

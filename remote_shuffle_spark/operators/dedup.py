@@ -1,0 +1,380 @@
+"""Deduplication operators for large-scale text corpora (EXT — SURVEY §2.3).
+
+No counterpart in the reference plugin; these are the LLM-data-pipeline
+operators the engine adds, each designed as a composition of narrow
+expressions plus ONE intentional shuffle so the pattern survives 100 TB:
+
+- exact:        hash-groupBy on normalized text (1 shuffle on a 64-bit key)
+- minhash LSH:  per-row signatures (narrow) → explode bands → bucket
+                self-join (shuffle on bucket id) → exact-Jaccard verify
+- simhash:      per-row 64-bit fingerprint (narrow) → 16-bit chunk
+                self-join (pigeonhole: hamming<4 ⇒ some chunk equal)
+- n-gram Jaccard: deterministic prefix blocking → in-block pair scoring
+- embedding:    random-hyperplane LSH buckets → in-bucket cosine verify
+
+Hot LSH buckets are the skew risk at scale (a boilerplate header shared by
+1M docs makes a quadratic bucket): every candidate generator takes
+``max_bucket_size`` and drops oversized buckets, counting them, instead of
+letting one bucket OOM an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.functions.hashing import (
+    band_hashes,
+    normalized_text,
+    tokens,
+    word_shingles,
+)
+from remote_shuffle_spark.functions.vectors import cosine_similarity, to_double_array
+
+DEFAULT_MAX_BUCKET = 64
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group rows by 64-bit hash of normalized text.
+
+    Returns one row per distinct normalized text: (text_hash, keep_id,
+    dup_count) where keep_id is the smallest id (keep-first policy).
+    Grouping on the hash, not the text, keeps shuffle rows ~16 bytes of
+    key instead of the whole document — the 100 TB version of
+    SELECT min(id) ... GROUP BY text.
+    """
+    h = F.xxhash64(normalized_text(text_col)).alias("text_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep-first exact dedup: survivors of :func:`exact_duplicates`."""
+    keep = exact_duplicates(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    # broadcast-free semi join on the id — both sides shuffle on id_col
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# --------------------------------------------------------------------------
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_len: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding.
+
+    Pipeline (shuffles annotated):
+      1. explode shingles (narrow; generator output, so each shingle is
+         computed exactly once — nesting the k hash families inside one
+         projection would recompute the shingle array k times after
+         Catalyst's projection collapse)
+      2. k seeded hashes per (doc, shingle) row → groupBy(doc) with k MIN
+         aggregates (SHUFFLE 1, fully map-side-combinable: k longs per doc
+         reach the exchange regardless of document size)
+      3. band buckets from the signature; explode bands (narrow)
+      4. groupBy bucket (SHUFFLE 2) for bucket sizes; buckets larger than
+         ``max_bucket_size`` are dropped (skew guard) — the quadratic pair
+         join only ever sees bounded buckets
+      5. self-join on bucket (SHUFFLE 3, bounded fan-out), id_a < id_b
+    Returns distinct (id_a, id_b).
+    """
+    rows_per_band = num_hashes // num_bands
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, shingle_len)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    sig_df = exploded.groupBy("doc").agg(*mins)
+    sig = F.array(*[F.col(f"s{i}") for i in range(num_hashes)])
+    buckets = band_hashes(sig, num_bands, rows_per_band)
+    tagged = sig_df.select("doc", F.explode(buckets).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    sizes = tagged.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsize"))
+    bounded = tagged.join(
+        sizes.filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket_size)),
+        ["band", "bucket"],
+    )
+    a = bounded.select("band", "bucket", F.col("doc").alias("id_a"))
+    b = bounded.select("band", "bucket", F.col("doc").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    shingle_len: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, jaccard).  The verify join ships only (id, shingle
+    set) for candidate ids — two hash joins on the id column.
+    """
+    cands = minhash_candidates(
+        df,
+        id_col,
+        text_col,
+        shingle_len=shingle_len,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        max_bucket_size=max_bucket_size,
+    )
+    sh = df.select(
+        F.col(id_col).alias("sid"),
+        F.array_distinct(word_shingles(text_col, shingle_len)).alias("sset"),
+    )
+    pairs = (
+        cands.join(sh.withColumnRenamed("sid", "id_a"), "id_a")
+        .withColumnRenamed("sset", "set_a")
+        .join(sh.withColumnRenamed("sid", "id_b"), "id_b")
+        .withColumnRenamed("sset", "set_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dedup
+# --------------------------------------------------------------------------
+
+# Single-pass simhash as a SQL expression over a precomputed token-hash
+# array column: one aggregate carries all 64 bit-vote counters, then the
+# vote signs are folded into one bigint.  (The pyspark F.shiftright wrapper
+# only takes int shift amounts; the SQL form takes expressions.)
+_SIMHASH_SQL = """
+aggregate(
+  transform(
+    aggregate({hashes}, array_repeat(0, 64),
+      (acc, h) -> transform(acc, (v, i) -> v + if((shiftright(h, i) & 1) = 1, 1, -1))),
+    (v, i) -> if(v > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+  cast(0 as bigint), (a, x) -> a | x)
+"""
+
+
+def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """Add a 64-bit SimHash fingerprint column (pure narrow expression).
+
+    Zero-shuffle variant — right when simhash is one feature among many on
+    a row that stays put.  For bulk fingerprinting prefer
+    :func:`simhash_table` (explode + combinable aggregation), which avoids
+    per-row 64-slot array churn in the interpreted HOF path.
+    """
+    th = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    return (
+        df.withColumn("_token_hashes", th)
+        .withColumn(out_col, F.expr(_SIMHASH_SQL.format(hashes="_token_hashes")))
+        .drop("_token_hashes")
+    )
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, simhash) via explode → 64 map-side-combinable bit-vote sums.
+
+    One shuffle carrying 64 ints per document; the token hash is computed
+    exactly once per token (generator output), unlike the nested-HOF
+    per-row form which Catalyst re-inlines.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    voted = exploded.groupBy("doc").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        # shiftleft wraps bitwise (bit 63 would overflow an int64 literal)
+        bit = F.shiftleft(F.lit(1).cast("long"), i)
+        sim = sim.bitwiseOR(F.when(F.col(f"b{i}") > 0, bit).otherwise(F.lit(0).cast("long")))
+    return voted.select("doc", sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming (< 4).
+
+    Pigeonhole blocking: split the 64-bit fingerprint into 4 chunks of 16
+    bits; hamming ≤ 3 guarantees at least one identical chunk, so the
+    candidate join is 4 equi-joins on 16-bit chunk values (expressed as
+    one join on the exploded chunk index+value), then verified exactly
+    with bit_count(xor).  Returns (id_a, id_b, hamming).
+    """
+    if max_hamming > 3:
+        raise ValueError("chunked blocking with 4 chunks guarantees recall only for hamming<=3")
+    hashed = simhash_table(df, id_col, text_col)
+    width, mask = 16, (1 << 16) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask)).alias("cv"),
+            )
+            for i in range(4)
+        ]
+    )
+    tagged = hashed.select("doc", "simhash", F.explode(chunks).alias("c")).select(
+        "doc", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    sizes = tagged.groupBy("ci", "cv").agg(F.count(F.lit(1)).alias("bsize"))
+    bounded = tagged.join(
+        sizes.filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket_size)), ["ci", "cv"]
+    )
+    a = bounded.select("ci", "cv", F.col("doc").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = bounded.select("ci", "cv", F.col("doc").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard with deterministic prefix blocking
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.3,
+    block_prefix_tokens: int = 4,
+) -> DataFrame:
+    """Word-level Jaccard over distinct tokens, blocked by token prefix.
+
+    Blocking key = first ``block_prefix_tokens`` normalized tokens; only
+    docs sharing the prefix are compared (SQL-expressible, so this one is
+    oracle-checkable, unlike the hash-based candidates).  Returns
+    (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+    toks = tokens(text_col)
+    prepared = df.select(
+        F.col(id_col).alias("doc"),
+        F.concat_ws(" ", F.slice(toks, 1, block_prefix_tokens)).alias("block"),
+        F.array_distinct(toks).alias("tset"),
+    )
+    a = prepared.select("block", F.col("doc").alias("id_a"), F.col("tset").alias("set_a"))
+    b = prepared.select("block", F.col("doc").alias("id_b"), F.col("tset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding near-dedup (random-hyperplane LSH → cosine verify)
+# --------------------------------------------------------------------------
+
+def _hyperplane_sign_bit(vec: Column, plane: int, dim: int) -> Column:
+    """Sign bit of <vec, h_plane> for a deterministic pseudo-random ±1
+    hyperplane: component j of h_plane = ±1 from xxhash64(plane, j).
+
+    The per-component signs come from a hash, not a stored matrix, so the
+    operator ships no side data and stays a pure expression.
+    """
+    signed = F.zip_with(
+        vec,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.when(
+                F.xxhash64(F.lit(plane), j).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        ),
+        lambda x, s: x * s,
+    )
+    d = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(d > 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: cosine ≥ threshold.
+
+    Random-hyperplane LSH: the ``num_planes`` sign bits form one bucket id
+    (P[same bucket] = (1 - θ/π)^planes, high for near-parallel vectors);
+    in-bucket pairs are verified with exact cosine.  Returns
+    (id_a, id_b, cosine).  Recall is probabilistic — raise recall by
+    running with several plane seeds and unioning, precision is exact.
+    """
+    v = to_double_array(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        bucket = F.shiftleft(bucket, 1).bitwiseOR(
+            _hyperplane_sign_bit(v, p, dim).cast("long")
+        )
+    tagged = df.select(F.col(id_col).alias("doc"), v.alias("vec"), bucket.alias("bucket"))
+    sizes = tagged.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+    bounded = tagged.join(
+        sizes.filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket_size)), "bucket"
+    )
+    a = bounded.select("bucket", F.col("doc").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = bounded.select("bucket", F.col("doc").alias("id_b"), F.col("vec").alias("vec_b"))
+    cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,116 @@
+"""Multimodal column plumbing (EXT — SURVEY §2.3).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct alongside.  The Spark-side mechanics — schema, Arrow batch shape,
+``mapInPandas`` signature, partition sizing — are real and tested; the
+actual media decode is STUBBED (the container ships no image/audio libs):
+:func:`_decode_bytes` raises ``NotImplementedError`` when asked for a real
+decoder and otherwise produces a deterministic fake derived from the
+payload, so pipelines exercise the exact plumbing a real decoder would use.
+
+Scale design: decode runs inside ``mapInPandas`` so each task streams
+Arrow batches — no per-row Python, no driver involvement; batch size is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.  Binary
+payloads ride the shuffle only when explicitly selected (column pruning
+drops them otherwise).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("checksum", T.LongType(), False),
+    ]
+)
+
+DECODED_SCHEMA = "doc_id bigint, n_bytes bigint, width int, height int, n_frames int"
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str, media_type: str = "image/fake") -> DataFrame:
+    """Materialize an opaque binary payload column + typed metadata struct.
+
+    Here the payload is the utf-8 text bytes (the fixtures carry no real
+    media); a real pipeline reads it from object storage with
+    ``spark.read.format("binaryFile")`` and the rest of the plumbing is
+    unchanged.
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    meta = F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.xxhash64(payload).alias("checksum"),
+    )
+    return df.select(F.col(id_col), payload.alias("payload"), meta.alias("media_meta"))
+
+
+def _decode_bytes(buf: bytes, real_decoder: bool = False) -> tuple[int, int, int]:
+    """STUB decode: deterministic fake (width, height, n_frames) from the
+    payload length.  ``real_decoder=True`` is the marked seam for PIL /
+    ffmpeg — unavailable in this container."""
+    if real_decoder:
+        raise NotImplementedError(
+            "real media decoding needs PIL/ffmpeg — not in this environment; "
+            "wire the real decoder at this seam"
+        )
+    n = len(buf)
+    return (n % 640 + 1, (n // 640) % 480 + 1, n % 24 + 1)
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Decode payloads to (doc_id, n_bytes, width, height, n_frames).
+
+    ``mapInPandas``: tasks receive Arrow record batches, decode in bulk,
+    emit a narrow frame — the canonical shape for CPU-bound media feature
+    extraction on a cluster.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_bytes(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(b) for b in pdf[payload_col]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", *, every_nth: int = 8) -> DataFrame:
+    """Frame-sampling stub: emits one row per sampled frame index with a
+    deterministic per-frame checksum — the row-explosion shape (one media
+    row → many frame rows) that a real video pipeline produces.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, sums = [], [], []
+            for doc, buf in zip(pdf[id_col], pdf[payload_col]):
+                _, _, n_frames = _decode_bytes(buf)
+                for fi in range(0, n_frames, every_nth):
+                    ids.append(doc)
+                    frames.append(fi)
+                    # deterministic stand-in for the frame's pixel hash
+                    sums.append(hash((len(buf), fi)) & 0x7FFFFFFF)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "frame_index": pd.Series(frames, dtype="int32"),
+                 "frame_checksum": pd.Series(sums, dtype="int64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        frame_batches, "doc_id bigint, frame_index int, frame_checksum bigint"
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (EXT — SURVEY §2.3).
+
+Two paths, same contract (return the top-k neighbors of a query vector):
+
+- :func:`brute_force_topk` — exact cosine against every row; one narrow
+  pass + TakeOrdered.  The correctness baseline, and still the right
+  choice when the query set is small and the scan is already happening.
+- :func:`ivf_topk` — inverted-file approximate search: vectors are
+  assigned to their nearest of K centroids once (narrow after a broadcast
+  of K centroids), the query probes only ``nprobe`` nearest cells.  At
+  100 TB the assignment is written as a bucketed/partitioned table so a
+  query touches K/nprobe-th of the data.
+
+All vector math is JVM-side higher-order expressions (functions.vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.functions.vectors import cosine_similarity, to_double_array
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    *,
+    k: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to the (single-row) query vector.
+
+    ``query_df`` must have one row with column ``vec_col``; it is
+    broadcast, so the big side never shuffles — the plan is
+    scan → broadcast nested loop (1 row) → project cosine → TakeOrdered(k).
+    Ordering ties are broken by id for determinism.
+    """
+    q = F.broadcast(query_df.select(to_double_array(vec_col).alias("_qvec")))
+    cos = cosine_similarity(to_double_array(vec_col), F.col("_qvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        df.crossJoin(q)
+        .select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids_df: DataFrame,
+    *,
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (IVF build step).
+
+    Centroids are broadcast and the argmax is computed per row as an
+    expression (array of (sim, cid) structs → array_max), so the build is
+    a single narrow pass over the corpus.  Returns df + ``cell`` column;
+    at scale, persist this partitioned by ``cell``.
+    """
+    cents = [
+        (r[centroid_id_col], r[centroid_vec_col])
+        for r in centroids_df.select(centroid_id_col, centroid_vec_col).collect()
+    ]
+    v = to_double_array(vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_similarity(v, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+                F.lit(int(cid)).alias("c"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    return df.withColumn("cell", F.array_max(scored)["c"])
+
+
+def seed_centroids(df: DataFrame, id_col: str, vec_col: str, *, k: int) -> DataFrame:
+    """Deterministic centroid seeds: the k smallest ids (k-means init
+    stand-in; a real pipeline would run k-means|| — pyspark.ml KMeans —
+    but the IVF mechanics are identical)."""
+    return (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.monotonically_increasing_id().cast("int").alias("cid"),
+            to_double_array(vec_col).alias("cvec"),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    *,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` cells nearest the query.
+
+    Recall < 1 by design; with nprobe == num_cells this degrades to exact.
+    The pruning predicate is ``cell IN (probed)`` — on a cell-partitioned
+    table that is partition pruning, i.e. the scan itself shrinks.
+    """
+    cents = seed_centroids(df, id_col, vec_col, k=num_cells)
+    assigned = assign_ivf_cells(df, id_col, vec_col, cents)
+    # nprobe nearest cells of the query vector
+    q = query_df.select(to_double_array(vec_col).alias("qv")).collect()[0]["qv"]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    cell_rank = (
+        cents.select(
+            "cid", cosine_similarity(F.col("cvec"), qcol).alias("csim")
+        )
+        .orderBy(F.col("csim").desc(), "cid")
+        .limit(nprobe)
+    )
+    pruned = assigned.join(
+        F.broadcast(cell_rank.select(F.col("cid").alias("cell"))), "cell"
+    )
+    cos = cosine_similarity(to_double_array(vec_col), qcol)
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        pruned.select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

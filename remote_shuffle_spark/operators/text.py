@@ -1,0 +1,105 @@
+"""Text-analysis operators (EXT — SURVEY §2.3): language ID, quality
+scoring, token counting, document fingerprinting.
+
+All per-document metrics are narrow column expressions; the only shuffles
+are the explicit per-language/per-source aggregations — i.e. the shape
+scales linearly with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.functions.hashing import normalized_text, rolling_fingerprint, tokens
+
+# Tiny deterministic marker-word profiles for the language-ID heuristic.
+# A production profile would be trained character n-gram frequencies
+# (textcat-style); the operator shape (score-per-language → argmax as an
+# expression) is the same.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "de", "es"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols —
+# a public-regex approximation of byte-pair tokenizer pre-splitting.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def token_count(text_col) -> Column:
+    """Whitespace token count of normalized text (0 for empty/null)."""
+    t = normalized_text(text_col)
+    return F.when(F.length(t) > 0, F.size(F.split(t, " "))).otherwise(F.lit(0))
+
+
+def bpe_ish_token_count(text_col) -> Column:
+    """Sub-word-ish token count via the BPE-ish regex."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_ratio(text_col, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of tokens that are stopwords (quality signal)."""
+    toks = tokens(text_col)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, stops.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document quality features: length, token count, mean token
+    length, punctuation ratio, stopword ratio — the standard cheap
+    pre-filter signals for a training-data pipeline."""
+    t = normalized_text(text_col)
+    toks = tokens(text_col)
+    n_tok = token_count(text_col)
+    punct = F.length(F.regexp_replace(t, r"[^\.,;:!?]", ""))
+    return df.withColumns(
+        {
+            "q_chars": F.length(t),
+            "q_tokens": n_tok,
+            "q_mean_token_len": F.when(
+                n_tok > 0,
+                F.aggregate(
+                    toks, F.lit(0), lambda acc, x: acc + F.length(x)
+                ).cast("double")
+                / n_tok,
+            ).otherwise(F.lit(0.0)),
+            "q_punct_ratio": F.when(
+                F.length(t) > 0, punct.cast("double") / F.length(t)
+            ).otherwise(F.lit(0.0)),
+            "q_stopword_ratio": stopword_ratio(text_col),
+        }
+    )
+
+
+def language_scores(text_col) -> Column:
+    """Array of (score, lang) structs — marker-word hit counts."""
+    toks = tokens(text_col)
+
+    def is_marker(markers: tuple[str, ...]):
+        # single-parameter lambda: a second (default) parameter would make
+        # pyspark bind the array index to it
+        return lambda t: t.isin(*markers)
+
+    scored = []
+    for lang in sorted(LANG_MARKERS):
+        hits = F.size(F.filter(toks, is_marker(LANG_MARKERS[lang])))
+        scored.append(F.struct(hits.alias("score"), F.lit(lang).alias("lang")))
+    return F.array(*scored)
+
+
+def identify_language(text_col, min_score: int = 1) -> Column:
+    """Argmax language by marker hits; 'und' (undetermined) below
+    ``min_score``.  Ties break toward the lexicographically LAST language
+    code (array_max on (score, lang) structs) — deterministic."""
+    best = F.array_max(language_scores(text_col))
+    return F.when(best["score"] >= min_score, best["lang"]).otherwise(F.lit("und"))
+
+
+def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (bigint)."""
+    return df.withColumn(out_col, rolling_fingerprint(tokens(text_col)))

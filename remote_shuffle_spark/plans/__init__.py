@@ -1,0 +1,21 @@
+from remote_shuffle_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_shuffle_exchange,
+    assert_pushed_filters,
+    physical_plan,
+)
+from remote_shuffle_spark.plans.shuffle_policy import (
+    checkpoint_to,
+    salted_aggregate,
+    write_bucketed,
+)
+
+__all__ = [
+    "assert_broadcast_join",
+    "assert_no_shuffle_exchange",
+    "assert_pushed_filters",
+    "physical_plan",
+    "checkpoint_to",
+    "salted_aggregate",
+    "write_bucketed",
+]

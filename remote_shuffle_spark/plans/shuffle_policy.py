@@ -1,0 +1,128 @@
+"""Shuffle-policy layer — the reference's core concerns re-expressed at the
+engine level (SURVEY §2.1 P10/P15/P17, §4).
+
+The plugin's reason to exist is (a) shuffle data on REMOTE storage so
+executor loss never recomputes upstream stages (vendored
+DAGScheduler.scala:2038-2040 — ``fileLost = !remoteShuffleEnabled``), and
+(b) atomic, idempotent commit of shuffle output
+(RemoteShuffleBlockResolver.writeIndexFileAndCommit:133-197, tmp-file +
+rename + existing-attempt dedup).  Above the DataFrame API the equivalents
+are:
+
+- :func:`checkpoint_to` — materialize a stage boundary to durable storage
+  (parquet's commit protocol is the same tmp+rename+dedup dance) and read
+  it back, cutting lineage so retries never climb past it.
+- :func:`salted_aggregate` — two-phase aggregation for skewed keys (the
+  engine-level answer to the DAOS writer's size-sampled spill-first
+  policy, MapPartitionsWriter.scala:46-57,340-355).
+- :func:`write_bucketed` / :func:`read_bucketed` — hash-bucketed tables so
+  repeated joins/aggs on the bucket key skip their exchange entirely
+  (dkey/akey layout parity: bucket ≈ dkey, file-per-writer ≈ akey,
+  README.md:19-23 of shuffle-daos).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def checkpoint_to(df: DataFrame, path: str, *, format: str = "parquet") -> DataFrame:
+    """Materialize ``df`` at ``path`` and return the re-read DataFrame.
+
+    Stage-boundary durability: after this, downstream failures re-read the
+    materialized bytes instead of recomputing the upstream lineage —
+    executor-loss parity with the reference (its map outputs live on the
+    remote FS, so ``fileLost`` never invalidates them).  Overwrite is
+    idempotent like writeIndexFileAndCommit: a retried writer replaces the
+    same path atomically via the commit protocol's tmp+rename.
+    """
+    df.write.mode("overwrite").format(format).save(path)
+    return df.sparkSession.read.format(format).load(path)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase (salted) aggregation for skew-heavy keys.
+
+    ``aggs`` maps output column → (input column, fn) where fn ∈
+    {sum, count, min, max}.  Phase 1 aggregates on (keys + salt) so a hot
+    key fans out over ``salt_buckets`` reducers; phase 2 merges partials.
+    For these algebraic aggregates the result is identical to a direct
+    groupBy (asserted in tests), but no single reducer ever sees a whole
+    hot key.  (Spark's partial aggregation already defuses most skew;
+    salting matters when the DISTINCT key count per reducer, not the row
+    count, is the bottleneck — or under AQE-off constraints.)
+    """
+    supported = {"sum", "count", "min", "max"}
+    for out, (col, fn) in aggs.items():
+        if fn not in supported:
+            raise ValueError(f"{fn!r} is not algebraic-mergeable here; use {supported}")
+
+    salt = (F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()) % salt_buckets).alias(
+        "_salt"
+    )
+    phase1 = [
+        (
+            F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)
+        ).alias(f"_p_{out}")
+        for out, (col, fn) in aggs.items()
+    ]
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase2 = [
+        merge_fn[fn](f"_p_{out}").alias(out) for out, (col, fn) in aggs.items()
+    ]
+    return (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*phase1)
+        .groupBy(*keys)
+        .agg(*phase2)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    *,
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a hash-bucketed (optionally sorted) table.
+
+    Joins/aggregations on ``bucket_cols`` between tables bucketed the same
+    way run with ZERO shuffle exchange (asserted in tests/test_plans.py) —
+    the 100 TB pattern for repeatedly-joined fact tables, and the direct
+    analog of the reference's dkey-per-reduce-partition layout.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a previous session may have left an orphan managed-table location
+    # (catalog is in-memory, the warehouse dir is not) — clear it so the
+    # overwrite is idempotent like the reference's commit dedup
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)
+
+
+def broadcast_if_small(df: DataFrame, *, force: bool = False) -> DataFrame | Column:
+    """Mark a dimension side for broadcast (exchange elimination)."""
+    return F.broadcast(df) if force else df

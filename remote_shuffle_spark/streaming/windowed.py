@@ -1,0 +1,81 @@
+"""Structured Streaming demo over the events table (EXT).
+
+The reference is batch-shuffle only (SURVEY §2.3 — zero streaming code),
+so this is a north-star extension: tumbling-window aggregation with a
+watermark, run as a real ``readStream`` → ``writeStream`` pipeline driven
+to completion with ``processAllAvailable`` (the parquet directory stands
+in for a stream source, exactly like the reference's tests used
+``file://`` as the "remote" filesystem).
+
+The result of a complete-mode windowed aggregation over a finite input
+equals the batch GROUP BY time_bucket — which is what the DuckDB oracle
+checks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.sources.tables import table_path
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window per-event-type counts + exact value sums.
+
+    Returns a batch DataFrame (the drained memory-sink table) with columns
+    (window_start string, event_type, n, sum_value) — deterministic and
+    oracle-comparable.
+    """
+    path = table_path(sf_dir, "events")
+    batch_schema = spark.read.parquet(path).schema  # ts arrives as bigint nanos
+    # the file-stream source requires a directory: expose the single
+    # fixture file through a symlink dir (testdata itself is read-only)
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    # TimestampType (not NTZ): watermarks require TIMESTAMP; session tz is
+    # pinned UTC so wall-clock output matches the NTZ batch path
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    agg = (
+        stream.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"windowed_events_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    out = spark.table(name)
+    return (
+        out.select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,119 @@
+"""Dedup-operator semantics pinned against planted duplicates — the
+pytest oracle for the hash-based operators that have no SQL oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.operators import dedup
+from remote_shuffle_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_smoke):
+    """sf0.001 documents + planted exact and near duplicates."""
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 20).collect()
+    planted = []
+    for r in base[:5]:
+        planted.append((10_000 + r.doc_id, r.text))  # exact copy
+    for r in base[5:10]:
+        toks = r.text.split()
+        toks[len(toks) // 2] = "XQZVW"  # one-token edit → near duplicate
+        planted.append((20_000 + r.doc_id, " ".join(toks)))
+    extra = spark.createDataFrame(planted, ["doc_id", "text"])
+    return docs.union(extra)
+
+
+def test_exact_duplicates_finds_planted(spark, corpus):
+    groups = dedup.exact_duplicates(corpus, "doc_id", "text")
+    dups = groups.filter(F.col("dup_count") >= 2).collect()
+    keep_ids = {r.keep_id for r in dups}
+    # the 5 exact copies collapse onto their originals (keep-first → min id)
+    assert {0, 1, 2, 3, 4} <= keep_ids
+    assert all(r.dup_count == 2 for r in dups)
+
+
+def test_drop_exact_duplicates_keeps_first(spark, corpus):
+    total = corpus.count()
+    survivors = dedup.drop_exact_duplicates(corpus, "doc_id", "text")
+    assert survivors.count() == total - 5
+    # survivors keep the originals, not the copies
+    ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    assert {0, 1, 2, 3, 4} <= ids
+    assert not any(i >= 10_000 for i in ids if i < 20_000)
+
+
+def test_minhash_finds_planted_near_dups(spark, corpus):
+    pairs = dedup.minhash_near_duplicates(
+        corpus, "doc_id", "text", threshold=0.5, num_hashes=16, num_bands=8
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # exact copies are jaccard 1.0 — banding must catch all 5
+    for i in range(5):
+        assert (i, 10_000 + i) in found, f"exact pair {i} missed"
+    # one-token edits keep jaccard high; with 8 bands of 2 rows, expect most
+    near_hits = sum((i, 20_000 + i) in found for i in range(5, 10))
+    assert near_hits >= 3
+    # verify stage: every reported jaccard really is >= threshold
+    assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_minhash_bucket_cap_drops_hot_buckets(spark):
+    rows = [(i, "the same boilerplate header text repeated everywhere") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.minhash_candidates(df, "doc_id", "text", max_bucket_size=10)
+    assert capped.count() == 0  # hot bucket dropped, no quadratic join
+    uncapped = dedup.minhash_candidates(df, "doc_id", "text", max_bucket_size=1000)
+    assert uncapped.count() == 100 * 99 // 2
+
+
+def test_simhash_exact_copy_has_zero_hamming(spark, corpus):
+    pairs = dedup.simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=3).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    for i in range(5):
+        assert found.get((i, 10_000 + i)) == 0, f"exact pair {i}: {found.get((i, 10_000 + i))}"
+
+
+def test_simhash_rejects_unsupported_hamming(spark, corpus):
+    with pytest.raises(ValueError):
+        dedup.simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=10)
+
+
+def test_ngram_jaccard_pairs_match_python_oracle(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.3, block_prefix_tokens=2
+        ).collect()
+    }
+    rows = [(r.doc_id, " ".join(r.text.lower().split())) for r in docs.collect()]
+    by_block: dict[str, list[tuple[int, set]]] = {}
+    for i, t in rows:
+        by_block.setdefault(" ".join(t.split()[:2]), []).append((i, set(t.split())))
+    expect = {}
+    for members in by_block.values():
+        for ai in range(len(members)):
+            for bi in range(len(members)):
+                (ia, sa), (ib, sb) = members[ai], members[bi]
+                if ia < ib:
+                    j = len(sa & sb) / len(sa | sb)
+                    if j >= 0.3:
+                        expect[(ia, ib)] = j
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-12
+
+
+def test_embedding_neardup_finds_planted_copy(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    twin = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    pairs = dedup.embedding_near_duplicates(
+        emb.union(twin), "vec_id", "embedding", dim=64, threshold=0.999
+    ).collect()
+    assert any((r.id_a, r.id_b) == (7, 100_007) for r in pairs)
+    assert all(r.cosine >= 0.999 for r in pairs)

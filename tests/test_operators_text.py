@@ -1,0 +1,81 @@
+"""Text-analysis operator semantics on crafted inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.operators import text
+
+
+def _one(spark, s: str):
+    return spark.createDataFrame([(1, s)], ["doc_id", "text"])
+
+
+def test_token_count(spark):
+    df = _one(spark, "  Hello   world  this is   SPARK  ")
+    assert df.select(text.token_count("text").alias("n")).collect()[0].n == 5
+
+
+def test_token_count_empty(spark):
+    df = _one(spark, "   ")
+    assert df.select(text.token_count("text").alias("n")).collect()[0].n == 0
+
+
+def test_bpe_ish_token_count(spark):
+    df = _one(spark, "hello, world42!")
+    # hello , world 42 ! → 5
+    assert df.select(text.bpe_ish_token_count("text").alias("n")).collect()[0].n == 5
+
+
+@pytest.mark.parametrize(
+    "sentence,expected",
+    [
+        ("der hund ist nicht da und die katze", "de"),
+        ("le chat est sur la table et les chiens", "fr"),
+        ("el perro es grande y la casa que vemos es azul", "es"),
+        ("the cat and the dog of the house is here", "en"),
+        ("zzz qqq www", "und"),
+    ],
+)
+def test_identify_language(spark, sentence, expected):
+    df = _one(spark, sentence)
+    got = df.select(text.identify_language("text").alias("lang")).collect()[0].lang
+    assert got == expected
+
+
+def test_quality_features(spark):
+    df = _one(spark, "Good text, with punctuation! And the usual stopwords of it.")
+    row = text.quality_features(df, "text").collect()[0]
+    assert row.q_tokens == 10
+    assert row.q_chars > 0
+    assert 0 < row.q_punct_ratio < 0.2
+    assert 0 < row.q_stopword_ratio < 0.5
+    assert row.q_mean_token_len == pytest.approx(
+        sum(len(t) for t in row.text.lower().split()) / 10, rel=1e-9
+    )
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha  beta   gamma")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.fingerprint for r in text.with_fingerprint(df, "text").collect()}
+    assert rows[1] != rows[2]  # order matters
+    assert rows[1] == rows[3]  # whitespace doesn't
+    assert all(v >= 0 for v in rows.values())
+
+
+def test_fingerprint_deterministic_across_runs(spark):
+    df = _one(spark, "some stable text for fingerprinting")
+    a = text.with_fingerprint(df, "text").collect()[0].fingerprint
+    b = text.with_fingerprint(df, "text").collect()[0].fingerprint
+    assert a == b
+
+
+def test_stopword_ratio_bounds(spark):
+    all_stop = _one(spark, "the the the")
+    none_stop = _one(spark, "zebra quartz violin")
+    assert all_stop.select(text.stopword_ratio("text").alias("r")).collect()[0].r == 1.0
+    assert none_stop.select(text.stopword_ratio("text").alias("r")).collect()[0].r == 0.0

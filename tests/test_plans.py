@@ -1,0 +1,104 @@
+"""Physical-plan assertions — scale properties, not just results.
+
+Mirrors SURVEY §4: the reference's optimizations are physical-I/O level;
+ours are plan-level.  These tests fail if a code change silently breaks
+pushdown, broadcast choice, or bucketed-join exchange elimination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import remote_shuffle_spark.ext_queries  # noqa: F401
+from remote_shuffle_spark.plans import explain, shuffle_policy
+from remote_shuffle_spark.queries import REGISTRY
+from remote_shuffle_spark.sources.tables import load_table
+
+
+def test_q01_filter_and_projection_pushed_to_scan(spark, sf_smoke):
+    df = REGISTRY["q01_scan_filter_agg"].fn(spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan
+    # column pruning: the scan must not read all 11 lineitem columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read and "l_returnflag" not in read and "l_comment" not in read
+
+
+def test_q11_is_broadcast_join(spark, sf_smoke):
+    df = REGISTRY["q11_broadcast_join"].fn(spark, sf_smoke)
+    explain.assert_broadcast_join(df)
+
+
+def test_q10_is_sort_merge_join(spark, sf_smoke):
+    df = REGISTRY["q10_sort_merge_join"].fn(spark, sf_smoke)
+    explain.assert_sort_merge_join(df)
+
+
+def test_q04_uses_take_ordered(spark, sf_smoke):
+    df = REGISTRY["q04_global_sort"].fn(spark, sf_smoke)
+    assert "TakeOrderedAndProject" in explain.physical_plan(df)
+
+
+def test_narrow_ops_have_no_exchange(spark, sf_smoke):
+    """Per-document hashing/scoring must stay shuffle-free."""
+    from remote_shuffle_spark.operators import text
+    docs = load_table(spark, sf_smoke, "documents")
+    df = text.quality_features(docs, "text")
+    explain.assert_no_shuffle_exchange(df)
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_smoke):
+    """dkey/akey-layout parity: co-bucketed tables join with no shuffle."""
+    orders = load_table(spark, sf_smoke, "orders")
+    cust = load_table(spark, sf_smoke, "customer")
+    shuffle_policy.write_bucketed(orders, "b_orders", ["o_custkey"], num_buckets=8)
+    shuffle_policy.write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "b_cust", ["o_custkey"], num_buckets=8
+    )
+    a = shuffle_policy.read_bucketed(spark, "b_orders")
+    b = shuffle_policy.read_bucketed(spark, "b_cust")
+    # force the shuffled-join path (Catalyst would broadcast the small
+    # side here); with co-bucketed inputs the SMJ needs NO exchange
+    joined = a.hint("merge").join(b, "o_custkey")
+    plan = explain.physical_plan(joined)
+    assert "SortMergeJoin" in plan
+    explain.assert_no_shuffle_exchange(joined)
+
+
+def test_checkpoint_roundtrip_cuts_lineage(spark, sf_smoke, tmp_path):
+    li = load_table(spark, sf_smoke, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    back = shuffle_policy.checkpoint_to(agg, str(tmp_path / "ckpt"))
+    key = lambda d: sorted(d.items(), key=str)  # noqa: E731
+    assert sorted((r.asDict() for r in back.collect()), key=key) == sorted(
+        (r.asDict() for r in agg.collect()), key=key
+    )
+    # the re-read plan is a scan, not the original aggregation
+    assert "HashAggregate" not in explain.physical_plan(back)
+
+
+def test_salted_aggregate_equals_direct(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    direct = {
+        (r.l_returnflag): (r.n, r.qty)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag): (r.n, r.qty)
+        for r in shuffle_policy.salted_aggregate(
+            li.withColumn("qty_dec", F.col("l_quantity").cast("decimal(18,4)")),
+            ["l_returnflag"],
+            {"n": ("l_returnflag", "count"), "qty": ("qty_dec", "sum")},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_salted_aggregate_rejects_non_algebraic(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    with pytest.raises(ValueError):
+        shuffle_policy.salted_aggregate(li, ["l_returnflag"], {"x": ("l_quantity", "avg")})

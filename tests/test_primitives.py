@@ -1,0 +1,72 @@
+"""Shuffle-primitive edge cases distilled from the reference's test suites
+(SURVEY §5, FIXTURES.md §B): empty partitions, skew, null keys, hash-ish
+collisions, AQE coalescing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.sources.tables import load_table
+
+
+def test_empty_map_outputs_roundtrip(spark):
+    """RemoteShuffleManagerSuite.scala:156-162 — tiny table through a wide
+    exchange: most partitions empty, nothing lost."""
+    df = spark.range(20).repartition(40)
+    assert df.count() == 20
+    assert df.rdd.getNumPartitions() == 40
+    assert sorted(r.id for r in df.collect()) == list(range(20))
+
+
+def test_aqe_coalesces_small_shuffle(spark, sf_smoke):
+    """RemoteShuffleManagerSuite.scala:188-190 — AQE shrinks the reduce
+    side below the configured shuffle partitions."""
+    li = load_table(spark, sf_smoke, "lineitem")
+    out = li.groupBy("l_returnflag").count()
+    n_parts = out.rdd.getNumPartitions()
+    assert n_parts < int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_null_grouping_keys(spark):
+    """RemoteAppendOnlyMapSuite.scala:166-188 — null keys form a group."""
+    rows = [(None, 1), (None, 2), ("a", 3), ("b", 4), (None, 5)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert got == {None: 8, "a": 3, "b": 4}
+
+
+def test_low_entropy_collision_keys(spark):
+    """RemoteAppendOnlyMapSuite.scala:313-412 — grouping on keys designed
+    to collide; SQL semantics must be count-exact regardless."""
+    rows = [((("Aa" if i % 2 else "BB") + str(i // 2)), i) for i in range(10_000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    agg = df.groupBy("k").count()
+    assert agg.count() == 10_000  # all keys distinct despite hash collisions
+    assert agg.agg(F.sum("count").alias("s")).collect()[0].s == 10_000
+
+
+def test_skewed_key_aggregation(spark):
+    """Half-constant keys (RemoteShuffleManagerSuite.scala:168-170)."""
+    df = spark.range(100_000).select(
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k")
+    )
+    counts = df.groupBy("k").count()
+    hot = counts.filter(F.col("k") == 0).collect()[0]["count"]
+    assert hot == 50_000
+    assert counts.count() == 50_001
+
+
+def test_repartition_checksum_large(spark):
+    """1M-row repartition checksum (RemoteShuffleManagerSuite.scala:146-154)."""
+    df = spark.range(1_000_000).repartition(100)
+    s = df.agg(F.sum("id").alias("s")).collect()[0].s
+    assert s == 999_999 * 1_000_000 // 2
+
+
+def test_sort_with_skewed_lengths(spark):
+    """Sort where half the keys are constant — skewed range partitions."""
+    df = spark.range(100_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    top = df.orderBy(F.col("k").desc()).limit(3).collect()
+    assert [r.k for r in top] == [99999, 99997, 99995]
