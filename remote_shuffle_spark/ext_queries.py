@@ -317,6 +317,75 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_asof_join",
+    oracle="""
+    SELECT l.event_id, r.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+    ORDER BY l.event_id
+    """,
+    tags=("ext", "join", "temporal"),
+)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the user's most recent prior
+    view's value.  Spark has no native ASOF JOIN — operators.joins builds
+    it from a union + partitioned window (one shuffle); the oracle is
+    DuckDB's native ASOF LEFT JOIN.
+    """
+    from remote_shuffle_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts", right_values=["value"]
+    )
+    return out.select("event_id", F.col("value_asof")).orderBy("event_id")
+
+
+@declared(
+    "ext_range_join",
+    oracle="""
+    SELECT err.event_id, COUNT(*) AS n_neighbors
+    FROM (SELECT * FROM events WHERE event_type = 'error') err
+    JOIN events e
+      ON e.user_id = err.user_id
+     AND epoch_us(e.ts) BETWEEN epoch_us(err.ts) - 60000000
+                            AND epoch_us(err.ts) + 60000000
+    GROUP BY err.event_id ORDER BY err.event_id
+    """,
+    tags=("ext", "join", "temporal"),
+)
+def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events within ±60 s of each error event, same user.
+
+    operators.joins.range_join turns the non-equi predicate into a
+    bucketed equi-join (≤3 probe buckets per row) — the oracle runs the
+    naive non-equi join, which is only feasible at oracle scale.
+    """
+    from remote_shuffle_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    pairs = range_join(
+        errors,
+        ev,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower_us=-60_000_000,
+        upper_us=60_000_000,
+        right_values=[],  # one output row per matched pair is enough to count
+    )
+    return (
+        pairs.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+        .orderBy("event_id")
+    )
+
+
+@declared(
     "ext_stream_window",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)),

@@ -1,3 +1,3 @@
-from remote_shuffle_spark.operators import dedup, multimodal, similarity, text
+from remote_shuffle_spark.operators import dedup, joins, multimodal, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "joins", "multimodal", "similarity", "text"]

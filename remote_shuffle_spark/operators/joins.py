@@ -1,0 +1,132 @@
+"""Temporal join operators Spark lacks natively: as-of join and range
+(interval) join (EXT — "common OLAP patterns" a reference user expects).
+
+Both are compositions of built-in DataFrame ops chosen for scale:
+
+- as-of: the union + partitioned-window trick — ONE shuffle on the key
+  columns, no per-group Python, no ``merge_asof`` pandas fallback.  Every
+  left row picks up the latest right row with ``right.ts <= left.ts`` via
+  ``last_value(ignoreNulls)`` over the time-ordered union.
+- range join: time-bucketing — right rows land in one bucket, left rows
+  probe their own and neighboring buckets (explode ≤3 rows), so the
+  equi-join on (keys, bucket) bounds the candidate set; the exact
+  interval predicate filters after.  Turns an O(n·m) non-equi join into a
+  shuffle join with constant fan-out — the standard interval-join plan
+  (cf. Flink's interval join, DuckDB/kdb asof machinery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row of the
+    same key group with ``right_ts <= left_ts`` (inclusive).
+
+    Returns all left columns plus ``<value><suffix>`` for each of
+    ``right_values`` (null when no prior right row exists).  Ties between
+    a left and right row at the same timestamp match (inclusive); ties
+    among right rows resolve to the one latest in (ts, values-order) —
+    callers needing a total order should ensure distinct right
+    timestamps per key.
+    """
+    from pyspark.sql import Window as W
+
+    lcols = left.columns
+    tagged_r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left_row"),  # 0 sorts before 1 → right first at ties
+        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+    )
+    tagged_l = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left_row"),
+    )
+    # unionByName null-fills each side's missing columns (left payload on
+    # right rows, right values on left rows)
+    unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    # right rows order before left rows at equal _ts → inclusive semantics
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("_ts"), F.col("_is_left_row"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned
+    for v in right_values:
+        filled = filled.withColumn(
+            f"{v}{suffix}", F.last(f"_rv_{v}", ignorenulls=True).over(w)
+        )
+    out_cols = lcols + [f"{v}{suffix}" for v in right_values]
+    return filled.filter(F.col("_is_left_row") == 1).select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    right_values: list[str],
+) -> DataFrame:
+    """Interval join: pairs where ``right_ts`` ∈ [left_ts+lower_us,
+    left_ts+upper_us] (microsecond offsets, lower may be negative) and the
+    key columns match.
+
+    Bucket width = interval span, so each left row probes ≤ 3 buckets —
+    candidate generation is an equi-join on (keys, bucket), never a
+    cartesian product.  Returns all left columns + requested right values.
+    """
+    if upper_us <= lower_us:
+        raise ValueError("upper_us must exceed lower_us")
+    span = upper_us - lower_us
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+
+    # `div` (integer division) keeps bucketing exact — float division of
+    # epoch-microsecond longs can misfloor at bucket boundaries
+    r_tagged = right.select(
+        *[F.col(c) for c in on],
+        r_us.alias("_r_us"),
+        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+    ).withColumn("_bucket", F.expr(f"_r_us div {span}"))
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns], l_us.alias("_l_us")
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"(_l_us + {lower_us}) div {span}"),
+                    # middle bucket covers windows straddling one boundary
+                    F.expr(f"(_l_us + {lower_us} + {span}) div {span}"),
+                    F.expr(f"(_l_us + {upper_us}) div {span}"),
+                )
+            )
+        ),
+    )
+    joined = l_tagged.join(r_tagged, on=[*on, "_bucket"]).filter(
+        (F.col("_r_us") >= F.col("_l_us") + F.lit(lower_us))
+        & (F.col("_r_us") <= F.col("_l_us") + F.lit(upper_us))
+    )
+    keep = left.columns + [f"_rv_{v}" for v in right_values]
+    renames = dict(zip([f"_rv_{v}" for v in right_values], right_values))
+    out = joined.select(*keep)
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out

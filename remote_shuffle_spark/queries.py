@@ -593,6 +593,112 @@ def q21_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q23_json_scalar",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def q23_json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (events.props) + aggregation.
+
+    Scalar-function surface (SURVEY §2.3: inherited above the plugin).
+    get_json_object stays JVM-side; exact integer sums make the oracle
+    comparison bit-stable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k_val"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k_val").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("k_val").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
+    "q24_date_parts",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           COUNT(*) AS n, {SQL_DSUM('o_totalprice', 'total')}
+    FROM orders GROUP BY 1, 2 ORDER BY yr, mo
+    """,
+    tags=("scalar", "date"),
+)
+def q24_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + aggregation (temporal scalar surface)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+        .orderBy("yr", "mo")
+    )
+
+
+@declared(
+    "q25_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, {SQL_DSUM('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "cube"),
+)
+def q25_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (full subtotal lattice)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@declared(
+    "q26_string_funcs",
+    oracle="""
+    SELECT substr(p_name, 1, 1) AS initial, COUNT(*) AS n,
+           CAST(SUM(length(p_name)) AS DOUBLE) / COUNT(*) AS avg_name_len,
+           CAST(SUM(CASE WHEN contains(p_type, 'BRASS') THEN 1 ELSE 0 END) AS BIGINT) AS n_brass
+    FROM part GROUP BY 1 ORDER BY initial
+    """,
+    tags=("scalar", "string"),
+)
+def q26_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: substr/length/contains + aggregation."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(F.substring("p_name", 1, 1).alias("initial"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.length("p_name")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_name_len"
+            ),
+            F.sum(
+                F.when(F.col("p_type").contains("BRASS"), 1).otherwise(0)
+            ).alias("n_brass"),
+        )
+        .orderBy("initial")
+    )
+
+
+@declared(
     "q22_pivot",
     oracle="""
     SELECT l_returnflag,

@@ -1,0 +1,92 @@
+"""Temporal join operators vs Python/pandas oracles."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.operators.joins import asof_join, range_join
+from remote_shuffle_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 205), (3, "A", 310), (4, "B", 150), (5, "B", 255), (6, "C", 100)],
+        ["trade_id", "sym", "t_us"],
+    ).select("trade_id", "sym", F.timestamp_micros("t_us").alias("ts"))
+    quotes = spark.createDataFrame(
+        [("A", 90, 1.0), ("A", 100, 2.0), ("A", 300, 3.0), ("B", 200, 4.0)],
+        ["sym", "t_us", "px"],
+    ).select("sym", F.timestamp_micros("t_us").alias("ts"), "px")
+    return trades, quotes
+
+
+def test_asof_backward_inclusive(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts", right_values=["px"]
+    )
+    got = {r.trade_id: r.px_asof for r in out.collect()}
+    # trade1@100 matches quote@100 (inclusive), trade2@205 → quote@100,
+    # trade3@310 → quote@300, trade4@150 → none, trade5@255 → quote@200,
+    # trade6 sym C → none
+    assert got == {1: 2.0, 2: 2.0, 3: 3.0, 4: None, 5: 4.0, 6: None}
+
+
+def test_asof_matches_pandas_merge_asof(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    got = (
+        asof_join(clicks, views, on=["user_id"], left_ts="ts", right_ts="ts", right_values=["value"])
+        .select("event_id", "value_asof")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    lp = clicks.select("event_id", "user_id", "ts").toPandas().sort_values("ts")
+    rp = views.select("user_id", "ts", "value").toPandas().sort_values("ts")
+    expect = (
+        pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+        .rename(columns={"value": "value_asof"})[["event_id", "value_asof"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_range_join_matches_naive(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    got = (
+        range_join(
+            errors, ev, on=["user_id"], left_ts="ts", right_ts="ts",
+            lower_us=-60_000_000, upper_us=60_000_000, right_values=[],
+        )
+        .groupBy("event_id")
+        .count()
+        .collect()
+    )
+    got_map = {r.event_id: r["count"] for r in got}
+    # naive python oracle (exact integer-microsecond window)
+    from datetime import timedelta
+
+    all_ev = [(r.user_id, r.ts) for r in ev.select("user_id", "ts").collect()]
+    errs = [(r.user_id, r.event_id, r.ts) for r in errors.select("user_id", "event_id", "ts").collect()]
+    tol = timedelta(seconds=60)
+    expect = {
+        i: sum(1 for (u2, t2) in all_ev if u2 == u and abs(t2 - t) <= tol)
+        for (u, i, t) in errs
+    }
+    assert got_map == expect
+
+
+def test_range_join_rejects_bad_bounds(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError):
+        range_join(
+            trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+            lower_us=10, upper_us=10, right_values=[],
+        )

@@ -1,0 +1,57 @@
+"""Source/sink round-trips: every native format preserves data; partitioned
+writes produce prunable layouts; binaryFile reads opaque payloads."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.plans import explain
+from remote_shuffle_spark.sources import io as sio
+from remote_shuffle_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def sample(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+def _sorted_rows(df):
+    return sorted((tuple(r) for r in df.collect()))
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_format_roundtrip(spark, sample, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    opts = {"header": "true"} if fmt == "csv" else {}
+    sio.write_table(sample, path, format=fmt, **opts)
+    schema = sample.schema  # explicit schema — no inference pass
+    back = sio.read_table(spark, path, format=fmt, schema=schema, **opts)
+    assert _sorted_rows(back) == _sorted_rows(sample)
+
+
+def test_partitioned_write_enables_pruning(spark, sample, tmp_path):
+    path = str(tmp_path / "part_parquet")
+    sio.write_table(sample, path, partition_by=["o_orderpriority"])
+    back = sio.read_table(spark, path)
+    pruned = back.filter(F.col("o_orderpriority") == "2-HIGH")
+    plan = explain.physical_plan(pruned)
+    # partition filter, not a data filter: pruning happens at planning
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split("PartitionFilters")[1].split("]")[0]
+    expect = sample.filter(F.col("o_orderpriority") == "2-HIGH")
+    assert _sorted_rows(pruned.select(*expect.columns)) == _sorted_rows(expect)
+
+
+def test_binary_file_source(spark, sample, tmp_path, sf_smoke):
+    files = sio.read_binary_files(spark, f"{sf_smoke}/*.parquet")
+    rows = files.select("path", "length", F.octet_length("content").alias("n")).collect()
+    assert len(rows) == 10  # one per fixture table
+    assert all(r.n == r.length and r.length > 0 for r in rows)
+
+
+def test_optional_formats_are_gated(spark):
+    assert sio.optional_format(spark, "parquet")
+    assert not sio.optional_format(spark, "delta")
+    assert not sio.optional_format(spark, "kafka")

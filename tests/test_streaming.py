@@ -1,0 +1,72 @@
+"""Streaming: windowed aggregation (oracle-checked via declared query) and
+stateful sessionization — batch/streaming equivalence."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.sources.tables import load_table, table_path
+from remote_shuffle_spark.streaming.sessionize import sessionize_batch, sessionize_streaming
+
+
+def test_sessionize_batch_structure(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    sess = sessionize_batch(ev, gap_minutes=30.0)
+    rows = sess.collect()
+    assert len(rows) > 0
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.session_start)
+        # sessions are disjoint, ordered, and gap-separated
+        for a, b in zip(rs, rs[1:]):
+            assert a.session_end < b.session_start
+            assert (b.session_start - a.session_end).total_seconds() > 30 * 60
+        assert all(r.session_start <= r.session_end for r in rs)
+    # total events preserved
+    assert sum(r.n_events for r in rows) == ev.count()
+
+
+def test_sessionize_streaming_matches_batch_closed_sessions(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    batch = sessionize_batch(ev, gap_minutes=30.0).collect()
+
+    # stream the same file (single micro-batch): every session except each
+    # user's final (still-open) one must be emitted, identical to batch
+    stream_dir = os.path.join(tempfile.gettempdir(), "events_stream_sessionize")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_smoke, "events"), link)
+    schema = spark.read.parquet(table_path(sf_smoke, "events")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = sessionize_streaming(stream, gap_minutes=30.0)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name).collect()
+
+    def key(r):
+        return (r.user_id, r.session_start, r.session_end, r.n_events)
+
+    batch_by_user = {}
+    for r in batch:
+        batch_by_user.setdefault(r.user_id, []).append(r)
+    expect = set()
+    for user, rs in batch_by_user.items():
+        rs.sort(key=lambda r: r.session_start)
+        expect.update(key(r) for r in rs[:-1])  # all but the open last session
+    assert set(key(r) for r in got) == expect
