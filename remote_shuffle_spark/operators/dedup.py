@@ -77,6 +77,7 @@ def minhash_candidates(
     num_hashes: int = 16,
     num_bands: int = 4,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    reuse: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
@@ -94,6 +95,17 @@ def minhash_candidates(
          join only ever sees bounded buckets
       5. self-join on bucket (SHUFFLE 3, bounded fan-out), id_a < id_b
     Returns distinct (id_a, id_b).
+
+    ``reuse=True`` persists the signature table (16 longs/doc — tiny
+    relative to the corpus).  Measured tradeoff: in a ONE-SHOT run the
+    cache boundary defeats Spark's ReuseExchange and costs ~3x (18 s vs
+    5.3 s at sf0.1); cold plans already share the signature exchange.
+    Enable it only when the signatures feed several downstream jobs in
+    the same session; for 100 TB pipelines materialize them durably with
+    plans.shuffle_policy.checkpoint_to instead (the reference's
+    remote-map-output philosophy applied at operator level).  Corpus-
+    sized intermediates (shingle sets, buckets) are never cached —
+    recomputing a narrow derivation beats caching the corpus.
     """
     rows_per_band = num_hashes // num_bands
     exploded = df.select(
@@ -105,6 +117,8 @@ def minhash_candidates(
         for i in range(num_hashes)
     ]
     sig_df = exploded.groupBy("doc").agg(*mins)
+    if reuse:
+        sig_df = sig_df.persist()
     sig = F.array(*[F.col(f"s{i}") for i in range(num_hashes)])
     buckets = band_hashes(sig, num_bands, rows_per_band)
     tagged = sig_df.select("doc", F.explode(buckets).alias("b")).select(
@@ -135,6 +149,7 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     num_bands: int = 4,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    reuse: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥ threshold.
 
@@ -149,7 +164,11 @@ def minhash_near_duplicates(
         num_hashes=num_hashes,
         num_bands=num_bands,
         max_bucket_size=max_bucket_size,
+        reuse=reuse,
     )
+    # shingle sets are corpus-sized: recomputing the narrow derivation for
+    # each probe side is the scale-correct choice (caching them is caching
+    # the corpus); only the 128 B/doc signatures are cached (see `reuse`)
     sh = df.select(
         F.col(id_col).alias("sid"),
         F.array_distinct(word_shingles(text_col, shingle_len)).alias("sset"),
@@ -363,18 +382,24 @@ def embedding_near_duplicates(
         bucket = F.shiftleft(bucket, 1).bitwiseOR(
             _hyperplane_sign_bit(v, p, dim).cast("long")
         )
-    tagged = df.select(F.col(id_col).alias("doc"), v.alias("vec"), bucket.alias("bucket"))
-    sizes = tagged.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
-    bounded = tagged.join(
+    # cache only (doc, bucket) — 16 B/row; vectors are corpus-sized and
+    # re-joined by id for the verify stage instead of being cached
+    buckets_df = df.select(F.col(id_col).alias("doc"), bucket.alias("bucket")).persist()
+    sizes = buckets_df.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+    bounded = buckets_df.join(
         sizes.filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket_size)), "bucket"
     )
-    a = bounded.select("bucket", F.col("doc").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = bounded.select("bucket", F.col("doc").alias("id_b"), F.col("vec").alias("vec_b"))
+    a = bounded.select("bucket", F.col("doc").alias("id_a"))
+    b = bounded.select("bucket", F.col("doc").alias("id_b"))
+    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    vecs = df.select(F.col(id_col).alias("vid"), v.alias("vec"))
+    pairs = (
+        cand.join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
+        .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
+    )
     cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )

@@ -699,6 +699,71 @@ def q26_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q27_explode_unnest",
+    oracle="""
+    SELECT tok, COUNT(*) AS cnt FROM (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+    """,
+    tags=("lateral", "agg"),
+)
+def q27_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/lateral surface: explode tokens → top-20 frequencies."""
+    from remote_shuffle_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(20)
+    )
+
+
+@declared(
+    "q28_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q28_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (type-7, same as DuckDB
+    quantile_cont); the 2-decimal inputs make quartiles land on the
+    4-decimal grid, so round(4) absorbs last-ULP interpolation diffs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared("q29_approx_agg", oracle=None, tags=("agg", "approx"))
+def q29_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, t-digest-ish percentile).
+
+    Engine-specific sketches — no cross-engine oracle; accuracy bounds
+    pinned in tests/test_primitives.py against the exact answers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median"),
+    )
+
+
+@declared(
     "q22_pivot",
     oracle="""
     SELECT l_returnflag,

@@ -70,3 +70,15 @@ def test_sort_with_skewed_lengths(spark):
     )
     top = df.orderBy(F.col("k").desc()).limit(3).collect()
     assert [r.k for r in top] == [99999, 99997, 99995]
+
+
+def test_approx_aggregates_within_bounds(spark, sf_smoke):
+    """q29's sketches stay within published error bounds of exact answers."""
+    from remote_shuffle_spark.queries import REGISTRY
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    exact_parts = li.select("l_partkey").distinct().count()
+    exact_median = li.selectExpr("percentile(l_extendedprice, 0.5) AS m").collect()[0].m
+    row = REGISTRY["q29_approx_agg"].fn(spark, sf_smoke).collect()[0]
+    assert abs(row.approx_parts - exact_parts) / exact_parts < 0.05  # HLL rsd
+    assert abs(row.approx_median - exact_median) / exact_median < 0.05
