@@ -386,6 +386,50 @@ def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_vocab",
+    oracle=f"""
+    SELECT token, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS INTEGER) AS token_id
+    FROM (
+      SELECT tok AS token, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+      ) GROUP BY tok
+    )
+    ORDER BY token_id LIMIT 30
+    """,
+    tags=("ext", "text", "pipeline"),
+)
+def ext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ordered vocabulary head (training-pipeline token ids)."""
+    from remote_shuffle_spark.operators.pipeline import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", max_size=30)
+    return vocab.select(
+        "token", F.col("count").alias("cnt"), "token_id"
+    ).orderBy("token_id")
+
+
+@declared("ext_train_split", oracle=None, tags=("ext", "pipeline"))
+def ext_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/valid/test split counts.
+
+    xxhash64-based — no SQL oracle; stability under re-partitioning and
+    corpus growth pinned in tests/test_operators_pipeline.py.
+    """
+    from remote_shuffle_spark.operators.pipeline import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = deterministic_split(
+        docs, "doc_id", weights={"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    return (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("split")
+    )
+
+
+@declared(
     "ext_stream_window",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)),

@@ -1,3 +1,11 @@
-from remote_shuffle_spark.operators import dedup, joins, multimodal, similarity, text
+from remote_shuffle_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    pipeline,
+    similarity,
+    text,
+    udf,
+)
 
-__all__ = ["dedup", "joins", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "joins", "multimodal", "pipeline", "similarity", "text", "udf"]

@@ -88,6 +88,36 @@ class EngineConfig:
     def resolved_master(self) -> str:
         return self.master or f"local[{_default_parallelism()}]"
 
+    @classmethod
+    def for_cluster(
+        cls,
+        *,
+        total_cores: int,
+        app_name: str = "remote_shuffle_spark",
+        **overrides,
+    ) -> "EngineConfig":
+        """Preset for a real cluster at data scale.
+
+        Sets the knobs that change between local[32] and 1000 executors:
+        shuffle partitions sized ~2.5x total cores as the AQE *starting*
+        point (AQE coalesces down; starting low cannot split back up
+        except for skew), broadcast threshold widened for beefier
+        executors.  The master URL comes from the deployment
+        (spark-submit / k8s operator), not from config."""
+        cfg = cls(
+            app_name=app_name,
+            shuffle_partitions=int(total_cores * 2.5),
+            broadcast_threshold_bytes=256 * 1024 * 1024,
+            **overrides,
+        )
+        cfg.extra.setdefault("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        # executor-loss resilience knobs (the engine-level slice of the
+        # reference's no-recompute guarantee; full parity needs
+        # checkpoint_to between pipeline phases)
+        cfg.extra.setdefault("spark.decommission.enabled", "true")
+        cfg.extra.setdefault("spark.storage.decommission.shuffleBlocks.enabled", "true")
+        return cfg
+
 
 def get_session(config: EngineConfig | None = None) -> SparkSession:
     """Build (or reuse) the engine SparkSession."""

@@ -1,0 +1,99 @@
+"""Pipeline-utility operators: split stability, row indexing, binning,
+vocab/encoding, stratified sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.operators import pipeline as P
+from remote_shuffle_spark.sources.tables import load_table
+
+
+def test_deterministic_split_proportions_and_stability(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    split = P.deterministic_split(
+        docs, "doc_id", weights={"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.08)
+    # stability: same assignment on re-run and under different partitioning
+    again = P.deterministic_split(
+        docs.repartition(7), "doc_id", weights={"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    a = {r.doc_id: r.split for r in split.select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in again.select("doc_id", "split").collect()}
+    assert a == b
+    # growth stability: a subset corpus assigns identically
+    subset = P.deterministic_split(
+        docs.filter(F.col("doc_id") < 100), "doc_id",
+        weights={"train": 0.8, "valid": 0.1, "test": 0.1},
+    )
+    for r in subset.select("doc_id", "split").collect():
+        assert a[r.doc_id] == r.split
+
+
+def test_deterministic_split_rejects_bad_weights(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    with pytest.raises(ValueError):
+        P.deterministic_split(docs, "doc_id", weights={"a": 0.5, "b": 0.3})
+
+
+def test_with_global_index(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").repartition(13)
+    idx = P.with_global_index(docs)
+    rows = idx.select("row_index").collect()
+    got = sorted(r.row_index for r in rows)
+    assert got == list(range(docs.count()))
+
+
+def test_quantile_buckets_equidepth(spark, sf_correct):
+    li = load_table(spark, sf_correct, "lineitem")
+    b = P.quantile_buckets(li, "l_extendedprice", num_buckets=10)
+    counts = [r.n for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).orderBy("bucket").collect()]
+    assert len(counts) == 10
+    n = sum(counts)
+    for c in counts:
+        assert abs(c - n / 10) / (n / 10) < 0.1  # equi-depth within 10%
+    # bucket assignment is monotone in the value
+    sample = b.select("l_extendedprice", "bucket").orderBy("l_extendedprice").collect()
+    assert all(a.bucket <= c.bucket for a, c in zip(sample, sample[1:]))
+
+
+def test_build_vocab_and_encode_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b c c"), (3, "a a a z")], ["doc_id", "text"]
+    )
+    vocab = P.build_vocab(df, "text")
+    v = {r.token: (r["count"], r.token_id) for r in vocab.collect()}  # Row.count is the tuple method
+    # a:5 c:3 b:2 z:1 → ids 0,1,2,3
+    assert v == {"a": (5, 0), "c": (3, 1), "b": (2, 2), "z": (1, 3)}
+    enc = {r.doc_id: r.token_ids for r in P.encode_tokens(df, "doc_id", "text", vocab).collect()}
+    assert enc == {1: [0, 2, 1, 0], 2: [2, 1, 1], 3: [0, 0, 0, 3]}
+
+
+def test_build_vocab_min_count_and_max_size(spark):
+    df = spark.createDataFrame([(1, "a a b c")], ["doc_id", "text"])
+    assert {r.token for r in P.build_vocab(df, "text", min_count=2).collect()} == {"a"}
+    assert P.build_vocab(df, "text", max_size=2).count() == 2
+
+
+def test_stratified_sample(spark, sf_correct):
+    ev = load_table(spark, sf_correct, "events")
+    samp = P.stratified_sample(
+        ev, "event_type", fractions={"click": 0.5, "view": 0.1}, id_col="event_id"
+    )
+    got = {r.event_type: r.n for r in samp.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= {"click", "view"}
+    assert got["click"] / base["click"] == pytest.approx(0.5, abs=0.1)
+    assert got["view"] / base["view"] == pytest.approx(0.1, abs=0.05)
+    # determinism under repartitioning
+    again = P.stratified_sample(
+        ev.repartition(5), "event_type", fractions={"click": 0.5, "view": 0.1}, id_col="event_id"
+    )
+    assert {r.event_id for r in again.select("event_id").collect()} == {
+        r.event_id for r in samp.select("event_id").collect()
+    }
