@@ -1,0 +1,63 @@
+"""MERGE/upsert and SCD2 emulation over plain parquet (EXT sink semantics).
+
+Delta/Iceberg jars are not in this container (sources.io gates them); the
+engine still needs upsert semantics, so these compose them from anti-join
++ union — the classic pre-ACID pattern, and the exact logical plan a
+MERGE INTO lowers to.  At scale both sides shuffle on the key once; with
+key-bucketed tables (plans.shuffle_policy.write_bucketed) the exchange
+disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """UPSERT: rows from ``updates`` win on key collision, unmatched
+    target rows survive.  Equivalent to
+    MERGE ... WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *."""
+    kept = target.join(updates.select(*key_cols), on=key_cols, how="left_anti")
+    return kept.unionByName(updates)
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    *,
+    ts_col: str = "effective_from",
+    end_col: str = "effective_to",
+    change_ts_col: str = "change_ts",
+    open_end_ts: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close the current version of each
+    changed key (end = change ts) and append the new open version.
+
+    ``current`` carries [key..., attrs..., effective_from, effective_to];
+    ``changes`` carries [key..., attrs..., change_ts].  Unchanged keys and
+    already-closed history pass through untouched.
+    """
+    open_end = F.lit(open_end_ts).cast("timestamp_ntz")
+    changed_keys = changes.select(*key_cols).distinct()
+
+    untouched = current.join(changed_keys, on=key_cols, how="left_anti")
+    closed_history = current.filter(F.col(end_col) != open_end).join(
+        changed_keys, on=key_cols, how="left_semi"
+    )
+    newly_closed = (
+        current.filter(F.col(end_col) == open_end)
+        .join(changed_keys, on=key_cols, how="left_semi")
+        .join(
+            changes.select(*key_cols, F.col(change_ts_col).alias("_chg")), on=key_cols
+        )
+        .withColumn(end_col, F.col("_chg"))
+        .drop("_chg")
+    )
+    new_open = (
+        changes.withColumnRenamed(change_ts_col, ts_col)
+        .withColumn(end_col, open_end)
+        .select(*current.columns)
+    )
+    return untouched.unionByName(closed_history).unionByName(newly_closed).unionByName(new_open)

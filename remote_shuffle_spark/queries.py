@@ -764,6 +764,40 @@ def q29_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q30_math_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(sqrt(l_quantity)), 4) AS sum_sqrt_qty,
+           ROUND(SUM(ln(l_extendedprice)), 4) AS sum_ln_price,
+           ROUND(MAX(pow(l_discount, 2)), 6) AS max_disc_sq,
+           CAST(SUM(abs(CAST(l_quantity AS DECIMAL(18,4)) - 25)) AS DOUBLE) AS sum_absdev
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("scalar", "math"),
+)
+def q30_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: sqrt/ln/pow/abs + aggregation.
+
+    sqrt/pow are IEEE-correctly-rounded everywhere; ln may differ by an
+    ULP across libm implementations, and double-sum order differs across
+    engines — round(4) over ~15k-term sums absorbs both (sum error ~1e-9
+    abs, far from the 5e-5 rounding boundary).  abs-deviation runs in
+    exact decimals.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt_qty"),
+            F.round(F.sum(F.log("l_extendedprice")), 4).alias("sum_ln_price"),
+            F.round(F.max(F.pow("l_discount", F.lit(2))), 6).alias("max_disc_sq"),
+            F.sum(F.abs(dec("l_quantity") - F.lit(25))).cast("double").alias("sum_absdev"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
     "q22_pivot",
     oracle="""
     SELECT l_returnflag,

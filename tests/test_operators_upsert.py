@@ -1,0 +1,54 @@
+"""Upsert/SCD2 emulation semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.operators.upsert import merge_upsert, scd2_apply
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "v"]
+    )
+    updates = spark.createDataFrame([(2, "b2", 99.0), (4, "d", 40.0)], ["id", "name", "v"])
+    out = {r.id: (r.name, r.v) for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_idempotent(spark):
+    target = spark.createDataFrame([(1, "a")], ["id", "name"])
+    updates = spark.createDataFrame([(1, "a2")], ["id", "name"])
+    once = merge_upsert(target, updates, ["id"])
+    twice = merge_upsert(once, updates, ["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_apply(spark):
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    current = spark.createDataFrame(
+        [(1, "alice", "2020-01-01 00:00:00", "9999-12-31 00:00:00"),
+         (1, "al", "2019-01-01 00:00:00", "2020-01-01 00:00:00"),
+         (2, "bob", "2020-01-01 00:00:00", "9999-12-31 00:00:00")],
+        ["id", "name", "effective_from", "effective_to"],
+    ).select(
+        "id", "name",
+        F.col("effective_from").cast("timestamp_ntz").alias("effective_from"),
+        F.col("effective_to").cast("timestamp_ntz").alias("effective_to"),
+    )
+    changes = spark.createDataFrame(
+        [(1, "alicia", "2021-06-01 00:00:00")], ["id", "name", "change_ts"]
+    ).select("id", "name", F.col("change_ts").cast("timestamp_ntz").alias("change_ts"))
+
+    out = scd2_apply(current, changes, ["id"]).collect()
+    rows = sorted(((r.id, r.name, str(r.effective_from), str(r.effective_to)) for r in out))
+    assert rows == sorted([
+        (1, "al", "2019-01-01 00:00:00", "2020-01-01 00:00:00"),        # old history kept
+        (1, "alice", "2020-01-01 00:00:00", "2021-06-01 00:00:00"),     # closed at change
+        (1, "alicia", "2021-06-01 00:00:00", "9999-12-31 00:00:00"),    # new open version
+        (2, "bob", "2020-01-01 00:00:00", "9999-12-31 00:00:00"),       # untouched key
+    ])
+    # exactly one open row per key
+    open_rows = [r for r in out if str(r.effective_to).startswith("9999")]
+    assert sorted(r.id for r in open_rows) == [1, 2]

@@ -1,0 +1,105 @@
+"""Property-based checks (hypothesis) for operators whose edge cases are
+easy to miss with fixture data: as-of join vs pandas, Jaccard verify vs
+python sets, fingerprint whitespace invariance."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.integers(min_value=0, max_value=3)
+ts_us = st.integers(min_value=0, max_value=10_000)
+
+
+@SLOW
+@given(
+    left=st.lists(st.tuples(keys, ts_us), min_size=1, max_size=25),
+    right=st.lists(st.tuples(keys, ts_us, st.floats(allow_nan=False, allow_infinity=False, width=32)), max_size=25),
+)
+def test_asof_join_matches_pandas(spark, left, right):
+    from remote_shuffle_spark.operators.joins import asof_join
+
+    # dedupe right on (key, ts): merge_asof picks the LAST among equal ts,
+    # our operator the window-latest — pin uniqueness to make both total
+    right = list({(k, t): (k, t, v) for (k, t, v) in right}.values())
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], ["lid", "k", "t_us"]
+    ).select("lid", "k", F.timestamp_micros("t_us").alias("ts"))
+    rdf_rows = [(k, t, float(v)) for (k, t, v) in right]
+    if rdf_rows:
+        rdf = spark.createDataFrame(rdf_rows, ["k", "t_us", "v"]).select(
+            "k", F.timestamp_micros("t_us").alias("ts"), "v"
+        )
+    else:
+        rdf = spark.createDataFrame([], "k int, ts timestamp, v double")
+    got = {
+        r.lid: r.v_asof
+        for r in asof_join(ldf, rdf, on=["k"], left_ts="ts", right_ts="ts", right_values=["v"]).collect()
+    }
+    lp = pd.DataFrame(
+        {"lid": range(len(left)), "k": pd.Series([k for k, _ in left], dtype="int64"),
+         "ts": pd.to_datetime([t for _, t in left], unit="us")}
+    ).sort_values("ts", kind="mergesort")
+    rp = pd.DataFrame(
+        {"k": pd.Series([k for k, _, _ in right], dtype="int64"),
+         "ts": pd.to_datetime([t for _, t, _ in right], unit="us"),
+         "v": pd.Series([v for _, _, v in right], dtype="float64")}
+    ).sort_values("ts", kind="mergesort")
+    expect_df = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    expect = dict(zip(expect_df["lid"], expect_df["v"]))
+    assert set(got) == set(expect)
+    for lid in got:
+        g, e = got[lid], expect[lid]
+        if pd.isna(e):
+            assert g is None
+        else:
+            assert g is not None and abs(g - e) < 1e-9
+
+
+token = st.text(alphabet="abcd", min_size=1, max_size=3)
+doc = st.lists(token, min_size=1, max_size=12).map(" ".join)
+
+
+@SLOW
+@given(docs=st.lists(doc, min_size=2, max_size=12, unique=True))
+def test_ngram_jaccard_matches_python_sets(spark, docs):
+    from remote_shuffle_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0, block_prefix_tokens=1).collect()
+    }
+    expect = {}
+    toks = [(i, t.split()[0], set(t.split())) for i, t in enumerate(docs)]
+    for ia, ba, sa in toks:
+        for ib, bb, sb in toks:
+            if ia < ib and ba == bb:
+                expect[(ia, ib)] = len(sa & sb) / len(sa | sb)
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-12
+
+
+ws = st.lists(st.sampled_from([" ", "  ", "\t", "\n", "   "]), min_size=1, max_size=6)
+
+
+@SLOW
+@given(words=st.lists(token, min_size=1, max_size=6), seps=ws)
+def test_fingerprint_whitespace_invariant(spark, words, seps):
+    from remote_shuffle_spark.operators.text import with_fingerprint
+
+    canonical = " ".join(words)
+    seps = (seps * len(words))[: max(0, len(words) - 1)]
+    messy = words[0] + "".join(s + w for s, w in zip(seps, words[1:]))
+    df = spark.createDataFrame([(1, canonical), (2, messy)], ["doc_id", "text"])
+    fps = {r.doc_id: r.fingerprint for r in with_fingerprint(df, "text").collect()}
+    assert fps[1] == fps[2]
