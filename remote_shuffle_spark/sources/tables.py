@@ -34,9 +34,29 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Set the session-level confs the declared queries depend on.
+
+    The driver harness may hand us a SparkSession built without our
+    EngineConfig; these are all runtime-settable SQL confs, and each is
+    required for correctness (not tuning): nanosAsLong makes the
+    ns-timestamp events table readable at all; UTC pins timestamp
+    rendering/extraction to match the DuckDB oracle (which runs UTC).
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked-down conf beats a crash here
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_defaults(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as an

@@ -21,7 +21,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from remote_shuffle_spark.sources.tables import table_path
+from remote_shuffle_spark.sources.tables import ensure_session_defaults, table_path
 
 
 def windowed_event_counts(
@@ -37,6 +37,7 @@ def windowed_event_counts(
     (window_start string, event_type, n, sum_value) — deterministic and
     oracle-comparable.
     """
+    ensure_session_defaults(spark)  # nanosAsLong + UTC under a foreign session
     path = table_path(sf_dir, "events")
     batch_schema = spark.read.parquet(path).schema  # ts arrives as bigint nanos
     # the file-stream source requires a directory: expose the single

@@ -1,0 +1,94 @@
+"""The driver contract must hold under the DRIVER'S session, not ours: a
+vanilla SparkSession (no engine config, non-UTC timezone) must still run
+entry() and the session-sensitive queries correctly."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+SCRIPT = r"""
+import json
+from pyspark.sql import SparkSession
+
+# deliberately NOT EngineConfig: default confs + a non-UTC timezone,
+# exactly the hostile-driver scenario
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("vanilla_driver")
+    .config("spark.sql.session.timeZone", "America/Los_Angeles")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+
+out = {"entry_rows": len(e.entry(spark).collect())}
+qs = e.queries()
+sf = "/root/testdata/sf0.001"
+for name in ["q07_groupbykey_collect", "q16_null_keys", "q23_json_scalar",
+             "q24_date_parts", "ext_asof_join", "ext_stream_window"]:
+    df = qs[name](spark, sf)
+    out[name] = df.count()
+print(json.dumps(out))
+"""
+
+
+def test_vanilla_session_runs_sensitive_queries(spark, sf_smoke):
+    out = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["entry_rows"] > 0
+
+    # row counts must equal what our configured session produces
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in ["q07_groupbykey_collect", "q16_null_keys", "q23_json_scalar",
+                 "q24_date_parts", "ext_asof_join", "ext_stream_window"]:
+        assert got[name] == qs[name](spark, sf_smoke).count(), name
+
+
+def test_timestamp_rendering_is_utc_under_foreign_timezone(spark, sf_smoke):
+    """ext_stream_window renders window_start strings; they must match the
+    UTC oracle even when the ambient session tz differs (ensure_session_
+    defaults repins it)."""
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            r"""
+import json
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+    .config("spark.sql.session.timeZone", "Asia/Tokyo")
+    .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+df = e.queries()["ext_stream_window"](spark, "/root/testdata/sf0.001")
+print(json.dumps(df.select("window_start").limit(1).collect()[0].window_start))
+""",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    first = json.loads(out.stdout.strip().splitlines()[-1])
+    import duckdb
+
+    con = duckdb.connect()
+    expect = con.execute(
+        "SELECT strftime(min(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))), '%Y-%m-%d %H:%M:%S') "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    assert first == expect
