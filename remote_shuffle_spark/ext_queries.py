@@ -409,6 +409,25 @@ def ext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("token_id")
 
 
+@declared("ext_dedup_groups", oracle=None, tags=("ext", "dedup", "graph"))
+def ext_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate groups (MinHash pairs → connected
+    components).  Iterative algorithm — rows-only check; convergence and
+    transitivity pinned in tests/test_operators_graph.py.
+    """
+    from remote_shuffle_spark.operators.graph import near_duplicate_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = near_duplicate_groups(docs, "doc_id", "text", threshold=0.5)
+    return (
+        groups.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .orderBy("group_size")
+    )
+
+
 @declared("ext_train_split", oracle=None, tags=("ext", "pipeline"))
 def ext_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/valid/test split counts.

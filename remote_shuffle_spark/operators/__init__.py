@@ -1,11 +1,25 @@
 from remote_shuffle_spark.operators import (
+    clustering,
     dedup,
+    graph,
     joins,
     multimodal,
     pipeline,
     similarity,
     text,
     udf,
+    upsert,
 )
 
-__all__ = ["dedup", "joins", "multimodal", "pipeline", "similarity", "text", "udf"]
+__all__ = [
+    "clustering",
+    "dedup",
+    "graph",
+    "joins",
+    "multimodal",
+    "pipeline",
+    "similarity",
+    "text",
+    "udf",
+    "upsert",
+]

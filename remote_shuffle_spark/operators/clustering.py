@@ -1,0 +1,45 @@
+"""Embedding clustering via pyspark.ml KMeans (EXT) — the production
+centroid source for IVF similarity search.
+
+``similarity.seed_centroids`` is the deterministic stand-in; this module
+trains real k-means|| centroids with the same output contract
+(cid, cvec), so ``ivf_topk`` can consume either.  pyspark.ml ships in the
+container; gated behind import-try anyway for minimal environments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.functions.vectors import to_double_array
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train k-means|| on an array<float|double> column → (cid, cvec).
+
+    Returns a DataFrame with the seed_centroids contract.  The train pass
+    is Spark-distributed (pyspark.ml); at 100 TB fit on a sample
+    (``df.sample``) — k-means centroids converge long before the full
+    corpus is seen.
+    """
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as e:  # pragma: no cover - ml ships in this container
+        raise NotImplementedError("pyspark.ml not available for kmeans_centroids") from e
+
+    feats = df.select(array_to_vector(to_double_array(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    spark = df.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, ["cid", "cvec"])

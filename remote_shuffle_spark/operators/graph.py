@@ -1,0 +1,102 @@
+"""Iterative graph operators: connected components for transitive
+duplicate grouping (EXT).
+
+Pairwise near-dup output (A~B, B~C) understates duplication: dedup needs
+the transitive closure.  Connected components via iterative minimum-label
+propagation — the standard large-graph formulation (HashToMin / large-star
+variants; cf. GraphFrames):
+
+    label(v) ← min(label(v), min over neighbors(label(u)))
+
+Each iteration is one self-join + one aggregation (two shuffles) on the
+edge list; iterations needed = graph diameter (near-dup clusters are
+shallow — a handful).  Convergence is checked with a count of changed
+labels, so the loop is deterministic and bounded by ``max_iter``.
+
+This is the repo's one intentionally *iterative* operator — driver-side
+loop, executor-side data — the shape Spark prescribes for Pregel-style
+algorithms without a graph library.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Component label per vertex: (vertex, component) with component =
+    min vertex id in the component.
+
+    ``edges`` is an undirected edge list.  Isolated vertices don't appear
+    (they are their own singleton components by definition).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    # initial label = min(self, min neighbor)
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("minn"))
+        .select("u", F.least(F.col("minn"), F.col("u")).alias("label"))
+    )
+
+    for _ in range(max_iter):
+        # propagate: candidate label for u = min over neighbors v of label(v)
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_labels, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+        )
+        # persist the new frontier: it feeds both the convergence count and
+        # the next iteration (and the count is the iteration's action, so
+        # materialization happens exactly once); truncate lineage so plans
+        # don't grow linearly with iterations
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("vertex"), F.col("label").alias("component"))
+
+
+def near_duplicate_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Transitive near-duplicate groups: MinHash pairs → connected
+    components → (id, group_id, is_keeper).  Keeper = min id per group
+    (keep-first), everything else in the group is droppable."""
+    from remote_shuffle_spark.operators.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(df, id_col, text_col, threshold=threshold, **minhash_kwargs)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("vertex").alias(id_col),
+        F.col("component").alias("group_id"),
+        (F.col("vertex") == F.col("component")).alias("is_keeper"),
+    )

@@ -107,14 +107,17 @@ def ivf_topk(
     num_cells: int = 16,
     nprobe: int = 4,
     round_to: int | None = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` cells nearest the query.
 
     Recall < 1 by design; with nprobe == num_cells this degrades to exact.
     The pruning predicate is ``cell IN (probed)`` — on a cell-partitioned
     table that is partition pruning, i.e. the scan itself shrinks.
+    ``centroids`` (cid, cvec) overrides the deterministic seeds — plug in
+    operators.clustering.kmeans_centroids for trained cells.
     """
-    cents = seed_centroids(df, id_col, vec_col, k=num_cells)
+    cents = centroids if centroids is not None else seed_centroids(df, id_col, vec_col, k=num_cells)
     assigned = assign_ivf_cells(df, id_col, vec_col, cents)
     # nprobe nearest cells of the query vector
     q = query_df.select(to_double_array(vec_col).alias("qv")).collect()[0]["qv"]

@@ -1,0 +1,86 @@
+"""Connected components + transitive dedup groups + kmeans IVF."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.operators.graph import connected_components, near_duplicate_groups
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4, pair 10-11, triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    comp = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    n = 30  # diameter 29 → needs label doubling... min-propagation needs ~n iters
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    comp = {r.vertex: r.component for r in connected_components(edges, max_iter=n + 1).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == n + 1
+
+
+def test_near_duplicate_groups_transitive(spark, sf_smoke):
+    from remote_shuffle_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 30
+    )
+    base = {r.doc_id: r.text for r in docs.collect()}
+    # A(0) ≈ copy(40000) ≈ copy-of-copy(40001): transitivity must group all 3
+    chain = spark.createDataFrame(
+        [(40000, base[0]), (40001, base[0] + " extra"), (41000, base[1])],
+        ["doc_id", "text"],
+    )
+    groups = near_duplicate_groups(
+        docs.union(chain), "doc_id", "text", threshold=0.5, num_bands=8
+    ).collect()
+    by_group: dict[int, set] = {}
+    for r in groups:
+        by_group.setdefault(r.group_id, set()).add(r.doc_id)
+    g0 = [g for g in by_group.values() if 0 in g]
+    assert g0 and {0, 40000, 40001} <= g0[0]
+    keepers = {r.doc_id for r in groups if r.is_keeper}
+    assert 0 in keepers and 40000 not in keepers and 40001 not in keepers
+
+
+def test_kmeans_centroids_contract(spark, sf_smoke):
+    from remote_shuffle_spark.operators.clustering import kmeans_centroids
+    from remote_shuffle_spark.operators.similarity import ivf_topk
+    from remote_shuffle_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cents = kmeans_centroids(emb, "embedding", k=8)
+    rows = cents.collect()
+    assert len(rows) == 8
+    assert all(len(r.cvec) == 64 for r in rows)
+    assert sorted(r.cid for r in rows) == list(range(8))
+
+
+def test_ivf_with_kmeans_centroids(spark, sf_smoke):
+    from remote_shuffle_spark.operators.clustering import kmeans_centroids
+    from remote_shuffle_spark.operators.similarity import brute_force_topk, ivf_topk
+    from remote_shuffle_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    cents = kmeans_centroids(emb, "embedding", k=8)
+    approx = {
+        r.vec_id
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", q, k=10, nprobe=3, centroids=cents
+        ).collect()
+    }
+    exact = {
+        r.vec_id for r in brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()
+    }
+    assert 0 in approx
+    # trained cells should give decent recall even at nprobe=3/8
+    assert len(exact & approx) / 10 >= 0.3
