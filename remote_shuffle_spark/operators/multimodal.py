@@ -89,6 +89,66 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
     return df.select(id_col, payload_col).mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", *, dim: int = 8
+) -> DataFrame:
+    """Feature-extraction stub: deterministic pseudo-embedding from the
+    payload bytes (real seam: a vision/audio encoder batch-invoked here).
+
+    Emits (doc_id, features array<double>) — the Arrow-batched shape a
+    real encoder UDF produces; downstream similarity/dedup operators
+    consume it unchanged.
+    """
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [float(((len(b) * k) % 97) / 97.0) for k in range(1, dim + 1)]
+                for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "features": feats}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feat_batches, "doc_id bigint, features array<double>"
+    )
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    target: tuple[int, int] = (224, 224),
+) -> DataFrame:
+    """Resize stub: emits the payload truncated/padded to a deterministic
+    length derived from the target box plus the claimed output dims —
+    the byte-in/byte-out transform shape (payload stays binary through
+    the pipeline; real resize slots into the marked seam)."""
+    tw, th = target
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = []
+            for b in pdf[payload_col]:
+                raw = bytes(b)
+                want = (tw * th) % 4096 + 16  # deterministic stub size
+                out_bytes.append((raw * (want // max(1, len(raw)) + 1))[:want])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": out_bytes,
+                    "width": pd.Series([tw] * len(pdf), dtype="int32"),
+                    "height": pd.Series([th] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize_batches, "doc_id bigint, payload binary, width int, height int"
+    )
+
+
 def sample_frames(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", *, every_nth: int = 8) -> DataFrame:
     """Frame-sampling stub: emits one row per sampled frame index with a
     deterministic per-frame checksum — the row-explosion shape (one media

@@ -48,3 +48,23 @@ def test_sample_frames_fanout(spark, payloads):
     frames = multimodal.sample_frames(one, every_nth=8).collect()
     assert [f.frame_index for f in frames] == list(range(0, n_frames, 8))
     assert all(f.doc_id == 0 for f in frames)
+
+
+def test_extract_features_deterministic(spark, payloads):
+    with_payload, docs = payloads
+    feats = {r.doc_id: r.features for r in multimodal.extract_features(with_payload, dim=8).collect()}
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert len(feats) == len(texts)
+    for doc_id, t in texts.items():
+        n = len(t.encode("utf-8"))
+        expect = [((n * k) % 97) / 97.0 for k in range(1, 9)]
+        assert feats[doc_id] == pytest.approx(expect)
+
+
+def test_resize_media_shapes(spark, payloads):
+    with_payload, _ = payloads
+    out = multimodal.resize_media(with_payload.limit(10), target=(224, 224)).collect()
+    want = (224 * 224) % 4096 + 16
+    for r in out:
+        assert len(r.payload) == want
+        assert (r.width, r.height) == (224, 224)
