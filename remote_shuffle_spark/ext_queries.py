@@ -89,8 +89,10 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py against planted near-duplicates.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # reuse=False: below the measured ~50k-doc cache crossover at fixture
+    # scale (see minhash_candidates docstring)
     return dedup.minhash_near_duplicates(
-        docs, "doc_id", "text", threshold=0.5
+        docs, "doc_id", "text", threshold=0.5, reuse=False
     ).orderBy("id_a", "id_b")
 
 
@@ -418,7 +420,7 @@ def ext_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.operators.graph import near_duplicate_groups
 
     docs = load_table(spark, sf_dir, "documents")
-    groups = near_duplicate_groups(docs, "doc_id", "text", threshold=0.5)
+    groups = near_duplicate_groups(docs, "doc_id", "text", threshold=0.5, reuse=False)
     return (
         groups.groupBy("group_id")
         .agg(F.count(F.lit(1)).alias("group_size"))

@@ -77,7 +77,7 @@ def minhash_candidates(
     num_hashes: int = 16,
     num_bands: int = 4,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
-    reuse: bool = False,
+    reuse: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
@@ -96,12 +96,14 @@ def minhash_candidates(
       5. self-join on bucket (SHUFFLE 3, bounded fan-out), id_a < id_b
     Returns distinct (id_a, id_b).
 
-    ``reuse=True`` persists the signature table (16 longs/doc — tiny
-    relative to the corpus).  Measured tradeoff: in a ONE-SHOT run the
-    cache boundary defeats Spark's ReuseExchange and costs ~3x (18 s vs
-    5.3 s at sf0.1); cold plans already share the signature exchange.
-    Enable it only when the signatures feed several downstream jobs in
-    the same session; for 100 TB pipelines materialize them durably with
+    ``reuse=True`` (default) persists the signature table (16 longs/doc —
+    tiny relative to the corpus), which the banding self-join otherwise
+    re-derives per branch.  Measured crossover: at 5k docs the cache
+    boundary costs ~3x (defeats ReuseExchange, 18 s vs 5.3 s); at 200k
+    docs it wins 2.3x (11.5 s vs 26.8 s) and the gap grows with corpus
+    size — so the scale-correct default is True, and fixture-scale
+    callers (the declared query) pass False.  For 100 TB pipelines
+    materialize the signatures durably with
     plans.shuffle_policy.checkpoint_to instead (the reference's
     remote-map-output philosophy applied at operator level).  Corpus-
     sized intermediates (shingle sets, buckets) are never cached —
@@ -149,7 +151,7 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     num_bands: int = 4,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
-    reuse: bool = False,
+    reuse: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥ threshold.
 

@@ -120,7 +120,10 @@ def range_join(
             )
         ),
     )
-    joined = l_tagged.join(r_tagged, on=[*on, "_bucket"]).filter(
+    # big-big by construction: pin shuffle-hash so a misestimated side
+    # never becomes a runaway broadcast (observed 357 MB broadcast on
+    # synthetic 5M-row inputs when size stats were optimistic)
+    joined = l_tagged.join(r_tagged.hint("shuffle_hash"), on=[*on, "_bucket"]).filter(
         (F.col("_r_us") >= F.col("_l_us") + F.lit(lower_us))
         & (F.col("_r_us") <= F.col("_l_us") + F.lit(upper_us))
     )

@@ -51,7 +51,12 @@ class EngineConfig:
     broadcast_threshold_bytes: int = 64 * 1024 * 1024
     max_partition_bytes: str = "128m"  # scan split size; 128m is the
     # sweet spot for object-store reads at 100 TB (few, large requests)
-    driver_memory: str | None = None  # only honored before JVM start
+    # local mode is driver-only, so this is THE memory knob; honored only
+    # before JVM start.  None = Spark default: measured on this VM, larger
+    # heaps (16-48g) were up to 6x SLOWER on shuffle-heavy operators (GC
+    # regime change), so the default stays small and memory-hungry probes
+    # opt in explicitly.
+    driver_memory: str | None = None
     extra: dict[str, str] = field(default_factory=dict)
 
     def to_conf(self) -> dict[str, str]:

@@ -1,0 +1,170 @@
+"""Scale probe: run the headline operators on synthetic data 10-100x the
+sf0.1 fixtures to verify the shapes hold beyond fixture scale (results
+recorded in docs/scale.md).
+
+Synthetic inputs are generated distributed (spark.range + expressions —
+no driver-side data), deterministic (hash-derived), and sized by
+--scale.  This is an operator stress probe, not the correctness gate:
+the driver's fixtures stay the only query inputs.
+
+Usage: python scripts/scale_probe.py [--scale 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def synth_docs(spark, n: int, dup_fraction: float = 0.01):
+    """n docs of ~40 vocab words; ~dup_fraction exact duplicates."""
+    vocab = 500
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # duplicate docs share a content seed
+        F.when(
+            F.col("id") % int(1 / dup_fraction) == 0, F.col("id") % 97
+        ).otherwise(F.col("id")).alias("seed"),
+    )
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda k: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("seed"), k), F.lit(vocab))),
+    )
+    return base.select("doc_id", F.concat_ws(" ", words).alias("text"))
+
+
+def synth_events(spark, n: int, users: int = 20_000):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), F.lit(users)).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 50_000
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("error")),
+            (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(3)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(10_000)) / 100.0).alias("value"),
+    )
+
+
+def synth_embeddings(spark, n: int, dim: int = 64):
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda k: (F.pmod(F.xxhash64(F.col("id"), k), F.lit(2_000_001)) - 1_000_000)
+        / 1_000_000.0,
+    )
+    return spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
+def probe(name, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    dt = time.perf_counter() - t0
+    print(f"  {name}: {dt:.1f}s {out}", file=sys.stderr)
+    return name, round(dt, 1), out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=1.0)
+    args = ap.parse_args()
+    s = args.scale
+
+    from remote_shuffle_spark import EngineConfig, get_session
+    from remote_shuffle_spark.operators import dedup, joins, similarity
+    from remote_shuffle_spark.streaming.sessionize import sessionize_batch
+
+    # 8g: enough for the 5M-row shuffle-hash builds; bigger heaps measured
+    # slower on this VM (see EngineConfig.driver_memory)
+    spark = get_session(EngineConfig(driver_memory="8g"))
+    results = []
+
+    docs = synth_docs(spark, int(200_000 * s))
+    events = synth_events(spark, int(5_000_000 * s))
+    emb = synth_embeddings(spark, int(200_000 * s))
+
+    results.append(
+        probe(
+            "exact_dedup_200k_docs",
+            lambda: {
+                "dup_groups": dedup.exact_duplicates(docs, "doc_id", "text")
+                .filter(F.col("dup_count") >= 2)
+                .count()
+            },
+        )
+    )
+    results.append(
+        probe(
+            "minhash_200k_docs",
+            lambda: {
+                "pairs": dedup.minhash_candidates(
+                    docs, "doc_id", "text", max_bucket_size=256
+                ).count()
+            },
+        )
+    )
+    results.append(
+        probe(
+            "simhash_200k_docs",
+            lambda: {
+                "pairs": dedup.simhash_near_duplicates(
+                    docs, "doc_id", "text", max_bucket_size=256
+                ).count()
+            },
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click")
+    views = events.filter(F.col("event_type") == "view")
+    results.append(
+        probe(
+            "asof_join_5m_events",
+            lambda: {
+                "rows": joins.asof_join(
+                    clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_values=["value"],
+                ).count()
+            },
+        )
+    )
+    errors = events.filter(F.col("event_type") == "error")
+    results.append(
+        probe(
+            "range_join_5m_events",
+            lambda: {
+                "pairs": joins.range_join(
+                    errors, events, on=["user_id"], left_ts="ts", right_ts="ts",
+                    lower_us=-60_000_000, upper_us=60_000_000, right_values=[],
+                ).count()
+            },
+        )
+    )
+    results.append(
+        probe(
+            "sessionize_5m_events",
+            lambda: {"sessions": sessionize_batch(events, gap_minutes=30.0).count()},
+        )
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    results.append(
+        probe(
+            "bruteforce_topk_200k_vecs",
+            lambda: {
+                "top1": similarity.brute_force_topk(
+                    emb, "vec_id", "embedding", q, k=10
+                ).collect()[0].vec_id
+            },
+        )
+    )
+    print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
+
+
+if __name__ == "__main__":
+    main()
