@@ -20,7 +20,7 @@ letting one bucket OOM an executor.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from remote_shuffle_spark.functions.hashing import (

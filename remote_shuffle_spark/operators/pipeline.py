@@ -112,11 +112,15 @@ def build_vocab(
     max_size: int | None = None,
 ) -> DataFrame:
     """Frequency-ordered vocabulary: (token, count, token_id) with id 0 =
-    most frequent; ties break lexicographically.  One explode + one
-    combinable count shuffle; the id assignment sorts only the vocab
-    (#distinct tokens ≪ corpus)."""
-    from pyspark.sql import Window as W
+    most frequent; ties break lexicographically.
 
+    One explode + one combinable count shuffle, then ranking WITHOUT a
+    single-partition window (a global ``row_number()`` funnels the whole
+    vocab through one task — fine for dictionary vocabs, fatal for the
+    ~10^8-distinct-token vocabs web corpora produce): range-partition by
+    the sort key, sort within partitions, and assign contiguous ids with
+    the two-phase partition-offset pattern (:func:`with_global_index`).
+    """
     from remote_shuffle_spark.functions.hashing import tokens
 
     counts = (
@@ -125,8 +129,10 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_count)
     )
-    w = W.orderBy(F.col("count").desc(), "token")
-    vocab = counts.withColumn("token_id", F.row_number().over(w) - 1)
+    ordered = counts.repartitionByRange(
+        F.col("count").desc(), F.col("token")
+    ).sortWithinPartitions(F.col("count").desc(), "token")
+    vocab = with_global_index(ordered, out_col="token_id")
     if max_size is not None:
         vocab = vocab.filter(F.col("token_id") < max_size)
     return vocab

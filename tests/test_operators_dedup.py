@@ -117,3 +117,18 @@ def test_embedding_neardup_finds_planted_copy(spark, sf_smoke):
     ).collect()
     assert any((r.id_a, r.id_b) == (7, 100_007) for r in pairs)
     assert all(r.cosine >= 0.999 for r in pairs)
+
+
+def test_simhash_expression_equals_aggregation_form(spark, sf_smoke):
+    """functions.hashing.simhash64 / _SIMHASH_SQL (per-row expression) and
+    dedup.simhash_table (explode + bit-vote aggregation) are the same
+    construction — results must be bit-identical."""
+    from remote_shuffle_spark.operators.dedup import simhash_table, with_simhash
+    from remote_shuffle_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text").limit(50)
+    expr_form = {
+        r.doc_id: r.simhash for r in with_simhash(docs, "text").collect()
+    }
+    agg_form = {r.doc: r.simhash for r in simhash_table(docs, "doc_id", "text").collect()}
+    assert expr_form == agg_form
