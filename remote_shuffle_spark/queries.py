@@ -798,6 +798,278 @@ def q30_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q31_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             AS running_total,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_price
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def q31_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + lag over an ordered per-key window.
+
+    The window exchange is one shuffle on o_custkey; per-key state is a
+    single accumulator, so the shape holds at any scale (SURVEY §2.3
+    window functions: inherited above the plugin's exchange).  The
+    running sum runs in exact decimals so the double cast is
+    bit-identical; lag copies raw values (no arithmetic).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@declared(
+    "q32_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, {SQL_DSUM('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "rollup"),
+)
+def q32_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the pruned form of cube/rollup.
+
+    At 100 TB this is the shape to prefer over q25's CUBE: Expand
+    multiplies input rows by #grouping-sets BEFORE the exchange, so
+    listing only needed combinations (here 3, not cube's 4) directly
+    cuts shuffle volume; still fully map-side combined.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@declared(
+    "q33_scalar_subquery",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n, {SQL_DSUM('o_totalprice', 'total_above')}
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice)
+      FROM orders
+    )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("subquery", "agg"),
+)
+def q33_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price.
+
+    DataFrame form: the 1-row aggregate is broadcast-cross-joined into
+    the probe side — the idiomatic Spark translation of an uncorrelated
+    scalar subquery (one tiny extra job, no driver collect, fact side
+    never shuffles for the comparison).  Threshold computed with the
+    exact-decimal avg so both engines compare against the identical
+    double.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    thr = orders.agg(davg("o_totalprice", "thr"))
+    return (
+        orders.crossJoin(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total_above"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
+    "q34_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS first3,
+           CAST(list_aggregate(list_transform(toks, t -> strlen(t)), 'max') AS BIGINT)
+             AS max_tok_len
+    FROM (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    tags=("scalar", "array"),
+)
+def q34_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function surface: distinct, sort, slice,
+    transform, max — all JVM-side expression trees (no UDFs), the same
+    machinery the EXT shingle/minhash operators build on."""
+    from remote_shuffle_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+            F.array_join(
+                F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), " "
+            ).alias("first3"),
+            F.array_max(F.transform(toks, F.length)).cast("long").alias("max_tok_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "q35_map_funcs",
+    oracle="""
+    SELECT user_id,
+           COALESCE(COUNT(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_click,
+           COALESCE(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("scalar", "map"),
+)
+def q35_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + lookup: per-user event-type counts built as a
+    map column (map_from_entries over collected pairs), probed with
+    element_at.  The map stays JVM-side; the output schema is plain
+    columns so the cross-engine hash is stable (DuckDB's MAP type
+    wouldn't hash-compare)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+            ).alias("type_counts")
+        )
+        .select(
+            "user_id",
+            F.coalesce(F.element_at("type_counts", F.lit("click")), F.lit(0)).alias("n_click"),
+            F.coalesce(F.element_at("type_counts", F.lit("purchase")), F.lit(0)).alias(
+                "n_purchase"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@declared(
+    "q36_case_null_funcs",
+    oracle=f"""
+    SELECT CASE WHEN p_size < 10 THEN 'small'
+                WHEN p_size < 30 THEN 'medium'
+                ELSE 'large' END AS size_class,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN NULLIF(p_brand, 'Brand#1') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_brand1,
+           {SQL_DSUM("greatest(p_retailprice, 1000.0)", 'sum_floor_price')},
+           {SQL_DSUM("least(p_retailprice, 1500.0)", 'sum_cap_price')}
+    FROM part GROUP BY 1 ORDER BY size_class
+    """,
+    tags=("scalar", "conditional"),
+)
+def q36_case_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null scalar surface: CASE, NULLIF, GREATEST/LEAST —
+    pure expression work that must stay inside whole-stage codegen."""
+    part = load_table(spark, sf_dir, "part")
+    size_class = (
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+    )
+    return (
+        part.groupBy(size_class.alias("size_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.nullif(F.col("p_brand"), F.lit("Brand#1")).isNull(), 1).otherwise(0)
+            ).alias("n_brand1"),
+            dsum(F.greatest("p_retailprice", F.lit(1000.0)), "sum_floor_price"),
+            dsum(F.least("p_retailprice", F.lit(1500.0)), "sum_cap_price"),
+        )
+        .orderBy("size_class")
+    )
+
+
+@declared(
+    "q37_regex_funcs",
+    oracle="""
+    SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           COUNT(*) AS n,
+           CAST(SUM(strlen(regexp_replace(p_name, '[aeiou]', '', 'g'))) AS BIGINT)
+             AS total_consonant_len
+    FROM part GROUP BY 1 ORDER BY first_word
+    """,
+    tags=("scalar", "regex"),
+)
+def q37_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract + replace, JVM-side.  Pattern kept
+    in the common subset of Java regex and RE2 so both engines match."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(F.regexp_replace("p_name", "[aeiou]", ""))).alias(
+                "total_consonant_len"
+            ),
+        )
+        .orderBy("first_word")
+    )
+
+
+@declared(
+    "q38_datetime_arith",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           COUNT(*) AS n,
+           CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-12-31')) AS BIGINT)
+             AS max_days_to_eoy,
+           {SQL_DSUM('o_totalprice', 'total')}
+    FROM orders GROUP BY 1 ORDER BY ym
+    """,
+    tags=("scalar", "date"),
+)
+def q38_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime arithmetic surface: formatting, truncation-to-month via
+    format, day differencing against a fixed date (UTC session pinned on
+    both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.datediff(F.lit("1999-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+            ).cast("long").alias("max_days_to_eoy"),
+            dsum("o_totalprice", "total"),
+        )
+        .orderBy("ym")
+    )
+
+
+@declared(
     "q22_pivot",
     oracle="""
     SELECT l_returnflag,
