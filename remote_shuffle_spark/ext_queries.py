@@ -465,3 +465,153 @@ def ext_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregation (real readStream →
     memory sink, drained synchronously) vs the batch SQL equivalent."""
     return windowed_event_counts(spark, sf_dir)
+
+
+@declared(
+    "ext_chunk_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT doc_id, CAST(cum - n_tok AS BIGINT) AS start_offset,
+           CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id
+    FROM c ORDER BY doc_id
+    """,
+    tags=("ext", "pipeline"),
+)
+def ext_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk training-sequence assignment (512-token budget).
+
+    The engine's two-phase distributed prefix sum vs the oracle's single
+    global window — same arithmetic, scalable plan (no one-task funnel).
+    """
+    from remote_shuffle_spark.functions.hashing import tokens
+    from remote_shuffle_spark.operators.pipeline import chunk_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    out = chunk_sequences(docs, "doc_id", "n_tok", budget=512)
+    return out.select("doc_id", "start_offset", F.col("seq_id").cast("long")).orderBy(
+        "doc_id"
+    )
+
+
+@declared("ext_pack_greedy", oracle=None, tags=("ext", "pipeline"))
+def ext_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy fixed-budget sequence packing (mapInPandas state machine —
+    reset-on-overflow is not SQL-expressible; invariants pinned in
+    tests/test_operators_pipeline.py: budget respected, all docs kept,
+    deterministic across partitionings)."""
+    from remote_shuffle_spark.functions.hashing import tokens
+    from remote_shuffle_spark.operators.pipeline import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tok", budget=512)
+    return packed.select("doc_id", "n_tok", "seq_id", "seq_pos").orderBy("doc_id")
+
+
+@declared(
+    "ext_dataset_mixture",
+    oracle="""
+    SELECT source AS mixture_source, COUNT(*) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    WHERE (source = 'src0' AND (doc_id * 37) % 100 < 100)
+       OR (source = 'src1' AND (doc_id * 37) % 100 < 50)
+       OR (source = 'src2' AND (doc_id * 37) % 100 < 25)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ext", "pipeline"),
+)
+def ext_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted dataset mixture (100% src0 + 50% src1 +
+    25% src2) — provenance-tagged union of hash-sampled sources.
+
+    The declared query pins sampling to an integer congruence so DuckDB
+    computes the identical selection; production uses the default
+    xxhash64 uniform (same code path, different u_expr).
+    """
+    from remote_shuffle_spark.operators.pipeline import interleave_datasets
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.pmod(F.col("doc_id") * 37, F.lit(100)).cast("double") / 100.0
+    mix = interleave_datasets(
+        {
+            "src0": (docs.filter(F.col("source") == "src0"), 1.0),
+            "src1": (docs.filter(F.col("source") == "src1"), 0.5),
+            "src2": (docs.filter(F.col("source") == "src2"), 0.25),
+        },
+        id_col="doc_id",
+        u_expr=u,
+    )
+    return (
+        mix.groupBy("mixture_source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("mixture_source")
+    )
+
+
+@declared(
+    "ext_tf_idf",
+    oracle=f"""
+    WITH tr AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tr GROUP BY 1, 2
+    ), dfq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tr GROUP BY 1
+    ), nn AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+           ROUND(tf.tf * (ln((1 + nn.n) / (1 + dfq.df)) + 1), 6) AS score
+    FROM tf JOIN dfq USING (term) CROSS JOIN nn
+    ORDER BY tf.doc_id, tf.term
+    """,
+    tags=("ext", "text"),
+)
+def ext_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (document, term): explode → two combinable aggs →
+    vocabulary-sized join (broadcastable).  Scores rounded to 6 dp to
+    absorb libm ln ULP differences across engines."""
+    from remote_shuffle_spark.operators.text import tf_idf
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tf_idf(docs, "doc_id", "text")
+    return scored.withColumn("score", F.round("score", 6)).orderBy("doc_id", "term")
+
+
+@declared(
+    "ext_dedup_incremental",
+    oracle="""
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id % 2 = 0
+          AND trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g'))
+            = trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))
+      )
+    ORDER BY d.doc_id
+    """,
+    tags=("ext", "dedup"),
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (one-sided) dedup: odd-id docs are the incoming delta,
+    even-id docs the existing corpus; return delta docs whose content is
+    genuinely new.  Spark anti-joins on 64-bit content hashes (8-byte
+    shuffle keys); the oracle anti-joins on the text itself, so a hash
+    collision would surface as a mismatch."""
+    from remote_shuffle_spark.operators.dedup import incremental_new_texts
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return incremental_new_texts(new, corpus, "text").select("doc_id").orderBy("doc_id")

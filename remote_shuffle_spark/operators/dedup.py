@@ -64,6 +64,28 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def incremental_new_texts(
+    new_df: DataFrame, corpus_df: DataFrame, text_col: str
+) -> DataFrame:
+    """One-sided incremental dedup: rows of ``new_df`` whose normalized
+    text does NOT already exist in ``corpus_df`` — the per-ingest step of
+    a continuously-growing corpus (dedup the delta against the lake
+    without re-deduping the lake).
+
+    The anti-join runs on 64-bit content hashes, so the exchange carries
+    8-byte keys, never documents; the corpus side reduces to its distinct
+    hash set first (combinable aggregation, shrinks map-side).  At lake
+    scale, persist the corpus hash set bucketed by hash
+    (plans.shuffle_policy.write_bucketed) and the delta's anti-join
+    becomes a zero-exchange merge on the bucket files.
+    """
+    h = F.xxhash64(normalized_text(text_col))
+    corpus_hashes = corpus_df.select(h.alias("_h")).distinct()
+    return new_df.withColumn("_h", h).join(
+        corpus_hashes, "_h", "left_anti"
+    ).drop("_h")
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # --------------------------------------------------------------------------

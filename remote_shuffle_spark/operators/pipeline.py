@@ -161,6 +161,162 @@ def encode_tokens(df: DataFrame, id_col: str, text_col: str, vocab: DataFrame) -
     )
 
 
+def chunk_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    budget: int,
+    out_col: str = "seq_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence assignment: documents are laid out in
+    ``id_col`` order as one logical token stream and every ``budget``
+    tokens starts a new training sequence; each document is assigned the
+    sequence its first token lands in.
+
+    This is the integer-division form (seq = start_offset DIV budget) of
+    the packing used by concat-style LLM pretraining loaders.  The global
+    prefix sum is two-phase — range-partition by id, per-partition window
+    cumsum, plus a broadcast of per-partition totals (a few hundred longs
+    on the driver) — NOT a single global window, so no one-task funnel at
+    corpus scale.
+
+    Returns the input plus ``start_offset`` and ``out_col``.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part = df.repartitionByRange(n_parts, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    per_part = part.groupBy("_pid").agg(F.sum(F.col(weight_col)).alias("_w")).collect()
+    offsets, running = {}, 0
+    for r in sorted(per_part, key=lambda r: r._pid):
+        offsets[r._pid] = running
+        running += r._w
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+        )
+    )
+    w = W.partitionBy("_pid").orderBy(id_col)
+    cum_prev = F.sum(F.col(weight_col)).over(w) - F.col(weight_col) + F.col("_offset")
+    return (
+        part.join(offsets_df, "_pid")
+        .withColumn("start_offset", cum_prev.cast("long"))
+        .withColumn(out_col, F.expr(f"start_offset DIV {int(budget)}"))
+        .drop("_pid", "_offset")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy sequential bin packing: walk documents in ``id_col`` order
+    within each partition, close the open sequence whenever the next
+    document would exceed ``budget`` (documents never straddle; a single
+    document above budget gets its own oversize sequence).
+
+    The reset-on-overflow state machine is not expressible as a window
+    function, so this is the one intentional Arrow boundary: hash-
+    partition by id, sort within partitions, and run the greedy fold in
+    ``mapInPandas`` with O(1) state per partition.  Sequence ids are
+    globally unique without coordination: ``partition_id << 40 | local``.
+    Packing quality equals per-shard greedy packing on a 1000-executor
+    corpus — exactly what shard-local training loaders do.
+
+    Returns the input plus ``seq_id`` (long) and ``seq_pos`` (int).
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    schema = StructType(
+        df.schema.fields
+        + [StructField("seq_id", LongType(), False), StructField("seq_pos", IntegerType(), False)]
+    )
+    wname, budget_v = weight_col, int(budget)
+
+    def pack(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        local_seq, used, pos = 0, 0, 0
+        for pdf in batches:
+            seq_ids, seq_poss = [], []
+            for w in pdf[wname]:
+                w = int(w)
+                if pos > 0 and used + w > budget_v:
+                    local_seq, used, pos = local_seq + 1, 0, 0
+                seq_ids.append((pid << 40) | local_seq)
+                seq_poss.append(pos)
+                used += w
+                pos += 1
+            out = pdf.copy()
+            out["seq_id"] = pd.Series(seq_ids, dtype="int64").values
+            out["seq_pos"] = pd.Series(seq_poss, dtype="int32").values
+            yield out
+
+    return (
+        df.repartition(n_parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .mapInPandas(pack, schema)
+    )
+
+
+def interleave_datasets(
+    sources: dict[str, tuple[DataFrame, float]],
+    *,
+    id_col: str,
+    salt: str = "mixture",
+    u_expr: F.Column | None = None,
+) -> DataFrame:
+    """Deterministic weighted dataset mixture: sample each source at its
+    rate and union, tagging provenance — the mixture step of a training
+    pipeline (e.g. 100% curated + 30% web + 5% code).
+
+    Sampling is hash-deterministic per id (same stability contract as
+    :func:`deterministic_split`): re-running, repartitioning, or growing
+    a source never flips previously-selected rows.  Pure narrow ops —
+    filter + union — so the plan is a single pass over each source.
+
+    ``u_expr`` overrides the uniform-[0,1) expression (e.g. an integer
+    congruence for cross-engine oracle checks); it is evaluated against
+    each source's rows.
+    """
+    parts = []
+    for name, (df, rate) in sources.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {rate}")
+        u = (
+            u_expr
+            if u_expr is not None
+            else (
+                F.xxhash64(F.col(id_col), F.lit(salt)).bitwiseAND(F.lit((1 << 31) - 1))
+                / F.lit(float(1 << 31))
+            )
+        )
+        parts.append(
+            df.filter(u < F.lit(rate)).withColumn("mixture_source", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

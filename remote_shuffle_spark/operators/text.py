@@ -103,3 +103,40 @@ def identify_language(text_col, min_score: int = 1) -> Column:
 def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (bigint)."""
     return df.withColumn(out_col, rolling_fingerprint(tokens(text_col)))
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-(document, term) TF-IDF scores over whitespace tokens.
+
+    Shape at corpus scale: one explode, then two combinable aggregations
+    — term frequency per (doc, term) and document frequency per term —
+    joined back on term.  The DF table has vocabulary cardinality
+    (≪ corpus), and the join key is the term itself, so Catalyst/AQE can
+    broadcast it for dictionary-sized vocabularies; N (total docs) rides
+    along as a broadcast scalar, never a driver collect of data rows.
+
+    idf = ln((1 + N) / (1 + df)) + 1 (smoothed, scikit-style); the score
+    is tf * idf.  Returns (id_col, term, tf, df, score).
+    """
+    spark = df.sparkSession
+    n_docs = df.agg(F.count(F.lit(1)).alias("n")).select("n")
+    term_rows = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        term_rows.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log((F.lit(1) + F.col("n")) / (F.lit(1) + F.col("df"))) + F.lit(1.0)
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * idf).alias("score"),
+        )
+    )

@@ -132,3 +132,25 @@ def test_simhash_expression_equals_aggregation_form(spark, sf_smoke):
     }
     agg_form = {r.doc: r.simhash for r in simhash_table(docs, "doc_id", "text").collect()}
     assert expr_form == agg_form
+
+
+def test_incremental_new_texts_planted(spark):
+    from remote_shuffle_spark.operators.dedup import incremental_new_texts
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (2, "delta  epsilon")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "Alpha  Beta gamma"),   # dup of 0 after normalization
+            (3, "delta epsilon"),        # dup of 2 after normalization
+            (5, "genuinely new text"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = incremental_new_texts(new, corpus, "text").collect()
+    assert [r.doc_id for r in kept] == [5]
+    # schema untouched (helper column dropped)
+    assert {f.name for f in incremental_new_texts(new, corpus, "text").schema} == {
+        "doc_id", "text",
+    }

@@ -97,3 +97,81 @@ def test_stratified_sample(spark, sf_correct):
     assert {r.event_id for r in again.select("event_id").collect()} == {
         r.event_id for r in samp.select("event_id").collect()
     }
+
+
+def test_chunk_sequences_matches_naive_prefix_sum(spark, sf_smoke):
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("w"))
+    )
+    out = P.chunk_sequences(docs, "doc_id", "w", budget=100).collect()
+    rows = sorted(((r.doc_id, r.w, r.start_offset, r.seq_id) for r in out))
+    # naive oracle: running offset in doc_id order
+    running = 0
+    for doc_id, w, start, seq in rows:
+        assert start == running
+        assert seq == running // 100
+        running += w
+
+
+def test_pack_sequences_invariants(spark, sf_smoke):
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("w"))
+    )
+    budget = 120
+    out = P.pack_sequences(docs, "doc_id", "w", budget=budget).collect()
+    assert len(out) == docs.count()  # every doc packed exactly once
+    by_seq: dict[int, list] = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    for seq_id, rows in by_seq.items():
+        rows.sort(key=lambda r: r.seq_pos)
+        assert [r.seq_pos for r in rows] == list(range(len(rows)))
+        total = sum(r.w for r in rows)
+        # budget respected unless the sequence is a single oversize doc
+        assert total <= budget or len(rows) == 1
+    # determinism across partitioning choices
+    out2 = P.pack_sequences(docs.repartition(7), "doc_id", "w", budget=budget).collect()
+    assert {(r.doc_id, r.seq_id, r.seq_pos) for r in out} == {
+        (r.doc_id, r.seq_id, r.seq_pos) for r in out2
+    }
+
+
+def test_pack_sequences_oversize_doc_isolated(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 500), (3, 10)], "id long, w long"
+    )
+    out = P.pack_sequences(df, "id", "w", budget=100).collect()
+    seq_of = {r.id: r.seq_id for r in out}
+    # the oversize doc sits alone in its sequence
+    assert sum(1 for r in out if r.seq_id == seq_of[2]) == 1
+
+
+def test_interleave_datasets_deterministic_and_tagged(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    mix = P.interleave_datasets(
+        {
+            "a": (docs.filter(F.col("source") == "src0"), 1.0),
+            "b": (docs.filter(F.col("source") == "src1"), 0.4),
+        },
+        id_col="doc_id",
+    )
+    rows = mix.select("doc_id", "mixture_source").collect()
+    n_a = sum(1 for r in rows if r.mixture_source == "a")
+    n_b = sum(1 for r in rows if r.mixture_source == "b")
+    assert n_a == docs.filter(F.col("source") == "src0").count()  # rate 1.0 keeps all
+    assert 0 < n_b < docs.filter(F.col("source") == "src1").count()
+    # stability: same selection on re-run / repartition
+    mix2 = P.interleave_datasets(
+        {
+            "a": (docs.filter(F.col("source") == "src0").repartition(5), 1.0),
+            "b": (docs.filter(F.col("source") == "src1").repartition(5), 0.4),
+        },
+        id_col="doc_id",
+    )
+    assert {(r.doc_id, r.mixture_source) for r in rows} == {
+        (r.doc_id, r.mixture_source) for r in mix2.select("doc_id", "mixture_source").collect()
+    }
+    with pytest.raises(ValueError):
+        P.interleave_datasets({"x": (docs, 1.5)}, id_col="doc_id")

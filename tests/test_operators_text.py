@@ -79,3 +79,33 @@ def test_stopword_ratio_bounds(spark):
     none_stop = _one(spark, "zebra quartz violin")
     assert all_stop.select(text.stopword_ratio("text").alias("r")).collect()[0].r == 1.0
     assert none_stop.select(text.stopword_ratio("text").alias("r")).collect()[0].r == 0.0
+
+
+def test_tf_idf_against_python_oracle(spark, sf_smoke):
+    import math
+
+    from remote_shuffle_spark.operators.text import tf_idf
+    from remote_shuffle_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40).cache()
+    got = {
+        (r.doc_id, r.term): (r.tf, r.df, r.score)
+        for r in tf_idf(docs, "doc_id", "text").collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    n = len(rows)
+    toks = {
+        r.doc_id: " ".join(r.text.lower().split()).split(" ") for r in rows
+    }
+    df_counts: dict[str, int] = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df_counts[t] = df_counts.get(t, 0) + 1
+    for doc_id, ts in toks.items():
+        for t in set(ts):
+            tf = ts.count(t)
+            idf = math.log((1 + n) / (1 + df_counts[t])) + 1
+            got_tf, got_df, got_score = got[(doc_id, t)]
+            assert got_tf == tf and got_df == df_counts[t]
+            assert abs(got_score - tf * idf) < 1e-9
+    assert len(got) == sum(len(set(ts)) for ts in toks.values())
