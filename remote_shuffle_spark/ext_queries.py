@@ -618,3 +618,48 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 2 == 1)
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     return incremental_new_texts(new, corpus, "text").select("doc_id").orderBy("doc_id")
+
+
+@declared(
+    "ext_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS l FROM documents
+    ), z AS (
+      SELECT doc_id, unnest(list_zip(l, l[2:])) AS p FROM toks WHERE len(l) >= 2
+    ), grams AS (
+      SELECT doc_id, p[1] || ' ' || p[2] AS gram FROM z WHERE p[2] IS NOT NULL
+    ), per AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams, CAST(MAX(c) AS BIGINT) AS max_count,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio
+    FROM per GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("ext", "text", "quality"),
+)
+def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: top-bigram fraction per document
+    (boilerplate/degenerate-repetition filter).  In-row shingling + two
+    combinable aggregations; rep_ratio is a single exact-integer double
+    division, so no rounding is needed for cross-engine equality."""
+    from remote_shuffle_spark.operators.text import repetition_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_features(docs, "doc_id", "text", ngram=2)
+    return out.orderBy("doc_id")
+
+
+@declared(
+    "ext_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+    """,
+    tags=("ext", "streaming", "dedup"),
+)
+def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-arrival dedup (real readStream → dropDuplicates
+    with watermarked state → memory sink, drained synchronously); over a
+    finite input the kept key set equals batch DISTINCT, which the
+    oracle checks."""
+    from remote_shuffle_spark.streaming import streaming_distinct
+
+    return streaming_distinct(spark, sf_dir, keys=("user_id", "event_type"))

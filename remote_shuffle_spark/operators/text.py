@@ -105,6 +105,63 @@ def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint")
     return df.withColumn(out_col, rolling_fingerprint(tokens(text_col)))
 
 
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str, *, ngram: int = 2
+) -> DataFrame:
+    """Gopher-style repetition quality signal: fraction of all word
+    n-grams taken by the single most frequent n-gram (high → boilerplate
+    / degenerate repetition → filter candidate).
+
+    Shape: shingles are built in-row (higher-order expressions, no
+    shuffle), then one explode + two combinable aggregations keyed by
+    (doc, gram) and doc — linear in corpus size, no driver state.
+    Documents with fewer than ``ngram`` tokens are dropped (no n-grams
+    to measure).  Returns (id, n_ngrams, max_count, rep_ratio).
+    """
+    from remote_shuffle_spark.functions.hashing import tokens, word_shingles
+
+    grams = (
+        df.filter(F.size(tokens(text_col)) >= ngram)
+        .select(F.col(id_col), F.explode(word_shingles(text_col, ngram)).alias("gram"))
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.max("c").alias("max_count"),
+        (F.max("c").cast("double") / F.sum("c")).alias("rep_ratio"),
+    )
+
+
+# PII patterns kept in the common Java-regex / RE2 subset (no lookaround)
+# so the same patterns run JVM-side in Spark and in external engines.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9\s().-]{7,}[0-9]",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_counts(text_col) -> Column:
+    """Struct of per-category PII match counts (email, phone, ipv4)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(pat), 0)).alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ]
+    )
+
+
+def scrub_pii(text_col, replacement: str = "[PII]") -> Column:
+    """Replace every PII match with ``replacement`` — chained JVM-side
+    regexp_replace, category order fixed (email first so phone's digit
+    runs can't eat mail local-parts)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, replacement)
+    return c
+
+
 def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-(document, term) TF-IDF scores over whitespace tokens.
 

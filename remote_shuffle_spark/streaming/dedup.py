@@ -1,0 +1,62 @@
+"""Streaming exact deduplication (EXT — the reference is batch-only,
+SURVEY §2.3; this is the streaming face of operators/dedup.py).
+
+``dropDuplicates`` over a ``readStream`` source keeps the first arrival
+per key with state in the state store; a watermark bounds how long state
+lives (production uses ``dropDuplicatesWithinWatermark`` + RocksDB state
+store so the key set never grows unbounded).  Over a finite input the
+retained key set equals batch DISTINCT — which is what the DuckDB oracle
+checks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.sources.tables import ensure_session_defaults, table_path
+
+
+def streaming_distinct(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-arrival dedup of the events stream on ``keys``.
+
+    Returns the drained memory-sink table projected to ``keys`` — one row
+    per distinct key combination, deterministic, oracle-comparable.
+    """
+    ensure_session_defaults(spark)
+    path = table_path(sf_dir, "events")
+    batch_schema = spark.read.parquet(path).schema  # ts arrives as bigint nanos
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    deduped = (
+        stream.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .dropDuplicates(list(keys))
+        .select(*keys)
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name).orderBy(*keys)

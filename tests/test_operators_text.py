@@ -109,3 +109,43 @@ def test_tf_idf_against_python_oracle(spark, sf_smoke):
             assert got_tf == tf and got_df == df_counts[t]
             assert abs(got_score - tf * idf) < 1e-9
     assert len(got) == sum(len(set(ts)) for ts in toks.values())
+
+
+def test_repetition_features_planted(spark):
+    from remote_shuffle_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab ba ab ba ab -> max 3/5
+            (2, "w x y z"),             # all distinct -> 1/3
+            (3, "solo"),                # < 2 tokens -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_features(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_ngrams == 5 and rows[1].max_count == 3
+    assert abs(rows[1].rep_ratio - 3 / 5) < 1e-12
+    assert rows[2].n_ngrams == 3 and rows[2].max_count == 1
+
+
+def test_pii_counts_and_scrub(spark):
+    from remote_shuffle_spark.operators.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com or +1 (555) 123-4567 from 192.168.0.1 ok")],
+        ["doc_id", "text"],
+    )
+    row = df.select(
+        pii_counts("text").alias("pii"), scrub_pii("text").alias("clean")
+    ).collect()[0]
+    # categories may overlap (an IPv4 is also a digit run the phone
+    # pattern accepts) — each count is a lower bound of 1 here
+    assert row.pii.email == 1 and row.pii.phone >= 1 and row.pii.ipv4 == 1
+    assert "bob@example.com" not in row.clean
+    assert "555" not in row.clean
+    assert "192.168.0.1" not in row.clean
+    assert row.clean.startswith("mail [PII]")
+    # clean text: nothing scrubbed, string unchanged
+    clean = spark.createDataFrame([(2, "no personal data here")], ["doc_id", "text"])
+    assert clean.select(scrub_pii("text").alias("c")).collect()[0].c == "no personal data here"
