@@ -663,3 +663,65 @@ def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.streaming import streaming_distinct
 
     return streaming_distinct(spark, sf_dir, keys=("user_id", "event_type"))
+
+
+@declared(
+    "ext_vector_normalize",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                    x -> x * x), 'sum')), 6) AS norm,
+           ROUND(embedding[1] / sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                                   x -> x * x), 'sum')), 6)
+             AS first_unit
+    FROM embeddings ORDER BY vec_id
+    """,
+    tags=("ext", "similarity"),
+)
+def ext_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization surface: per-vector norm + first unit-vector
+    component (expression-tree fold, deterministic left-to-right
+    accumulation on both engines; round(6) absorbs last-ULP)."""
+    from remote_shuffle_spark.functions.vectors import l2_norm, l2_normalize, to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    return (
+        emb.select(
+            "vec_id",
+            F.round(l2_norm(v), 6).alias("norm"),
+            F.round(F.element_at(l2_normalize(v), 1), 6).alias("first_unit"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@declared(
+    "ext_doc_embedding_join",
+    oracle="""
+    SELECT d.lang, e.label, COUNT(*) AS n,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(d.doc_id) AS BIGINT) AS min_doc
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY 1, 2 ORDER BY d.lang, e.label
+    """,
+    tags=("ext", "multimodal", "join"),
+)
+def ext_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal id join: text table ⋈ embedding table on document id,
+    aggregated per (lang, label).  At corpus scale both sides bucket by
+    the id (plans.shuffle_policy.write_bucketed) so repeated text↔vector
+    joins are zero-exchange; embedding payloads are column-pruned out of
+    this plan entirely (only ids and grouping columns are read)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("lang", "label")
+    )

@@ -32,3 +32,31 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two double arrays; 0.0 for zero vectors."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-norm vector (unchanged if the norm is 0) — pre-normalizing an
+    embedding table turns every cosine into a plain dot product, halving
+    the per-pair work in ANN scans."""
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric per-vector int8 quantization: struct(scale double,
+    q array<tinyint>) with q[i] = round(a[i] / scale), scale =
+    max|a[i]| / 127.  4x smaller embedding tables for ANN candidate
+    scans (dequantize = q[i] * scale); all expression-tree, no UDFs.
+    Zero vectors get scale 0 and all-zero codes.
+    """
+    absmax = F.array_max(F.transform(a, F.abs))
+    scale = absmax / F.lit(127.0)
+    q = F.when(
+        absmax > 0, F.transform(a, lambda x: F.round(x / scale).cast("tinyint"))
+    ).otherwise(F.transform(a, lambda x: F.lit(0).cast("tinyint")))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize(qstruct: Column) -> Column:
+    """Inverse of :func:`quantize_int8` (lossy: ≤ scale/2 per element)."""
+    return F.transform(qstruct["q"], lambda x: x.cast("double") * qstruct["scale"])

@@ -70,3 +70,40 @@ def test_ivf_partial_probe_recall(spark, emb):
     # query's own cell is always probed → its vector must be found
     assert 0 in approx
     assert len(exact & approx) / 10 >= 0.2
+
+
+def test_l2_normalize_and_quantize_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.functions.vectors import (
+        dequantize,
+        l2_norm,
+        l2_normalize,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.5, 2.5])],
+        "id long, v array<double>",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            l2_normalize(F.col("v")).alias("unit"),
+            l2_norm(l2_normalize(F.col("v"))).alias("unit_norm"),
+            dequantize(quantize_int8(F.col("v"))).alias("rt"),
+            quantize_int8(F.col("v")).alias("q"),
+        ).collect()
+    }
+    assert rows[1].unit == [0.6, 0.8]
+    assert abs(rows[1].unit_norm - 1.0) < 1e-12
+    assert rows[2].unit == [0.0, 0.0]  # zero vector untouched
+    # quantization roundtrip error bounded by scale/2 per element
+    for rid in (1, 3):
+        scale = rows[rid].q.scale
+        orig = {1: [3.0, 4.0], 3: [-1.5, 2.5]}[rid]
+        assert all(abs(a - b) <= scale / 2 + 1e-12 for a, b in zip(rows[rid].rt, orig))
+    assert rows[2].q.scale == 0.0 and rows[2].rt == [0.0, 0.0]
+    # int8 code range respected
+    assert all(-127 <= c <= 127 for c in rows[1].q.q)
