@@ -1070,6 +1070,39 @@ def q38_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q39_window_misc",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(o_orderkey) OVER w AS cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    tags=("window",),
+)
+def q39_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface: ntile, percent_rank, cume_dist,
+    first_value — one exchange on the partition key; percent_rank and
+    cume_dist are exact small-integer ratios, so the doubles are
+    bit-identical across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.first("o_orderkey").over(w).alias("cheapest"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
     "q22_pivot",
     oracle="""
     SELECT l_returnflag,

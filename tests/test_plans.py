@@ -102,3 +102,49 @@ def test_salted_aggregate_rejects_non_algebraic(spark, sf_smoke):
     li = load_table(spark, sf_smoke, "lineitem")
     with pytest.raises(ValueError):
         shuffle_policy.salted_aggregate(li, ["l_returnflag"], {"x": ("l_quantity", "avg")})
+
+
+def test_q33_scalar_subquery_broadcasts_threshold(spark, sf_smoke):
+    """The 1-row aggregate must reach the probe side as a broadcast —
+    never a shuffled join of fact rows against a 1-row table."""
+    df = REGISTRY["q33_scalar_subquery"].fn(spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    # keyless 1-row cross join → BroadcastNestedLoopJoin is the right
+    # physical form (the 1-row side ships, the fact side never moves)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q31_window_is_single_exchange(spark, sf_smoke):
+    """Running window over o_custkey: exactly one shuffle (the window
+    partitioning); the final orderBy is planned on top of it."""
+    from remote_shuffle_spark.sources.tables import load_table as lt
+    from pyspark.sql import Window as W
+
+    orders = lt(spark, sf_smoke, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    df = orders.select(
+        "o_custkey", "o_orderkey", F.sum("o_totalprice").over(w).alias("rt")
+    )
+    assert explain.count_shuffle_exchanges(df) == 1
+
+
+def test_doc_embedding_join_prunes_payload_columns(spark, sf_smoke):
+    """The multimodal id join must not read text or embedding payloads —
+    column pruning reaches both parquet scans."""
+    df = REGISTRY["ext_doc_embedding_join"].fn(spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads, "expected parquet ReadSchema entries"
+    joined = " ".join(reads)
+    assert "embedding" not in joined and "text" not in joined
+
+
+def test_tf_idf_df_join_is_broadcast_at_fixture_scale(spark, sf_smoke):
+    """The document-frequency table is vocabulary-sized — the tf⋈df join
+    must broadcast it (AQE or static), not shuffle the tf side."""
+    from remote_shuffle_spark.operators.text import tf_idf
+
+    docs = load_table(spark, sf_smoke, "documents")
+    df = tf_idf(docs, "doc_id", "text")
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
