@@ -1103,6 +1103,41 @@ def q39_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q40_outer_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers_without_orders,
+           {SQL_DSUM('o_totalprice', 'seg_total')}
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment NULLS FIRST
+    """,
+    tags=("join", "outer"),
+)
+def q40_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join with null-extension accounting: customers keep
+    their row even with no orders (outer joins ride the same exchanges as
+    inner — SURVEY §2.3 joins inherited; the null side is what the
+    reference's cogroup machinery models as empty iterators)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("n_customers_without_orders"),
+            dsum("o_totalprice", "seg_total"),
+        )
+        .orderBy(F.col("c_mktsegment").asc_nulls_first())
+    )
+
+
+@declared(
     "q22_pivot",
     oracle="""
     SELECT l_returnflag,
