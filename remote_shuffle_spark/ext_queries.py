@@ -725,3 +725,109 @@ def ext_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "label")
     )
+
+
+@declared(
+    "ext_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), l AS (
+      SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e
+    ), f AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL
+                       OR date_diff('microsecond', prev, ts) > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM l
+    ), s AS (
+      SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+      FROM f
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+    FROM s GROUP BY 1, 2 ORDER BY user_id, session_id
+    """,
+    tags=("ext", "streaming", "window"),
+)
+def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap): lag → new-session flag →
+    cumulative sum, two window passes over ONE exchange on user_id.  The
+    streaming twin (applyInPandasWithState) is pinned equivalent in
+    tests/test_streaming.py."""
+    from remote_shuffle_spark.streaming import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize_batch(ev, gap_minutes=30.0)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        out.select(
+            "user_id",
+            "session_id",
+            "n_events",
+            F.date_format("session_start", fmt).alias("session_start"),
+            F.date_format("session_end", fmt).alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@declared(
+    "ext_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT -o_orderkey AS o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 0
+    ), merged AS (
+      SELECT o.o_orderkey, o.o_totalprice FROM orders o
+      WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM upd
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(SUM(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+    FROM merged
+    """,
+    tags=("ext", "upsert"),
+)
+def ext_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (updates win on key collision, inserts
+    survive): anti-join + union — the format-agnostic core of
+    WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT (operators/upsert.py;
+    Delta/Iceberg would push the same plan into a transactional commit)."""
+    from remote_shuffle_spark.operators.upsert import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"), "o_totalprice"
+    )
+    merged = merge_upsert(orders, updates.unionByName(inserts), ["o_orderkey"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+        F.sum(F.when(F.col("o_orderkey") < 0, 1).otherwise(0)).alias("n_inserted"),
+    )
+
+
+@declared("ext_kmeans_cells", oracle=None, tags=("ext", "similarity", "clustering"))
+def ext_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| coarse quantizer (8 IVF cells) over the embedding table
+    (pyspark.ml, fixed seed).  Engine-specific training — no SQL oracle;
+    cell-assignment recall is pinned in tests/test_operators_similarity.py
+    and clustering contract tests."""
+    from remote_shuffle_spark.operators.clustering import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, "embedding", k=8, max_iter=5)
+    return cents.select(
+        "cid", F.size("cvec").alias("dim"), F.round(F.element_at("cvec", 1), 6).alias("c1")
+    ).orderBy("cid")
