@@ -183,6 +183,11 @@ def chunk_sequences(
     corpus scale.
 
     Returns the input plus ``start_offset`` and ``out_col``.
+
+    NB: the input is evaluated twice (per-partition totals, then the
+    main pass) — persist it first if ``weight_col`` is an expensive
+    derived expression (measured 2x tokenization cost at 200k docs,
+    scripts/scale_probe.py).
     """
     from pyspark.sql import Window as W
 

@@ -163,6 +163,54 @@ def main():
             },
         )
     )
+
+    # training-pipeline operators (round-1 additions)
+    from remote_shuffle_spark.functions.hashing import tokens
+    from remote_shuffle_spark.operators.pipeline import chunk_sequences, pack_sequences
+    from remote_shuffle_spark.operators.text import repetition_features, tf_idf
+
+    weighted = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    results.append(
+        probe(
+            "chunk_sequences_200k_docs",
+            lambda: {
+                "seqs": chunk_sequences(weighted, "doc_id", "n_tok", budget=2048)
+                .agg(F.max("seq_id")).collect()[0][0]
+            },
+        )
+    )
+    results.append(
+        probe(
+            "pack_sequences_200k_docs",
+            lambda: {
+                "rows": pack_sequences(weighted, "doc_id", "n_tok", budget=2048).count()
+            },
+        )
+    )
+    results.append(
+        probe(
+            "tf_idf_200k_docs",
+            lambda: {"doc_terms": tf_idf(docs, "doc_id", "text").count()},
+        )
+    )
+    results.append(
+        probe(
+            "repetition_200k_docs",
+            lambda: {"docs": repetition_features(docs, "doc_id", "text").count()},
+        )
+    )
+    new_half = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus_half = docs.filter(F.col("doc_id") % 2 == 0)
+    results.append(
+        probe(
+            "incremental_dedup_200k_docs",
+            lambda: {
+                "new": dedup.incremental_new_texts(new_half, corpus_half, "text").count()
+            },
+        )
+    )
     print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
 
 
