@@ -42,6 +42,13 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
+    # materialize the edge list ONCE: every iteration re-reads it, and
+    # without the checkpoint each round would re-execute the upstream
+    # pipeline that produced the edges (for near-dup groups that is the
+    # whole MinHash candidate join — measured as the dominant cost).
+    # At cluster scale swap localCheckpoint for checkpoint_to (reliable
+    # storage) so executor loss can't lose the edge materialization.
+    sym = sym.localCheckpoint(eager=True)
     # initial label = min(self, min neighbor)
     labels = (
         sym.groupBy("u")
@@ -56,11 +63,15 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the previous label through the select so convergence is a
+        # filter on the materialized frame, not an extra join per round
         new_labels = (
-            labels.join(neighbor_labels, "u", "left")
+            labels.withColumnRenamed("label", "_old")
+            .join(neighbor_labels, "u", "left")
             .select(
                 "u",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+                F.least(F.col("_old"), F.coalesce("nlabel", F.col("_old"))).alias("label"),
+                "_old",
             )
         )
         # persist the new frontier: it feeds both the convergence count and
@@ -68,13 +79,8 @@ def connected_components(
         # materialization happens exactly once); truncate lineage so plans
         # don't grow linearly with iterations
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("vertex"), F.col("label").alias("component"))
