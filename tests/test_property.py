@@ -103,3 +103,33 @@ def test_fingerprint_whitespace_invariant(spark, words, seps):
     df = spark.createDataFrame([(1, canonical), (2, messy)], ["doc_id", "text"])
     fps = {r.doc_id: r.fingerprint for r in with_fingerprint(df, "text").collect()}
     assert fps[1] == fps[2]
+
+
+@SLOW
+@given(weights=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60))
+def test_chunk_and_pack_sequences_properties(spark, weights):
+    from remote_shuffle_spark.operators.pipeline import chunk_sequences, pack_sequences
+
+    budget = 100
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id long, w long"
+    )
+    # chunk: start offsets are the exact prefix sums in id order
+    chunks = sorted(
+        (r.id, r.start_offset, r.seq_id)
+        for r in chunk_sequences(df, "id", "w", budget=budget, num_partitions=3).collect()
+    )
+    running = 0
+    for (i, start, seq), w in zip(chunks, weights):
+        assert start == running and seq == running // budget
+        running += w
+    # pack: every item exactly once, budget respected except oversize-alone
+    packed = pack_sequences(df, "id", "w", budget=budget, num_partitions=3).collect()
+    assert sorted(r.id for r in packed) == list(range(len(weights)))
+    by_seq: dict[int, list] = {}
+    for r in packed:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    for rows in by_seq.values():
+        rows.sort(key=lambda r: r.seq_pos)
+        assert [r.seq_pos for r in rows] == list(range(len(rows)))
+        assert sum(r.w for r in rows) <= budget or len(rows) == 1
