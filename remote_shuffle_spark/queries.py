@@ -736,14 +736,24 @@ def q27_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q28_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (type-7, same as DuckDB
     quantile_cont); the 2-decimal inputs make quartiles land on the
-    4-decimal grid, so round(4) absorbs last-ULP interpolation diffs."""
+    4-decimal grid, so round(4) absorbs last-ULP interpolation diffs.
+
+    One array-percentile aggregate, not three scalar ones — the per-group
+    value sort happens once instead of three times (measured ~2x at
+    sf0.1; at 100 TB prefer q29's mergeable percentile_approx anyway).
+    """
     li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        .agg(pct.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_p", 1), 4).alias("p25"),
+            F.round(F.element_at("_p", 2), 4).alias("p50"),
+            F.round(F.element_at("_p", 3), 4).alias("p75"),
         )
         .orderBy("l_returnflag")
     )
