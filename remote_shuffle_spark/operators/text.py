@@ -115,6 +115,12 @@ def repetition_features(
     Shape: shingles are built in-row (higher-order expressions, no
     shuffle), then one explode + two combinable aggregations keyed by
     (doc, gram) and doc — linear in corpus size, no driver state.
+    (A zero-shuffle in-row fold over the sorted gram array was measured
+    4x SLOWER here: higher-order aggregate lambdas evaluate interpreted
+    and Catalyst projection collapse recomputes the shingle array per
+    reference — the same trap the MinHash signatures hit.  The explode
+    rows are (id, gram) pairs, far narrower than the documents, and the
+    aggregation is map-side combinable, so the shuffle is cheap.)
     Documents with fewer than ``ngram`` tokens are dropped (no n-grams
     to measure).  Returns (id, n_ngrams, max_count, rep_ratio).
     """
