@@ -30,13 +30,22 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Component label per vertex: (vertex, component) with component =
     min vertex id in the component.
 
     ``edges`` is an undirected edge list.  Isolated vertices don't appear
     (they are their own singleton components by definition).
+
+    If ``max_iter`` rounds pass with labels still changing (diameter >
+    max_iter — long chains), the labels are NOT a valid partition into
+    components: ``on_nonconverged`` controls whether that raises
+    (default — silent wrong answers poison downstream dedup) or merely
+    warns (``"warn"``, for exploratory use).
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}")
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -56,6 +65,7 @@ def connected_components(
         .select("u", F.least(F.col("minn"), F.col("u")).alias("label"))
     )
 
+    changed = -1
     for _ in range(max_iter):
         # propagate: candidate label for u = min over neighbors v of label(v)
         neighbor_labels = (
@@ -83,6 +93,17 @@ def connected_components(
         labels = new_labels.drop("_old")
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in max_iter={max_iter} rounds "
+            f"({changed} labels still changing); component labels would be wrong "
+            "(split components on long-diameter chains) — raise max_iter"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("u").alias("vertex"), F.col("label").alias("component"))
 
 

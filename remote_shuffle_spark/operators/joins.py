@@ -40,6 +40,13 @@ def asof_join(
     among right rows resolve to the one latest in (ts, values-order) —
     callers needing a total order should ensure distinct right
     timestamps per key.
+
+    The fill is ``last(ignorenulls)`` over ONE struct of all right
+    values (non-null exactly on right rows), so a NULL field in the
+    latest qualifying right row stays NULL — standard as-of semantics
+    (pandas merge_asof / DuckDB ASOF) — instead of leaking an older
+    non-null value, and the plan runs a single window function however
+    many value columns are requested.
     """
     from pyspark.sql import Window as W
 
@@ -64,13 +71,18 @@ def asof_join(
         .orderBy(F.col("_ts"), F.col("_is_left_row"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = unioned
-    for v in right_values:
-        filled = filled.withColumn(
-            f"{v}{suffix}", F.last(f"_rv_{v}", ignorenulls=True).over(w)
-        )
-    out_cols = lcols + [f"{v}{suffix}" for v in right_values]
-    return filled.filter(F.col("_is_left_row") == 1).select(*out_cols)
+    # one struct per right row (null on left rows — skipped by the fill);
+    # a right row whose value fields are all NULL still yields a non-null
+    # struct, so its NULLs overwrite older values as they should
+    r_row = F.when(
+        F.col("_is_left_row") == 0,
+        F.struct(*[F.col(f"_rv_{v}") for v in right_values]),
+    )
+    filled = unioned.withColumn("_rv_row", F.last(r_row, ignorenulls=True).over(w))
+    return filled.filter(F.col("_is_left_row") == 1).select(
+        *lcols,
+        *[F.col("_rv_row").getField(f"_rv_{v}").alias(f"{v}{suffix}") for v in right_values],
+    )
 
 
 def range_join(

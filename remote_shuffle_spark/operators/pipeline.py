@@ -184,10 +184,20 @@ def chunk_sequences(
 
     Returns the input plus ``start_offset`` and ``out_col``.
 
-    NB: the input is evaluated twice (per-partition totals, then the
-    main pass) — persist it first if ``weight_col`` is an expensive
-    derived expression (measured 2x tokenization cost at 200k docs,
-    scripts/scale_probe.py).
+    Correctness note: both phases must see the *same* physical
+    partitioning.  ``repartitionByRange`` samples its boundaries per
+    execution (reservoir seeded off the RDD id), so running the subtree
+    once for the totals job and again for the window pass could assign
+    rows to different ``_pid``s whenever a partition holds more rows
+    than the sampler reads — silently corrupting ``start_offset`` at
+    corpus scale.  The ``_pid``-stamped frame is therefore materialized
+    ONCE with an eager ``localCheckpoint`` and both phases read those
+    blocks (also saves re-deriving ``weight_col``, measured 2x
+    tokenization cost at 200k docs, scripts/scale_probe.py).  Blocks are
+    freed when the frame is garbage collected.  On a real cluster where
+    executors can die, swap in plans.shuffle_policy.checkpoint_to for a
+    durable materialization — localCheckpoint truncates lineage, so a
+    lost block fails the job instead of silently recomputing.
     """
     from pyspark.sql import Window as W
 
@@ -195,8 +205,10 @@ def chunk_sequences(
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    part = df.repartitionByRange(n_parts, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(n_parts, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     per_part = part.groupBy("_pid").agg(F.sum(F.col(weight_col)).alias("_w")).collect()
     offsets, running = {}, 0

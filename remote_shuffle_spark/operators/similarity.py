@@ -58,18 +58,24 @@ def assign_ivf_cells(
     *,
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "cvec",
+    _collected_centroids: list | None = None,
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (IVF build step).
 
-    Centroids are broadcast and the argmax is computed per row as an
-    expression (array of (sim, cid) structs → array_max), so the build is
+    Centroids are driver-collected (K rows — tiny by construction) and
+    inlined as literals, so the argmax is computed per row as an
+    expression (array of (sim, cid) structs → array_max) and the build is
     a single narrow pass over the corpus.  Returns df + ``cell`` column;
     at scale, persist this partitioned by ``cell``.
     """
-    cents = [
-        (r[centroid_id_col], r[centroid_vec_col])
-        for r in centroids_df.select(centroid_id_col, centroid_vec_col).collect()
-    ]
+    cents = (
+        _collected_centroids
+        if _collected_centroids is not None
+        else [
+            (r[centroid_id_col], r[centroid_vec_col])
+            for r in centroids_df.select(centroid_id_col, centroid_vec_col).collect()
+        ]
+    )
     v = to_double_array(vec_col)
     scored = F.array(
         *[
@@ -118,20 +124,30 @@ def ivf_topk(
     operators.clustering.kmeans_centroids for trained cells.
     """
     cents = centroids if centroids is not None else seed_centroids(df, id_col, vec_col, k=num_cells)
-    assigned = assign_ivf_cells(df, id_col, vec_col, cents)
-    # nprobe nearest cells of the query vector
+    # ONE driver collect of the (tiny, K-row) centroid table serves both
+    # the per-row assignment expression and the query-side cell ranking —
+    # ranking nprobe cells against one query vector is driver-side math,
+    # not a Spark job, so the whole probe is two jobs (query collect +
+    # pruned scan) instead of four
+    cent_rows = [
+        (int(r["cid"]), list(r["cvec"])) for r in cents.select("cid", "cvec").collect()
+    ]
+    assigned = assign_ivf_cells(
+        df, id_col, vec_col, cents, _collected_centroids=cent_rows
+    )
     q = query_df.select(to_double_array(vec_col).alias("qv")).collect()[0]["qv"]
     qcol = F.array(*[F.lit(float(x)) for x in q])
-    cell_rank = (
-        cents.select(
-            "cid", cosine_similarity(F.col("cvec"), qcol).alias("csim")
-        )
-        .orderBy(F.col("csim").desc(), "cid")
-        .limit(nprobe)
-    )
-    pruned = assigned.join(
-        F.broadcast(cell_rank.select(F.col("cid").alias("cell"))), "cell"
-    )
+
+    import math
+
+    def _cos(a: list, b: list) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    ranked = sorted(cent_rows, key=lambda c: (-_cos(c[1], list(q)), c[0]))
+    probed = [cid for cid, _ in ranked[:nprobe]]
+    pruned = assigned.filter(F.col("cell").isin(probed))
     cos = cosine_similarity(to_double_array(vec_col), qcol)
     if round_to is not None:
         cos = F.round(cos, round_to)

@@ -64,10 +64,13 @@ def sessionize_streaming(
 ) -> DataFrame:
     """Stateful streaming sessionization via ``applyInPandasWithState``.
 
-    State per user: (open session start, last event ts, count).  Emits a
-    row per CLOSED session; open sessions close on gap — and, in a real
-    always-on deployment, on processing-time timeout
-    (``use_processing_time_timeout=True``).  The default is NoTimeout
+    State per user: (open session start, last event ts, count, next
+    session ordinal).  Emits a row per CLOSED session; open sessions
+    close on gap — and, in a real always-on deployment, on
+    processing-time timeout (``use_processing_time_timeout=True``).
+    The session ordinal lives in the state tuple so ids keep counting
+    up across micro-batches (matching ``sessionize_batch``'s monotone
+    cumsum) instead of restarting at 1 every trigger.  The default is NoTimeout
     because timeout cleanup passes re-arm on every trigger, so a bounded
     drain via ``processAllAvailable`` (tests, backfills) never converges
     with ProcessingTimeTimeout enabled.
@@ -84,31 +87,31 @@ def sessionize_streaming(
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
         if state.exists:
-            start_us, last_us, count = state.get
+            start_us, last_us, count, next_sid = state.get
+            if count == 0:
+                start_us, last_us = None, None
         else:
-            start_us, last_us, count = None, None, 0
+            start_us, last_us, count, next_sid = None, None, 0, 1
         closed: list[tuple[int, int, int, int, int]] = []
         rows = []
         for pdf in pdfs:
             for t in pdf[ts_col]:
                 rows.append(int(t.value // 1000))  # pandas ns → us
         rows.sort()
-        session_seq = 0
         for t_us in rows:
             if last_us is None:
                 start_us, last_us, count = t_us, t_us, 1
             elif t_us - last_us > gap_us:
-                session_seq += 1
-                closed.append((user, session_seq, count, start_us, last_us))
+                closed.append((user, next_sid, count, start_us, last_us))
+                next_sid += 1
                 start_us, last_us, count = t_us, t_us, 1
             else:
                 last_us, count = t_us, count + 1
         if state.hasTimedOut and last_us is not None:
-            session_seq += 1
-            closed.append((user, session_seq, count, start_us, last_us))
+            closed.append((user, next_sid, count, start_us, last_us))
             state.remove()
         else:
-            state.update((start_us or 0, last_us or 0, count))
+            state.update((start_us or 0, last_us or 0, count, next_sid))
             if use_processing_time_timeout:
                 state.setTimeoutDuration(int(gap_minutes * 60 * 1000))
         if closed:
@@ -125,7 +128,7 @@ def sessionize_streaming(
     return events_stream.groupBy(user_col).applyInPandasWithState(
         proc,
         outputStructType=SESSION_SCHEMA,
-        stateStructType="session_start_us bigint, last_us bigint, n bigint",
+        stateStructType="session_start_us bigint, last_us bigint, n bigint, next_sid bigint",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout

@@ -154,3 +154,18 @@ def test_incremental_new_texts_planted(spark):
     assert {f.name for f in incremental_new_texts(new, corpus, "text").schema} == {
         "doc_id", "text",
     }
+
+
+def test_release_cached_intermediates(spark, corpus):
+    # persisted signature tables must be reclaimable (ADVICE round-1):
+    # reuse=True registers the cache; release unpersists and empties the registry
+    from remote_shuffle_spark.operators import dedup as D
+
+    D.release_cached_intermediates()  # clean slate
+    D.minhash_near_duplicates(corpus, "doc_id", "text", reuse=True).count()
+    assert len(D._CACHED_INTERMEDIATES) == 1
+    assert D._CACHED_INTERMEDIATES[0].storageLevel.useMemory
+    assert D.release_cached_intermediates() == 1
+    assert D._CACHED_INTERMEDIATES == []
+    # idempotent
+    assert D.release_cached_intermediates() == 0

@@ -26,6 +26,18 @@ def test_connected_components_long_path_converges(spark):
     assert len(comp) == n + 1
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    # diameter 10 cannot converge in 1 round → must raise, never return
+    # silently-split components (ADVICE round-1)
+    edges = spark.createDataFrame([(i, i + 1) for i in range(10)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+    # warn mode returns (possibly wrong) labels with a RuntimeWarning
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        rows = connected_components(edges, max_iter=1, on_nonconverged="warn").collect()
+    assert len(rows) == 11
+
+
 def test_near_duplicate_groups_transitive(spark, sf_smoke):
     from remote_shuffle_spark.sources.tables import load_table
 

@@ -35,6 +35,26 @@ def test_asof_backward_inclusive(spark, trades_quotes):
     assert got == {1: 2.0, 2: 2.0, 3: 3.0, 4: None, 5: 4.0, 6: None}
 
 
+def test_asof_null_in_latest_right_row_is_preserved(spark):
+    # ADVICE round-1: a NULL value on the latest qualifying right row must
+    # come through as NULL (merge_asof / DuckDB ASOF semantics), not fall
+    # back to an older non-null right row.
+    trades = spark.createDataFrame(
+        [(1, "A", 300)], ["trade_id", "sym", "t_us"]
+    ).select("trade_id", "sym", F.timestamp_micros("t_us").alias("ts"))
+    quotes = spark.createDataFrame(
+        [("A", 100, 1.0, 10.0), ("A", 200, None, 20.0)],
+        "sym string, t_us long, px double, qty double",
+    ).select("sym", F.timestamp_micros("t_us").alias("ts"), "px", "qty")
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts", right_values=["px", "qty"]
+    ).collect()
+    assert len(out) == 1
+    # latest right row (t=200) carries px=NULL, qty=20 — both must come from it
+    assert out[0].px_asof is None
+    assert out[0].qty_asof == 20.0
+
+
 def test_asof_matches_pandas_merge_asof(spark, sf_smoke):
     ev = load_table(spark, sf_smoke, "events")
     clicks = ev.filter(F.col("event_type") == "click")

@@ -70,3 +70,36 @@ def test_sessionize_streaming_matches_batch_closed_sessions(spark, sf_smoke):
         rs.sort(key=lambda r: r.session_start)
         expect.update(key(r) for r in rs[:-1])  # all but the open last session
     assert set(key(r) for r in got) == expect
+
+
+def test_sessionize_streaming_session_ids_continue_across_microbatches(spark):
+    # ADVICE round-1: the session ordinal must live in state — a user whose
+    # sessions close in different micro-batches gets 1, 2, 3… not 1, 1, 1.
+    stream_dir = os.path.join(tempfile.gettempdir(), f"sess_multibatch_{uuid.uuid4().hex[:8]}")
+    minute = 60 * 1_000_000
+
+    def write_events(ts_list_us):
+        spark.createDataFrame(
+            [(1, t) for t in ts_list_us], "user_id bigint, t_us bigint"
+        ).select("user_id", F.timestamp_micros("t_us").alias("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    # batch 1: session A (2 events), gap, session B opens → closes session 1
+    write_events([0, 10 * minute, 100 * minute])
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(stream_dir)
+    out = sessionize_streaming(stream, gap_minutes=30.0)
+    name = f"sessions_mb_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: gap closes session B (must be id 2, not a restarted 1),
+        # session C gets 2 events, then a gap closes C as id 3
+        write_events([200 * minute, 210 * minute, 300 * minute])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.session_id, r.n_events) for r in spark.table(name).collect()
+    )
+    assert got == [(1, 2), (2, 1), (3, 2)]
