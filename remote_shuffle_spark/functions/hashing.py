@@ -33,16 +33,49 @@ def tokens(col) -> Column:
     return F.split(normalized_text(col), " ")
 
 
-def word_shingles(col, n: int = 3) -> Column:
-    """Sliding word n-grams as array<string>; short docs yield one shingle.
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Sliding word n-grams as array<string> over an already-MATERIALIZED
+    token-array column; short docs yield one whole-text shingle.
 
-    Pure higher-order expression: sequence → slice → concat_ws, no explode
-    and no shuffle — the shingle set is computed where the row lives.
+    ``toks`` must be a plain column reference (project ``tokens(col)``
+    into its own column first).  Referencing the tokenization expression
+    inline instead re-runs normalize+regexp+split once per shingle
+    position: codegen subexpression elimination does not hoist
+    lambda-invariant subtrees out of higher-order functions (measured 10x
+    on the sf0.1 corpus — 2.3 s vs 0.23 s).
     """
-    toks = tokens(col)
     shingle_starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(shingle_starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Sliding word n-grams straight from a text column.
+
+    Convenience form for small frames ONLY — it inlines the tokenization
+    under the transform lambda, which re-evaluates it per position (see
+    :func:`word_shingles_from_tokens`, the hot-path form).
+    """
+    return word_shingles_from_tokens(tokens(col), n)
+
+
+def shingle_structs(toks: Column, n: int = 3) -> Column:
+    """Shingles as array<struct<t0..t{n-1}>> over a materialized token
+    column — the hash-only shingle representation.
+
+    Identity is the token TUPLE (no separator string is ever built), so
+    ``xxhash64(sh.t0, …, seed)`` hashes a shingle directly; tokens carry
+    no spaces (split on ' '), so tuple identity ≡ the concat_ws(' ')
+    string identity.  Docs shorter than ``n`` yield one struct padded
+    with trailing nulls (xxhash64 skips null inputs → the whole-text
+    shingle).  Measured 5x faster than string shingles for the MinHash
+    signature stage (no per-shingle string allocation).
+    """
+    npos = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), npos),
+        lambda i: F.struct(*[F.element_at(toks, i + j).alias(f"t{j}") for j in range(n)]),
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:

@@ -26,8 +26,9 @@ from pyspark.sql import functions as F
 from remote_shuffle_spark.functions.hashing import (
     band_hashes,
     normalized_text,
+    shingle_structs,
     tokens,
-    word_shingles,
+    word_shingles_from_tokens,
 )
 from remote_shuffle_spark.functions.vectors import cosine_similarity, to_double_array
 
@@ -128,13 +129,14 @@ def minhash_candidates(
     """Candidate near-duplicate pairs via MinHash banding.
 
     Pipeline (shuffles annotated):
-      1. explode shingles (narrow; generator output, so each shingle is
-         computed exactly once — nesting the k hash families inside one
-         projection would recompute the shingle array k times after
-         Catalyst's projection collapse)
-      2. k seeded hashes per (doc, shingle) row → groupBy(doc) with k MIN
-         aggregates (SHUFFLE 1, fully map-side-combinable: k longs per doc
-         reach the exchange regardless of document size)
+      1. tokenize in its own projection (evaluated once per doc — HOF
+         lambdas re-evaluate inlined subtrees per element, see
+         word_shingles_from_tokens), build shingles as token-tuple
+         structs (no per-shingle string allocation), explode (narrow)
+      2. k seeded hashes per (doc, shingle) row — xxhash64 directly over
+         the struct fields — → groupBy(doc) with k MIN aggregates
+         (SHUFFLE 1, fully map-side-combinable: k longs per doc reach
+         the exchange regardless of document size)
       3. band buckets from the signature; explode bands (narrow)
       4. groupBy bucket (SHUFFLE 2) for bucket sizes; buckets larger than
          ``max_bucket_size`` are dropped (skew guard) — the quadratic pair
@@ -156,12 +158,13 @@ def minhash_candidates(
     recomputing a narrow derivation beats caching the corpus.
     """
     rows_per_band = num_hashes // num_bands
-    exploded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, shingle_len)).alias("shingle"),
+    tk = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("_tk"))
+    exploded = tk.select(
+        "doc", F.explode(shingle_structs(F.col("_tk"), shingle_len)).alias("sh")
     )
+    sh_fields = [F.col(f"sh.t{j}") for j in range(shingle_len)]
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"s{i}")
+        F.min(F.xxhash64(*sh_fields, F.lit(i))).alias(f"s{i}")
         for i in range(num_hashes)
     ]
     sig_df = exploded.groupBy("doc").agg(*mins)
@@ -227,8 +230,10 @@ def minhash_near_duplicates(
     )
     cand_docs = df.join(cand_ids, on=id_col, how="left_semi")
     sh = cand_docs.select(
-        F.col(id_col).alias("sid"),
-        F.array_distinct(word_shingles(text_col, shingle_len)).alias("sset"),
+        F.col(id_col).alias("sid"), tokens(text_col).alias("_tk")
+    ).select(
+        "sid",
+        F.array_distinct(word_shingles_from_tokens(F.col("_tk"), shingle_len)).alias("sset"),
     )
     pairs = (
         cands.join(sh.withColumnRenamed("sid", "id_a"), "id_a")

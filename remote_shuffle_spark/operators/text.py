@@ -124,11 +124,15 @@ def repetition_features(
     Documents with fewer than ``ngram`` tokens are dropped (no n-grams
     to measure).  Returns (id, n_ngrams, max_count, rep_ratio).
     """
-    from remote_shuffle_spark.functions.hashing import tokens, word_shingles
+    from remote_shuffle_spark.functions.hashing import tokens, word_shingles_from_tokens
 
-    grams = (
-        df.filter(F.size(tokens(text_col)) >= ngram)
-        .select(F.col(id_col), F.explode(word_shingles(text_col, ngram)).alias("gram"))
+    # tokenize in its own projection: HOF lambdas re-evaluate inlined
+    # subtrees per element (see word_shingles_from_tokens)
+    tk = df.select(F.col(id_col), tokens(text_col).alias("_tk")).filter(
+        F.size("_tk") >= ngram
+    )
+    grams = tk.select(
+        F.col(id_col), F.explode(word_shingles_from_tokens(F.col("_tk"), ngram)).alias("gram")
     )
     per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy(id_col).agg(

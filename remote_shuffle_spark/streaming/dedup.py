@@ -27,11 +27,16 @@ def streaming_distinct(
     *,
     keys: tuple[str, ...] = ("user_id", "event_type"),
     watermark: str = "1 hour",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """First-arrival dedup of the events stream on ``keys``.
 
     Returns the drained memory-sink table projected to ``keys`` — one row
     per distinct key combination, deterministic, oracle-comparable.
+
+    ``state_partitions`` sizes the stateful exchange — see
+    streaming/windowed.py: size it to the distinct-key cardinality, not
+    the corpus; None respects the session conf.
     """
     ensure_session_defaults(spark)
     path = table_path(sf_dir, "events")
@@ -52,11 +57,17 @@ def streaming_distinct(
         .select(*keys)
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    query = (
-        deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        query.processAllAvailable()
+        query = (
+            deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     finally:
-        query.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).orderBy(*keys)
