@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from remote_shuffle_spark.operators import dedup, multimodal, similarity, text
-from remote_shuffle_spark.queries import declared
+from remote_shuffle_spark.queries import dec, declared
 from remote_shuffle_spark.sources.tables import load_table
 from remote_shuffle_spark.streaming import windowed_event_counts
 
@@ -831,3 +831,284 @@ def ext_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(
         "cid", F.size("cvec").alias("dim"), F.round(F.element_at("cvec", 1), 6).alias("c1")
     ).orderBy("cid")
+
+
+@declared(
+    "ext_stream_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), l AS (
+      SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e
+    ), f AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL
+                       OR date_diff('microsecond', prev, ts) > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM l
+    ), s AS (
+      SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+      FROM f
+    ), sess AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             COUNT(*) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, session_id, n_events, session_start, session_end
+    FROM sess
+    WHERE session_id < (SELECT MAX(session_id) FROM sess s2 WHERE s2.user_id = sess.user_id)
+    ORDER BY user_id, session_id
+    """,
+    tags=("ext", "streaming", "stateful"),
+)
+def ext_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState, real
+    readStream → memory sink): emits every CLOSED session; the per-user
+    session ordinal lives in the state store and survives micro-batch
+    boundaries, so the result equals batch sessionization minus each
+    user's final (still-open) session — which is what the oracle's
+    windowed SQL computes.  This is the engine's custom-stateful-operator
+    seam made oracle-checkable."""
+    from remote_shuffle_spark.streaming import sessionize_streaming_table
+
+    return sessionize_streaming_table(spark, sf_dir, gap_minutes=30.0)
+
+
+@declared(
+    "ext_global_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_index
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("ext", "pipeline"),
+)
+def ext_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbering without a one-task global window:
+    range-partition by id, count per partition (tiny driver array),
+    broadcast cumulative offsets, per-partition local index.  Whatever
+    boundaries the range sampler picks, contiguity + within-partition
+    order make the result identical to ROW_NUMBER() OVER (ORDER BY id)-1,
+    so the scalable form is oracle-checked against the funnel form."""
+    from remote_shuffle_spark.operators.pipeline import with_global_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ordered = docs.repartitionByRange(F.col("doc_id")).sortWithinPartitions("doc_id")
+    return with_global_index(ordered).orderBy("doc_id")
+
+
+@declared(
+    "ext_quality_features",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm, string_split({_NORM}, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(norm) AS BIGINT) AS q_chars,
+           CAST(len(toks) AS INTEGER) AS q_tokens,
+           ROUND(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+                 / len(toks), 6) AS q_mean_token_len,
+           ROUND(CAST(len(regexp_replace(norm, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / len(norm), 6) AS q_punct_ratio,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS DOUBLE)
+                 / len(toks), 6) AS q_stopword_ratio
+    FROM t ORDER BY doc_id
+    """,
+    tags=("ext", "text", "quality"),
+)
+def ext_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length, token count, mean token
+    length, punctuation ratio, stopword ratio) — the cheap pre-filter
+    signals of a training-data pipeline, all narrow expressions.  Ratios
+    are exact-integer divisions rounded to 6 dp on both engines."""
+    from remote_shuffle_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_features(docs, "text")
+    return (
+        out.select(
+            "doc_id",
+            F.col("q_chars").cast("long").alias("q_chars"),
+            "q_tokens",
+            F.round("q_mean_token_len", 6).alias("q_mean_token_len"),
+            F.round("q_punct_ratio", 6).alias("q_punct_ratio"),
+            F.round("q_stopword_ratio", 6).alias("q_stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "ext_pii_scrub",
+    oracle="""
+    WITH synth AS (
+      SELECT c_custkey,
+             'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+               || '@example.com or +1 555 867 53' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+               || ' (ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.7)' AS text
+      FROM customer
+    ), counted AS (
+      SELECT c_custkey,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                                    '\\+?[0-9][0-9\\s().-]{7,}[0-9]')) AS n_phone,
+             len(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                   '\\+?[0-9][0-9\\s().-]{7,}[0-9]', '[PII]', 'g'),
+                   '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[PII]', 'g')) AS scrubbed_len
+      FROM synth
+    )
+    SELECT CAST(SUM(n_email) AS BIGINT) AS total_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS total_phones,
+           CAST(SUM(scrubbed_len) AS BIGINT) AS total_scrubbed_chars,
+           COUNT(*) AS n_rows
+    FROM counted
+    """,
+    tags=("ext", "text", "pii"),
+)
+def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing over synthesized PII text (the fixtures
+    carry none, so emails/phones/IPs are composed deterministically from
+    customer rows).  Patterns are the shared RE2-safe set
+    (operators.text.PII_PATTERNS) so Spark's Java regex and the oracle's
+    RE2 agree; phone counts are taken AFTER email scrubbing, mirroring
+    scrub_pii's chained replacement order."""
+    from remote_shuffle_spark.operators.text import PII_PATTERNS, scrub_pii
+
+    cust = load_table(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("reach "), F.col("c_name"), F.lit(" at user"),
+        F.col("c_custkey").cast("string"), F.lit("@example.com or +1 555 867 53"),
+        F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0"),
+        F.lit(" (ip 10.0."), (F.col("c_custkey") % 256).cast("string"), F.lit(".7)"),
+    )
+    synth = cust.select("c_custkey", text.alias("text"))
+    after_email = F.regexp_replace(F.col("text"), PII_PATTERNS["email"], "[PII]")
+    counted = synth.select(
+        F.size(F.regexp_extract_all("text", F.lit(PII_PATTERNS["email"]), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(after_email, F.lit(PII_PATTERNS["phone"]), 0)).alias("n_phone"),
+        F.length(scrub_pii("text")).alias("scrubbed_len"),
+    )
+    return counted.agg(
+        F.sum("n_email").alias("total_emails"),
+        F.sum("n_phone").alias("total_phones"),
+        F.sum("scrubbed_len").alias("total_scrubbed_chars"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@declared(
+    "ext_doc_histogram",
+    oracle="""
+    SELECT CAST(n_chars // 500 AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("ext", "text", "histogram"),
+)
+def ext_doc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (500-char equi-width buckets): the
+    one-pass distribution profile run before choosing dedup/chunking
+    parameters.  Combinable aggregation — one small shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.expr("n_chars DIV 500").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@declared(
+    "ext_bpe_tokens",
+    oracle="""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))) AS BIGINT)
+             AS total_bpe_ish,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("ext", "text", "tokens"),
+)
+def ext_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token accounting per source (BPE pre-split regex:
+    letter runs | digit runs | single symbols) — the token-budget
+    estimate a training pipeline runs before chunking.  The pattern stays
+    in the Java-regex ∩ RE2 subset so both engines count identically."""
+    from remote_shuffle_spark.operators.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(bpe_ish_token_count("text")).alias("total_bpe_ish"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@declared(
+    "ext_scd2",
+    oracle="""
+    WITH current AS (
+      SELECT c_custkey, c_acctbal,
+             TIMESTAMP '2020-01-01 00:00:00' AS effective_from,
+             TIMESTAMP '9999-12-31 00:00:00' AS effective_to
+      FROM customer
+    ), changes AS (
+      SELECT c_custkey, c_acctbal + 100 AS c_acctbal,
+             TIMESTAMP '2021-06-01 00:00:00' AS change_ts
+      FROM customer WHERE c_custkey % 5 = 0
+    ), merged AS (
+      SELECT c.c_custkey, c.c_acctbal, c.effective_from,
+             CASE WHEN ch.c_custkey IS NULL THEN c.effective_to
+                  ELSE ch.change_ts END AS effective_to
+      FROM current c LEFT JOIN changes ch USING (c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_acctbal, change_ts AS effective_from,
+             TIMESTAMP '9999-12-31 00:00:00' AS effective_to
+      FROM changes
+    )
+    SELECT COUNT(*) AS n_versions,
+           CAST(SUM(CASE WHEN effective_to = TIMESTAMP '9999-12-31 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(ROUND(SUM(CASE WHEN effective_to = TIMESTAMP '9999-12-31 00:00:00'
+                              THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 4) AS DOUBLE)
+             AS open_balance
+    FROM merged
+    """,
+    tags=("ext", "upsert", "scd2"),
+)
+def ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: every 5th customer gets a
+    balance change at a known timestamp; the operator closes the open
+    version (effective_to = change ts) and appends the new open version.
+    operators.upsert.scd2_apply composes this from anti/semi joins +
+    union — the logical plan a MERGE-based SCD2 lowers to."""
+    from remote_shuffle_spark.operators.upsert import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    current = cust.withColumn(
+        "effective_from", F.lit("2020-01-01 00:00:00").cast("timestamp_ntz")
+    ).withColumn("effective_to", F.lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
+    changes = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("change_ts", F.lit("2021-06-01 00:00:00").cast("timestamp_ntz"))
+    )
+    merged = scd2_apply(current, changes, ["c_custkey"])
+    open_end = F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
+    is_open = F.col("effective_to") == open_end
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(is_open, 1).otherwise(0)).alias("n_open"),
+        F.round(F.sum(F.when(is_open, dec("c_acctbal"))), 4).cast("double").alias("open_balance"),
+    )

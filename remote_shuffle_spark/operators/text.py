@@ -52,12 +52,22 @@ def stopword_ratio(text_col, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) ->
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Per-document quality features: length, token count, mean token
     length, punctuation ratio, stopword ratio — the standard cheap
-    pre-filter signals for a training-data pipeline."""
-    t = normalized_text(text_col)
-    toks = tokens(text_col)
-    n_tok = token_count(text_col)
+    pre-filter signals for a training-data pipeline.
+
+    Normalized text and its token array are materialized in their own
+    projection first: five features referencing ``tokens(text_col)``
+    inline would re-run normalize+regexp+split per feature (and per
+    element inside the HOF lambdas — see
+    functions.hashing.word_shingles_from_tokens)."""
+    t = F.col("_qf_norm")
+    toks = F.col("_qf_tk")
+    pre = df.withColumns(
+        {"_qf_norm": normalized_text(text_col), "_qf_tk": tokens(text_col)}
+    )
+    n_tok = F.when(F.length(t) > 0, F.size(toks)).otherwise(F.lit(0))
     punct = F.length(F.regexp_replace(t, r"[^\.,;:!?]", ""))
-    return df.withColumns(
+    stops = F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"])))
+    return pre.withColumns(
         {
             "q_chars": F.length(t),
             "q_tokens": n_tok,
@@ -71,9 +81,11 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
             "q_punct_ratio": F.when(
                 F.length(t) > 0, punct.cast("double") / F.length(t)
             ).otherwise(F.lit(0.0)),
-            "q_stopword_ratio": stopword_ratio(text_col),
+            "q_stopword_ratio": F.when(
+                F.size(toks) > 0, stops.cast("double") / F.size(toks)
+            ).otherwise(F.lit(0.0)),
         }
-    )
+    ).drop("_qf_norm", "_qf_tk")
 
 
 def language_scores(text_col) -> Column:

@@ -1167,3 +1167,509 @@ def q22_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["O", "F"])
         .orderBy("l_returnflag")
     )
+
+
+# =========================================================================
+# Q41+: round-2 surface widening — multi-join chains, correlated
+# subqueries, value-window frames, generators, gap fill
+# =========================================================================
+
+
+@declared(
+    "q41_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE)
+             AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q41_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join chain with per-side filters → agg →
+    top-k.  Filters push into each scan BEFORE the joins (Catalyst
+    predicate pushdown); the orderBy+limit plans as TakeOrdered, never a
+    global sort.  Revenue uses the exact-decimal product (see q06)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    one = F.lit(1).cast("decimal(5,4)")
+    revenue = price * (one - F.col("l_discount").cast("decimal(6,4)"))
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@declared(
+    "q42_regional_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey   = c_custkey
+                JOIN lineitem ON l_orderkey  = o_orderkey
+                JOIN supplier ON s_suppkey   = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("join", "agg"),
+)
+def q42_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join chain with a non-key equality on the
+    supplier side (local-supplier constraint).  region/nation broadcast
+    (tiny dims); customer/orders/lineitem shuffle on their join keys;
+    Catalyst orders the joins from the filtered dimension outward."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    one = F.lit(1).cast("decimal(5,4)")
+    revenue = price * (one - F.col("l_discount").cast("decimal(6,4)"))
+    return (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue), 4).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@declared(
+    "q43_correlated_scalar",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_revenue
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l2.l_quantity))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+    tags=("subquery", "agg"),
+)
+def q43_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (rows below half their
+    part's average quantity).  Expressed decorrelated — per-part averages
+    are ONE combinable aggregation joined back on the part key — which is
+    exactly the plan Catalyst rewrites the correlated form into; the
+    average uses the exact decimal sum so borderline rows can't flip on
+    summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias("_avg_qty")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            dsum("l_extendedprice", "small_revenue"),
+        )
+    )
+
+
+@declared(
+    "q44_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("subquery", "join", "agg"),
+)
+def q44_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi conjunct
+    (l_shipdate > o_orderdate) — plans as a left-semi join whose
+    condition carries both the key equality and the range predicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    filtered = orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    return (
+        filtered.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
+    "q45_not_exists",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_idle, CAST(MIN(c_custkey) AS BIGINT) AS min_custkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("subquery", "join", "agg"),
+)
+def q45_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS (customers with no orders) as a left-anti join — the
+    subquery face of the anti-join exchange (q13 is the join-API face)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_idle"), F.min("c_custkey").alias("min_custkey"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@declared(
+    "q46_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS near_total
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("window", "frame"),
+)
+def q46_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame (RANGE BETWEEN): per customer, the sum of
+    order totals within 10000 of the current order's price.  RANGE frames
+    include ALL peers of the current value, so the result is deterministic
+    under price ties (a ROWS frame would not be)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, W.currentRow)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("near_total"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "q47_value_window_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           first_value(o_orderkey) OVER w AS first_k,
+           last_value(o_orderkey)  OVER w AS last_k,
+           nth_value(o_orderkey, 3) OVER w AS third_k
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+    tags=("window",),
+)
+def q47_value_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over an explicit unbounded ROWS frame (the
+    default RANGE frame would make last_value the current row — the
+    classic cross-engine trap, pinned here by spelling the frame out)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_k"),
+            F.last("o_orderkey").over(w).alias("last_k"),
+            F.nth_value("o_orderkey", 3).over(w).alias("third_k"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "q48_posexplode",
+    oracle="""
+    SELECT p_partkey,
+           CAST(unnest(range(len(string_split(p_name, ' ')))) AS INTEGER) AS pos,
+           unnest(string_split(p_name, ' ')) AS word
+    FROM part ORDER BY p_partkey, pos
+    """,
+    tags=("generator", "lateral"),
+)
+def q48_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator with ordinality: posexplode ≡ UNNEST WITH ORDINALITY
+    (DuckDB zips parallel unnests).  One narrow generate — no shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+        )
+        .orderBy("p_partkey", "pos")
+    )
+
+
+@declared(
+    "q49_median_mode",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(median(l_quantity) AS DOUBLE) AS med_qty,
+           CAST(mode(l_linenumber) AS INTEGER) AS mode_line,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q49_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated) and mode per group.  l_quantity values
+    are unit-spaced so the even-count interpolation is exact in doubles;
+    the mode column (l_linenumber) has a strictly decreasing frequency
+    distribution, so the winner is unique and tie-break rules never
+    engage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.median("l_quantity").alias("med_qty"),
+            F.mode("l_linenumber").alias("mode_line"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
+    "q50_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=("agg", "string"),
+)
+def q50_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): collect_list has
+    no intra-group order guarantee, so the list is array_sort'ed before
+    joining — the deterministic form of GROUP_CONCAT."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@declared(
+    "q51_conditional_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           count_if(o_totalprice > 200000) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg", "conditional"),
+)
+def q51_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate surface: count_if, bool_and/bool_or
+    (SQL EVERY/ANY), and the CASE-sum filter form — all combinable, all
+    map-side-partial."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)).alias("n_low"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@declared(
+    "q52_levenshtein",
+    oracle="""
+    SELECT levenshtein(p_brand, 'Brand#13') AS dist, COUNT(*) AS n,
+           CAST(MIN(p_partkey) AS BIGINT) AS min_part
+    FROM part GROUP BY 1 ORDER BY dist
+    """,
+    tags=("string", "similarity"),
+)
+def q52_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar function (string similarity surface) grouped
+    into a distance histogram."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.levenshtein("p_brand", F.lit("Brand#13")).alias("dist"), "p_partkey")
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("p_partkey").alias("min_part"))
+        .orderBy("dist")
+    )
+
+
+@declared(
+    "q53_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), counts AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour, COALESCE(c.n, 0) AS n
+    FROM hours h LEFT JOIN counts c USING (hour)
+    ORDER BY hour
+    """,
+    tags=("timeseries", "generator", "join"),
+)
+def q53_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a generated hourly spine left-joined to
+    hourly event counts, empty hours kept as zero.  The spine comes from
+    sequence() over the min/max bounds (one tiny agg broadcast back),
+    so no driver-side loop builds it."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    counts = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        hours.join(counts, "hour", "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("_n", F.lit(0)).alias("n"),
+        )
+        .orderBy("hour")
+    )
+
+
+@declared(
+    "q54_set_ops_all",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    ), y AS (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT (SELECT COUNT(*) FROM x) AS n_except_all,
+           (SELECT CAST(COALESCE(SUM(k), 0) AS BIGINT) FROM x) AS except_checksum,
+           (SELECT COUNT(*) FROM y) AS n_intersect_all,
+           (SELECT CAST(COALESCE(SUM(k), 0) AS BIGINT) FROM y) AS intersect_checksum
+    """,
+    tags=("setop",),
+)
+def q54_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (EXCEPT ALL / INTERSECT ALL): multiplicity-aware
+    variants — row counts, not distinct sets, must survive — lowered by
+    Catalyst to per-key count aggregation + replication (the same
+    exchange as q18-q20's distinct forms)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    ex = o.exceptAll(f).agg(
+        F.count(F.lit(1)).alias("n_except_all"),
+        F.coalesce(F.sum("k"), F.lit(0)).alias("except_checksum"),
+    )
+    inter = f.intersectAll(o).agg(
+        F.count(F.lit(1)).alias("n_intersect_all"),
+        F.coalesce(F.sum("k"), F.lit(0)).alias("intersect_checksum"),
+    )
+    return ex.crossJoin(inter)
+
+
+@declared(
+    "q55_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+    )
+    ORDER BY c_custkey, metric
+    """,
+    tags=("unpivot", "reshape"),
+)
+def q55_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (wide → long reshape, the inverse of q22's pivot):
+    a narrow generator — each input row fans out to one row per value
+    column, no shuffle until the caller aggregates."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+        .orderBy("c_custkey", "metric")
+    )

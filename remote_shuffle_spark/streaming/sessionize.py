@@ -136,3 +136,69 @@ def sessionize_streaming(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def sessionize_streaming_table(
+    spark,
+    sf_dir: str,
+    *,
+    gap_minutes: float = 30.0,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Run the stateful streaming sessionizer over the events fixture as a
+    real readStream → memory-sink pipeline and return the drained result
+    (all CLOSED sessions; each user's final still-open session stays in
+    state).  Because session ordinals live in state and continue across
+    micro-batches, the emitted (user, session_id, bounds, count) rows
+    equal batch sessionization minus each user's last session — which is
+    SQL-expressible, so this custom stateful operator is oracle-checkable.
+
+    ``state_partitions`` — see streaming/windowed.py (size to distinct
+    users, not corpus).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from remote_shuffle_spark.sources.tables import ensure_session_defaults, table_path
+
+    ensure_session_defaults(spark)
+    path = table_path(sf_dir, "events")
+    batch_schema = spark.read.parquet(path).schema  # ts arrives as bigint nanos
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = sessionize_streaming(stream, gap_minutes=gap_minutes)
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            F.date_format("session_start", fmt).alias("session_start"),
+            F.date_format("session_end", fmt).alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
