@@ -148,3 +148,54 @@ def test_tf_idf_df_join_is_broadcast_at_fixture_scale(spark, sf_smoke):
     df = tf_idf(docs, "doc_id", "text")
     plan = explain.physical_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
+
+
+def test_q41_topk_is_take_ordered_with_pushed_filters(spark, sf_smoke):
+    """3-way join + top-10: the limit must plan as TakeOrdered (never a
+    global sort), and each side's filter must reach its own scan."""
+    df = REGISTRY["q41_shipping_priority"].fn(spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # per-side pushdown: mktsegment on customer, date bounds on orders/lineitem
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert any("LessThan(o_orderdate" in ln for ln in plan.splitlines())
+    assert any("GreaterThan(l_shipdate" in ln for ln in plan.splitlines())
+
+
+def test_q42_dimension_tables_broadcast(spark, sf_smoke):
+    """region/nation (tiny dims) must broadcast in the 6-way chain — the
+    probe sides shuffle on their own keys only."""
+    df = REGISTRY["q42_regional_revenue"].fn(spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q44_exists_is_semi_join_with_range_conjunct(spark, sf_smoke):
+    """Correlated EXISTS with a non-equi conjunct: one semi join whose
+    condition carries BOTH the key equality and the date comparison —
+    not a join followed by a distinct."""
+    df = REGISTRY["q44_exists_subquery"].fn(spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert "LeftSemi" in plan
+    cond_lines = [ln for ln in plan.splitlines() if "Join condition" in ln]
+    assert any("l_shipdate" in ln and "o_orderdate" in ln for ln in cond_lines)
+
+
+def test_q46_range_frame_single_exchange(spark, sf_smoke):
+    """The RANGE-frame window needs exactly one exchange (on o_custkey)
+    before the final output ordering."""
+    df = REGISTRY["q46_range_frame"].fn(spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    # exactly one HASH exchange (the window partitioning); the only other
+    # exchange is the range partitioning for the final output ORDER BY
+    hash_ex = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert len(hash_ex) == 1
+
+
+def test_q53_gap_fill_spine_is_generated_not_collected(spark, sf_smoke):
+    """The hourly spine comes from sequence+explode over a 1-row agg —
+    the plan must contain a Generate node, and no RDD/python stage."""
+    df = REGISTRY["q53_gap_fill"].fn(spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert "Generate" in plan and "explode" in plan
+    assert "BatchEvalPython" not in plan and "Scan ExistingRDD" not in plan
