@@ -1112,3 +1112,30 @@ def ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_open, 1).otherwise(0)).alias("n_open"),
         F.round(F.sum(F.when(is_open, dec("c_acctbal"))), 4).cast("double").alias("open_balance"),
     )
+
+
+@declared(
+    "ext_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS value
+    FROM ex GROUP BY label, pos ORDER BY label, pos
+    """,
+    tags=("ext", "similarity", "clustering"),
+)
+def ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids) in long form: posexplode
+    → combinable (label, dim) aggregation — the shuffle carries partial
+    sums, never vectors.  Decimal-exact sums make the means row-order
+    independent, so the distributed result hash-matches the oracle."""
+    from remote_shuffle_spark.operators.clustering import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = label_centroids(emb, "label", "embedding")
+    return out.withColumn("value", F.round("value", 6)).orderBy("label", "pos")

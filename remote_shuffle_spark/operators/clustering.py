@@ -43,3 +43,45 @@ def kmeans_centroids(
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     return spark.createDataFrame(rows, ["cid", "cvec"])
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    *,
+    long_form: bool = True,
+) -> DataFrame:
+    """Element-wise mean embedding per label (class centroids).
+
+    posexplode the vector → one combinable aggregation keyed by
+    (label, dim) — the shuffle carries (label, dim, partial sum, count),
+    never whole vectors, so the pattern holds at any corpus size and any
+    dimensionality.  Sums go through DECIMAL so the result is independent
+    of row order (exact, then one double division).
+
+    ``long_form=True`` (default) returns (label, pos, value) — the
+    joinable/oracle-checkable shape; ``False`` re-assembles an array per
+    label (adds one small shuffle over #labels x dim rows).
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(to_double_array(vec_col)).alias("pos", "v"),
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("value")
+    )
+    if long_form:
+        return per_dim
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "value"))),
+                lambda s: s["value"],
+            ).alias("centroid")
+        )
+    )
