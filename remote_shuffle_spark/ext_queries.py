@@ -896,7 +896,7 @@ def ext_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     ordered = docs.repartitionByRange(F.col("doc_id")).sortWithinPartitions("doc_id")
-    return with_global_index(ordered).orderBy("doc_id")
+    return with_global_index(ordered, order_by=["doc_id"]).orderBy("doc_id")
 
 
 @declared(

@@ -49,18 +49,58 @@ def deterministic_split(
     return df.withColumn("split", expr)
 
 
-def with_global_index(df: DataFrame, *, out_col: str = "row_index") -> DataFrame:
+def with_global_index(
+    df: DataFrame,
+    *,
+    out_col: str = "row_index",
+    order_by: list | None = None,
+) -> DataFrame:
     """Contiguous 0-based global row index without a global sort.
 
     Two-phase: count rows per partition (tiny driver-side array) →
     broadcast the cumulative offsets → per-partition local index + offset.
-    O(rows) work, no single-task bottleneck; the assignment follows the
-    current partition order (apply after an explicit sort if a semantic
-    order is needed).
+    O(rows) work, no single-task bottleneck.
+
+    ``order_by`` given (list of columns/Column expressions that totally
+    order rows WITHIN a partition — e.g. the keys of the
+    repartitionByRange+sortWithinPartitions the caller just did): the
+    local index is a per-partition ``row_number()`` window — pure JVM,
+    no Python in the data path.  The input is eagerly localCheckpoint'ed
+    first, both so the count phase and the window phase see identical
+    partitioning (range boundary sampling is per-execution) and so the
+    window's hash exchange on the partition id reads materialized blocks.
+
+    ``order_by=None`` falls back to tagging rows in raw iterator order
+    via the RDD API — the only way to number an UNORDERED partition —
+    which round-trips every row through Python: fine for fixtures,
+    wrong at corpus scale (prefer an explicit order).
     """
+    from pyspark.sql import Window as W
     from pyspark.sql.types import LongType, StructField, StructType
 
     spark = df.sparkSession
+
+    if order_by is not None:
+        part = df.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+        counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+        offsets, running = {}, 0
+        for r in sorted(counts, key=lambda r: r._pid):
+            offsets[r._pid] = running
+            running += r._n
+        offsets_df = F.broadcast(
+            spark.createDataFrame(
+                [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+            )
+        )
+        w = W.partitionBy("_pid").orderBy(*order_by)
+        return (
+            part.join(offsets_df, "_pid")
+            .withColumn(
+                out_col, (F.row_number().over(w) - 1 + F.col("_offset")).cast("long")
+            )
+            .drop("_pid", "_offset")
+        )
+
     schema = StructType(df.schema.fields + [StructField(out_col, LongType(), False)])
 
     counts = df.rdd.mapPartitionsWithIndex(
@@ -132,7 +172,9 @@ def build_vocab(
     ordered = counts.repartitionByRange(
         F.col("count").desc(), F.col("token")
     ).sortWithinPartitions(F.col("count").desc(), "token")
-    vocab = with_global_index(ordered, out_col="token_id")
+    vocab = with_global_index(
+        ordered, out_col="token_id", order_by=[F.col("count").desc(), F.col("token")]
+    )
     if max_size is not None:
         vocab = vocab.filter(F.col("token_id") < max_size)
     return vocab

@@ -1673,3 +1673,106 @@ def q55_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
         .orderBy("c_custkey", "metric")
     )
+
+
+@declared(
+    "q56_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_prios,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg", "distinct"),
+)
+def q56_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over different columns in one GROUP
+    BY — Catalyst plans this with Expand (one replicated stream per
+    distinct set), the multi-distinct exchange shape q09's single
+    count-distinct doesn't exercise."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@declared(
+    "q57_null_safe_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN value < 0.1 THEN NULL ELSE event_type END AS g, value
+      FROM events
+    ), a AS (
+      SELECT g, COUNT(*) AS n_a FROM tagged GROUP BY g
+    ), b AS (
+      SELECT g, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_b
+      FROM tagged GROUP BY g
+    )
+    SELECT a.g, a.n_a, b.sum_b
+    FROM a JOIN b ON a.g IS NOT DISTINCT FROM b.g
+    ORDER BY a.g NULLS FIRST
+    """,
+    tags=("join", "null"),
+)
+def q57_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping — the join-side face of q16's
+    null grouping keys.  Both sides aggregate first so the null group is
+    a single row per side."""
+    ev = load_table(spark, sf_dir, "events")
+    g = F.when(F.col("value") < 0.1, None).otherwise(F.col("event_type"))
+    tagged = ev.select(g.alias("g"), "value")
+    a = tagged.groupBy("g").agg(F.count(F.lit(1)).alias("n_a"))
+    b = tagged.groupBy("g").agg(dsum("value", "sum_b"))
+    return (
+        a.join(b, a["g"].eqNullSafe(b["g"]))
+        .select(a["g"].alias("g"), "n_a", "sum_b")
+        .orderBy(F.col("g").asc_nulls_first())
+    )
+
+
+@declared(
+    "q58_ignore_nulls_window",
+    oracle="""
+    SELECT event_id,
+           last_value(view_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_view_value
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'view' THEN value END AS view_value
+      FROM events
+    )
+    ORDER BY event_id
+    """,
+    tags=("window", "null"),
+)
+def q58_ignore_nulls_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window fill: each event picks up the user's most
+    recent prior 'view' value (last_value IGNORE NULLS over an
+    unbounded-to-1-preceding frame — the windowed form of a backward
+    as-of self-join, and the null-skipping surface lead/lag/first/last
+    share)."""
+    ev = load_table(spark, sf_dir, "events")
+    vv = F.when(F.col("event_type") == "view", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        ev.select("event_id", "user_id", "ts", vv.alias("view_value"))
+        .select(
+            "event_id",
+            F.last("view_value", ignorenulls=True).over(w).alias("prev_view_value"),
+        )
+        .orderBy("event_id")
+    )
