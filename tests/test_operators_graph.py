@@ -96,3 +96,27 @@ def test_ivf_with_kmeans_centroids(spark, sf_smoke):
     assert 0 in approx
     # trained cells should give decent recall even at nprobe=3/8
     assert len(exact & approx) / 10 >= 0.3
+
+
+def test_label_centroids_match_numpy(spark, sf_smoke):
+    import numpy as np
+    from remote_shuffle_spark.operators.clustering import label_centroids
+    from remote_shuffle_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    got = label_centroids(emb, "label", "embedding").collect()
+    rows = emb.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype="float64"))
+    for r in got:
+        expect = np.mean(np.stack(by_label[r.label]), axis=0)
+        assert abs(r.value - expect[r.pos]) < 1e-9
+
+    # array form agrees with long form
+    arr = {
+        r.label: r.centroid
+        for r in label_centroids(emb, "label", "embedding", long_form=False).collect()
+    }
+    for r in got:
+        assert abs(arr[r.label][r.pos] - r.value) < 1e-12

@@ -175,3 +175,32 @@ def test_interleave_datasets_deterministic_and_tagged(spark, sf_correct):
     }
     with pytest.raises(ValueError):
         P.interleave_datasets({"x": (docs, 1.5)}, id_col="doc_id")
+
+
+def test_with_global_index_jvm_path_matches_rdd_path(spark, sf_smoke):
+    from remote_shuffle_spark.operators import pipeline as P
+    from remote_shuffle_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    ordered = docs.repartitionByRange(5, F.col("doc_id")).sortWithinPartitions("doc_id")
+    jvm = {r.doc_id: r.row_index for r in P.with_global_index(ordered, order_by=["doc_id"]).collect()}
+    rdd = {r.doc_id: r.row_index for r in P.with_global_index(ordered).collect()}
+    assert jvm == rdd
+    # contiguous 0..n-1 and monotone in doc_id
+    n = len(jvm)
+    assert sorted(jvm.values()) == list(range(n))
+    ids_sorted = sorted(jvm)
+    assert [jvm[i] for i in ids_sorted] == list(range(n))
+
+
+def test_with_global_index_jvm_path_no_python_stage(spark, sf_smoke):
+    from remote_shuffle_spark.operators import pipeline as P
+    from remote_shuffle_spark.plans import explain
+    from remote_shuffle_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    ordered = docs.repartitionByRange(5, F.col("doc_id")).sortWithinPartitions("doc_id")
+    plan = explain.physical_plan(P.with_global_index(ordered, order_by=["doc_id"]))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
