@@ -82,3 +82,30 @@ def test_approx_aggregates_within_bounds(spark, sf_smoke):
     row = REGISTRY["q29_approx_agg"].fn(spark, sf_smoke).collect()[0]
     assert abs(row.approx_parts - exact_parts) / exact_parts < 0.05  # HLL rsd
     assert abs(row.approx_median - exact_median) / exact_median < 0.05
+
+
+def test_new_operators_on_empty_inputs(spark):
+    """Empty-input behavior (the reference's empty-map-output suite,
+    applied to the round-2 operators): empty in → empty (or zero-row agg)
+    out, never an error."""
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.clustering import label_centroids
+    from remote_shuffle_spark.operators.joins import asof_join
+    from remote_shuffle_spark.operators.pipeline import chunk_sequences, with_global_index
+
+    empty_docs = spark.createDataFrame([], "doc_id long, w long")
+    assert chunk_sequences(empty_docs, "doc_id", "w", budget=10).count() == 0
+    assert with_global_index(empty_docs, order_by=["doc_id"]).count() == 0
+
+    empty_vecs = spark.createDataFrame([], "label string, embedding array<double>")
+    assert label_centroids(empty_vecs, "label", "embedding").count() == 0
+
+    left = spark.createDataFrame([(1, "A", 100)], ["id", "k", "t_us"]).select(
+        "id", "k", F.timestamp_micros("t_us").alias("ts")
+    )
+    empty_right = spark.createDataFrame([], "k string, ts timestamp, v double")
+    out = asof_join(
+        left, empty_right, on=["k"], left_ts="ts", right_ts="ts", right_values=["v"]
+    ).collect()
+    assert len(out) == 1 and out[0].v_asof is None

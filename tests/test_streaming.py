@@ -103,3 +103,50 @@ def test_sessionize_streaming_session_ids_continue_across_microbatches(spark):
         (r.session_id, r.n_events) for r in spark.table(name).collect()
     )
     assert got == [(1, 2), (2, 1), (3, 2)]
+
+
+def test_watermark_drops_late_data_across_batches(spark):
+    """Append-mode windowed agg: a window is finalized once the watermark
+    passes its end; rows arriving after that are DROPPED, not merged —
+    the late-data contract SURVEY §2.3 streaming requires."""
+    stream_dir = os.path.join(tempfile.gettempdir(), f"late_data_{uuid.uuid4().hex[:8]}")
+    hour = 3600 * 1_000_000
+
+    def write_events(ts_list_us):
+        spark.createDataFrame(
+            [(1, t) for t in ts_list_us], "user_id bigint, t_us bigint"
+        ).select("user_id", F.timestamp_micros("t_us").alias("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    # batch 1: events at 00:00 and 02:00 → watermark (10 min delay) lands
+    # at 01:50, finalizing the 00:00-01:00 window
+    write_events([0, 2 * hour])
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(stream_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+            # batch 2: one LATE event into the finalized 00:00 window (must
+            # be dropped) + one at 04:00 to advance the watermark past the
+            # 02:00 window so it flushes
+            write_events([30 * 60 * 1_000_000, 4 * hour])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {r.ws.hour: r.n for r in spark.table(name).collect()}
+    # hour 0 emitted with ONE event — the 00:30 late arrival was dropped;
+    # hour 2 flushed by the batch-2 watermark advance
+    assert got.get(0) == 1
+    assert got.get(2) == 1
