@@ -1776,3 +1776,40 @@ def q58_ignore_nulls_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@declared(
+    "q59_keep_latest",
+    oracle="""
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    WHERE rn = 1 ORDER BY o_custkey
+    """,
+    tags=("window", "dedup"),
+)
+def q59_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (the CDC/compaction workhorse): one
+    row_number window over (key, recency desc) → rn = 1.  One exchange
+    on the key; at scale prefer this over groupBy+join-back (one shuffle
+    instead of two) and over max_by structs when the full row is wide."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_orderdate", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy("o_custkey")
+    )
