@@ -89,8 +89,8 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py against planted near-duplicates.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # reuse=False: below the measured ~50k-doc cache crossover at fixture
-    # scale (see minhash_candidates docstring)
+    # reuse=False: below the cache crossover at fixture scale (round-2
+    # re-measure in the minhash_candidates docstring)
     return dedup.minhash_near_duplicates(
         docs, "doc_id", "text", threshold=0.5, reuse=False
     ).orderBy("id_a", "id_b")

@@ -146,16 +146,19 @@ def minhash_candidates(
 
     ``reuse=True`` (default) persists the signature table (16 longs/doc —
     tiny relative to the corpus), which the banding self-join otherwise
-    re-derives per branch.  Measured crossover: at 5k docs the cache
-    boundary costs ~3x (defeats ReuseExchange, 18 s vs 5.3 s); at 200k
-    docs it wins 2.3x (11.5 s vs 26.8 s) and the gap grows with corpus
-    size — so the scale-correct default is True, and fixture-scale
-    callers (the declared query) pass False.  For 100 TB pipelines
-    materialize the signatures durably with
-    plans.shuffle_policy.checkpoint_to instead (the reference's
-    remote-map-output philosophy applied at operator level).  Corpus-
-    sized intermediates (shingle sets, buckets) are never cached —
-    recomputing a narrow derivation beats caching the corpus.
+    re-derives per branch.  Round-2 re-measure (after the tokenize-once
+    restructure, alternating A/B in one warm process): the crossover is
+    still there but shallower — at 5k docs the cache boundary costs
+    ~1.4x (1.2-1.8 s vs 1.7-2.4 s, it defeats ReuseExchange), at 200k
+    docs reuse wins ~1.1x (6.9 s vs 7.7 s) and the gap grows with corpus
+    size.  Scale-correct default stays True; fixture-scale callers (the
+    declared queries) pass False.  Call release_cached_intermediates()
+    when done (ADVICE round-1).  For 100 TB pipelines materialize the
+    signatures durably with plans.shuffle_policy.checkpoint_to instead
+    (the reference's remote-map-output philosophy applied at operator
+    level).  Corpus-sized intermediates (shingle sets, buckets) are
+    never cached — recomputing a narrow derivation beats caching the
+    corpus.
     """
     rows_per_band = num_hashes // num_bands
     tk = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("_tk"))
