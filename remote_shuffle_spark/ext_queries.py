@@ -1139,3 +1139,71 @@ def ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = label_centroids(emb, "label", "embedding")
     return out.withColumn("value", F.round("value", 6)).orderBy("label", "pos")
+
+
+@declared(
+    "ext_multimodal_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) % 24 + 1 AS n_frames FROM documents
+    ), k AS (
+      SELECT doc_id, (n_frames - 1) // 8 + 1 AS n_sampled FROM d
+    )
+    SELECT doc_id,
+           CAST(n_sampled AS BIGINT) AS n_sampled,
+           CAST(4 * n_sampled * (n_sampled - 1) AS BIGINT) AS frame_index_sum
+    FROM k ORDER BY doc_id
+    """,
+    tags=("ext", "multimodal"),
+)
+def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the real mapInPandas row-explosion
+    path (one media row → one row per every-8th frame).  The decoder is
+    the deterministic stub, so the oracle computes the sampled-frame
+    count and index sum in closed form (indices 0,8,16,… → sum =
+    4k(k-1)); what's verified is the explosion plumbing + Arrow batch
+    shape, not pixel math."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs, "doc_id", "text")
+    frames = multimodal.sample_frames(with_payload, every_nth=8)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("frame_index").alias("frame_index_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "ext_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(1, 9)) AS INTEGER) AS k,
+           ROUND(CAST((octet_length(encode(text)) * unnest(range(1, 9))) % 97 AS DOUBLE) / 97.0, 6)
+             AS value
+    FROM documents ORDER BY doc_id, k
+    """,
+    tags=("ext", "multimodal", "similarity"),
+)
+def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the Arrow-batched encoder seam
+    (mapInPandas emitting array<double> pseudo-embeddings), exploded to
+    long form so the stub arithmetic is SQL-checkable.  A real encoder
+    slots into the marked seam; downstream similarity/dedup operators
+    consume the same (doc_id, features) shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs, "doc_id", "text")
+    feats = multimodal.extract_features(with_payload, dim=8)
+    return (
+        feats.select(
+            "doc_id", F.posexplode("features").alias("k0", "value")
+        )
+        .select(
+            "doc_id",
+            (F.col("k0") + 1).cast("int").alias("k"),
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("doc_id", "k")
+    )
