@@ -1207,3 +1207,91 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "k")
     )
+
+
+@declared(
+    "ext_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("ext", "agg", "skew"),
+)
+def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (the skew policy — engine-level
+    answer to the reference's size-sampled spill-first writer): phase 1
+    aggregates on (key, salt) so a hot key fans out over 16 reducers,
+    phase 2 merges partials.  For algebraic aggregates the result is
+    IDENTICAL to a direct groupBy — which is exactly what the oracle
+    checks (sums ride DECIMAL so the two-phase reassociation is exact)."""
+    from remote_shuffle_spark.plans.shuffle_policy import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", dec("l_quantity")
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("qty_dec", "sum"),
+            "n": ("l_orderkey", "count"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salt_buckets=16,
+    )
+    return (
+        out.select(
+            "l_returnflag",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            "n",
+            F.col("min_price").cast("double").alias("min_price"),
+            F.col("max_price").cast("double").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
+    "ext_window_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS mean_v,
+             COUNT(*) OVER w AS n_v,
+             CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w
+                  AS DOUBLE) AS sumsq_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id,
+           ROUND(CASE WHEN sumsq_v / n_v - mean_v * mean_v > 1e-24
+                      THEN (value - mean_v) / sqrt(sumsq_v / n_v - mean_v * mean_v)
+                      ELSE 0.0 END, 6) AS zscore
+    FROM s ORDER BY event_id
+    """,
+    tags=("ext", "window", "stats"),
+)
+def ext_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization as pure window functions (the
+    JVM-side twin of the applyInPandas grouped_zscore — no Python, no
+    whole-group-in-memory).  Mean and variance are assembled from
+    decimal-exact sum and sum-of-squares so the distributed result is
+    row-order independent and matches the oracle bit-for-bit after
+    round(6)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    v = dec("value")
+    mean = F.sum(v).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    sumsq = F.sum(v * v).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    var = sumsq / n - mean * mean
+    z = F.when(var > 1e-24, (F.col("value") - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return ev.select("event_id", F.round(z, 6).alias("zscore")).orderBy("event_id")
