@@ -1813,3 +1813,72 @@ def q59_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@declared(
+    "q60_sql_entry",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           COUNT(*) AS n_orders,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("sql", "agg", "filter-clause"),
+)
+def q60_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry path: temp views + SQL text with the
+    standard FILTER (WHERE …) aggregate clause — same Catalyst plan as
+    the DataFrame API (every other declared query), proving the engine's
+    SQL front door end-to-end."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               COUNT(*) AS n_orders,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM v_customer JOIN v_orders ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+@declared(
+    "q61_lateral_join",
+    oracle="""
+    SELECT n.n_name, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM nation n, LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 2
+    ) t
+    ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey
+    """,
+    tags=("sql", "lateral", "topk"),
+)
+def q61_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-2 orders per nation), via SQL
+    text.  Catalyst decorrelates the per-row LIMIT into a window
+    rank-filter — the same plan the DataFrame row_number form produces,
+    but exercising the parser/decorrelation path."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM v_nation n, LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
