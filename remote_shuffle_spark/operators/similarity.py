@@ -16,6 +16,10 @@ All vector math is JVM-side higher-order expressions (functions.vectors).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +54,13 @@ def brute_force_topk(
     )
 
 
+# K at or below this uses the pure-expression argmax (whole-stage codegen,
+# zero Python); above it the literal expression tree is O(K·dim) and blows
+# past JVM codegen method limits, so we switch to an Arrow-batched pandas
+# UDF over a broadcast numpy centroid matrix (one matmul per batch).
+_EXPR_MAX_CENTROIDS = 64
+
+
 def assign_ivf_cells(
     df: DataFrame,
     id_col: str,
@@ -58,15 +69,26 @@ def assign_ivf_cells(
     *,
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "cvec",
+    method: str = "auto",
     _collected_centroids: list | None = None,
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (IVF build step).
 
-    Centroids are driver-collected (K rows — tiny by construction) and
-    inlined as literals, so the argmax is computed per row as an
-    expression (array of (sim, cid) structs → array_max) and the build is
-    a single narrow pass over the corpus.  Returns df + ``cell`` column;
-    at scale, persist this partitioned by ``cell``.
+    Both paths are NARROW (no shuffle) single passes over the corpus;
+    returns df + ``cell`` column (at scale, persist partitioned by cell):
+
+    - ``method="expr"`` — centroids inlined as literals, per-row argmax as
+      an ``array_max`` over (sim, cid) structs.  Fully codegen'd, but the
+      plan is O(K·dim) literals: right for small K only.
+    - ``method="pandas"`` — centroids broadcast once as a unit-normalized
+      numpy matrix; an iterator pandas UDF computes each Arrow batch's
+      argmax with one (batch × K) matmul.  This is the 100 TB path for
+      K ≈ √corpus-rows (thousands+), where the literal plan can't compile.
+    - ``method="auto"`` (default) — expr for K ≤ 64, pandas above.
+
+    Tie-break in both paths: equal similarity → larger cid wins (the
+    struct-max ordering of the expr form, emulated in the pandas form by
+    ordering centroid columns by cid descending before argmax).
     """
     cents = (
         _collected_centroids
@@ -76,17 +98,50 @@ def assign_ivf_cells(
             for r in centroids_df.select(centroid_id_col, centroid_vec_col).collect()
         ]
     )
-    v = to_double_array(vec_col)
-    scored = F.array(
-        *[
-            F.struct(
-                cosine_similarity(v, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
-                F.lit(int(cid)).alias("c"),
-            )
-            for cid, cvec in cents
-        ]
-    )
-    return df.withColumn("cell", F.array_max(scored)["c"])
+    if method == "auto":
+        method = "expr" if len(cents) <= _EXPR_MAX_CENTROIDS else "pandas"
+
+    if method == "expr":
+        v = to_double_array(vec_col)
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine_similarity(v, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+                    F.lit(int(cid)).alias("c"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+        return df.withColumn("cell", F.array_max(scored)["c"])
+
+    if method != "pandas":
+        raise ValueError(f"unknown method {method!r}; use 'auto', 'expr', or 'pandas'")
+
+    # cid-DESCENDING column order: np.argmax returns the FIRST max, so on
+    # exact similarity ties the largest cid wins — same as the expr form.
+    order = sorted(((int(c), list(v)) for c, v in cents), key=lambda cv: -cv[0])
+    cids = np.array([c for c, _ in order], dtype=np.int64)
+    mat = np.array([v for _, v in order], dtype=np.float64)  # K × dim
+    cnorm = np.linalg.norm(mat, axis=1)
+    matn = mat / np.where(cnorm > 0.0, cnorm, 1.0)[:, None]
+    matn[cnorm == 0.0] = 0.0  # zero centroid → cosine 0 (guard parity)
+    bc = df.sparkSession.sparkContext.broadcast((cids, matn))
+
+    @F.pandas_udf("int")
+    def _cell(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cids_, matn_ = bc.value
+        for s in batches:
+            if len(s) == 0:
+                yield pd.Series([], dtype="int32")
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in s])
+            vnorm = np.linalg.norm(V, axis=1)
+            Vn = V / np.where(vnorm > 0.0, vnorm, 1.0)[:, None]
+            Vn[vnorm == 0.0] = 0.0  # zero vector → all sims 0, max-cid cell
+            sims = Vn @ matn_.T  # batch × K
+            yield pd.Series(cids_[np.argmax(sims, axis=1)], dtype="int64").astype("int32")
+
+    return df.withColumn("cell", _cell(to_double_array(vec_col)))
 
 
 def seed_centroids(df: DataFrame, id_col: str, vec_col: str, *, k: int) -> DataFrame:
@@ -114,6 +169,7 @@ def ivf_topk(
     nprobe: int = 4,
     round_to: int | None = 6,
     centroids: DataFrame | None = None,
+    assign_method: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` cells nearest the query.
 
@@ -133,7 +189,7 @@ def ivf_topk(
         (int(r["cid"]), list(r["cvec"])) for r in cents.select("cid", "cvec").collect()
     ]
     assigned = assign_ivf_cells(
-        df, id_col, vec_col, cents, _collected_centroids=cent_rows
+        df, id_col, vec_col, cents, method=assign_method, _collected_centroids=cent_rows
     )
     q = query_df.select(to_double_array(vec_col).alias("qv")).collect()[0]["qv"]
     qcol = F.array(*[F.lit(float(x)) for x in q])

@@ -72,6 +72,79 @@ def test_ivf_partial_probe_recall(spark, emb):
     assert len(exact & approx) / 10 >= 0.2
 
 
+def test_ivf_assign_pandas_matches_expr(spark, emb):
+    """The Arrow/pandas assignment path must agree with the literal-expression
+    path cell-for-cell (same tie-break: larger cid on equal similarity)."""
+    cents = similarity.seed_centroids(emb, "vec_id", "embedding", k=8)
+    cent_rows = [(int(r["cid"]), list(r["cvec"])) for r in cents.collect()]
+    expr = {
+        r.vec_id: r.cell
+        for r in similarity.assign_ivf_cells(
+            emb, "vec_id", "embedding", cents, method="expr", _collected_centroids=cent_rows
+        ).select("vec_id", "cell").collect()
+    }
+    pand = {
+        r.vec_id: r.cell
+        for r in similarity.assign_ivf_cells(
+            emb, "vec_id", "embedding", cents, method="pandas", _collected_centroids=cent_rows
+        ).select("vec_id", "cell").collect()
+    }
+    assert expr == pand
+
+
+def test_ivf_assign_scales_to_k1024(spark, emb, np_oracle):
+    """K ≈ √corpus-rows at 100 TB means thousands of centroids; the literal
+    expression tree can't compile there (VERDICT r2 #1).  The pandas path
+    must (a) stay narrow — broadcast matrix, no shuffle exchange — and
+    (b) match a driver-side numpy oracle exactly."""
+    from remote_shuffle_spark.plans import explain
+
+    ids, mat = np_oracle
+    dim = mat.shape[1]
+    rng = np.random.RandomState(42)
+    K = 1024
+    cvecs = rng.standard_normal((K, dim))
+    cent_rows = [(cid, [float(x) for x in cvecs[cid]]) for cid in range(K)]
+
+    assigned = similarity.assign_ivf_cells(
+        emb, "vec_id", "embedding", None, method="auto", _collected_centroids=cent_rows
+    ).select("vec_id", "cell")
+    explain.assert_no_shuffle_exchange(assigned)
+    plan = explain.physical_plan(assigned)
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan  # pandas path chosen at K=1024
+
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+
+    # numpy oracle with the same tie-break (largest cid wins exact ties)
+    cn = np.linalg.norm(cvecs, axis=1)
+    cvn = cvecs / np.where(cn > 0, cn, 1.0)[:, None]
+    vn = np.linalg.norm(mat, axis=1)
+    vmn = mat / np.where(vn > 0, vn, 1.0)[:, None]
+    sims = vmn @ cvn.T  # rows × K
+    rev = sims[:, ::-1]  # cid descending → first max = largest cid
+    expected_cells = (K - 1) - np.argmax(rev, axis=1)
+    expected = {int(i): int(c) for i, c in zip(ids, expected_cells)}
+    assert got == expected
+
+
+def test_ivf_assign_zero_vector_gets_max_cid_cell(spark):
+    """Zero-norm vectors have cosine 0 to every centroid; both paths must
+    deterministically land them in the largest-cid cell."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cent_rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])]
+    for method in ("expr", "pandas"):
+        cells = {
+            r.vec_id: r.cell
+            for r in similarity.assign_ivf_cells(
+                df, "vec_id", "embedding", None, method=method, _collected_centroids=cent_rows
+            ).collect()
+        }
+        assert cells[1] == 2, method  # zero vector → max cid
+        assert cells[2] == 0, method
+
+
 def test_l2_normalize_and_quantize_roundtrip(spark):
     from pyspark.sql import functions as F
 
