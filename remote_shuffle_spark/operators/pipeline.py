@@ -54,6 +54,7 @@ def with_global_index(
     *,
     out_col: str = "row_index",
     order_by: list | None = None,
+    allow_python_path: bool = False,
 ) -> DataFrame:
     """Contiguous 0-based global row index without a global sort.
 
@@ -73,7 +74,9 @@ def with_global_index(
     ``order_by=None`` falls back to tagging rows in raw iterator order
     via the RDD API — the only way to number an UNORDERED partition —
     which round-trips every row through Python: fine for fixtures,
-    wrong at corpus scale (prefer an explicit order).
+    wrong at corpus scale.  Because that's a silent scale-killer when
+    reached by accident, it RAISES unless ``allow_python_path=True`` is
+    passed explicitly (prefer an explicit ``order_by``).
     """
     from pyspark.sql import Window as W
     from pyspark.sql.types import LongType, StructField, StructType
@@ -99,6 +102,14 @@ def with_global_index(
                 out_col, (F.row_number().over(w) - 1 + F.col("_offset")).cast("long")
             )
             .drop("_pid", "_offset")
+        )
+
+    if not allow_python_path:
+        raise ValueError(
+            "with_global_index(order_by=None) numbers rows via a per-row "
+            "Python RDD pass — O(rows) through the Python worker, wrong at "
+            "corpus scale. Pass order_by=[...] for the JVM window path, or "
+            "allow_python_path=True to opt into the fallback for small data."
         )
 
     schema = StructType(df.schema.fields + [StructField(out_col, LongType(), False)])

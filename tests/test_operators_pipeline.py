@@ -43,10 +43,18 @@ def test_deterministic_split_rejects_bad_weights(spark, sf_smoke):
 
 def test_with_global_index(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents").repartition(13)
-    idx = P.with_global_index(docs)
+    idx = P.with_global_index(docs, allow_python_path=True)
     rows = idx.select("row_index").collect()
     got = sorted(r.row_index for r in rows)
     assert got == list(range(docs.count()))
+
+
+def test_with_global_index_python_fallback_is_opt_in(spark, sf_smoke):
+    """order_by=None without an explicit opt-in must raise: the RDD
+    fallback round-trips every row through Python (VERDICT r2 #2)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    with pytest.raises(ValueError, match="allow_python_path"):
+        P.with_global_index(docs)
 
 
 def test_quantile_buckets_equidepth(spark, sf_correct):
@@ -185,7 +193,10 @@ def test_with_global_index_jvm_path_matches_rdd_path(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents").select("doc_id")
     ordered = docs.repartitionByRange(5, F.col("doc_id")).sortWithinPartitions("doc_id")
     jvm = {r.doc_id: r.row_index for r in P.with_global_index(ordered, order_by=["doc_id"]).collect()}
-    rdd = {r.doc_id: r.row_index for r in P.with_global_index(ordered).collect()}
+    rdd = {
+        r.doc_id: r.row_index
+        for r in P.with_global_index(ordered, allow_python_path=True).collect()
+    }
     assert jvm == rdd
     # contiguous 0..n-1 and monotone in doc_id
     n = len(jvm)
