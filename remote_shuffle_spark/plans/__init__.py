@@ -5,7 +5,9 @@ from remote_shuffle_spark.plans.explain import (
     physical_plan,
 )
 from remote_shuffle_spark.plans.shuffle_policy import (
+    CheckpointIntegrityError,
     checkpoint_to,
+    read_checkpoint,
     salted_aggregate,
     write_bucketed,
 )
@@ -15,7 +17,9 @@ __all__ = [
     "assert_no_shuffle_exchange",
     "assert_pushed_filters",
     "physical_plan",
+    "CheckpointIntegrityError",
     "checkpoint_to",
+    "read_checkpoint",
     "salted_aggregate",
     "write_bucketed",
 ]

@@ -25,9 +25,89 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
+from collections import defaultdict
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Per-path commit serialization: concurrent checkpoint_to calls on the SAME
+# path (speculative/retried attempts in one app) must not interleave their
+# overwrite's delete+write phases.  Mirrors the reference's existing-attempt
+# dedup in writeIndexFileAndCommit (RemoteShuffleBlockResolver.scala:203-244):
+# one attempt wins the commit, every attempt observes a readable result.
+_COMMIT_LOCKS: defaultdict[str, threading.Lock] = defaultdict(threading.Lock)
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def _commit_lock(path: str) -> threading.Lock:
+    with _COMMIT_LOCKS_GUARD:
+        return _COMMIT_LOCKS[os.path.abspath(path)]
+
+
+MANIFEST_NAME = "_rss_manifest.json"
+
+
+class CheckpointIntegrityError(RuntimeError):
+    """A checkpoint's on-disk file set no longer matches its commit manifest."""
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _write_manifest(spark: SparkSession, path: str) -> None:
+    """Record the committed data files (name → size) so any later reader
+    can tell a lost block from a legitimately smaller dataset.  The shuffle
+    analog is the reference's index file: data without its index entry does
+    not exist, and an index entry without its data is an error, never an
+    empty block."""
+    import json
+
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    files = {
+        st.getPath().getName(): st.getLen()
+        for st in fs.listStatus(hpath)
+        if not st.getPath().getName().startswith(("_", "."))
+    }
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME), True)
+    try:
+        out.write(bytearray(json.dumps({"files": files}).encode()))
+    finally:
+        out.close()
+
+
+def _verify_manifest(spark: SparkSession, path: str) -> None:
+    import json
+
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    mpath = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+    if not fs.exists(mpath):
+        return  # not a manifested checkpoint (plain directory) — nothing to assert
+    # read the (tiny) manifest via the Hadoop fs so any scheme works —
+    # Spark's own readers skip underscore-prefixed files even by exact path
+    stream = fs.open(mpath)
+    try:
+        raw = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    manifest = json.loads(raw.decode())
+    on_disk = {
+        st.getPath().getName(): st.getLen()
+        for st in fs.listStatus(hpath)
+        if not st.getPath().getName().startswith(("_", "."))
+    }
+    missing = [f for f in manifest["files"] if f not in on_disk]
+    resized = [
+        f for f, n in manifest["files"].items() if f in on_disk and on_disk[f] != n
+    ]
+    if missing or resized:
+        raise CheckpointIntegrityError(
+            f"checkpoint at {path} lost blocks: missing={missing} resized={resized}; "
+            "refusing to return a silently-partial result — rebuild the checkpoint"
+        )
 
 
 def checkpoint_to(df: DataFrame, path: str, *, format: str = "parquet") -> DataFrame:
@@ -38,10 +118,32 @@ def checkpoint_to(df: DataFrame, path: str, *, format: str = "parquet") -> DataF
     executor-loss parity with the reference (its map outputs live on the
     remote FS, so ``fileLost`` never invalidates them).  Overwrite is
     idempotent like writeIndexFileAndCommit: a retried writer replaces the
-    same path atomically via the commit protocol's tmp+rename.
+    same path atomically via the commit protocol's tmp+rename, and racing
+    same-path writers in one process serialize on a per-path commit lock
+    (one winner, all readers see a complete dataset).
+
+    Failure semantics downstream of the cut are fail-loud: the returned
+    frame's lineage STARTS at the files, a commit manifest records the
+    exact file set, and :func:`read_checkpoint` refuses a directory whose
+    blocks went missing — a lost or corrupted part can never silently
+    shrink a result or recompute past the cut (tests/test_fault_injection.py).
     """
-    df.write.mode("overwrite").format(format).save(path)
+    with _commit_lock(path):
+        df.write.mode("overwrite").format(format).save(path)
+        _write_manifest(df.sparkSession, path)
     return df.sparkSession.read.format(format).load(path)
+
+
+def read_checkpoint(spark: SparkSession, path: str, *, format: str = "parquet") -> DataFrame:
+    """Re-open a :func:`checkpoint_to` materialization with integrity check.
+
+    A fresh directory listing would silently NOT SEE a deleted part file
+    (the dataset would just be smaller) — the exact failure mode the
+    reference exists to prevent.  Verify the manifest first; raise
+    :class:`CheckpointIntegrityError` on any lost/resized block.
+    """
+    _verify_manifest(spark, path)
+    return spark.read.format(format).load(path)
 
 
 def salted_aggregate(
