@@ -907,11 +907,15 @@ def ext_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(norm) AS BIGINT) AS q_chars,
-           CAST(len(toks) AS INTEGER) AS q_tokens,
-           ROUND(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
-                 / len(toks), 6) AS q_mean_token_len,
-           ROUND(CAST(len(regexp_replace(norm, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-                 / len(norm), 6) AS q_punct_ratio,
+           -- empty-text guards mirror the Spark side: string_split('') is
+           -- [''] (len 1), but an empty doc has 0 tokens and 0.0 ratios
+           CASE WHEN len(norm) = 0 THEN 0 ELSE CAST(len(toks) AS INTEGER) END AS q_tokens,
+           CASE WHEN len(norm) = 0 THEN 0.0
+                ELSE ROUND(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+                           / len(toks), 6) END AS q_mean_token_len,
+           CASE WHEN len(norm) = 0 THEN 0.0
+                ELSE ROUND(CAST(len(regexp_replace(norm, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                           / len(norm), 6) END AS q_punct_ratio,
            ROUND(CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS DOUBLE)
                  / len(toks), 6) AS q_stopword_ratio
     FROM t ORDER BY doc_id

@@ -72,9 +72,12 @@ def shingle_structs(toks: Column, n: int = 3) -> Column:
     signature stage (no per-shingle string allocation).
     """
     npos = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    # try_element_at: the trailing-null padding of short docs relies on
+    # out-of-bounds -> NULL, which plain element_at turns into
+    # ARRAY_INDEX_OUT_OF_BOUNDS under spark.sql.ansi.enabled=true
     return F.transform(
         F.sequence(F.lit(1), npos),
-        lambda i: F.struct(*[F.element_at(toks, i + j).alias(f"t{j}") for j in range(n)]),
+        lambda i: F.struct(*[F.try_element_at(toks, i + j).alias(f"t{j}") for j in range(n)]),
     )
 
 

@@ -11,14 +11,12 @@ checks.
 
 from __future__ import annotations
 
-import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from remote_shuffle_spark.sources.tables import ensure_session_defaults, table_path
+from remote_shuffle_spark.sources.tables import table_path
 
 
 def streaming_distinct(
@@ -38,17 +36,13 @@ def streaming_distinct(
     streaming/windowed.py: size it to the distinct-key cardinality, not
     the corpus; None respects the session conf.
     """
-    ensure_session_defaults(spark)
+    from remote_shuffle_spark.streaming.source import file_stream_dir, stream_session
+
+    scoped = stream_session(spark, state_partitions)
     path = table_path(sf_dir, "events")
-    batch_schema = spark.read.parquet(path).schema  # ts arrives as bigint nanos
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    batch_schema = scoped.read.parquet(path).schema  # ts arrives as bigint nanos
+    stream_dir = file_stream_dir(path)
+    stream = scoped.readStream.schema(batch_schema).parquet(stream_dir)
     ts = F.timestamp_micros(F.expr("ts div 1000"))
     deduped = (
         stream.withColumn("ts", ts)
@@ -57,17 +51,11 @@ def streaming_distinct(
         .select(*keys)
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    query = (
+        deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
     try:
-        query = (
-            deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        query.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name).orderBy(*keys)
+        query.stop()
+    return scoped.table(name).orderBy(*keys)

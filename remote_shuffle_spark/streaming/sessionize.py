@@ -156,43 +156,30 @@ def sessionize_streaming_table(
     ``state_partitions`` — see streaming/windowed.py (size to distinct
     users, not corpus).
     """
-    import os
-    import tempfile
     import uuid
 
-    from remote_shuffle_spark.sources.tables import ensure_session_defaults, table_path
+    from remote_shuffle_spark.sources.tables import table_path
+    from remote_shuffle_spark.streaming.source import file_stream_dir, stream_session
 
-    ensure_session_defaults(spark)
+    scoped = stream_session(spark, state_partitions)
     path = table_path(sf_dir, "events")
-    batch_schema = spark.read.parquet(path).schema  # ts arrives as bigint nanos
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    batch_schema = scoped.read.parquet(path).schema  # ts arrives as bigint nanos
+    stream_dir = file_stream_dir(path)
     stream = (
-        spark.readStream.schema(batch_schema)
+        scoped.readStream.schema(batch_schema)
         .parquet(stream_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     out = sessionize_streaming(stream, gap_minutes=gap_minutes)
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
     try:
-        q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.stop()
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return (
-        spark.table(name)
+        scoped.table(name)
         .select(
             "user_id",
             "session_id",

@@ -14,14 +14,12 @@ checks.
 
 from __future__ import annotations
 
-import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from remote_shuffle_spark.sources.tables import ensure_session_defaults, table_path
+from remote_shuffle_spark.sources.tables import table_path
 
 
 def windowed_event_counts(
@@ -48,19 +46,15 @@ def windowed_event_counts(
     session's ``spark.sql.shuffle.partitions`` untouched (use on a real
     cluster where the session conf is already sized for state).
     """
-    ensure_session_defaults(spark)  # nanosAsLong + UTC under a foreign session
+    from remote_shuffle_spark.streaming.source import file_stream_dir, stream_session
+
+    scoped = stream_session(spark, state_partitions)
     path = table_path(sf_dir, "events")
-    batch_schema = spark.read.parquet(path).schema  # ts arrives as bigint nanos
+    batch_schema = scoped.read.parquet(path).schema  # ts arrives as bigint nanos
     # the file-stream source requires a directory: expose the single
     # fixture file through a symlink dir (testdata itself is read-only)
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{os.path.basename(sf_dir)}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    stream_dir = file_stream_dir(path)
+    stream = scoped.readStream.schema(batch_schema).parquet(stream_dir)
     # TimestampType (not NTZ): watermarks require TIMESTAMP; session tz is
     # pinned UTC so wall-clock output matches the NTZ batch path
     ts = F.timestamp_micros(F.expr("ts div 1000"))
@@ -74,20 +68,14 @@ def windowed_event_counts(
         )
     )
     name = f"windowed_events_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    query = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
     try:
-        query = (
-            agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        query.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name)
+        query.stop()
+    out = scoped.table(name)
     return (
         out.select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),

@@ -150,3 +150,66 @@ def test_watermark_drops_late_data_across_batches(spark):
     # hour 2 flushed by the batch-2 watermark advance
     assert got.get(0) == 1
     assert got.get(2) == 1
+
+
+def test_file_stream_dir_keys_on_realpath(tmp_path):
+    """Same basename, different paths → distinct stream dirs; a re-pointed
+    or dangling link is replaced, never trusted (ADVICE r2: basename
+    keying silently streamed stale data)."""
+    import os
+
+    from remote_shuffle_spark.streaming.source import file_stream_dir
+
+    a = tmp_path / "fix_a" / "events.parquet"
+    b = tmp_path / "fix_b" / "events.parquet"
+    for p in (a, b):
+        p.parent.mkdir()
+        p.write_bytes(b"x")
+
+    da, db = file_stream_dir(str(a)), file_stream_dir(str(b))
+    assert da != db
+    assert os.readlink(os.path.join(da, "events.parquet")) == str(a)
+
+    # regenerated fixture at the same logical path after a move: the link
+    # inside da must re-point when its target changes identity
+    link = os.path.join(da, "events.parquet")
+    os.remove(link)
+    os.symlink(str(b), link)  # stale: points at b now
+    assert file_stream_dir(str(a)) == da
+    assert os.readlink(link) == str(a)  # re-pointed back
+
+    # dangling link (target deleted) must be replaced, not crash symlink()
+    os.remove(str(b))
+    db2 = file_stream_dir_dangling_check(str(b), db)
+    assert os.readlink(os.path.join(db2, "events.parquet")) == os.path.realpath(str(b))
+
+
+def file_stream_dir_dangling_check(path, expected_dir):
+    from remote_shuffle_spark.streaming.source import file_stream_dir
+
+    # target is gone → realpath falls back to the literal path; the
+    # dangling link must be recreated without FileExistsError
+    return file_stream_dir(path)
+
+
+def test_shingle_structs_ansi_safe(spark):
+    """Short-doc padding relies on out-of-bounds element access → NULL;
+    must hold under spark.sql.ansi.enabled=true (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.functions.hashing import shingle_structs, tokens
+
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "id long, text string")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = {
+            r.id: r.sh
+            for r in df.select(
+                "id", shingle_structs(tokens("text"), 3).alias("sh")
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert rows[1] == [("one", "two", None)]  # null-padded whole-text shingle
+    assert len(rows[2]) == 2
