@@ -278,12 +278,26 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared("ext_fingerprint", oracle=None, tags=("ext", "text"))
+@declared(
+    "ext_fingerprint",
+    oracle=f"""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT {_NORM}) AS n_distinct_fp
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint summary (order-sensitive document hash).
 
-    xxhash64-based — no SQL oracle; invariants (order sensitivity,
-    whitespace insensitivity) pinned in tests/test_text.py.
+    The fingerprint itself is xxhash64-based and engine-specific, but
+    its defining property IS SQL-checkable: the rolling hash is a pure
+    function of the normalized token stream, and joining tokens with a
+    single space is injective, so distinct-fingerprint count must equal
+    distinct-normalized-text count (collisions over a ~2^61 modulus at
+    fixture scale are ~2^-35 — deterministic data, so a pass locally is
+    a pass everywhere).  Order sensitivity / whitespace insensitivity
+    stay pinned in tests/test_text.py.
     """
     docs = load_table(spark, sf_dir, "documents")
     fp = text.with_fingerprint(docs, "text")
@@ -430,18 +444,45 @@ def ext_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared("ext_train_split", oracle=None, tags=("ext", "pipeline"))
-def ext_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-based train/valid/test split counts.
+# Same float accumulation deterministic_split performs for weights
+# {train: 0.8, valid: 0.1, test: 0.1} — repr() round-trips exactly, so
+# the oracle compares against the bit-identical thresholds (0.8 + 0.1 is
+# NOT 0.9 in IEEE doubles; hardcoding 0.9 would flip u == 90/100 rows).
+_SPLIT_T1 = 0.8
+_SPLIT_T2 = 0.8 + 0.1
 
-    xxhash64-based — no SQL oracle; stability under re-partitioning and
-    corpus growth pinned in tests/test_operators_pipeline.py.
+
+@declared(
+    "ext_train_split",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, ((doc_id * 37 + 11) % 100) / 100.0 AS u FROM documents
+    )
+    SELECT CASE WHEN u < {_SPLIT_T1!r} THEN 'train'
+                WHEN u < {_SPLIT_T2!r} THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n, SUM(doc_id) AS id_checksum
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ext", "pipeline"),
+)
+def ext_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split counts (exact membership
+    oracle).
+
+    The declared query pins the uniform variate to an integer congruence
+    so DuckDB reproduces the exact per-split membership (the same pinning
+    pattern ext_dataset_mixture uses); production callers omit ``u_expr``
+    and get the salted-xxhash64 default — same thresholds, same branch
+    structure.  Hash-path stability under re-partitioning and corpus
+    growth stays pinned in tests/test_operators_pipeline.py.
     """
     from remote_shuffle_spark.operators.pipeline import deterministic_split
 
     docs = load_table(spark, sf_dir, "documents")
+    u = F.pmod(F.col("doc_id") * 37 + 11, F.lit(100)).cast("double") / 100.0
     split = deterministic_split(
-        docs, "doc_id", weights={"train": 0.8, "valid": 0.1, "test": 0.1}
+        docs, "doc_id", weights={"train": 0.8, "valid": 0.1, "test": 0.1}, u_expr=u
     )
     return (
         split.groupBy("split")
@@ -503,12 +544,32 @@ def ext_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared("ext_pack_greedy", oracle=None, tags=("ext", "pipeline"))
+@declared(
+    "ext_pack_greedy",
+    oracle=f"""
+    SELECT COUNT(*) AS n_docs,
+           SUM(doc_id) AS id_checksum,
+           CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS total_tokens,
+           CAST(0 AS BIGINT) AS n_overfull_seqs,
+           CAST(0 AS BIGINT) AS n_bad_pos_seqs
+    FROM documents
+    """,
+    tags=("ext", "pipeline"),
+)
 def ext_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy fixed-budget sequence packing (mapInPandas state machine —
-    reset-on-overflow is not SQL-expressible; invariants pinned in
-    tests/test_operators_pipeline.py: budget respected, all docs kept,
-    deterministic across partitionings)."""
+    """Greedy fixed-budget sequence packing, verified by invariant.
+
+    The per-partition reset-on-overflow fold is not SQL-expressible and
+    seq ids are partition-derived (``pid << 40``), so exact membership
+    has no cross-engine oracle — but the invariants that make the
+    packing *correct* are exactly checkable: every doc kept exactly once
+    (count + id checksum + token mass conservation), no multi-doc
+    sequence over budget, and every sequence's positions are a
+    contiguous 0..k-1 run.  The oracle computes the conserved quantities
+    from the raw table and pins both violation counts to zero.
+    Exact-membership determinism across partitionings stays pinned in
+    tests/test_operators_pipeline.py.
+    """
     from remote_shuffle_spark.functions.hashing import tokens
     from remote_shuffle_spark.operators.pipeline import pack_sequences
 
@@ -516,10 +577,28 @@ def ext_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
     )
     packed = pack_sequences(docs, "doc_id", "n_tok", budget=512)
-    # no global orderBy: the driver's check for oracle-less queries is
-    # rows-only, and a range sort would re-execute the Arrow stage just
-    # to sample partition bounds (determinism is pinned in pytest)
-    return packed.select("doc_id", "n_tok", "seq_id", "seq_pos")
+    per_seq = packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("seq_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+        F.sum("doc_id").alias("seq_id_sum"),
+        F.sum("seq_pos").alias("pos_sum"),
+        F.min("seq_pos").alias("pos_min"),
+        F.max("seq_pos").alias("pos_max"),
+    )
+    bad_pos = (
+        (F.col("pos_min") != 0)
+        | (F.col("pos_max") != F.col("seq_docs") - 1)
+        | (F.col("pos_sum") != F.col("seq_docs") * (F.col("seq_docs") - 1) / 2)
+    )
+    return per_seq.agg(
+        F.sum("seq_docs").alias("n_docs"),
+        F.sum("seq_id_sum").alias("id_checksum"),
+        F.sum("seq_tokens").alias("total_tokens"),
+        F.sum(
+            F.when((F.col("seq_tokens") > 512) & (F.col("seq_docs") > 1), 1).otherwise(0)
+        ).alias("n_overfull_seqs"),
+        F.sum(F.when(bad_pos, 1).otherwise(0)).alias("n_bad_pos_seqs"),
+    )
 
 
 @declared(

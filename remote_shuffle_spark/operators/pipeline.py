@@ -23,6 +23,7 @@ def deterministic_split(
     *,
     weights: dict[str, float],
     salt: str = "split",
+    u_expr=None,
 ) -> DataFrame:
     """Assign a stable split label from a hash of the id (+ salt).
 
@@ -30,14 +31,24 @@ def deterministic_split(
     ``randomSplit`` this is a pure projection: reproducible across runs,
     sessions, and partitionings, and rows keep their split when the
     corpus grows — the property training pipelines actually need.
+
+    ``u_expr`` optionally replaces the default salted-xxhash64 uniform
+    with a caller-supplied Column in [0, 1) — used by oracle-checked
+    queries to pin the variate to arithmetic a second engine can
+    reproduce exactly (same escape hatch ``interleave_datasets`` has).
+    The threshold comparison is unchanged, so the branch structure under
+    test is identical to the production hash path.
     """
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
-    # uniform in [0,1): low 31 bits of the salted hash (always nonneg)
-    u = (F.xxhash64(F.col(id_col), F.lit(salt)).bitwiseAND(F.lit((1 << 31) - 1))) / F.lit(
-        float(1 << 31)
-    )
+    if u_expr is not None:
+        u = u_expr
+    else:
+        # uniform in [0,1): low 31 bits of the salted hash (always nonneg)
+        u = (
+            F.xxhash64(F.col(id_col), F.lit(salt)).bitwiseAND(F.lit((1 << 31) - 1))
+        ) / F.lit(float(1 << 31))
     expr = None
     acc = 0.0
     labels = list(weights)

@@ -67,7 +67,10 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q17_window_topk", "q18_union_distinct", "q19_intersect", "q20_except",
     "q21_rollup", "q22_pivot", "q23_json_scalar", "q24_date_parts",
     "q25_cube", "q26_string_funcs", "q27_explode_unnest", "q28_percentiles",
-    "q29_approx_agg", "q30_math_funcs", "q31_window_running",
+    # q29_approx_agg deliberately absent: its r2 row was rows-only
+    # (no_oracle); now that it carries an exact-invariant oracle it should
+    # sort into the unverified window for a hard check.
+    "q30_math_funcs", "q31_window_running",
     "q32_grouping_sets", "q33_scalar_subquery", "q34_array_funcs",
     "q35_map_funcs", "q36_case_null_funcs", "q37_regex_funcs",
     "q38_datetime_arith", "q39_window_misc", "q40_outer_join",
@@ -801,17 +804,46 @@ def q28_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared("q29_approx_agg", oracle=None, tags=("agg", "approx"))
+@declared(
+    "q29_approx_agg",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS exact_median,
+           true AS hll_within_5pct,
+           true AS median_within_1pct
+    FROM lineitem
+    """,
+    tags=("agg", "approx"),
+)
 def q29_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, t-digest-ish percentile).
 
-    Engine-specific sketches — no cross-engine oracle; accuracy bounds
-    pinned in tests/test_primitives.py against the exact answers.
+    The sketch outputs are engine-specific, so the cross-engine check is
+    the *bound*, not the estimate: the query computes both the sketch and
+    the exact answer in one pass and returns the exact values plus
+    in-bounds booleans; the oracle recomputes the exact values and pins
+    both booleans to true.  Tighter accuracy bounds are additionally
+    pinned in tests/test_primitives.py.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000)
+        .cast("double")
+        .alias("approx_median"),
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").alias("exact_median"),
+    ).select(
+        "exact_parts",
+        F.round("exact_median", 4).alias("exact_median"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            <= 0.01 * F.col("exact_median")
+        ).alias("median_within_1pct"),
     )
 
 
