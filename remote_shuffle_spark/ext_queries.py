@@ -361,6 +361,79 @@ def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_bloom_semi_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey) AS key_checksum
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("ext", "join", "bloom"),
+)
+def ext_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-reduced semi join: orders of BUILDING-segment customers.
+
+    operators.bloom builds the filter distributively (bit_or word
+    aggregation — only the finished m/64-word array reaches the driver),
+    probes Arrow-batched, and exact-verifies survivors, so the result is
+    identical to the plain semi join the oracle runs; at scale the
+    orders-side exchange carries only probe survivors.
+    """
+    from remote_shuffle_spark.operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    bldg = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    matched = bloom_semi_join(
+        orders, bldg.select(F.col("c_custkey").alias("o_custkey")), ["o_custkey"]
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("key_checksum"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
+    "ext_bloom_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, SUM(c_custkey) AS key_checksum
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("ext", "join", "bloom"),
+)
+def ext_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-reduced anti join: customers who never placed an URGENT
+    order (the fixture's referential integrity is complete, so the
+    unfiltered "no orders at all" form would be a 0-row check).
+
+    The Bloom miss-is-proof property routes definite non-members around
+    the exchange entirely; only probable hits pay for the exact anti
+    join.  Result ≡ plain left-anti (the oracle's NOT IN — o_custkey is
+    non-null here, so NOT IN ≡ anti join).
+    """
+    from remote_shuffle_spark.operators.bloom import bloom_anti_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lonely = bloom_anti_join(
+        cust, orders.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    )
+    return (
+        lonely.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("key_checksum"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@declared(
     "ext_range_join",
     oracle="""
     SELECT err.event_id, COUNT(*) AS n_neighbors
