@@ -1451,3 +1451,63 @@ def ext_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = sumsq / n - mean * mean
     z = F.when(var > 1e-24, (F.col("value") - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
     return ev.select("event_id", F.round(z, 6).alias("zscore")).orderBy("event_id")
+
+
+def _zorder_oracle(bits: int, dims: list[tuple[str, float, float]]) -> str:
+    """DuckDB SQL reproducing plans.zorder's bucket+interleave arithmetic
+    exactly (same IEEE ops in the same order, same clamp, same shifts) —
+    built with the same loop structure so the two can't drift apart."""
+    n = 1 << bits
+    ndims = len(dims)
+    buckets = [
+        f"COALESCE(LEAST({n - 1}, GREATEST(0, CAST(FLOOR("
+        f"(CAST({col} AS DOUBLE) - {float(lo)!r}) / {float(hi - lo)!r} * {n}"
+        f") AS INT))), 0)"
+        for col, lo, hi in dims
+    ]
+    terms = [
+        f"((CAST({bk} AS BIGINT) >> {b}) & 1) << {b * ndims + d}"
+        for b in range(bits)
+        for d, bk in enumerate(buckets)
+    ]
+    return " | ".join(f"({t})" for t in terms)
+
+
+_Z_DIMS = [("user_id", 0.0, 150.0), ("value", 0.0, 500.0)]
+
+
+@declared(
+    "ext_zorder_key",
+    oracle=f"""
+    WITH z AS (
+      SELECT event_type, {_zorder_oracle(8, _Z_DIMS)} AS zkey FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           MIN(zkey) AS z_min, MAX(zkey) AS z_max, SUM(zkey) AS z_checksum
+    FROM z GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ext", "layout"),
+)
+def ext_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key computation over (user_id, value) with
+    explicit bounds — the layout key behind multi-dimensional parquet
+    min-max skipping (plans/zorder.py; file-level pruning effect is
+    pinned in tests/test_zorder.py against real parquet footers).  Pure
+    codegen bit arithmetic; the oracle replays the identical bucket +
+    interleave expression in DuckDB.
+    """
+    from remote_shuffle_spark.plans.zorder import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    dims = [(F.col(c), lo, hi) for c, lo, hi in _Z_DIMS]
+    z = ev.select("event_type", zorder_key(dims, bits=8).alias("zkey"))
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zkey").alias("z_min"),
+            F.max("zkey").alias("z_max"),
+            F.sum("zkey").alias("z_checksum"),
+        )
+        .orderBy("event_type")
+    )
