@@ -1511,3 +1511,43 @@ def ext_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "ext_compaction",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, true AS files_within_target
+    FROM orders
+    """,
+    tags=("ext", "sink", "layout"),
+)
+def ext_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round-trip: fragment the orders table into
+    64 tiny files, rebalance-compact to a 64 MiB advisory target
+    (sources.io.compact_table — AQE REBALANCE write), and verify the
+    conserved quantities externally: row count matches the source and
+    the output file count collapsed to the handful the data volume
+    implies (pinned Spark-side as a boolean; byte-exact sizing is
+    runtime-dependent).
+    """
+    import tempfile
+
+    from remote_shuffle_spark.sources.io import compact_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="rss_compact_")
+    frag, out = f"{base}/frag", f"{base}/out"
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_table(spark, frag, out, target_file_bytes=64 * 1024 * 1024)
+    import glob
+
+    n_files = len(glob.glob(f"{out}/*.parquet"))
+    # materialize eagerly so the scratch dir can be removed before the
+    # (lazy) result is handed back to the driver for collection
+    n_rows = spark.read.parquet(out).count()
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_rows, 1 <= n_files <= 4)], "n_rows bigint, files_within_target boolean"
+    )

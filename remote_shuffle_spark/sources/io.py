@@ -77,3 +77,83 @@ def read_binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
     the entry point for multimodal payloads (operators.multimodal) when
     media lives as raw files on object storage."""
     return spark.read.format("binaryFile").load(path_glob)
+
+
+def compact_files(
+    df: DataFrame,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Rewrite ``df`` as ~``target_file_bytes``-sized files (the
+    small-files compactor).
+
+    At 100 TB, a table that accrued millions of KB-sized files (streaming
+    micro-batches, over-parallel writers) pays footer/open overhead on
+    every scan and floods the driver's file index.  The fix is a
+    rebalance-on-write: the AQE REBALANCE hint lets the runtime both
+    COALESCE undersized shuffle partitions and SPLIT oversized/skewed
+    ones to the advisory size, which a static ``repartition(n)`` cannot
+    do (n must be guessed, and one hot partition still yields one huge
+    file).  The advisory size is applied per-write via the hint's
+    runtime re-plan, scoped with a save/restore of the session conf.
+
+    The one shuffle this costs is the price of the layout change itself;
+    downstream scans repay it immediately (fewer tasks, bigger
+    sequential reads, a driver file index proportional to data size
+    rather than writer history).
+    """
+    spark = df.sparkSession
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(target_file_bytes))
+        # by default AQE coalesces only down to minPartitionSize to maximize
+        # parallelism; for a compaction write the advisory size IS the goal
+        conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        write_table(
+            df.hint("rebalance"),
+            path,
+            format=format,
+            partition_by=partition_by,
+            mode=mode,
+            **options,
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def compact_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    format: str = "parquet",
+    **options: str,
+) -> None:
+    """Read a fragmented table and rewrite it compacted (offline
+    maintenance form of :func:`compact_files`)."""
+    compact_files(
+        read_table(spark, in_path, format=format),
+        out_path,
+        target_file_bytes=target_file_bytes,
+        format=format,
+        **options,
+    )
