@@ -1551,3 +1551,23 @@ def ext_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_rows, 1 <= n_files <= 4)], "n_rows bigint, files_within_target boolean"
     )
+
+
+@declared(
+    "ext_stream_enrich",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("ext", "streaming", "join"),
+)
+def ext_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: event stream joined to the
+    broadcast customer dimension per micro-batch, aggregated by market
+    segment (streaming/enrich.py).  Complete-mode drain over the finite
+    fixture ≡ the batch join+aggregate the oracle runs."""
+    from remote_shuffle_spark.streaming.enrich import enriched_event_counts
+
+    return enriched_event_counts(spark, sf_dir)

@@ -213,3 +213,45 @@ def test_shingle_structs_ansi_safe(spark):
         spark.conf.set("spark.sql.ansi.enabled", prev)
     assert rows[1] == [("one", "two", None)]  # null-padded whole-text shingle
     assert len(rows[2]) == 2
+
+
+def test_stream_static_enrich_updates_per_microbatch(spark):
+    """Stream-static join semantics: each micro-batch joins against the
+    static dimension, so events arriving in later batches still enrich
+    and fold into the complete-mode aggregate."""
+    stream_dir = os.path.join(tempfile.gettempdir(), f"enrich_{uuid.uuid4().hex[:8]}")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "user_id bigint, value double").coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    dim = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "A")], "user_id bigint, seg string"
+    )
+    write_batch([(0, 1.0), (1, 2.0)])
+    stream = spark.readStream.schema("user_id bigint, value double").parquet(stream_dir)
+    agg = (
+        stream.join(F.broadcast(dim), "user_id", "inner")
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+            first = {r.seg: (r.n, r.s) for r in spark.table(name).collect()}
+            # batch 2: more events, incl. user 2 (seg A) and an unmatched user
+            write_batch([(2, 10.0), (0, 5.0), (99, 7.0)])
+            q.processAllAvailable()
+            second = {r.seg: (r.n, r.s) for r in spark.table(name).collect()}
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert first == {"A": (1, 1.0), "B": (1, 2.0)}
+    # batch 2 folded in; the dimensionless user 99 dropped by the inner join
+    assert second == {"A": (3, 16.0), "B": (1, 2.0)}
