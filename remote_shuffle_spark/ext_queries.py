@@ -1571,3 +1571,228 @@ def ext_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.streaming.enrich import enriched_event_counts
 
     return enriched_event_counts(spark, sf_dir)
+
+
+# CASE-mirror of functions.hashing.word_shingles_from_tokens for DuckDB:
+# n-grams when the doc has >= n tokens, else one whole-text shingle.
+def _sql_grams(n: int, toks: str = "toks") -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {n} "
+        f"THEN list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+@declared(
+    "ext_decontaminate",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct({_sql_grams(4)})) AS gram
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0
+    )
+    SELECT g.doc_id, COUNT(*) AS n_hits
+    FROM grams g JOIN bench b USING (gram)
+    WHERE g.doc_id % 17 <> 0
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+    tags=("ext", "pipeline", "dedup"),
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any word 4-gram with
+    the benchmark slice (doc_id % 17 == 0), with distinct-hit counts
+    (operators/decontam.py — broadcast semi of the tiny benchmark gram
+    set against the corpus explode; the corpus never shuffles)."""
+    from remote_shuffle_spark.operators.decontam import contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_hits(train, bench, id_col="doc_id", text_col="text", n=4).orderBy(
+        "doc_id"
+    )
+
+
+@declared(
+    "ext_inverted_index",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+      FROM documents
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM pairs GROUP BY token
+    ), head AS (
+      SELECT token,
+             array_to_string(list_sort(list(doc_id)), ',') AS postings_head
+      FROM (
+        SELECT token, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        FROM pairs
+      ) WHERE rn <= 10 GROUP BY token
+    )
+    SELECT d.token, d.df, h.postings_head
+    FROM dfreq d JOIN head h USING (token)
+    WHERE d.df >= 5 ORDER BY d.token
+    """,
+    tags=("ext", "text"),
+)
+def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: per token, document frequency and the first
+    10 postings (operators/text.py:inverted_index — rank-limited before
+    collection so no unbounded per-token state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.inverted_index(docs, "doc_id", "text", min_df=5, postings_cap=10).orderBy(
+        "token"
+    )
+
+
+@declared(
+    "ext_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang, doc_id FROM ranked
+    WHERE rn <= CEIL(n * 0.125)
+    ORDER BY lang, doc_id
+    """,
+    tags=("ext", "pipeline", "sampling"),
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rate stratified sample: exactly ceil(12.5%) of every language
+    stratum (operators/pipeline.py:stratified_sample_exact, salt=None
+    systematic order so any SQL engine can replay the quota slice; the
+    hash-ranked unbiased mode is pytest-pinned)."""
+    from remote_shuffle_spark.operators.pipeline import stratified_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    samp = stratified_sample_exact(docs, "lang", frac=0.125, order_col="doc_id", salt=None)
+    return samp.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+@declared(
+    "ext_bigram_counts",
+    oracle=f"""
+    WITH grams AS (
+      SELECT unnest({_sql_grams(2)}) AS gram
+      FROM (SELECT string_split({_NORM}, ' ') AS toks FROM documents)
+    )
+    SELECT gram, COUNT(*) AS cnt FROM grams
+    GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50
+    """,
+    tags=("ext", "text"),
+)
+def ext_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word bigrams by corpus frequency — the co-occurrence /
+    collocation primitive (one explode of in-row shingles, one combinable
+    count, TakeOrdered top-k; no full-corpus sort)."""
+    from remote_shuffle_spark.functions.hashing import tokens as _tokens
+    from remote_shuffle_spark.functions.hashing import word_shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(_tokens("text").alias("_tk"))
+    grams = tk.select(F.explode(word_shingles_from_tokens(F.col("_tk"), 2)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "gram")
+        .limit(50)
+    )
+
+
+@declared(
+    "ext_quantile_bins",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs FROM lineitem
+    ), binned AS (
+      SELECT (CASE WHEN l_extendedprice > qs[1] THEN 1 ELSE 0 END
+            + CASE WHEN l_extendedprice > qs[2] THEN 1 ELSE 0 END
+            + CASE WHEN l_extendedprice > qs[3] THEN 1 ELSE 0 END) AS bucket,
+             l_extendedprice
+      FROM lineitem, cuts
+    )
+    SELECT bucket, COUNT(*) AS cnt,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM binned GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("ext", "pipeline", "agg"),
+)
+def ext_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile binning of l_extendedprice with per-bin stats
+    (operators/pipeline.py:quantile_buckets exact mode — interpolated
+    percentile cutpoints, verified bit-identical to quantile_cont; the
+    GK-sketch mode is the 100 TB path)."""
+    from remote_shuffle_spark.operators.pipeline import quantile_buckets
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = quantile_buckets(li, "l_extendedprice", num_buckets=4, exact=True)
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_CORR_PAIRS = [
+    ("l_discount", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_extendedprice"),
+]
+
+
+def _corr_oracle() -> str:
+    moment_cols, rows = [], []
+    for x, y in _CORR_PAIRS:
+        t = f"{x}__{y}"
+        moment_cols += [
+            f"COUNT(*) AS n_{t}",
+            f"SUM(CAST({x} AS DECIMAL(18,6))) AS sx_{t}",
+            f"SUM(CAST({y} AS DECIMAL(18,6))) AS sy_{t}",
+            # (19,6)x(18,6): precision 38 keeps Spark at scale 12 exactly,
+            # and width 19 forces DuckDB into int128 (see operators/stats.py)
+            f"SUM(CAST({x} AS DECIMAL(19,6)) * CAST({y} AS DECIMAL(18,6))) AS sxy_{t}",
+            f"SUM(CAST({x} AS DECIMAL(19,6)) * CAST({x} AS DECIMAL(18,6))) AS sxx_{t}",
+            f"SUM(CAST({y} AS DECIMAL(19,6)) * CAST({y} AS DECIMAL(18,6))) AS syy_{t}",
+        ]
+        rows.append(
+            f"SELECT '{x},{y}' AS pair, n_{t} AS n, ROUND("
+            f"(CAST(n_{t} AS DOUBLE) * CAST(sxy_{t} AS DOUBLE)"
+            f" - CAST(sx_{t} AS DOUBLE) * CAST(sy_{t} AS DOUBLE))"
+            f" / (sqrt(CAST(n_{t} AS DOUBLE) * CAST(sxx_{t} AS DOUBLE)"
+            f" - CAST(sx_{t} AS DOUBLE) * CAST(sx_{t} AS DOUBLE))"
+            f" * sqrt(CAST(n_{t} AS DOUBLE) * CAST(syy_{t} AS DOUBLE)"
+            f" - CAST(sy_{t} AS DOUBLE) * CAST(sy_{t} AS DOUBLE))), 6) AS corr"
+            f" FROM m"
+        )
+    return (
+        "WITH m AS (SELECT " + ", ".join(moment_cols) + " FROM lineitem) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY pair"
+    )
+
+
+@declared("ext_corr_matrix", oracle=_corr_oracle(), tags=("ext", "stats"))
+def ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over lineitem numerics from exact
+    decimal moments (operators/stats.py:pairwise_corr — partitioning-
+    independent, engine-portable; F.corr's float accumulation is not)."""
+    from remote_shuffle_spark.operators.stats import pairwise_corr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = pairwise_corr(li, _CORR_PAIRS)
+    return out.withColumn("corr", F.round("corr", 6))

@@ -150,15 +150,26 @@ def quantile_buckets(
     num_buckets: int = 10,
     relative_error: float = 0.001,
     out_col: str = "bucket",
+    exact: bool = False,
 ) -> DataFrame:
     """Equi-depth binning: bucket i holds ~1/num_buckets of the rows.
 
     Cutpoints come from approxQuantile (Greenwald-Khanna, one pass,
     mergeable — the scalable choice); the bucket assignment is a pure
-    projection against the broadcast cutpoints.
+    projection against the broadcast cutpoints.  ``exact=True`` swaps in
+    the exact interpolated ``percentile`` aggregate (linear interpolation
+    at rank (n-1)·q — the same definition as DuckDB/Postgres
+    quantile_cont, verified bit-identical on the fixture), for
+    engine-portable cutpoints; it buffers per-partition value arrays, so
+    at 100 TB stay with the sketch.
     """
     qs = [i / num_buckets for i in range(1, num_buckets)]
-    cuts = df.approxQuantile(value_col, qs, relative_error)
+    if exact:
+        cuts = df.agg(
+            F.percentile(value_col, F.lit(qs)).alias("q")
+        ).collect()[0]["q"]
+    else:
+        cuts = df.approxQuantile(value_col, qs, relative_error)
     # monotone assignment: count of cutpoints below the value
     b = F.lit(0)
     for c in cuts:
@@ -421,3 +432,43 @@ def stratified_sample(
         )
     frac = frac.otherwise(F.lit(0.0))
     return df.filter(u < frac)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    *,
+    frac: float,
+    order_col: str,
+    salt: str | None = "sample",
+) -> DataFrame:
+    """Exact-rate per-stratum sampling: every stratum yields exactly
+    ceil(frac * stratum_count) rows — the variant for quota-bound eval
+    set construction where the hash filter's binomial jitter (see
+    :func:`stratified_sample`) is unacceptable.
+
+    Rows are ranked within each stratum by ``xxhash64(order_col, salt)``
+    (a deterministic pseudo-random order, so the quota takes an unbiased
+    slice) and the first ceil(frac * n) survive.  With ``salt=None`` the
+    rank order is ``order_col`` itself — systematic head-of-stratum
+    sampling, replayable by any SQL engine.
+
+    Shape at corpus scale: one shuffle by stratum with a sort inside each
+    (window row_number + count) — strata are large but the sort is
+    spillable; the hash-filter variant remains the cheap default when
+    exact quotas aren't required.
+    """
+    from pyspark.sql import Window as W
+
+    rank_key = (
+        F.xxhash64(F.col(order_col), F.lit(salt)) if salt is not None else F.col(order_col)
+    )
+    w = W.partitionBy(strata_col)
+    rn = F.row_number().over(w.orderBy(rank_key, F.col(order_col)))
+    quota = F.ceil(F.count(F.lit(1)).over(w) * F.lit(float(frac)))
+    return (
+        df.withColumn("_rn", rn)
+        .withColumn("_quota", quota)
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )

@@ -1,0 +1,83 @@
+"""Distributed statistics operators (EXT — SURVEY §2.3): engine-portable
+pairwise correlation via exact decimal partial sums.
+
+``F.corr`` (and any one-pass float implementation) accumulates doubles in
+partition order, so two engines — or two runs with different partitioning —
+disagree in the last ULPs.  For the CORRECTNESS gate (and any reproducible
+pipeline) the moments are instead accumulated exactly in DECIMAL, which is
+associative and commutative regardless of partitioning, and only the final
+closed-form expression runs in floating point — identical inputs, identical
+IEEE ops, identical bits on every engine.
+
+Shape at 100 TB: five combinable SUM/COUNT aggregates per pair over a
+narrow projection — one map-side-combined shuffle of a single row per
+partition.  Decimal addition costs ~2x double addition; the moments row is
+O(pairs), never O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Input values are cast to DECIMAL(18,6) (covers TPC-H money/quantity
+# magnitudes).  Products deliberately pair a DECIMAL(19,6) left operand
+# with a DECIMAL(18,6) right one: 19+18+1 = 38 keeps Spark's product at
+# scale 12 EXACTLY (a 19×19 product hits precision 39 and Spark silently
+# rounds the scale down to 11), and precision 19 forces DuckDB into
+# int128 arithmetic (its int64 multiply overflows on fixture money
+# values).  Sums of ~1e9 rows of ~1e10 products stay inside 38 digits.
+_IN_DEC = "decimal(18,6)"
+_IN_DEC_WIDE = "decimal(19,6)"
+
+
+def pairwise_corr(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Pearson correlation for each (x, y) column pair, computed from
+    exact decimal moments.  Returns (pair, n, corr) ordered by pair.
+
+    corr = (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²) · sqrt(n·Syy − Sy²)),
+    with every S an exact DECIMAL sum; the division/sqrt run in DOUBLE on
+    exact operands, so the result is bit-stable across engines and
+    partitionings.
+    """
+    aggs = []
+    for x, y in pairs:
+        tag = f"{x}__{y}"
+        xd = F.col(x).cast(_IN_DEC)
+        yd = F.col(y).cast(_IN_DEC)
+        xw = F.col(x).cast(_IN_DEC_WIDE)
+        yw = F.col(y).cast(_IN_DEC_WIDE)
+        aggs += [
+            F.count(F.when(F.col(x).isNotNull() & F.col(y).isNotNull(), 1)).alias(f"n_{tag}"),
+            F.sum(xd).alias(f"sx_{tag}"),
+            F.sum(yd).alias(f"sy_{tag}"),
+            F.sum(xw * yd).alias(f"sxy_{tag}"),
+            F.sum(xw * xd).alias(f"sxx_{tag}"),
+            F.sum(yw * yd).alias(f"syy_{tag}"),
+        ]
+    moments = df.agg(*aggs)
+
+    rows = []
+    for x, y in pairs:
+        tag = f"{x}__{y}"
+        n = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        syy = F.col(f"syy_{tag}").cast("double")
+        corr = (n * sxy - sx * sy) / (
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        )
+        rows.append(
+            F.struct(
+                F.lit(f"{x},{y}").alias("pair"),
+                F.col(f"n_{tag}").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return (
+        moments.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.pair", "r.n", "r.corr")
+        .orderBy("pair")
+    )

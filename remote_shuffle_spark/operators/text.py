@@ -184,6 +184,48 @@ def scrub_pii(text_col, replacement: str = "[PII]") -> Column:
     return c
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_df: int = 2,
+    postings_cap: int = 10,
+) -> DataFrame:
+    """Inverted index: per token, document frequency and the head of its
+    sorted postings list — the retrieval-side build for corpus search /
+    audit tooling.
+
+    Shape at corpus scale: one explode to (id, token), a distinct, then a
+    combinable count per token (vocabulary cardinality, ≪ corpus) for df.
+    The postings head is rank-limited BEFORE collection (row_number ≤ cap
+    within each token, then collect over ≤ cap rows) so no aggregation
+    state ever holds a full postings list — a stopword with df=10⁹ costs
+    the sort, not the memory.  A full postings build at 100 TB would
+    instead write the (token, id) pairs sorted-bucketed by token and never
+    materialize per-token arrays.  ``postings_head`` is a comma-joined
+    string so the result is engine-portable (FIXTURES.md determinism
+    rules).  Returns (token, df, postings_head) filtered to df >=
+    ``min_df``.
+    """
+    from pyspark.sql import Window as W
+
+    pairs = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token")).distinct()
+    dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    rn = F.row_number().over(W.partitionBy("token").orderBy(F.col(id_col)))
+    head = (
+        pairs.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= postings_cap)
+        .groupBy("token")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list(F.col(id_col)))).alias(
+                "postings_head"
+            )
+        )
+    )
+    return dfreq.filter(F.col("df") >= min_df).join(head, "token")
+
+
 def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-(document, term) TF-IDF scores over whitespace tokens.
 

@@ -70,6 +70,20 @@ def test_quantile_buckets_equidepth(spark, sf_correct):
     assert all(a.bucket <= c.bucket for a, c in zip(sample, sample[1:]))
 
 
+def test_quantile_buckets_exact_mode(spark, sf_correct):
+    li = load_table(spark, sf_correct, "lineitem")
+    b = P.quantile_buckets(li, "l_extendedprice", num_buckets=4, exact=True)
+    counts = [
+        r.n
+        for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).orderBy("bucket").collect()
+    ]
+    n = sum(counts)
+    # exact interpolated cutpoints → quartiles within one row of n/4
+    assert len(counts) == 4
+    for c in counts:
+        assert abs(c - n / 4) <= 1
+
+
 def test_build_vocab_and_encode_roundtrip(spark):
     df = spark.createDataFrame(
         [(1, "a b c a"), (2, "b c c"), (3, "a a a z")], ["doc_id", "text"]
