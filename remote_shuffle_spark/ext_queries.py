@@ -1796,3 +1796,103 @@ def ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = pairwise_corr(li, _CORR_PAIRS)
     return out.withColumn("corr", F.round("corr", 6))
+
+
+@declared(
+    "ext_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'OLD ' || text ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0
+    ), new AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.doc_id IS NULL THEN 'added'
+                WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+           END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE CASE WHEN n.doc_id IS NULL THEN 'removed'
+               WHEN o.doc_id IS NULL THEN 'added'
+               WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+          END IS NOT NULL
+    ORDER BY doc_id
+    """,
+    tags=("ext", "versioning"),
+)
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (added/removed/changed per key) between two
+    derived snapshots of documents (operators/upsert.py:snapshot_diff —
+    one full outer join on the key, delta-sized output)."""
+    from remote_shuffle_spark.operators.upsert import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("OLD "), F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 0)
+    return snapshot_diff(old, new, ["doc_id"], ["text"]).orderBy("doc_id")
+
+
+@declared(
+    "ext_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(((doc_id * 2654435761 + 12345) % 1000003 + 0.5) / 1000003.0)
+               / CAST(n_chars AS DOUBLE) AS aes_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars FROM keyed ORDER BY aes_key DESC, doc_id LIMIT 25
+    ) ORDER BY doc_id
+    """,
+    tags=("ext", "pipeline", "sampling"),
+)
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of exactly 25 docs, probability ∝ n_chars
+    (operators/pipeline.py:weighted_sample_k — Efraimidis-Spirakis
+    exponential keys, one TakeOrdered, no sequential reservoir).  The
+    uniform variate is pinned to an integer congruence for external
+    replay; production uses the salted-hash default."""
+    from remote_shuffle_spark.operators.pipeline import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.pmod(F.col("doc_id") * 2654435761 + 12345, F.lit(1000003)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1000003.0)
+    samp = weighted_sample_k(
+        docs, k=25, weight_col="n_chars", id_col="doc_id", u_expr=u
+    )
+    return samp.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@declared(
+    "ext_hll_rollup",
+    oracle="""
+    SELECT event_type AS scope,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           1 AS within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'GLOBAL', COUNT(DISTINCT user_id), 1 FROM events
+    ORDER BY scope
+    """,
+    tags=("ext", "stats", "sketch"),
+)
+def ext_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type + GLOBAL via DataSketches HLL, the
+    global row computed by MERGING the per-group sketches
+    (operators/stats.py:hll_distinct_rollup).  The oracle pins the exact
+    counts AND that every estimate lands within 5% — a hard external
+    check on the sketch path, not just rows-only."""
+    from remote_shuffle_spark.operators.stats import hll_distinct_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_distinct_rollup(events, "event_type", "user_id", lg_k=12)

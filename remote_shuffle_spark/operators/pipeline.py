@@ -472,3 +472,44 @@ def stratified_sample_exact(
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    *,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    u_expr=None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly ``k`` rows
+    (Efraimidis-Spirakis A-ES): each row draws u ∈ (0,1) and the k
+    largest u^(1/w) win — the distributed-safe reservoir: no sequential
+    pass, no per-partition quotas, just one TakeOrdered(k) over a pure
+    projection, so it scales to any corpus and any executor count.
+
+    Rows are ranked by ln(u)/w (monotone in u^(1/w), avoids pow's
+    range issues); weights must be > 0 (non-positive weights are
+    filtered out — they can never win anyway under A-ES semantics).
+
+    ``u_expr`` overrides the uniform variate for engine-portable replay
+    (the deterministic_split pinning pattern); the default is salted
+    xxhash64 — stable across partitioning and corpus growth, not
+    expressible in external SQL.
+    """
+    if u_expr is None:
+        u_expr = (
+            (F.xxhash64(F.col(id_col), F.lit(salt)).bitwiseAND(F.lit((1 << 31) - 1)))
+            .cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 31))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u_expr) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("_aes_key", key)
+        .orderBy(F.col("_aes_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_aes_key")
+    )

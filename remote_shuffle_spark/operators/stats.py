@@ -81,3 +81,54 @@ def pairwise_corr(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
         .select("r.pair", "r.n", "r.corr")
         .orderBy("pair")
     )
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group AND global distinct counts via Apache DataSketches HLL:
+    sketches build per group (combinable aggregation), and the global
+    figure MERGES the group sketches instead of re-scanning the input —
+    the pattern that makes 100 TB rollup hierarchies (hour→day→month,
+    shard→region→global) one cheap pass per level.
+
+    Returns (scope, exact_distinct, within_5pct) with one row per group
+    plus a 'GLOBAL' row; ``exact_distinct`` rides along as the
+    verification column (at target scale you'd drop it — exact
+    global distinct is the expensive thing the sketch replaces; its
+    shuffle carries every distinct value, the sketch's carries 2^lg_k
+    bytes per group).
+    """
+    sketches = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sk"),
+        F.count_distinct(F.col(value_col)).alias("exact_distinct"),
+    )
+    per_group = sketches.select(
+        F.col(group_col).cast("string").alias("scope"),
+        "exact_distinct",
+        F.hll_sketch_estimate("sk").alias("est"),
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"), F.lit(False))).alias("est")
+    )
+    global_exact = df.agg(F.count_distinct(F.col(value_col)).alias("exact_distinct"))
+    global_row = global_exact.crossJoin(merged).select(
+        F.lit("GLOBAL").alias("scope"), "exact_distinct", "est"
+    )
+    out = per_group.unionByName(global_row)
+    within = (
+        F.abs(F.col("est") - F.col("exact_distinct"))
+        <= F.lit(0.05) * F.col("exact_distinct")
+    ).cast("int")
+    return (
+        out.select(
+            "scope",
+            "exact_distinct",
+            within.alias("within_5pct"),
+        )
+        .orderBy("scope")
+    )

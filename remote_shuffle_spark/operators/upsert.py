@@ -61,3 +61,58 @@ def scd2_apply(
         .select(*current.columns)
     )
     return untouched.unionByName(closed_history).unionByName(newly_closed).unionByName(new_open)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Dataset-version diff: one row per key that was added, removed, or
+    changed between two snapshots — the audit primitive behind
+    incremental publishing and reproducibility checks.
+
+    Shape at scale: one full outer join on the key (both sides shuffle
+    once; zero-exchange against key-bucketed snapshot layouts — see
+    plans.shuffle_policy.write_bucketed), then a pure projection for the
+    status.  Unchanged rows are filtered out BEFORE any downstream
+    consumer, so the result is delta-sized, not snapshot-sized.  Change
+    detection compares ``compare_cols`` with null-safe equality; at 100 TB
+    compare a persisted row-hash column instead of wide payloads so the
+    join carries (key, 8-byte hash) only.
+    """
+    o = old.select(*key_cols, *compare_cols)
+    n = new.select(*key_cols, *compare_cols)
+    o = o.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+    )
+    n = n.select(
+        *[F.col(c).alias(f"_n_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_o_{c}") == F.col(f"_n_{c}")
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    old_present = F.col(f"_o_{key_cols[0]}").isNotNull()
+    new_present = F.col(f"_n_{key_cols[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(old_present & ~new_present, F.lit("removed"))
+        .when(new_present & ~old_present, F.lit("added"))
+        .when(~same, F.lit("changed"))
+    )
+    keys_out = [
+        F.coalesce(F.col(f"_o_{c}"), F.col(f"_n_{c}")).alias(c) for c in key_cols
+    ]
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*keys_out, "status")
+    )

@@ -229,3 +229,23 @@ def test_with_global_index_jvm_path_no_python_stage(spark, sf_smoke):
     ordered = docs.repartitionByRange(5, F.col("doc_id")).sortWithinPartitions("doc_id")
     plan = explain.physical_plan(P.with_global_index(ordered, order_by=["doc_id"]))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_weighted_sample_k_properties(spark):
+    rows = [(i, 1 if i < 90 else 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    samp = P.weighted_sample_k(df, k=10, weight_col="w", id_col="id")
+    got = [r.id for r in samp.collect()]
+    assert len(got) == len(set(got)) == 10
+    # the ten 1000x-weight rows should dominate the sample
+    heavy = sum(1 for i in got if i >= 90)
+    assert heavy >= 8
+    # deterministic replay
+    again = [r.id for r in P.weighted_sample_k(df, k=10, weight_col="w", id_col="id").collect()]
+    assert sorted(got) == sorted(again)
+
+
+def test_weighted_sample_k_nonpositive_weights_dropped(spark):
+    df = spark.createDataFrame([(1, 0), (2, -5), (3, 7)], ["id", "w"])
+    got = [r.id for r in P.weighted_sample_k(df, k=3, weight_col="w", id_col="id").collect()]
+    assert got == [3]

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from remote_shuffle_spark.operators.decontam import contamination_hits
 from remote_shuffle_spark.operators.pipeline import stratified_sample_exact
-from remote_shuffle_spark.operators.stats import pairwise_corr
+from remote_shuffle_spark.operators.stats import hll_distinct_rollup, pairwise_corr
 from remote_shuffle_spark.operators.text import inverted_index
 
 
@@ -98,3 +98,16 @@ def test_pairwise_corr_partitioning_invariant(spark):
     b = pairwise_corr(df.repartition(32, "y"), [("x", "y")]).collect()[0].corr
     # exact decimal moments → bit-identical regardless of partitioning
     assert a == b
+
+
+def test_hll_rollup_merge_equals_groups(spark):
+    rows = [(i, f"t{i % 3}", i % 50) for i in range(600)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "user_id"])
+    out = {
+        r.scope: (r.exact_distinct, r.within_5pct)
+        for r in hll_distinct_rollup(df, "event_type", "user_id").collect()
+    }
+    # each type sees ~17 distinct users, global sees all 50 — small
+    # cardinalities are exact in HLL, so within_5pct must hold everywhere
+    assert out["GLOBAL"][0] == 50
+    assert all(flag == 1 for _, flag in out.values())

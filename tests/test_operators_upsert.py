@@ -52,3 +52,17 @@ def test_scd2_apply(spark):
     # exactly one open row per key
     open_rows = [r for r in out if str(r.effective_to).startswith("9999")]
     assert sorted(r.id for r in open_rows) == [1, 2]
+
+
+def test_snapshot_diff_statuses(spark):
+    from remote_shuffle_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, None), (5, "e")], ["k", "v"]
+    )
+    out = {r.k: r.status for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    # 1 removed, 3 changed, 5 added; 2 and 4 (null==null) unchanged → absent
+    assert out == {1: "removed", 3: "changed", 5: "added"}
