@@ -1896,3 +1896,94 @@ def ext_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return hll_distinct_rollup(events, "event_type", "user_id", lg_k=12)
+
+
+_BM25_TERMS = ("spark", "query", "window", "join")
+
+
+@declared(
+    "ext_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS l FROM documents
+    ), scal AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len(l)) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM toks
+    ), base AS (
+      SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM toks
+    ), fb AS (
+      SELECT * FROM base WHERE term IN ('spark', 'query', 'window', 'join')
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM fb GROUP BY 1, 2, 3
+    ), dfq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM fb GROUP BY 1
+    ), c AS (
+      SELECT tf.doc_id, tf.dl, tf.term,
+             ln(1 + (scal.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * (1.2 + 1.0)
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / scal.avgdl))) AS contrib
+      FROM tf JOIN dfq USING (term) CROSS JOIN scal
+    ), p AS (
+      SELECT doc_id, dl,
+             SUM(CASE WHEN term = 'spark'  THEN contrib END) AS t0,
+             SUM(CASE WHEN term = 'query'  THEN contrib END) AS t1,
+             SUM(CASE WHEN term = 'window' THEN contrib END) AS t2,
+             SUM(CASE WHEN term = 'join'   THEN contrib END) AS t3
+      FROM c GROUP BY 1, 2
+    )
+    SELECT doc_id, dl,
+           ROUND(COALESCE(t0, 0.0) + COALESCE(t1, 0.0)
+               + COALESCE(t2, 0.0) + COALESCE(t3, 0.0), 6) AS score
+    FROM p ORDER BY score DESC, doc_id LIMIT 25
+    """,
+    tags=("ext", "text", "retrieval"),
+)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-25 for a fixed 4-term query (operators/
+    text.py:bm25_scores) — map-side term filter before any shuffle,
+    combinable tf/df aggregations, scalar N/avgdl broadcast, fixed-order
+    pivot-sum for engine-stable doubles, TakeOrdered top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+    return (
+        scored.withColumn("score", F.round("score", 6))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+@declared(
+    "ext_bigram_lm_quality",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS l FROM documents
+    ), vocab AS (
+      SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(l) AS w FROM tk)
+    ), doc_bi AS (
+      SELECT doc_id, p[1] || ' ' || p[2] AS gram
+      FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS p FROM tk WHERE len(l) >= 2)
+      WHERE p[2] IS NOT NULL
+    ), bi AS (
+      SELECT gram, COUNT(*) AS c_bi FROM doc_bi GROUP BY 1
+    ), ctx AS (
+      SELECT split_part(gram, ' ', 1) AS w1, COUNT(*) AS c_ctx
+      FROM doc_bi GROUP BY 1
+    )
+    SELECT d.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(ROUND(-ln((bi.c_bi + 0.5) / (ctx.c_ctx + 0.5 * vocab.v)), 6)
+                          AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_neg_logprob
+    FROM doc_bi d
+    JOIN bi USING (gram)
+    JOIN ctx ON split_part(d.gram, ' ', 1) = ctx.w1
+    CROSS JOIN vocab
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    tags=("ext", "text", "quality"),
+)
+def ext_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: corpus-trained add-alpha bigram LM,
+    per-doc mean negative log-prob (operators/text.py:bigram_lm_scores).
+    Count tables are vocabulary-sized; per-term -ln P rounded to 6 dp and
+    summed as DECIMAL so the double is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")

@@ -226,6 +226,136 @@ def inverted_index(
     return dfreq.filter(F.col("df") >= min_df).join(head, "token")
 
 
+def bigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, *, alpha: float = 0.5
+) -> DataFrame:
+    """Corpus-trained add-alpha bigram language-model score per document —
+    the CCNet-style "perplexity vs an in-domain LM" quality filter (CCNet
+    trains KenLM on Wikipedia; here the LM is trained on the corpus itself,
+    which is the self-scoring variant used for outlier/boilerplate
+    detection).
+
+    Train (all combinable aggregations over one explode of in-row bigram
+    shingles): bigram counts c(w1 w2), context counts c(w1 ·), vocabulary
+    size V.  Score: per-doc mean of -ln P(w2|w1), with
+    P(w2|w1) = (c(w1 w2) + α) / (c(w1 ·) + α·V).
+
+    Shape at corpus scale: the count tables are vocabulary-/bigram-
+    cardinality (≪ corpus) and join back to the exploded doc-bigram stream
+    on the gram string — a plain shuffled equi-join that AQE broadcasts
+    when the LM table is dictionary-sized.  No driver-side model object:
+    the "model" stays a DataFrame end to end.
+
+    Determinism: each -ln P is rounded to 6 dp (absorbs libm ULP) and
+    summed as DECIMAL(28,6) — exact, order-independent — then divided by
+    the exact bigram count; the final cast to double is bit-stable across
+    engines.  Documents with < 2 tokens are dropped (no bigrams to score).
+    Returns (id_col, n_bigrams, avg_neg_logprob).
+    """
+    from remote_shuffle_spark.functions.hashing import tokens, word_shingles_from_tokens
+
+    tk = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    vocab = tk.select(F.explode("_tk").alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    doc_bi = tk.filter(F.size("_tk") >= 2).select(
+        F.col(id_col),
+        F.explode(word_shingles_from_tokens(F.col("_tk"), 2)).alias("gram"),
+    )
+    bi_counts = doc_bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
+    ctx_counts = (
+        doc_bi.select(F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_ctx"))
+    )
+    p = (F.col("c_bi") + alpha) / (F.col("c_ctx") + alpha * F.col("v"))
+    neglog = F.round(-F.log(p), 6).cast("decimal(28,6)")
+    scored = (
+        doc_bi.join(bi_counts, "gram")
+        .withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+        .join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum(neglog).cast("double") / F.count(F.lit(1))).alias("avg_neg_logprob"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 scores for a fixed query over the corpus — the
+    ranking-side counterpart of :func:`inverted_index` (retrieval /
+    corpus-audit tooling; Robertson & Walker's published formula).
+
+    Shape at corpus scale: one explode to (id, term) FILTERED to the
+    query's terms before any shuffle (the filter is map-side, so the
+    aggregated stream is |query| * matching-docs rows, ≪ corpus); tf and
+    df are combinable aggregations over that filtered stream; N and avgdl
+    are scalar aggregates broadcast via crossJoin.  Nothing materializes
+    per-term state proportional to the corpus.
+
+    Determinism: the per-(doc, term) BM25 contributions are pivoted into
+    one fixed-order column per query term and added sequentially, so the
+    floating-point sum order is identical on any engine — no reliance on
+    shuffle-order-stable double aggregation.  Document length is the raw
+    whitespace-split size (empty text → 1, same as DuckDB's
+    ``len(string_split('',' '))``) so both engines agree on edge cases.
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5)) (always positive).
+    Returns (id_col, dl, score) for documents matching >= 1 query term.
+    """
+    terms = tuple(dict.fromkeys(query_terms))  # stable order, unique
+    spark_scalars = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # exact integer sum / exact count -> one double division: identical
+        # across engines (no double-accumulation order dependence)
+        (
+            F.sum(F.size(tokens(text_col))).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).filter(F.col("term").isin(*terms))
+    tf = base.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        base.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(spark_scalars))
+        .select(F.col(id_col), "dl", "term", contrib.alias("contrib"))
+    )
+    # fixed-order pivot-sum: one column per query term, added left to right
+    per_term = scored.groupBy(id_col, "dl").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(f"_t{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.coalesce(F.col(f"_t{i}"), F.lit(0.0))
+    return per_term.select(F.col(id_col), "dl", total.alias("score"))
+
+
 def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-(document, term) TF-IDF scores over whitespace tokens.
 

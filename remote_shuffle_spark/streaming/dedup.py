@@ -36,14 +36,18 @@ def streaming_distinct(
     streaming/windowed.py: size it to the distinct-key cardinality, not
     the corpus; None respects the session conf.
     """
-    from remote_shuffle_spark.streaming.source import file_stream_dir, stream_session
+    from remote_shuffle_spark.streaming.source import (
+        event_time,
+        file_stream_dir,
+        stream_session,
+    )
 
     scoped = stream_session(spark, state_partitions)
     path = table_path(sf_dir, "events")
-    batch_schema = scoped.read.parquet(path).schema  # ts arrives as bigint nanos
+    batch = scoped.read.parquet(path)
     stream_dir = file_stream_dir(path)
-    stream = scoped.readStream.schema(batch_schema).parquet(stream_dir)
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    stream = scoped.readStream.schema(batch.schema).parquet(stream_dir)
+    ts = event_time(dict(batch.dtypes).get("ts"))
     deduped = (
         stream.withColumn("ts", ts)
         .withWatermark("ts", watermark)

@@ -159,16 +159,20 @@ def sessionize_streaming_table(
     import uuid
 
     from remote_shuffle_spark.sources.tables import table_path
-    from remote_shuffle_spark.streaming.source import file_stream_dir, stream_session
+    from remote_shuffle_spark.streaming.source import (
+        event_time,
+        file_stream_dir,
+        stream_session,
+    )
 
     scoped = stream_session(spark, state_partitions)
     path = table_path(sf_dir, "events")
-    batch_schema = scoped.read.parquet(path).schema  # ts arrives as bigint nanos
+    batch = scoped.read.parquet(path)
     stream_dir = file_stream_dir(path)
     stream = (
-        scoped.readStream.schema(batch_schema)
+        scoped.readStream.schema(batch.schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", event_time(dict(batch.dtypes).get("ts")))
     )
     out = sessionize_streaming(stream, gap_minutes=gap_minutes)
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"

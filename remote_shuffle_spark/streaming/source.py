@@ -22,9 +22,26 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
 
 from remote_shuffle_spark.sources.tables import ensure_session_defaults
+
+
+def event_time(dtype: str | None) -> Column:
+    """``ts`` normalized to TIMESTAMP (watermarks require TIMESTAMP, not
+    NTZ) from whichever physical type the events fixture carries:
+
+    - ``bigint`` — parquet TIMESTAMP(NANOS) read as epoch-nanos long under
+      ``spark.sql.legacy.parquet.nanosAsLong``; floor-divide to micros
+      (matches DuckDB's ns→us truncation);
+    - ``timestamp_ntz`` / ``timestamp`` — plain cast; the session timezone
+      is pinned UTC (ensure_session_defaults) so the wall clock is
+      identical to the NTZ batch path either way.
+    """
+    if dtype == "bigint":
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
 
 
 def file_stream_dir(path: str, *, link_name: str = "events.parquet") -> str:

@@ -46,18 +46,20 @@ def windowed_event_counts(
     session's ``spark.sql.shuffle.partitions`` untouched (use on a real
     cluster where the session conf is already sized for state).
     """
-    from remote_shuffle_spark.streaming.source import file_stream_dir, stream_session
+    from remote_shuffle_spark.streaming.source import (
+        event_time,
+        file_stream_dir,
+        stream_session,
+    )
 
     scoped = stream_session(spark, state_partitions)
     path = table_path(sf_dir, "events")
-    batch_schema = scoped.read.parquet(path).schema  # ts arrives as bigint nanos
+    batch = scoped.read.parquet(path)
     # the file-stream source requires a directory: expose the single
     # fixture file through a symlink dir (testdata itself is read-only)
     stream_dir = file_stream_dir(path)
-    stream = scoped.readStream.schema(batch_schema).parquet(stream_dir)
-    # TimestampType (not NTZ): watermarks require TIMESTAMP; session tz is
-    # pinned UTC so wall-clock output matches the NTZ batch path
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    stream = scoped.readStream.schema(batch.schema).parquet(stream_dir)
+    ts = event_time(dict(batch.dtypes).get("ts"))
     agg = (
         stream.withColumn("ts", ts)
         .withWatermark("ts", watermark)

@@ -149,3 +149,68 @@ def test_pii_counts_and_scrub(spark):
     # clean text: nothing scrubbed, string unchanged
     clean = spark.createDataFrame([(2, "no personal data here")], ["doc_id", "text"])
     assert clean.select(scrub_pii("text").alias("c")).collect()[0].c == "no personal data here"
+
+
+def test_bm25_against_python_oracle(spark):
+    import math
+
+    corpus = [
+        (1, "spark query engine"),
+        (2, "query query window"),
+        (3, "join join join spark"),
+        (4, "nothing relevant here"),
+    ]
+    terms = ("spark", "query", "join")
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.bm25_scores(df, "doc_id", "text", terms).collect()}
+
+    k1, b = 1.2, 0.75
+    docs = {i: t.split() for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    dfreq = {t: sum(1 for v in docs.values() if t in v) for t in terms}
+    for i, toks in docs.items():
+        expect = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            dl = len(toks)
+            expect += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        if expect == 0.0:
+            assert i not in got  # doc 4 matches no term: absent, not zero
+        else:
+            assert got[i].dl == len(toks)
+            assert abs(got[i].score - expect) < 1e-9
+
+
+def test_bigram_lm_scores_python_oracle(spark):
+    import math
+
+    corpus = [(1, "a b a b"), (2, "a b c"), (3, "x")]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.bigram_lm_scores(df, "doc_id", "text").collect()}
+
+    # doc 3 has < 2 tokens -> no row
+    assert set(got) == {1, 2}
+    bi = {}
+    ctx = {}
+    for _, t in corpus:
+        toks = t.split()
+        for w1, w2 in zip(toks, toks[1:]):
+            bi[(w1, w2)] = bi.get((w1, w2), 0) + 1
+            ctx[w1] = ctx.get(w1, 0) + 1
+    v = len({w for _, t in corpus for w in t.split()})  # a b c x -> 4
+    alpha = 0.5
+    for i, t in corpus:
+        toks = t.split()
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            continue
+        total = sum(
+            round(-math.log((bi[p] + alpha) / (ctx[p[0]] + alpha * v)), 6)
+            for p in pairs
+        )
+        assert got[i].n_bigrams == len(pairs)
+        assert abs(got[i].avg_neg_logprob - total / len(pairs)) < 1e-9

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from remote_shuffle_spark.sources.tables import load_table, table_path
 from remote_shuffle_spark.streaming.sessionize import sessionize_batch, sessionize_streaming
+from remote_shuffle_spark.streaming.source import event_time
 
 
 def test_sessionize_batch_structure(spark, sf_smoke):
@@ -44,11 +45,11 @@ def test_sessionize_streaming_matches_batch_closed_sessions(spark, sf_smoke):
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(table_path(sf_smoke, "events"), link)
-    schema = spark.read.parquet(table_path(sf_smoke, "events")).schema
+    raw = spark.read.parquet(table_path(sf_smoke, "events"))
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(raw.schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", event_time(dict(raw.dtypes).get("ts")))
     )
     out = sessionize_streaming(stream, gap_minutes=30.0)
     name = f"sessions_{uuid.uuid4().hex[:8]}"
