@@ -1987,3 +1987,35 @@ def ext_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed as DECIMAL so the double is engine-stable."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@declared(
+    "ext_semantic_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT s.vec_id FROM e s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e lo
+      WHERE lo.vec_id < s.vec_id
+        AND ROUND(list_cosine_similarity(lo.v, s.v), 6) >= 0.45
+    )
+    ORDER BY s.vec_id
+    """,
+    tags=("ext", "dedup", "similarity"),
+)
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup survivors (operators/
+    dedup.py:semantic_dedup).  Declared with num_cells=1 so blocking is a
+    no-op and the keep/drop semantics (drop iff a lower-id neighbor at
+    rounded cosine ≥ τ exists) are exactly SQL-checkable all-pairs; the
+    multi-cell blocking path is pinned by tests/test_operators_dedup.py.
+    τ=0.45 sits inside the fixture's cosine range so the result is
+    non-trivial (the synthetic embeddings have no 0.95-level near-dups).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = dedup.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.45, num_cells=1
+    )
+    return kept.select("vec_id").orderBy("vec_id")

@@ -471,3 +471,78 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (k-means cell blocking → in-cell cosine, SemDeDup-style)
+# --------------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    num_cells: int = 16,
+    centroids: DataFrame | None = None,
+    max_cell_size: int = 4096,
+    assign_method: str = "auto",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): block by nearest k-means cell, then drop every
+    document with an in-cell neighbor at cosine ≥ ``threshold``, keeping
+    the lowest id of each near-dup neighborhood.
+
+    Shape at corpus scale: assignment is a narrow pass (broadcast
+    centroids — expression argmax for small K, Arrow matmul above, see
+    similarity.assign_ivf_cells); candidate generation is a self-join on
+    the cell id only, with cells above ``max_cell_size`` excluded the same
+    way the LSH dedups bound hot buckets (at 100 TB pick
+    K ≈ corpus/expected-cell-size so cells stay bounded — the paper's own
+    K scales with N).  Verification is exact cosine on candidate pairs
+    only; nothing is all-pairs.
+
+    Returns the SURVIVORS: the input rows minus dropped near-duplicates,
+    plus a ``cell`` column (useful for writing cell-partitioned output).
+    Deterministic given deterministic centroids (pass
+    clustering.kmeans_centroids(seed=...) or similarity.seed_centroids);
+    ``round_to`` rounds the cosine before the threshold comparison so the
+    keep/drop decision is stable across engines (last-ULP accumulation
+    differences can't flip it).
+    """
+    from remote_shuffle_spark.operators.similarity import assign_ivf_cells, seed_centroids
+
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(df, id_col, vec_col, k=num_cells)
+    )
+    assigned = _register_cache(
+        assign_ivf_cells(df, id_col, vec_col, cents, method=assign_method)
+    )
+    v = to_double_array(vec_col)
+    slim = assigned.select(F.col(id_col).alias("doc"), F.col("cell"), v.alias("vec"))
+    sizes = slim.groupBy("cell").agg(F.count(F.lit(1)).alias("csize"))
+    bounded = slim.join(
+        sizes.filter((F.col("csize") >= 2) & (F.col("csize") <= max_cell_size)),
+        "cell",
+    )
+    a = bounded.select("cell", F.col("doc").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = bounded.select("cell", F.col("doc").alias("id_b"), F.col("vec").alias("vec_b"))
+    cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    # drop policy: a doc is dropped iff it has at least one LOWER-id
+    # neighbor at cosine ≥ threshold (one pass, no iteration).  This keeps
+    # a component's minimum always, and also any member whose neighbors
+    # all have higher ids — transitive-closure collapse is the job of
+    # graph.dedup_groups when single-representative semantics are needed.
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(dropped, id_col, "left_anti")

@@ -169,3 +169,42 @@ def test_release_cached_intermediates(spark, corpus):
     assert D._CACHED_INTERMEDIATES == []
     # idempotent
     assert D.release_cached_intermediates() == 0
+
+
+def _sem_vecs(spark):
+    # ids 0/1/2 are orthogonal bases (and become the seed centroids);
+    # 10/11 are near-copies of base 0, 20 of base 1; 30 is distinct in
+    # base-2's cell (cos(e2, e2+big noise) < 0.95).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (10, [0.999, 0.001, 0.0, 0.0]),
+        (11, [0.998, 0.0, 0.002, 0.0]),
+        (20, [0.001, 0.97, 0.0, 0.0]),
+        (30, [0.0, 0.3, 0.9, 0.3]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_blocked_drops_planted_copies(spark):
+    from remote_shuffle_spark.operators.dedup import semantic_dedup
+
+    df = _sem_vecs(spark)
+    kept = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.95, num_cells=3
+    )
+    assert sorted(r.vec_id for r in kept.collect()) == [0, 1, 2, 30]
+    # survivors keep a cell assignment for partitioned writes
+    assert "cell" in kept.columns
+
+
+def test_semantic_dedup_cell_size_guard(spark):
+    from remote_shuffle_spark.operators.dedup import semantic_dedup
+
+    df = _sem_vecs(spark)
+    # every cell exceeds the bound -> blocking excludes them -> no drops
+    kept = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.95, num_cells=3, max_cell_size=1
+    )
+    assert kept.count() == df.count()
