@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 import remote_shuffle_spark.ext_queries  # noqa: F401 — registers EXT queries
+import remote_shuffle_spark.tpch_queries  # noqa: F401 — registers TPC-H shapes
 from remote_shuffle_spark import queries as _q
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,343 @@
+"""Classic TPC-H query shapes beyond the Q1/Q3/Q5 variants already in the
+parity set — the decision-support plans a reference user runs through the
+shuffle plugin (the reference ships no query layer of its own; its README
+positions it under Spark SQL workloads, RH/README.md:1-40, so the TPC-H
+suite is the canonical workload family above the plugin's exchanges).
+
+Each query keeps the official TPC-H PLAN SHAPE (the optimizer features it
+exists to exercise) while adapting predicates to the driver fixture's
+columns (FIXTURES.md — no l_shipmode/l_commitdate/p_container here).
+Determinism follows queries.py rules: money through DECIMAL, every result
+ordered on a unique key set, dates rendered as strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.queries import SQL_DSUM, declared, dsum
+from remote_shuffle_spark.sources.tables import load_table
+
+# exact-decimal revenue product (same idiom as q06/q41/q42)
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,4))"
+    " * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+)
+
+
+def _rev() -> F.Column:
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    one = F.lit(1).cast("decimal(5,4)")
+    return price * (one - F.col("l_discount").cast("decimal(6,4)"))
+
+
+@declared(
+    "q62_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "join", "semi"),
+)
+def q62_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority count over a quarter, EXISTS-correlated to
+    lineitem (ships-after-order stands in for commit<receipt, absent in
+    the fixture).  The EXISTS must plan as a LEFT SEMI join after the
+    date filter pushes into the orders scan — no decorrelation blowup."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+    o = orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    semi = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
+    "q63_conditional_priority_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q63_conditional_priority_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: orders⋈lineitem with a year filter, conditional
+    CASE counts by a lineitem attribute (l_returnflag stands in for the
+    fixture's missing l_shipmode).  The CASE sums must map-side combine;
+    the date range must push into the lineitem scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
+    "q64_customer_order_histogram",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "join", "outer", "agg"),
+)
+def q64_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer distribution — LEFT OUTER join with an
+    extra join-condition predicate (status<>'F' stands in for the comment
+    anti-pattern), per-customer count including zeros, then a histogram
+    of the counts.  Two aggregations, the second over ≤ max-orders keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.withColumnRenamed("o_custkey", "ock"),
+            (F.col("c_custkey") == F.col("ock"))
+            & (F.col("o_orderstatus") != "F"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@declared(
+    "q65_promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(ROUND(
+             100.00 * SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                               ELSE CAST(0 AS DECIMAL(12,4)) END)
+             / SUM({_REV_SQL}), 6) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q65_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — part⋈lineitem
+    (part is the broadcast side), conditional decimal sums, one exact
+    division rendered at 6 dp.  The month filter prunes lineitem before
+    the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lo = F.lit("1997-03-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+    zero = F.lit(0).cast("decimal(12,4)")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)
+    joined = li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return joined.agg(
+        F.round(100.00 * F.sum(promo) / F.sum(_rev()), 6)
+        .cast("double")
+        .alias("promo_revenue_pct")
+    )
+
+
+@declared(
+    "q66_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) / 7.0, 4) AS DOUBLE)
+             AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+    tags=("tpch", "join", "subquery"),
+)
+def q66_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity order revenue — per-part correlated
+    scalar AVG subquery, decorrelated by Catalyst into an aggregate-then-
+    join (the per-part averages are a partkey-sized table, broadcastable).
+    The decimal sum divided by exact 7.0 keeps the double engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part_avg, F.col("ap") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,4)")) / 7.0, 4)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@declared(
+    "q67_large_volume_orders",
+    oracle="""
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "agg", "topk"),
+)
+def q67_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — aggregate lineitem to
+    order-level quantity, HAVING threshold, join back up to orders and
+    customers, top-20.  The heavy groupBy runs FIRST so the joins see
+    only qualifying orderkeys; l_quantity sums are exact (integral
+    doubles), so no decimal detour is needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@declared(
+    "q68_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({_REV_SQL}), 4) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    tags=("tpch", "join", "filter"),
+)
+def q68_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR'd brand/size/quantity branches across a
+    part⋈lineitem join.  Catalyst must extract the common join key and
+    push the disjunction's per-side conjuncts (size predicates to part,
+    quantity to lineitem) instead of evaluating the OR post-join only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    q, s, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((br == "Brand#13") & s.between(10, 30) & q.between(10, 30))
+        | ((br == "Brand#20") & s.between(20, 50) & q.between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_rev()), 4).cast("double").alias("revenue")
+    )
+
+
+@declared(
+    "q69_idle_customer_balance",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.00
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    tags=("tpch", "subquery", "anti"),
+)
+def q69_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the global positive-balance
+    average (uncorrelated scalar subquery → broadcast one-row frame) with
+    no orders (anti join), grouped by nation (nationkey stands in for the
+    fixture's missing phone country code).
+
+    AVG determinism note: both engines average the same ~1.5k doubles in
+    ascending-partition order only by accident, so the cutoff itself is
+    compared, not emitted — a last-ULP cutoff difference could only flip
+    a customer whose balance ties the average to 16 digits, which the
+    fixture's 2-decimal balances cannot."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = (
+        cust.filter(F.col("c_acctbal") > 0.00)
+        .agg(F.avg("c_acctbal").alias("cut"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
