@@ -1994,28 +1994,115 @@ def ext_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+      FROM e ORDER BY vec_id LIMIT 16
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cid DESC
+               ) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), sized AS (
+      SELECT vec_id, cell, COUNT(*) OVER (PARTITION BY cell) AS csize
+      FROM assign
+    ), dropped AS (
+      SELECT DISTINCT hi.vec_id
+      FROM sized hi
+      JOIN sized lo ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+      JOIN e ea ON ea.vec_id = lo.vec_id
+      JOIN e eb ON eb.vec_id = hi.vec_id
+      WHERE hi.csize BETWEEN 2 AND 4096
+        AND ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.45
     )
-    SELECT s.vec_id FROM e s
-    WHERE NOT EXISTS (
-      SELECT 1 FROM e lo
-      WHERE lo.vec_id < s.vec_id
-        AND ROUND(list_cosine_similarity(lo.v, s.v), 6) >= 0.45
-    )
-    ORDER BY s.vec_id
+    SELECT e.vec_id FROM e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY e.vec_id
     """,
     tags=("ext", "dedup", "similarity"),
 )
 def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup survivors (operators/
-    dedup.py:semantic_dedup).  Declared with num_cells=1 so blocking is a
-    no-op and the keep/drop semantics (drop iff a lower-id neighbor at
-    rounded cosine ≥ τ exists) are exactly SQL-checkable all-pairs; the
-    multi-cell blocking path is pinned by tests/test_operators_dedup.py.
-    τ=0.45 sits inside the fixture's cosine range so the result is
-    non-trivial (the synthetic embeddings have no 0.95-level near-dups).
-    """
+    dedup.py:semantic_dedup), with REAL 16-cell blocking: the oracle
+    replicates the deterministic seed-centroid assignment (argmax of
+    6dp-rounded cosine, larger cid on ties), the cell-size bound, and the
+    drop-iff-lower-id-neighbor rule, so the external check covers the
+    whole blocked pipeline, not a degenerate single cell.  τ=0.45 sits
+    inside the fixture's cosine range so the result is non-trivial (the
+    synthetic embeddings have no 0.95-level near-dups)."""
     emb = load_table(spark, sf_dir, "embeddings")
     kept = dedup.semantic_dedup(
-        emb, "vec_id", "embedding", threshold=0.45, num_cells=1
+        emb, "vec_id", "embedding", threshold=0.45, num_cells=16
     )
     return kept.select("vec_id").orderBy("vec_id")
+
+
+@declared(
+    "ext_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id AS u, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS step_1,
+           (SELECT COUNT(*) FROM s2) AS step_2,
+           (SELECT COUNT(*) FROM s3) AS step_3
+    """,
+    tags=("ext", "events", "funnel"),
+)
+def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel view → click → purchase
+    (operators/funnel.py:funnel_counts): per-step filtered aggregation
+    keyed by user joined to the previous step's conversion time — every
+    shuffle on the 8-byte user key, each later stage strictly smaller."""
+    from remote_shuffle_spark.operators.funnel import funnel_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_counts(events, ("view", "click", "purchase"))
+
+
+@declared(
+    "ext_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT lang AS r, source AS c, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ), rt AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY 1),
+    ctot AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY 1),
+    nn AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+      SELECT rt.r, ctot.c, COALESCE(cells.o, 0) AS o,
+             rt.rt * ctot.ct / nn.n AS e
+      FROM rt CROSS JOIN ctot
+      LEFT JOIN cells ON cells.r = rt.r AND cells.c = ctot.c
+      CROSS JOIN nn
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
+           COUNT(DISTINCT r) AS n_rows,
+           COUNT(DISTINCT c) AS n_cols,
+           (COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS dof,
+           CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 6) AS DECIMAL(28,6)))
+                AS DOUBLE) AS chi2
+    FROM terms
+    """,
+    tags=("ext", "stats"),
+)
+def ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of documents lang x source
+    (operators/stats.py:chi_square_independence): one combinable count
+    over the corpus, statistic computed on the vocabulary-sized
+    contingency grid including unobserved cells; per-cell terms rounded
+    then decimal-summed for engine-stable doubles."""
+    from remote_shuffle_spark.operators.stats import chi_square_independence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi_square_independence(docs, "lang", "source")

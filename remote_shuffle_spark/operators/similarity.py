@@ -54,11 +54,15 @@ def brute_force_topk(
     )
 
 
-# K at or below this uses the pure-expression argmax (whole-stage codegen,
-# zero Python); above it the literal expression tree is O(K·dim) and blows
-# past JVM codegen method limits, so we switch to an Arrow-batched pandas
-# UDF over a broadcast numpy centroid matrix (one matmul per batch).
-_EXPR_MAX_CENTROIDS = 64
+# K at or below this uses the pure-expression argmax (no Python workers to
+# spin up — right for tiny frames/tests); above it an Arrow-batched pandas
+# UDF over a broadcast numpy centroid matrix does one matmul per batch.
+# The crossover is LOW: higher-order array lambdas evaluate interpreted
+# (not codegen'd), so the expr argmax measured 10x slower than the Arrow
+# matmul already at K=16 × 2000 rows × dim 64 — and the literal plan also
+# blows past JVM codegen limits for K in the thousands (docs/scale.md
+# prescribes K ≈ √corpus-rows).
+_EXPR_MAX_CENTROIDS = 8
 
 
 def assign_ivf_cells(
@@ -70,6 +74,7 @@ def assign_ivf_cells(
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "cvec",
     method: str = "auto",
+    round_to: int | None = None,
     _collected_centroids: list | None = None,
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (IVF build step).
@@ -89,6 +94,9 @@ def assign_ivf_cells(
     Tie-break in both paths: equal similarity → larger cid wins (the
     struct-max ordering of the expr form, emulated in the pandas form by
     ordering centroid columns by cid descending before argmax).
+    ``round_to`` rounds each similarity before the argmax so the
+    assignment is reproducible by an external engine computing cosine
+    with a different accumulation order (semantic_dedup's oracle).
     """
     cents = (
         _collected_centroids
@@ -103,12 +111,14 @@ def assign_ivf_cells(
 
     if method == "expr":
         v = to_double_array(vec_col)
+
+        def _sim(cvec):
+            s = cosine_similarity(v, F.array(*[F.lit(float(x)) for x in cvec]))
+            return F.round(s, round_to) if round_to is not None else s
+
         scored = F.array(
             *[
-                F.struct(
-                    cosine_similarity(v, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
-                    F.lit(int(cid)).alias("c"),
-                )
+                F.struct(_sim(cvec).alias("s"), F.lit(int(cid)).alias("c"))
                 for cid, cvec in cents
             ]
         )
@@ -139,6 +149,8 @@ def assign_ivf_cells(
             Vn = V / np.where(vnorm > 0.0, vnorm, 1.0)[:, None]
             Vn[vnorm == 0.0] = 0.0  # zero vector → all sims 0, max-cid cell
             sims = Vn @ matn_.T  # batch × K
+            if round_to is not None:
+                sims = np.round(sims, round_to)
             yield pd.Series(cids_[np.argmax(sims, axis=1)], dtype="int64").astype("int32")
 
     return df.withColumn("cell", _cell(to_double_array(vec_col)))

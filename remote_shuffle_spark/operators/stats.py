@@ -132,3 +132,50 @@ def hll_distinct_rollup(
         )
         .orderBy("scope")
     )
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str, *, round_to: int = 6
+) -> DataFrame:
+    """Pearson chi-square test of independence for two categorical
+    columns — the dataset-audit primitive for "is the label balanced
+    across sources / languages / shards".
+
+    Plan shape: ONE combinable count aggregation over (row, col) builds
+    the contingency table (cardinality = |rows| x |cols|, ≪ corpus);
+    marginals and the statistic are computed over that tiny table
+    (window-free: marginals are two more small aggregations joined back,
+    broadcast by AQE).  The corpus is read once.
+
+    Determinism: observed/marginal counts are exact integers; each cell's
+    (O-E)^2/E term is one double expression rounded to ``round_to`` and
+    summed as DECIMAL (order-independent), so the statistic is
+    bit-identical across engines.  Returns one row:
+    (n, n_rows, n_cols, dof, chi2).
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_tot = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    col_tot = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    # the statistic sums over EVERY (r, c) cell of the table, including
+    # unobserved ones (O=0 still contributes E): build the full grid from
+    # the two marginal tables, then left-join the observed counts
+    expected = (
+        row_tot.crossJoin(col_tot)
+        .join(cells, ["r", "c"], "left_outer")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", F.col("rt") * F.col("ct") / F.col("n"))
+    )
+    term = F.round(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), round_to
+    ).cast("decimal(28,6)")
+    return expected.agg(
+        F.max("n").alias("n"),
+        F.count_distinct("r").alias("n_rows"),
+        F.count_distinct("c").alias("n_cols"),
+        ((F.count_distinct("r") - 1) * (F.count_distinct("c") - 1)).alias("dof"),
+        F.sum(term).cast("double").alias("chi2"),
+    )
