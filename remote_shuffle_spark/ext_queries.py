@@ -2106,3 +2106,80 @@ def ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chi_square_independence(docs, "lang", "source")
+
+
+@declared(
+    "ext_rolling_time_window",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS cnt_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+    )
+    ORDER BY event_id
+    """,
+    tags=("ext", "window", "events"),
+)
+def ext_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour event count and value sum — the time-based
+    RANGE frame (q46 covers the numeric one).  Spark expresses the
+    interval frame as rangeBetween over epoch microseconds; one exchange
+    on user_id, frame peers (equal timestamps) included identically in
+    both engines, value summed as DECIMAL so the rolling double is
+    order-independent."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("cnt_1h"),
+            F.sum(dec("value")).over(w).cast("double").alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@declared(
+    "ext_per_key_sample",
+    oracle="""
+    SELECT event_type, event_id FROM (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY (event_id * 2654435761 + 97) % 999983, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 4
+    ORDER BY event_type, event_id
+    """,
+    tags=("ext", "sampling"),
+)
+def ext_per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample per key (k=4 per event_type):
+    row_number over a salted-congruential order — the per-stratum
+    debugging/eyeball sample every pipeline needs, replayable because the
+    variate is a pure function of the id (production would use
+    xxhash64(id, salt); the congruence is pinned for external replay).
+    One exchange on the key; the rank prunes before any collection."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    u = F.pmod(F.col("event_id") * 2654435761 + 97, F.lit(999983))
+    rn = F.row_number().over(W.partitionBy("event_type").orderBy(u, "event_id"))
+    return (
+        events.withColumn("rn", rn)
+        .filter(F.col("rn") <= 4)
+        .select("event_type", "event_id")
+        .orderBy("event_type", "event_id")
+    )
