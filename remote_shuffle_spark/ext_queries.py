@@ -2183,3 +2183,64 @@ def ext_per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id")
         .orderBy("event_type", "event_id")
     )
+
+
+@declared(
+    "ext_hopping_window",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS w0
+      FROM events
+    ), w AS (
+      SELECT event_type, unnest([w0, w0 - 900]) AS window_start_s FROM x
+    )
+    SELECT window_start_s, event_type, COUNT(*) AS n
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("ext", "window", "events"),
+)
+def ext_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (30-minute windows sliding every 15):
+    F.window explodes each event into its size/slide = 2 overlapping
+    windows — the batch form of the streaming sliding window, same
+    generator+combinable-count plan either way.  Window starts are
+    emitted as epoch seconds so both engines compare integers, not
+    timezone renderings."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "30 minutes", "15 minutes")
+    return (
+        events.select(win.alias("w"), "event_type")
+        .select(
+            (F.unix_micros(F.col("w.start")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("window_start_s"),
+            "event_type",
+        )
+        .groupBy("window_start_s", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("window_start_s", "event_type")
+    )
+
+
+@declared(
+    "ext_stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY view_id, purchase_id
+    """,
+    tags=("ext", "streaming", "join"),
+)
+def ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: purchases
+    attributed to same-user views within a 1-hour horizon
+    (streaming/join.py:view_purchase_attribution — watermarks on both
+    sides plus the time-band condition bound the join state).  Oracle is
+    the batch self-join over the same finite input."""
+    from remote_shuffle_spark.streaming.join import view_purchase_attribution
+
+    return view_purchase_attribution(spark, sf_dir)

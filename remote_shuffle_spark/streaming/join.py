@@ -1,0 +1,85 @@
+"""Stream-stream time-bounded join (EXT) — the last of Spark's streaming
+join surfaces alongside windowed aggregation, dedup, sessionization, and
+stream-static enrichment (the reference has zero streaming; SURVEY §2.3).
+
+The canonical shape: attribute each purchase to the views that preceded
+it within an attribution horizon.  Both sides are streams; Spark keeps a
+watermark-bounded state store per side and emits a row the micro-batch
+both halves have arrived in.  The event-time range condition is what lets
+the engine EVICT state — without it (or without watermarks) the state
+grows forever, which is the #1 production streaming-join failure; at
+100 TB/day the horizon bounds state to horizon × arrival-rate per side.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def view_purchase_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    horizon_minutes: float = 60.0,
+    watermark: str = "2 hours",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """views ⋈ purchases per user within ``horizon_minutes``: inner
+    stream-stream join with watermarks on both sides and the event-time
+    band ``view.ts <= purchase.ts <= view.ts + horizon`` as a join
+    condition (state eviction bound).  Returns the drained result
+    (user_id, view_id, purchase_id), oracle-comparable to the batch
+    self-join over the same finite input.
+    """
+    from remote_shuffle_spark.sources.tables import table_path
+    from remote_shuffle_spark.streaming.source import (
+        event_time,
+        file_stream_dir,
+        stream_session,
+    )
+
+    scoped = stream_session(spark, state_partitions)
+    path = table_path(sf_dir, "events")
+    batch = scoped.read.parquet(path)
+    stream_dir = file_stream_dir(path)
+
+    def _side(kind: str, prefix: str) -> DataFrame:
+        s = (
+            scoped.readStream.schema(batch.schema)
+            .parquet(stream_dir)
+            .withColumn("ts", event_time(dict(batch.dtypes).get("ts")))
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+        return s.withWatermark(f"{prefix}_ts", watermark)
+
+    views = _side("view", "v")
+    purchases = _side("purchase", "p")
+    horizon = f"interval {int(horizon_minutes * 60)} seconds"
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + {horizon}"
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+    )
+    name = f"stream_attrib_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return scoped.table(name).orderBy("view_id", "purchase_id")

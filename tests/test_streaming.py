@@ -256,3 +256,58 @@ def test_stream_static_enrich_updates_per_microbatch(spark):
     assert first == {"A": (1, 1.0), "B": (1, 2.0)}
     # batch 2 folded in; the dimensionless user 99 dropped by the inner join
     assert second == {"A": (3, 16.0), "B": (1, 2.0)}
+
+
+def test_stream_stream_join_matches_across_microbatches(spark):
+    # a view in micro-batch 1 must still join a purchase arriving in
+    # micro-batch 2 (the joy of stateful stream-stream joins), and a
+    # purchase outside the horizon must not match.
+    stream_dir = os.path.join(tempfile.gettempdir(), f"ss_join_{uuid.uuid4().hex[:8]}")
+    minute = 60 * 1_000_000
+    base = 1_000_000_000 * 1_000_000  # 2001-09-09: clear of the initial watermark's epoch 0
+
+    def write_events(rows):  # (event_id, user_id, t_us, type)
+        spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, t_us bigint, event_type string"
+        ).select(
+            "event_id", "user_id", F.timestamp_micros("t_us").alias("ts"), "event_type"
+        ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    write_events([(1, 7, base, "view"), (2, 7, base + 10 * minute, "purchase")])
+
+    def side(kind, prefix):
+        # NOTE: events must sit ABOVE epoch 0 — the initial watermark is
+        # 1970-01-01, and rows at/below the watermark count as late and
+        # are silently dropped from join state (first debug of this test)
+        stream = spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp, event_type string"
+        ).parquet(stream_dir)
+        return (
+            stream.filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    joined = side("view", "v").join(
+        side("purchase", "p"),
+        F.expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 3600 seconds"),
+        "inner",
+    ).select("v_id", "p_id")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: an in-horizon purchase (joins the batch-1 view) and an
+        # out-of-horizon one (ignored)
+        write_events(
+            [(3, 7, base + 50 * minute, "purchase"), (4, 7, base + 120 * minute, "purchase")]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.v_id, r.p_id) for r in spark.table(name).collect()}
+    assert got == {(1, 2), (1, 3)}
