@@ -2244,3 +2244,74 @@ def ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.streaming.join import view_purchase_attribution
 
     return view_purchase_attribution(spark, sf_dir)
+
+
+@declared(
+    "ext_fuzzy_join",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey AS k, c_name AS t,
+             len(c_name) AS blen, substr(c_name, 1, 16) AS bpre
+      FROM customer
+    ), sized AS (
+      SELECT blen, bpre, COUNT(*) AS bsize FROM b GROUP BY 1, 2
+    ), bounded AS (
+      SELECT b.* FROM b JOIN sized USING (blen, bpre)
+      WHERE sized.bsize BETWEEN 2 AND 512
+    )
+    SELECT a.k AS id_a, p.k AS id_b, levenshtein(a.t, p.t) AS dist
+    FROM bounded a JOIN bounded p
+      ON a.blen = p.blen AND a.bpre = p.bpre AND a.k < p.k
+    WHERE levenshtein(a.t, p.t) <= 1
+    ORDER BY id_a, id_b
+    """,
+    tags=("ext", "join", "fuzzy"),
+)
+def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join over customer names: candidates share
+    (length, 16-char prefix), verified with exact Levenshtein ≤ 1
+    (operators/joins.py:fuzzy_self_join_blocked).  The oracle applies the
+    SAME blocking, so the approximate-by-construction recall is part of
+    the pinned contract."""
+    from remote_shuffle_spark.operators.joins import fuzzy_self_join_blocked
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_self_join_blocked(cust, "c_custkey", "c_name").orderBy("id_a", "id_b")
+
+
+@declared(
+    "ext_event_debounce",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS prev_ts
+      FROM events
+    )
+    SELECT event_id FROM lagged
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 10 MINUTES
+    ORDER BY event_id
+    """,
+    tags=("ext", "events", "dedup"),
+)
+def ext_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: keep an event only if the previous event of the
+    same (user, type) is more than 10 minutes older — one LAG window over
+    the (user, type) exchange, a pure-expression filter, no state beyond
+    the window sort.  (The chained variant — measure from the last KEPT
+    event — is sessionize_batch's gap logic; this is the standard
+    window-lag throttle.)"""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(
+        W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    )
+    return (
+        events.withColumn("prev_us", prev)
+        .filter(F.col("prev_us").isNull() | (us - F.col("prev_us") > 600_000_000))
+        .select("event_id")
+        .orderBy("event_id")
+    )

@@ -145,3 +145,53 @@ def range_join(
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
     return out
+
+
+def fuzzy_self_join_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_prefix: int = 16,
+    max_distance: int = 1,
+    max_block_size: int = 512,
+) -> DataFrame:
+    """Blocked fuzzy self-join: pairs of rows whose ``text_col`` values are
+    within ``max_distance`` Levenshtein edits — the entity-resolution /
+    record-linkage primitive.
+
+    Candidate pairs come only from rows sharing (length, ``block_prefix``-
+    char prefix): an equi-join Catalyst shuffles on the block key, never a
+    cross join.  Blocking is approximate BY CONSTRUCTION — a pair editing
+    inside the prefix is unseen (raise recall with additional blocking
+    passes, e.g. a suffix block, and union).  Oversized blocks are dropped
+    like the LSH dedups' hot buckets (``max_block_size``), keeping worst-
+    case pair counts bounded at any corpus size.  Verification is exact
+    ``levenshtein`` (JVM expression) on candidates only.  Returns
+    (id_a, id_b, dist), id_a < id_b.
+    """
+    blocked = df.select(
+        F.col(id_col).alias("k"),
+        F.col(text_col).alias("t"),
+        F.struct(
+            F.length(text_col).alias("len"),
+            F.substring(text_col, 1, block_prefix).alias("pre"),
+        ).alias("block"),
+    )
+    sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("bsize"))
+    bounded = blocked.join(
+        sizes.filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_block_size)),
+        "block",
+    )
+    a = bounded.select("block", F.col("k").alias("id_a"), F.col("t").alias("t_a"))
+    b = bounded.select("block", F.col("k").alias("id_b"), F.col("t").alias("t_b"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("t_a"), F.col("t_b")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_distance)
+    )

@@ -110,3 +110,30 @@ def test_range_join_rejects_bad_bounds(spark, trades_quotes):
             trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
             lower_us=10, upper_us=10, right_values=[],
         )
+
+
+def test_fuzzy_self_join_blocked_planted(spark):
+    from remote_shuffle_spark.operators.joins import fuzzy_self_join_blocked
+
+    rows = [
+        (1, "alpha-record-000x"),
+        (2, "alpha-record-000y"),   # dist 1 to id 1, same block -> found
+        (3, "alpha-record-0zzz"),   # dist 3 to id 1 -> filtered by verify
+        (4, "Alpha-record-000x"),   # edit INSIDE the 16-char prefix -> different block, unseen
+        (5, "beta"),                # different length -> different block
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join_blocked(df, "id", "name").collect()
+    }
+    assert got == {(1, 2, 1)}
+
+
+def test_fuzzy_self_join_hot_block_guard(spark):
+    from remote_shuffle_spark.operators.joins import fuzzy_self_join_blocked
+
+    # 5 identical-prefix rows with a block cap of 4 -> block dropped whole
+    rows = [(i, f"same-prefix-van-{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    assert fuzzy_self_join_blocked(df, "id", "name", max_block_size=4).count() == 0
