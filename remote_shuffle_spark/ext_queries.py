@@ -2315,3 +2315,49 @@ def ext_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id")
         .orderBy("event_id")
     )
+
+
+@declared(
+    "ext_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("ext", "agg", "incremental"),
+)
+def ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the BASE partition (orders
+    before 1998) is aggregated separately from the DELTA (1998 onward),
+    then the two partial states are MERGED algebraically — count by sum,
+    sum by sum, max by max — exactly the combiner contract the
+    reference's Aggregator triple implements per shuffle block
+    (RH/.../RemoteAppendOnlyMap mergeValue/mergeCombiners; SURVEY §2.1
+    P6/P7).  The oracle aggregates the union directly, so the check pins
+    merge(partial(base), partial(delta)) == full — the algebraic-rollup
+    property every nightly-refresh pipeline relies on instead of
+    rescanning history.  Decimal sums make the merge order-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("total_dec"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_dec").cast("double").alias("total"),
+            F.max("max_price").cast("double").alias("max_price"),
+        )
+    )
+    return merged.orderBy("o_orderpriority")
