@@ -199,3 +199,80 @@ def test_q53_gap_fill_spine_is_generated_not_collected(spark, sf_smoke):
     plan = explain.physical_plan(df)
     assert "Generate" in plan and "explode" in plan
     assert "BatchEvalPython" not in plan and "Scan ExistingRDD" not in plan
+
+
+def test_q62_exists_plans_as_semi_join_with_pushed_dates(spark, sf_smoke):
+    """TPC-H Q4 shape: EXISTS must become LEFT SEMI (one row per order
+    regardless of matching lineitems) with the quarter filter pushed to
+    the orders scan."""
+    import remote_shuffle_spark.tpch_queries  # noqa: F401
+
+    df = REGISTRY["q62_order_priority_exists"].fn(spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan
+
+
+def test_q66_correlated_avg_decorrelates_without_cartesian(spark, sf_smoke):
+    """TPC-H Q17 shape: the per-part AVG must become an aggregate joined
+    on partkey — never a nested-loop re-aggregation per probe row."""
+    import remote_shuffle_spark.tpch_queries  # noqa: F401
+
+    df = REGISTRY["q66_small_quantity_revenue"].fn(spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # filtered brand dim broadcasts
+
+
+def test_q67_aggregates_before_joining_back(spark, sf_smoke):
+    """TPC-H Q18 shape: the HAVING aggregation must sit BELOW the joins
+    in the plan (qualifying orderkeys computed first, then joined up)."""
+    import remote_shuffle_spark.tpch_queries  # noqa: F401
+
+    df = REGISTRY["q67_large_volume_orders"].fn(spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    # top-k never global-sorts
+    assert "TakeOrdered" in plan
+    # formatted plans print root-first: the joins (parents) must appear
+    # BEFORE the HashAggregate in text, i.e. the aggregate is their child
+    # and therefore executes first
+    first_join = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin")) if p != -1
+    )
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1 and first_join < first_agg
+
+
+def test_q68_disjunction_pushes_join_key_and_supports(spark, sf_smoke):
+    """TPC-H Q19 shape: the OR branches share the partkey equi-join;
+    the plan must be a hash join (key extracted), not a cartesian with a
+    post-filter."""
+    import remote_shuffle_spark.tpch_queries  # noqa: F401
+
+    df = REGISTRY["q68_disjunctive_revenue"].fn(spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark, sf_smoke):
+    """Record linkage must candidate-generate via the block equi-join —
+    any cartesian in the plan means blocking silently broke."""
+    from remote_shuffle_spark.operators.joins import fuzzy_self_join_blocked
+
+    cust = load_table(spark, sf_smoke, "customer")
+    df = fuzzy_self_join_blocked(cust, "c_custkey", "c_name")
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_narrows_without_window_over_corpus(spark, sf_smoke):
+    """The funnel is filtered aggregations + joins on user_id — no Window
+    operator over the full events table."""
+    from remote_shuffle_spark.operators.funnel import funnel_counts
+
+    events = load_table(spark, sf_smoke, "events")
+    df = funnel_counts(events, ("view", "click", "purchase"))
+    plan = explain.physical_plan(df)
+    assert "Window" not in plan
+    assert "PushedFilters" in plan  # step filters reach the scans
