@@ -269,16 +269,19 @@ def bigram_lm_scores(
         .agg(F.count(F.lit(1)).alias("c_ctx"))
     )
     p = (F.col("c_bi") + alpha) / (F.col("c_ctx") + alpha * F.col("v"))
-    neglog = F.round(-F.log(p), 6).cast("decimal(28,6)")
-    scored = (
-        doc_bi.join(bi_counts, "gram")
-        .withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+    # P(w2|w1) depends only on gram-level counts, so fold the LM into ONE
+    # per-gram probability table first (bigram-vocabulary-sized joins) and
+    # join the corpus-sized exploded stream a single time, not twice
+    gram_p = (
+        bi_counts.withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
         .join(ctx_counts, "w1")
         .crossJoin(F.broadcast(vocab))
+        .select("gram", F.round(-F.log(p), 6).cast("decimal(28,6)").alias("neglog"))
     )
+    scored = doc_bi.join(gram_p, "gram")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        (F.sum(neglog).cast("double") / F.count(F.lit(1))).alias("avg_neg_logprob"),
+        (F.sum("neglog").cast("double") / F.count(F.lit(1))).alias("avg_neg_logprob"),
     )
 
 
