@@ -211,6 +211,74 @@ def main():
             },
         )
     )
+    # round-3 operators
+    from remote_shuffle_spark.operators.funnel import funnel_counts
+    from remote_shuffle_spark.operators.stats import chi_square_independence
+    from remote_shuffle_spark.operators.text import bigram_lm_scores, bm25_scores
+
+    n_vec = int(200_000 * s)
+    k_cells = max(16, int(n_vec ** 0.5))  # docs/scale.md: K ~ sqrt(corpus)
+    results.append(
+        probe(
+            f"semantic_dedup_{n_vec}_vecs_K{k_cells}",
+            lambda: {
+                "kept": dedup.semantic_dedup(
+                    emb, "vec_id", "embedding",
+                    threshold=0.95, num_cells=k_cells, max_cell_size=4096,
+                ).count()
+            },
+        )
+    )
+    results.append(
+        probe(
+            "bm25_200k_docs",
+            lambda: {
+                "scored": bm25_scores(
+                    docs, "doc_id", "text", ("w1", "w2", "w3", "w4")
+                ).count()
+            },
+        )
+    )
+    results.append(
+        probe(
+            "bigram_lm_200k_docs",
+            lambda: {"scored": bigram_lm_scores(docs, "doc_id", "text").count()},
+        )
+    )
+    results.append(
+        probe(
+            "funnel_5m_events",
+            lambda: {
+                "steps": funnel_counts(events, ("view", "click", "error")).collect()[0].asDict()
+            },
+        )
+    )
+    names = docs.select(
+        "doc_id",
+        F.concat(F.lit("entity-record-"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("nm"),
+    )
+    results.append(
+        probe(
+            "fuzzy_join_200k_names",
+            lambda: {
+                "pairs": joins.fuzzy_self_join_blocked(
+                    names, "doc_id", "nm", block_prefix=19, max_distance=1
+                ).count()
+            },
+        )
+    )
+    ev_labeled = events.select(
+        "event_type", F.pmod(F.xxhash64("event_id", F.lit(3)), F.lit(20)).alias("shard")
+    )
+    results.append(
+        probe(
+            "chi_square_5m_events",
+            lambda: {
+                "chi2": chi_square_independence(ev_labeled, "event_type", "shard")
+                .collect()[0].chi2
+            },
+        )
+    )
     print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
 
 
