@@ -92,3 +92,23 @@ print(json.dumps(df.select("window_start").limit(1).collect()[0].window_start))
         "FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
     ).fetchone()[0]
     assert first == expect
+
+
+def test_update_driver_verified_matches_current_set():
+    """The helper's output over r01+r02 must be a superset of the
+    hand-maintained DRIVER_VERIFIED (q29 deliberately absent: its r2 row
+    was rows-only, so it rotated back into the unverified window)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from update_driver_verified import verified_names
+
+    from remote_shuffle_spark.queries import DRIVER_VERIFIED
+
+    names = set(verified_names())
+    assert DRIVER_VERIFIED <= names | {"q29_approx_agg"}
+    # every name the helper reports exists in the registry
+    import remote_shuffle_spark.ext_queries  # noqa: F401
+    from remote_shuffle_spark.queries import REGISTRY
+
+    assert names <= set(REGISTRY)
