@@ -341,3 +341,117 @@ def q69_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@declared(
+    "q70_grouping_id",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+    tags=("tpch", "agg", "rollup"),
+)
+def q70_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING_ID: the bitmask distinguishes a genuine NULL
+    grouping value from a subtotal row — the part of the cube surface
+    q21/q25 don't pin.  Same single Expand+aggregate plan as plain
+    rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+@declared(
+    "q71_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS ym,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT ym, rev,
+           LAG(rev) OVER (ORDER BY ym) AS prev_rev,
+           CAST(ROUND(CASE WHEN LAG(rev) OVER (ORDER BY ym) > 0
+                THEN (rev - LAG(rev) OVER (ORDER BY ym))
+                     / LAG(rev) OVER (ORDER BY ym) * 100 END, 6) AS DOUBLE)
+             AS growth_pct
+    FROM monthly ORDER BY ym
+    """,
+    tags=("tpch", "window", "timeseries"),
+)
+def q71_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: bucket to month (combinable
+    decimal agg — ~80 rows), then LAG over the tiny monthly series.  The
+    window's single partition is fine BECAUSE it runs on the aggregate,
+    never the corpus — the pattern that keeps 'global' time series cheap
+    at any scale.  Growth is one double expression rounded to 6 dp."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    monthly = (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyyMM").cast("long").alias("ym")
+        )
+        .agg(dsum("o_totalprice", "rev"))
+    )
+    w = W.orderBy("ym")
+    prev = F.lag("rev").over(w)
+    return (
+        monthly.select(
+            "ym",
+            "rev",
+            prev.alias("prev_rev"),
+            F.round(
+                F.when(prev > 0, (F.col("rev") - prev) / prev * 100), 6
+            ).alias("growth_pct"),
+        )
+        .orderBy("ym")
+    )
+
+
+@declared(
+    "q72_union_by_name",
+    oracle="""
+    SELECT k, src, n FROM (
+      SELECT o_orderpriority AS k, 'orders' AS src, COUNT(*) AS n
+      FROM orders GROUP BY 1
+      UNION ALL BY NAME
+      SELECT 'returns:' || l_returnflag AS k, COUNT(*) AS n, 'lineitem' AS src
+      FROM lineitem GROUP BY l_returnflag
+    ) ORDER BY src, k
+    """,
+    tags=("tpch", "setops"),
+)
+def q72_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across differently-ordered schemas — the schema-drift-
+    tolerant append every multi-source pipeline needs (positional UNION
+    would silently cross-wire columns here)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = orders.groupBy(F.col("o_orderpriority").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select("k", F.lit("orders").alias("src"), "n")
+    b = li.groupBy(
+        F.concat(F.lit("returns:"), F.col("l_returnflag")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n")).select("k", "n", F.lit("lineitem").alias("src"))
+    return a.unionByName(b).orderBy("src", "k")
