@@ -2361,3 +2361,98 @@ def ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("o_orderpriority")
+
+
+@declared(
+    "ext_skew_report",
+    oracle="""
+    WITH sizes AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(quantile_cont(cnt, 0.50), 4) AS p50,
+           ROUND(quantile_cont(cnt, 0.90), 4) AS p90,
+           ROUND(quantile_cont(cnt, 0.99), 4) AS p99,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 4) AS skew_factor
+    FROM sizes
+    """,
+    tags=("ext", "stats", "skew"),
+)
+def ext_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic: the distribution of per-key group sizes
+    (count quantiles, max, and max/mean skew factor) — the measurement a
+    user runs BEFORE choosing salting / AQE skew-join thresholds, i.e.
+    the engine-level view of the reference's spill-first skew concern.
+    Two combinable aggregations; the quantile sort runs over key-
+    cardinality rows, never the corpus."""
+    events = load_table(spark, sf_dir, "events")
+    sizes = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    pct = F.percentile("cnt", F.array(F.lit(0.50), F.lit(0.90), F.lit(0.99)))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.element_at(pct, 1), 4).alias("p50"),
+        F.round(F.element_at(pct, 2), 4).alias("p90"),
+        F.round(F.element_at(pct, 3), 4).alias("p99"),
+        F.round(
+            F.max("cnt").cast("double") * F.count(F.lit(1)) / F.sum("cnt"), 4
+        ).alias("skew_factor"),
+    )
+
+
+@declared(
+    "ext_kfold_split",
+    oracle="""
+    SELECT (doc_id * 2654435761 + 11) % 5 AS fold,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY 1 ORDER BY fold
+    """,
+    tags=("ext", "pipeline", "sampling"),
+)
+def ext_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k=5) for cross-validation /
+    sharded eval: the fold is a pure function of the id (salted
+    congruence pinned for external replay; production uses
+    xxhash64(id, salt) % k), so folds are stable across runs and
+    machines with zero stored state.  One combinable aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(F.col("doc_id") * 2654435761 + 11, F.lit(5))
+    return (
+        docs.groupBy(fold.alias("fold"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+        .orderBy("fold")
+    )
+
+
+@declared(
+    "ext_label_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), tot AS (SELECT SUM(cnt) AS n FROM c)
+    SELECT COUNT(*) AS n_labels,
+           CAST(SUM(CAST(ROUND(-(cnt / tot.n) * ln(cnt / tot.n), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+    FROM c CROSS JOIN tot
+    """,
+    tags=("ext", "stats", "audit"),
+)
+def ext_label_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language distribution — the class-balance
+    audit for dataset mixing (low entropy → one language dominates).
+    One combinable count to label cardinality; per-label terms rounded
+    then decimal-summed so the double is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    term = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_labels"),
+            F.sum(term).cast("double").alias("entropy"),
+        )
+    )
