@@ -184,7 +184,9 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_text_stats",
     oracle=f"""
     SELECT lang, COUNT(*) AS n_docs,
-           CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN len({_NORM}) = 0 THEN 0
+                         ELSE len(string_split({_NORM}, ' ')) END) AS BIGINT)
+             AS total_tokens,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,

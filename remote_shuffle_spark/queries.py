@@ -996,7 +996,7 @@ def q33_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
            array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS first3,
-           CAST(list_aggregate(list_transform(toks, t -> strlen(t)), 'max') AS BIGINT)
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'max') AS BIGINT)
              AS max_tok_len
     FROM (
       SELECT doc_id,
