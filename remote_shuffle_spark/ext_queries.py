@@ -139,7 +139,12 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_similarity_topk",
     oracle="""
     SELECT e.vec_id,
-           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+           -- zero-norm candidates score 0.0 (the operator's guard), not
+           -- the NaN/NULL DuckDB's cosine yields on a zero vector
+           ROUND(CASE WHEN list_aggregate(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                                         x -> x * x), 'sum') > 0
+                      THEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                      ELSE 0.0 END, 6) AS cos_sim
     FROM embeddings e,
          (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) q
     ORDER BY cos_sim DESC, e.vec_id
@@ -822,13 +827,17 @@ def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "ext_vector_normalize",
     oracle="""
-    SELECT vec_id,
-           ROUND(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
-                                                    x -> x * x), 'sum')), 6) AS norm,
-           ROUND(embedding[1] / sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
-                                                                   x -> x * x), 'sum')), 6)
-             AS first_unit
-    FROM embeddings ORDER BY vec_id
+    WITH n AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e1,
+             sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x * x), 'sum')) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id, ROUND(nrm, 6) AS norm,
+           -- zero vector: l2_normalize returns the vector unchanged, so
+           -- the first component passes through instead of dividing 0/0
+           ROUND(CASE WHEN nrm > 0 THEN e1 / nrm ELSE e1 END, 6) AS first_unit
+    FROM n ORDER BY vec_id
     """,
     tags=("ext", "similarity"),
 )

@@ -76,3 +76,91 @@ def test_documents_oracle_survives_edge_corpus(spark, edge_dir, name):
         con.close()
     res = compare_frames(name, spark_pdf, oracle_pdf)
     assert res.ok, res.detail
+
+
+EDGE_EMBEDDINGS = [
+    # (vec_id, embedding, label) — dim 8 to keep the math visible
+    (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),
+    (2, [0.0] * 8, 1),                                  # ZERO vector
+    (3, [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 1),  # antiparallel to 0
+    (4, [1e-30] * 8, 2),                                 # denormal-ish tiny
+    (5, [0.5] * 8, 2),
+]
+
+EDGE_EVENTS = [
+    # (event_id, ts_us, user_id, event_type, value, props) — timestamp
+    # ties, sparse users, and edge JSON (missing key, null key, empty obj)
+    (0, 1_000_000_000_000_000, 1, "view", 1.0, '{"k": 5}'),
+    (1, 1_000_000_000_000_000, 1, "click", 2.0, '{"k": 0}'),   # same instant as the view
+    (2, 1_000_000_000_000_000, 1, "purchase", 3.0, "{}"),      # same instant; no key
+    (3, 1_000_000_600_000_000, 1, "purchase", 4.0, '{"k": null}'),
+    (4, 1_000_000_000_000_000, 2, "view", 5.0, '{"other": 1}'),  # single-event user
+    (5, 1_000_003_600_000_000, 3, "view", 6.0, '{"k": -3}'),
+    (6, 1_000_003_600_000_000, 3, "view", 6.0, '{"k": -3}'),   # full duplicate row values
+    (7, 1_000_007_200_000_000, 3, "purchase", 0.0, '{"k": 9}'),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_vec_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_vec_sf")
+    for name in TABLES:
+        if name in ("embeddings", "events"):
+            continue
+        shutil.copy(
+            table_path("/root/testdata/sf0.001", name),
+            os.path.join(str(d), f"{name}.parquet"),
+        )
+    emb = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in EDGE_EMBEDDINGS], pa.int64()),
+            "embedding": pa.array([r[1] for r in EDGE_EMBEDDINGS], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in EDGE_EMBEDDINGS], pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(str(d), "embeddings.parquet"))
+    ev = pd.DataFrame(
+        [
+            {
+                "event_id": e,
+                "ts": pd.Timestamp(t, unit="us"),
+                "user_id": u,
+                "event_type": k,
+                "value": v,
+                "props": p,
+            }
+            for e, t, u, k, v, p in EDGE_EVENTS
+        ]
+    )
+    ev.to_parquet(os.path.join(str(d), "events.parquet"), index=False)
+    return str(d)
+
+
+def _vec_event_query_names() -> list[str]:
+    oracles = entrymod.oracle_sql()
+    picked = set()
+    for n, sql in oracles.items():
+        if "embeddings" in sql or "FROM events" in sql or "JOIN events" in sql:
+            picked.add(n)
+    # streaming queries run real micro-batch drains — they read events via
+    # the symlink stream dir and are covered by their own multi-batch
+    # tests; keep this suite batch-only for runtime
+    return sorted(n for n in picked if not n.startswith("ext_stream"))
+
+
+@pytest.mark.parametrize("name", _vec_event_query_names())
+def test_vector_event_oracle_survives_edge_fixtures(spark, edge_vec_dir, name):
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    con = duckdb_connection(edge_vec_dir)
+    try:
+        spark_pdf = fn(spark, edge_vec_dir).toPandas()
+        oracle_pdf = con.execute(sql).df()
+    finally:
+        con.close()
+    res = compare_frames(name, spark_pdf, oracle_pdf)
+    assert res.ok, res.detail
