@@ -2467,3 +2467,56 @@ def ext_label_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("double").alias("entropy"),
         )
     )
+
+
+@declared(
+    "ext_event_runs",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS grp
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type, grp, COUNT(*) AS run_len
+      FROM ordered GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           COUNT(*) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(SUM(run_len) AS BIGINT) AS total_events
+    FROM runs GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ext", "window", "events"),
+)
+def ext_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events per
+    user via the classic row_number-difference grouping (two window
+    ranks over the same exchange — Catalyst plans ONE user_id exchange,
+    the second rank only re-sorts within partitions), then run-length
+    stats per type.  The pattern behind streak analysis, downtime
+    detection, and consecutive-failure alerts."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    rn_all = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    rn_typ = F.row_number().over(
+        W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    )
+    runs = (
+        events.select(
+            "user_id", "event_type", (rn_all - rn_typ).alias("grp")
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("longest_run"),
+            F.sum("run_len").alias("total_events"),
+        )
+        .orderBy("event_type")
+    )
