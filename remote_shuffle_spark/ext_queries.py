@@ -370,7 +370,7 @@ def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "ext_bloom_semi_join",
     oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey) AS key_checksum
+    SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer
                         WHERE c_mktsegment = 'BUILDING')
@@ -406,7 +406,7 @@ def ext_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "ext_bloom_anti_join",
     oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n, SUM(c_custkey) AS key_checksum
+    SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
     FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                             WHERE o_orderpriority = '1-URGENT')
@@ -541,7 +541,7 @@ _SPLIT_T2 = 0.8 + 0.1
     SELECT CASE WHEN u < {_SPLIT_T1!r} THEN 'train'
                 WHEN u < {_SPLIT_T2!r} THEN 'valid'
                 ELSE 'test' END AS split,
-           COUNT(*) AS n, SUM(doc_id) AS id_checksum
+           COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM u GROUP BY 1 ORDER BY 1
     """,
     tags=("ext", "pipeline"),
@@ -628,7 +628,7 @@ def ext_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_pack_greedy",
     oracle=f"""
     SELECT COUNT(*) AS n_docs,
-           SUM(doc_id) AS id_checksum,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
            CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS total_tokens,
            CAST(0 AS BIGINT) AS n_overfull_seqs,
            CAST(0 AS BIGINT) AS n_bad_pos_seqs
@@ -1494,7 +1494,7 @@ _Z_DIMS = [("user_id", 0.0, 150.0), ("value", 0.0, 500.0)]
       SELECT event_type, {_zorder_oracle(8, _Z_DIMS)} AS zkey FROM events
     )
     SELECT event_type, COUNT(*) AS n,
-           MIN(zkey) AS z_min, MAX(zkey) AS z_max, SUM(zkey) AS z_checksum
+           MIN(zkey) AS z_min, MAX(zkey) AS z_max, CAST(SUM(zkey) AS BIGINT) AS z_checksum
     FROM z GROUP BY event_type ORDER BY event_type
     """,
     tags=("ext", "layout"),

@@ -53,31 +53,45 @@ def declared(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Names already hard-verified by the driver's external DuckDB oracle in a
-# previous round (CORRECTNESS_r01/r02: all pass).  The driver's correctness
+# previous round (CORRECTNESS_r01/r02/r03).  The driver's correctness
 # gate checks the FIRST 50 registry entries positionally, so `queries()`
 # orders never-externally-checked queries first (oracled ones ahead of
 # rows-only ones) to maximize fresh hard-oracle coverage each round.
-# After round 3's gate runs, fold its green names into this set.
+# After each round's gate runs, fold its green names into this set
+# (scripts/update_driver_verified.py prints the literal).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
-    "q01_scan_filter_agg", "q02_repartition", "q03_repartition_empty",
-    "q04_global_sort", "q05_groupby_aqe", "q06_tpch_q1",
-    "q07_groupbykey_collect", "q08_distinct", "q09_count_distinct",
-    "q10_sort_merge_join", "q11_broadcast_join", "q12_semi_join",
-    "q13_anti_join", "q14_multistage", "q15_skew_groupby", "q16_null_keys",
-    "q17_window_topk", "q18_union_distinct", "q19_intersect", "q20_except",
-    "q21_rollup", "q22_pivot", "q23_json_scalar", "q24_date_parts",
-    "q25_cube", "q26_string_funcs", "q27_explode_unnest", "q28_percentiles",
-    # q29_approx_agg deliberately absent: its r2 row was rows-only
-    # (no_oracle); now that it carries an exact-invariant oracle it should
-    # sort into the unverified window for a hard check.
-    "q30_math_funcs", "q31_window_running",
-    "q32_grouping_sets", "q33_scalar_subquery", "q34_array_funcs",
-    "q35_map_funcs", "q36_case_null_funcs", "q37_regex_funcs",
-    "q38_datetime_arith", "q39_window_misc", "q40_outer_join",
-    "q41_shipping_priority", "q42_regional_revenue", "q43_correlated_scalar",
-    "q44_exists_subquery", "q45_not_exists", "q46_range_frame",
-    "q47_value_window_funcs", "q48_posexplode", "q49_median_mode",
-    "q50_string_agg",
+    "ext_asof_join", "ext_bpe_tokens", "ext_chunk_sequences",
+    "ext_dataset_mixture", "ext_dedup_exact", "ext_dedup_incremental",
+    "ext_dedup_prefix_blocks", "ext_doc_embedding_join", "ext_doc_histogram",
+    "ext_fingerprint", "ext_global_index", "ext_label_centroids",
+    "ext_lang_id", "ext_multimodal_decode", "ext_multimodal_features",
+    "ext_multimodal_frames", "ext_ngram_jaccard", "ext_pii_scrub",
+    "ext_quality_features", "ext_range_join", "ext_repetition",
+    "ext_salted_agg", "ext_scd2", "ext_sessionize",
+    "ext_similarity_topk", "ext_stream_dedup", "ext_stream_sessionize",
+    "ext_stream_window", "ext_text_quality", "ext_text_stats",
+    "ext_tf_idf", "ext_upsert", "ext_vector_normalize",
+    "ext_vocab", "q01_scan_filter_agg", "q02_repartition",
+    "q03_repartition_empty", "q04_global_sort", "q05_groupby_aqe",
+    "q06_tpch_q1", "q07_groupbykey_collect", "q08_distinct",
+    "q09_count_distinct", "q10_sort_merge_join", "q11_broadcast_join",
+    "q12_semi_join", "q13_anti_join", "q14_multistage",
+    "q15_skew_groupby", "q16_null_keys", "q17_window_topk",
+    "q18_union_distinct", "q19_intersect", "q20_except",
+    "q21_rollup", "q22_pivot", "q23_json_scalar",
+    "q24_date_parts", "q25_cube", "q26_string_funcs",
+    "q27_explode_unnest", "q28_percentiles", "q29_approx_agg",
+    "q30_math_funcs", "q31_window_running", "q32_grouping_sets",
+    "q33_scalar_subquery", "q34_array_funcs", "q35_map_funcs",
+    "q36_case_null_funcs", "q37_regex_funcs", "q38_datetime_arith",
+    "q39_window_misc", "q40_outer_join", "q41_shipping_priority",
+    "q42_regional_revenue", "q43_correlated_scalar", "q44_exists_subquery",
+    "q45_not_exists", "q46_range_frame", "q47_value_window_funcs",
+    "q48_posexplode", "q49_median_mode", "q50_string_agg",
+    "q52_levenshtein", "q53_gap_fill", "q54_set_ops_all",
+    "q55_unpivot", "q56_multi_distinct", "q57_null_safe_join",
+    "q58_ignore_nulls_window", "q59_keep_latest", "q60_sql_entry",
+    "q61_lateral_join",
 })
 
 
@@ -1599,7 +1613,7 @@ def q50_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q51_conditional_agg",
     oracle="""
     SELECT o_orderstatus,
-           count_if(o_totalprice > 200000) AS n_big,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
            CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low

@@ -87,7 +87,23 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> list[Parit
             continue
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
-            oracle_pdf = con.execute(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            # Driver's hash is dtype-sensitive: DuckDB SUM(int)/count_if yield
+            # HUGEINT (int128) where Spark yields bigint — values match, hash
+            # doesn't.  Screen here so the local mirror catches the class.
+            bad = [
+                (c, t)
+                for c, t in zip(rel.columns, map(str, rel.types))
+                if str(t) in ("HUGEINT", "UHUGEINT")
+            ]
+            if bad:
+                results.append(
+                    ParityResult(
+                        name, False, f"oracle HUGEINT columns (cast to BIGINT): {bad}"
+                    )
+                )
+                continue
+            oracle_pdf = rel.df()
             results.append(compare_frames(name, spark_pdf, oracle_pdf))
         except Exception as e:  # noqa: BLE001 — harness reports, tests assert
             results.append(ParityResult(name, False, f"EXCEPTION: {type(e).__name__}: {e}"))
