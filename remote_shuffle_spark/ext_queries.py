@@ -1,11 +1,16 @@
 """EXT declared queries: LLM-data-pipeline operators over documents /
 embeddings / events (SURVEY §2.3 EXT — no reference counterpart).
 
-Registered into the same declared-query registry as the parity set;
-hash-based operators (MinHash/SimHash/hyperplane-LSH/fingerprints) have no
-DuckDB-expressible oracle (different hash functions), so they are declared
-oracle-less (driver records a rows-only check) and their semantics are
-pinned by pytest oracles instead (tests/test_dedup.py etc.).
+Registered into the same declared-query registry as the parity set.
+Hash-based operators (MinHash/SimHash/hyperplane-LSH) have no
+DuckDB-expressible *membership* oracle (different hash functions), so
+their declared queries are verified by INVARIANT instead: over a corpus
+augmented with deterministic exact copies (same construction in both
+engines), recall on identical items is guaranteed by the algorithms'
+algebra and precision by exact re-derivation — the oracle pins the
+violation counts to zero alongside a data-derived anchor quantity
+(the ext_pack_greedy pattern).  Probabilistic near-duplicate recall is
+pinned by pytest planted-duplicate fixtures (tests/test_dedup.py etc.).
 """
 
 from __future__ import annotations
@@ -81,26 +86,163 @@ def ext_dedup_prefix_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared("ext_dedup_minhash", oracle=None, tags=("ext", "dedup", "lsh"))
-def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs (jaccard ≥ 0.5 on 3-shingles).
+# Offset used to plant one exact copy of every document/vector when a
+# declared query needs guaranteed-recall fixtures (the test corpus has no
+# duplicates, which would make "missed exact dups = 0" vacuous).  Both
+# engines build the identical augmented corpus, so the invariant is hard.
+_DUP_OFF = 1_000_000
 
-    Hash-based — no SQL oracle; recall/precision semantics pinned by
-    tests/test_dedup.py against planted near-duplicates.
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies at doc_id + _DUP_OFF (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + _DUP_OFF))
+
+
+def _exact_dup_pairs(aug: DataFrame, min_tokens: int) -> DataFrame:
+    """(id_a, id_b) pairs of docs with identical normalized text and at
+    least ``min_tokens`` tokens.  Joins on the normalized text itself so
+    the pair set matches the oracle's definition exactly; at corpus scale
+    the join key would be a 128-bit digest with the text equality kept as
+    a verify predicate (ext_dedup_exact's hash-groupBy pattern)."""
+    from remote_shuffle_spark.functions.hashing import normalized_text, tokens
+
+    # empty-normalized docs are ineligible in BOTH engines: Spark's
+    # split('', ' ') yields [''] (size 1), DuckDB's len(norm) > 0 guard
+    # excludes them — the predicate pair must stay in lockstep
+    elig = aug.filter(
+        (F.length(normalized_text("text")) > 0) & (F.size(tokens("text")) >= min_tokens)
+    ).select("doc_id", normalized_text("text").alias("_n"))
+    return (
+        elig.select(F.col("doc_id").alias("id_a"), "_n")
+        .join(elig.select(F.col("doc_id").alias("id_b"), "_n"), "_n")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+# DuckDB view of the same augmented corpus / exact-pair count (c docs with
+# one shared normalized text contribute c*(c-1)/2 pairs).
+_AUG_DOCS = f"""
+    aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_DUP_OFF} AS doc_id, text FROM documents
+    )"""
+
+
+def _exact_pair_count_sql(min_tokens: int) -> str:
+    return f"""
+    pre AS (
+      SELECT {_NORM} AS norm FROM aug
+      WHERE len({_NORM}) > 0 AND len(string_split({_NORM}, ' ')) >= {min_tokens}
+    ), g AS (SELECT norm, COUNT(*) AS c FROM pre GROUP BY norm)"""
+
+
+@declared(
+    "ext_dedup_minhash",
+    oracle=f"""
+    WITH {_AUG_DOCS}, {_exact_pair_count_sql(3)}
+    SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_exact_dup_pairs,
+           CAST(0 AS BIGINT) AS n_exact_missed,
+           CAST(0 AS BIGINT) AS n_below_threshold
+    FROM g
+    """,
+    tags=("ext", "dedup", "lsh"),
+)
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup (jaccard ≥ 0.5 on 3-shingles), hard-verified
+    by invariant.
+
+    Pair membership is xxhash64-derived, so exact membership has no
+    cross-engine oracle — but over the copy-augmented corpus the
+    invariants that make LSH dedup *correct* are exactly checkable:
+
+    - recall on identical documents is guaranteed by MinHash algebra
+      (identical shingle set → identical signature → same band bucket,
+      size ~2 ≪ the skew cap → candidate → jaccard 1 ≥ threshold), so
+      ``n_exact_missed`` — exact-dup pairs absent from the output — is
+      pinned to 0, over a pair count the oracle derives from raw text;
+    - precision is pinned by re-deriving jaccard from raw text for every
+      emitted pair: ``n_below_threshold`` = 0.
+
+    Probabilistic recall on *near* (non-identical) duplicates stays
+    pinned by tests/test_dedup.py's planted-near-dup fixtures.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from remote_shuffle_spark.functions.hashing import tokens, word_shingles_from_tokens
+
+    aug = _augmented_docs(spark, sf_dir)
     # reuse=False: below the cache crossover at fixture scale (round-2
     # re-measure in the minhash_candidates docstring)
-    return dedup.minhash_near_duplicates(
-        docs, "doc_id", "text", threshold=0.5, reuse=False
-    ).orderBy("id_a", "id_b")
+    pairs = dedup.minhash_near_duplicates(
+        aug, "doc_id", "text", threshold=0.5, reuse=False
+    ).localCheckpoint(eager=True)  # id pairs only; feeds two audits below
+    ex = _exact_dup_pairs(aug, min_tokens=3)
+    n_exact = ex.agg(F.count(F.lit(1)).alias("n_exact_dup_pairs"))
+    missed = ex.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_exact_missed")
+    )
+    sh = aug.select(
+        F.col("doc_id").alias("sid"),
+        F.array_distinct(word_shingles_from_tokens(tokens("text"), 3)).alias("ss"),
+    )
+    rp = (
+        pairs.select("id_a", "id_b")
+        .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("ss", "ss_a"), "id_a")
+        .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("ss", "ss_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    uni = F.size(F.array_union("ss_a", "ss_b"))
+    jac = F.when(uni > 0, inter.cast("double") / uni).otherwise(F.lit(0.0))
+    bad = rp.filter(jac < F.lit(0.5)).agg(F.count(F.lit(1)).alias("n_below_threshold"))
+    return n_exact.crossJoin(missed).crossJoin(bad)
 
 
-@declared("ext_dedup_simhash", oracle=None, tags=("ext", "dedup", "lsh"))
+@declared(
+    "ext_dedup_simhash",
+    oracle=f"""
+    WITH {_AUG_DOCS}, {_exact_pair_count_sql(1)}
+    SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_exact_dup_pairs,
+           CAST(0 AS BIGINT) AS n_exact_missed,
+           CAST(0 AS BIGINT) AS n_hamming_mismatch
+    FROM g
+    """,
+    tags=("ext", "dedup", "lsh"),
+)
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (hamming ≤ 3 on 64-bit fingerprints)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(docs, "doc_id", "text").orderBy("id_a", "id_b")
+    """SimHash near-dedup (hamming ≤ 3 on 64-bit fingerprints),
+    hard-verified by invariant over the copy-augmented corpus:
+
+    - recall on identical documents is guaranteed by construction
+      (identical token multiset → identical bit votes → identical
+      fingerprint → hamming 0, and the 4×16-bit pigeonhole blocking always
+      co-buckets identical fingerprints): ``n_exact_missed`` = 0 over a
+      pair count the oracle derives from raw text;
+    - the emitted hamming distances are cross-checked against fingerprints
+      re-derived by the *other* simhash implementation (the narrow-HOF
+      ``with_simhash`` form vs the explode/agg ``simhash_table`` form the
+      operator uses): ``n_hamming_mismatch`` = 0 — two independent code
+      paths must agree bit-for-bit.
+    """
+    from remote_shuffle_spark.functions.hashing import tokens
+
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = dedup.simhash_near_duplicates(aug, "doc_id", "text").localCheckpoint(eager=True)
+    ex = _exact_dup_pairs(aug, min_tokens=1)
+    n_exact = ex.agg(F.count(F.lit(1)).alias("n_exact_dup_pairs"))
+    missed = ex.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_exact_missed")
+    )
+    fp = dedup.with_simhash(aug.filter(F.size(tokens("text")) >= 1), "text", out_col="fp")
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    mism = (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) != F.col("hamming"))
+        .agg(F.count(F.lit(1)).alias("n_hamming_mismatch"))
+    )
+    return n_exact.crossJoin(missed).crossJoin(mism)
 
 
 @declared(
@@ -164,25 +306,105 @@ def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=10)
 
 
-@declared("ext_similarity_ivf", oracle=None, tags=("ext", "similarity"))
+@declared(
+    "ext_similarity_ivf",
+    oracle="""
+    SELECT e.vec_id,
+           ROUND(CASE WHEN list_aggregate(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                                         x -> x * x), 'sum') > 0
+                      THEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                      ELSE 0.0 END, 6) AS cos_sim
+    FROM embeddings e,
+         (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("ext", "similarity"),
+)
 def ext_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 (16 cells, nprobe=4) around vec_id=0.
+    """IVF top-10 around vec_id=0 at full probe (16 cells, nprobe=16).
 
-    Approximate by construction — no SQL oracle; recall vs brute force is
-    pinned by tests/test_similarity.py.
+    nprobe == num_cells degrades IVF to exact search, so the whole IVF
+    machinery — centroid seeding, per-row cell assignment (the Arrow
+    matmul path, since 16 > _EXPR_MAX_CENTROIDS), cell pruning, probe,
+    score, top-k — is hard-verified against the brute-force oracle.
+    Approximate recall at nprobe < num_cells is pinned by
+    tests/test_similarity.py (recall@10 vs brute force).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
-    return similarity.ivf_topk(emb, "vec_id", "embedding", q, k=10, num_cells=16, nprobe=4)
+    return similarity.ivf_topk(emb, "vec_id", "embedding", q, k=10, num_cells=16, nprobe=16)
 
 
-@declared("ext_embedding_neardup", oracle=None, tags=("ext", "dedup", "similarity"))
+@declared(
+    "ext_embedding_neardup",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_DUP_OFF} AS vec_id, embedding FROM embeddings
+    ), elig AS (
+      SELECT vec_id, embedding FROM aug
+      WHERE list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                           'sum') > 0
+    ), g AS (SELECT embedding, COUNT(*) AS c FROM elig GROUP BY embedding)
+    SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_identical_pairs,
+           CAST(0 AS BIGINT) AS n_identical_missed,
+           CAST(0 AS BIGINT) AS n_below_threshold
+    FROM g
+    """,
+    tags=("ext", "dedup", "similarity"),
+)
 def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine ≥ 0.99 via hyperplane LSH)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_duplicates(
-        emb, "vec_id", "embedding", dim=64, threshold=0.99
-    ).orderBy("id_a", "id_b")
+    """Hyperplane-LSH embedding near-dedup (cosine ≥ 0.99), hard-verified
+    by invariant over the copy-augmented vector table:
+
+    - recall on identical vectors is guaranteed (identical vector →
+      identical hyperplane sign pattern → same bucket → candidate →
+      cosine 1 ≥ threshold): ``n_identical_missed`` = 0 over a pair count
+      the oracle derives by grouping raw embeddings;
+    - precision is pinned by re-deriving cosine from raw vectors for every
+      emitted pair: ``n_below_threshold`` = 0.
+
+    The declared run widens ``max_bucket_size`` above the largest
+    hyperplane bucket at fixture geometry (the embeddings are
+    label-clustered, so sign-pattern buckets concentrate); production
+    keeps the skew-capped default and unions several plane seeds for
+    recall instead — the docstring of embedding_near_duplicates covers
+    the trade.  Probabilistic near-identical recall stays pinned by
+    tests/test_dedup.py.
+    """
+    from remote_shuffle_spark.functions.vectors import cosine_similarity, to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + _DUP_OFF))
+    pairs = dedup.embedding_near_duplicates(
+        aug, "vec_id", "embedding", dim=64, threshold=0.99, max_bucket_size=4096
+    ).localCheckpoint(eager=True)  # id pairs + cosine; feeds two audits
+    sqnorm = F.aggregate(
+        to_double_array("embedding"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    elig = aug.filter(sqnorm > 0)
+    ex = (
+        elig.select(F.col("vec_id").alias("id_a"), "embedding")
+        .join(elig.select(F.col("vec_id").alias("id_b"), "embedding"), "embedding")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    n_ident = ex.agg(F.count(F.lit(1)).alias("n_identical_pairs"))
+    missed = ex.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_identical_missed")
+    )
+    vecs = aug.select(F.col("vec_id").alias("vid"), to_double_array("embedding").alias("v"))
+    rp = (
+        pairs.select("id_a", "id_b")
+        .join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "v_a"), "id_a")
+        .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "v_b"), "id_b")
+    )
+    bad = rp.filter(
+        cosine_similarity(F.col("v_a"), F.col("v_b")) < F.lit(0.99)
+    ).agg(F.count(F.lit(1)).alias("n_below_threshold"))
+    return n_ident.crossJoin(missed).crossJoin(bad)
 
 
 @declared(
@@ -505,23 +727,75 @@ def ext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("token_id")
 
 
-@declared("ext_dedup_groups", oracle=None, tags=("ext", "dedup", "graph"))
+@declared(
+    "ext_dedup_groups",
+    oracle=f"""
+    WITH {_AUG_DOCS}, {_exact_pair_count_sql(3)}
+    SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_exact_dup_pairs,
+           CAST(0 AS BIGINT) AS n_exact_split,
+           CAST(0 AS BIGINT) AS n_multi_assigned,
+           CAST(0 AS BIGINT) AS n_singleton_groups,
+           CAST(0 AS BIGINT) AS n_bad_keeper
+    FROM g
+    """,
+    tags=("ext", "dedup", "graph"),
+)
 def ext_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-duplicate groups (MinHash pairs → connected
-    components).  Iterative algorithm — rows-only check; convergence and
-    transitivity pinned in tests/test_operators_graph.py.
+    """Transitive near-dup groups (MinHash pairs → iterative connected
+    components), hard-verified by the invariants that make a grouping a
+    valid dedup partition, over the copy-augmented corpus:
+
+    - ``n_exact_split`` = 0: every exact-dup pair (guaranteed a MinHash
+      edge, see ext_dedup_minhash) lands in ONE group — the components
+      actually connect what the edges connect;
+    - ``n_multi_assigned`` = 0: no doc appears in two groups (the labels
+      are a partition, i.e. the iteration converged consistently);
+    - ``n_singleton_groups`` = 0: every group has ≥ 2 members (vertices
+      only enter via edges);
+    - ``n_bad_keeper`` = 0: each group has exactly one keeper and it is
+      the minimum doc_id (keep-first policy holds transitively).
+
+    ``n_exact_dup_pairs`` anchors the check to a data-derived quantity the
+    oracle computes from raw text.  Exact component membership on
+    planted chain topologies (A~B~C) stays pinned in
+    tests/test_operators_graph.py.
     """
     from remote_shuffle_spark.operators.graph import near_duplicate_groups
 
-    docs = load_table(spark, sf_dir, "documents")
-    groups = near_duplicate_groups(docs, "doc_id", "text", threshold=0.5, reuse=False)
-    return (
-        groups.groupBy("group_id")
-        .agg(F.count(F.lit(1)).alias("group_size"))
-        .groupBy("group_size")
-        .agg(F.count(F.lit(1)).alias("n_groups"))
-        .orderBy("group_size")
+    aug = _augmented_docs(spark, sf_dir)
+    groups = near_duplicate_groups(
+        aug, "doc_id", "text", threshold=0.5, reuse=False
+    ).localCheckpoint(eager=True)  # (id, group, keeper) triples; read 4×
+    ex = _exact_dup_pairs(aug, min_tokens=3)
+    n_exact = ex.agg(F.count(F.lit(1)).alias("n_exact_dup_pairs"))
+    ga = groups.select(F.col("doc_id").alias("id_a"), F.col("group_id").alias("g_a"))
+    gb = groups.select(F.col("doc_id").alias("id_b"), F.col("group_id").alias("g_b"))
+    split = (
+        ex.join(ga, "id_a", "left")
+        .join(gb, "id_b", "left")
+        .filter(
+            F.col("g_a").isNull() | F.col("g_b").isNull() | (F.col("g_a") != F.col("g_b"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact_split"))
     )
+    multi = (
+        groups.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_multi_assigned"))
+    )
+    per_group = groups.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_keeper").cast("int")).alias("k"),
+        F.min("doc_id").alias("m"),
+    )
+    singleton = per_group.filter(F.col("n") == 1).agg(
+        F.count(F.lit(1)).alias("n_singleton_groups")
+    )
+    bad_keeper = per_group.filter(
+        (F.col("k") != 1) | (F.col("m") != F.col("group_id"))
+    ).agg(F.count(F.lit(1)).alias("n_bad_keeper"))
+    return n_exact.crossJoin(split).crossJoin(multi).crossJoin(singleton).crossJoin(bad_keeper)
 
 
 # Same float accumulation deterministic_split performs for weights
@@ -981,19 +1255,57 @@ def ext_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared("ext_kmeans_cells", oracle=None, tags=("ext", "similarity", "clustering"))
+@declared(
+    "ext_kmeans_cells",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+           CAST(0 AS BIGINT) AS n_unassigned,
+           CAST(0 AS BIGINT) AS n_cell_out_of_range,
+           CAST(0 AS BIGINT) AS n_bad_centroid_dim
+    FROM embeddings
+    """,
+    tags=("ext", "similarity", "clustering"),
+)
 def ext_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-means|| coarse quantizer (8 IVF cells) over the embedding table
-    (pyspark.ml, fixed seed).  Engine-specific training — no SQL oracle;
-    cell-assignment recall is pinned in tests/test_operators_similarity.py
-    and clustering contract tests."""
+    """k-means|| coarse quantizer (8 IVF cells, pyspark.ml, fixed seed) +
+    full-corpus cell assignment, hard-verified by conservation invariant:
+    the centroid VALUES are engine-specific (no cross-engine oracle), but
+    a valid quantizer must assign every vector exactly once to an
+    in-range cell over well-formed centroids —
+
+    - ``n_vectors`` / ``id_checksum``: every vector survives assignment
+      exactly once (counts + id mass conserved, oracle-derived from the
+      raw table);
+    - ``n_unassigned`` = 0 (no NULL cells), ``n_cell_out_of_range`` = 0
+      (cell ∈ [0, k)), ``n_bad_centroid_dim`` = 0 (every centroid has
+      the corpus's vector dimensionality).
+
+    Centroid quality (inertia vs. random, assignment recall) stays
+    pinned in tests/test_operators_clustering.py / test_similarity.py.
+    """
     from remote_shuffle_spark.operators.clustering import kmeans_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb, "embedding", k=8, max_iter=5)
-    return cents.select(
-        "cid", F.size("cvec").alias("dim"), F.round(F.element_at("cvec", 1), 6).alias("c1")
-    ).orderBy("cid")
+    assigned = similarity.assign_ivf_cells(emb, "vec_id", "embedding", cents)
+    conserved = assigned.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("vec_id").alias("id_checksum"),
+        F.sum(F.when(F.col("cell").isNull(), 1).otherwise(0)).cast("long").alias(
+            "n_unassigned"
+        ),
+        F.sum(
+            F.when((F.col("cell") < 0) | (F.col("cell") >= 8), 1).otherwise(0)
+        ).cast("long").alias("n_cell_out_of_range"),
+    )
+    corpus_dim = emb.agg(F.max(F.size("embedding")).alias("_dim"))
+    bad_dim = (
+        cents.crossJoin(F.broadcast(corpus_dim))
+        .filter(F.size("cvec") != F.col("_dim"))
+        .agg(F.count(F.lit(1)).alias("n_bad_centroid_dim"))
+    )
+    return conserved.crossJoin(bad_dim)
 
 
 @declared(
@@ -1855,7 +2167,9 @@ def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
       SELECT doc_id, n_chars,
-             ln(((doc_id * 2654435761 + 12345) % 1000003 + 0.5) / 1000003.0)
+             -- multiplier pre-reduced mod 1000003 (= 2654435761 % 1000003) so the
+             -- product can't overflow int64 for any id; (a*b) % m == ((a%m)*(b%m)) % m
+             ln((((doc_id % 1000003) * 427799 + 12345) % 1000003 + 0.5) / 1000003.0)
                / CAST(n_chars AS DOUBLE) AS aes_key
       FROM documents WHERE n_chars > 0
     )
@@ -1874,8 +2188,15 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.operators.pipeline import weighted_sample_k
 
     docs = load_table(spark, sf_dir, "documents")
+    # modulo-first congruence: Spark would silently wrap on int64 overflow
+    # where DuckDB raises, so reduce both factors before multiplying —
+    # identical values, valid for the full bigint id range
     u = (
-        F.pmod(F.col("doc_id") * 2654435761 + 12345, F.lit(1000003)).cast("double")
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(1000003)) * F.lit(2654435761 % 1000003)
+            + 12345,
+            F.lit(1000003),
+        ).cast("double")
         + F.lit(0.5)
     ) / F.lit(1000003.0)
     samp = weighted_sample_k(
@@ -2094,13 +2415,14 @@ def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT rt.r, ctot.c, COALESCE(cells.o, 0) AS o,
              rt.rt * ctot.ct / nn.n AS e
       FROM rt CROSS JOIN ctot
-      LEFT JOIN cells ON cells.r = rt.r AND cells.c = ctot.c
+      LEFT JOIN cells ON cells.r IS NOT DISTINCT FROM rt.r
+                     AND cells.c IS NOT DISTINCT FROM ctot.c
       CROSS JOIN nn
     )
     SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
-           COUNT(DISTINCT r) AS n_rows,
-           COUNT(DISTINCT c) AS n_cols,
-           (COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS dof,
+           (SELECT COUNT(*) FROM rt) AS n_rows,
+           (SELECT COUNT(*) FROM ctot) AS n_cols,
+           ((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ctot) - 1) AS dof,
            CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 6) AS DECIMAL(28,6)))
                 AS DOUBLE) AS chi2
     FROM terms
@@ -2112,7 +2434,10 @@ def ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/stats.py:chi_square_independence): one combinable count
     over the corpus, statistic computed on the vocabulary-sized
     contingency grid including unobserved cells; per-cell terms rounded
-    then decimal-summed for engine-stable doubles."""
+    then decimal-summed for engine-stable doubles.  NULL categories are
+    real table strata in BOTH engines (null-safe grid joins,
+    marginal-table row counts), so a corpus with missing labels audits
+    identically."""
     from remote_shuffle_spark.operators.stats import chi_square_independence
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2168,7 +2493,9 @@ def ext_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, event_id,
              ROW_NUMBER() OVER (
                PARTITION BY event_type
-               ORDER BY (event_id * 2654435761 + 97) % 999983, event_id
+               -- multiplier pre-reduced mod 999983 (= 2654435761 % 999983):
+               -- overflow-free for any bigint id, same values
+               ORDER BY ((event_id % 999983) * 480879 + 97) % 999983, event_id
              ) AS rn
       FROM events
     ) WHERE rn <= 4
@@ -2186,7 +2513,11 @@ def ext_per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     events = load_table(spark, sf_dir, "events")
-    u = F.pmod(F.col("event_id") * 2654435761 + 97, F.lit(999983))
+    # modulo-first congruence (overflow-safe for the full bigint id range)
+    u = F.pmod(
+        F.pmod(F.col("event_id"), F.lit(999983)) * F.lit(2654435761 % 999983) + 97,
+        F.lit(999983),
+    )
     rn = F.row_number().over(W.partitionBy("event_type").orderBy(u, "event_id"))
     return (
         events.withColumn("rn", rn)
@@ -2264,26 +2595,32 @@ def ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey AS k, c_name AS t,
              len(c_name) AS blen, substr(c_name, 1, 16) AS bpre
       FROM customer
+    ), e AS (
+      SELECT k, t, blen - j AS lkey, bpre
+      FROM b, (SELECT UNNEST([0, 1]) AS j) js
+      WHERE blen - j >= 0
     ), sized AS (
-      SELECT blen, bpre, COUNT(*) AS bsize FROM b GROUP BY 1, 2
+      SELECT lkey, bpre, COUNT(*) AS bsize FROM e GROUP BY 1, 2
     ), bounded AS (
-      SELECT b.* FROM b JOIN sized USING (blen, bpre)
+      SELECT e.* FROM e JOIN sized USING (lkey, bpre)
       WHERE sized.bsize BETWEEN 2 AND 512
     )
-    SELECT a.k AS id_a, p.k AS id_b, levenshtein(a.t, p.t) AS dist
+    SELECT DISTINCT a.k AS id_a, p.k AS id_b, levenshtein(a.t, p.t) AS dist
     FROM bounded a JOIN bounded p
-      ON a.blen = p.blen AND a.bpre = p.bpre AND a.k < p.k
+      ON a.lkey = p.lkey AND a.bpre = p.bpre AND a.k < p.k
     WHERE levenshtein(a.t, p.t) <= 1
     ORDER BY id_a, id_b
     """,
     tags=("ext", "join", "fuzzy"),
 )
 def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy self-join over customer names: candidates share
-    (length, 16-char prefix), verified with exact Levenshtein ≤ 1
+    """Blocked fuzzy self-join over customer names: every row is emitted
+    under length-band keys (len − j, 16-char prefix) for j ∈ {0, 1}, so
+    substitution AND single-indel pairs share a block; candidates are
+    verified with exact Levenshtein ≤ 1
     (operators/joins.py:fuzzy_self_join_blocked).  The oracle applies the
-    SAME blocking, so the approximate-by-construction recall is part of
-    the pinned contract."""
+    SAME blocking, so the one remaining approximation — edits inside the
+    prefix are unseen — is part of the pinned contract."""
     from remote_shuffle_spark.operators.joins import fuzzy_self_join_blocked
 
     cust = load_table(spark, sf_dir, "customer")

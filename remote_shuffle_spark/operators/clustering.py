@@ -29,6 +29,12 @@ def kmeans_centroids(
     is Spark-distributed (pyspark.ml); at 100 TB fit on a sample
     (``df.sample``) — k-means centroids converge long before the full
     corpus is seen.
+
+    ``k`` is clamped to the number of DISTINCT vectors: Spark ML's
+    k-means|| init indexes out of bounds when it cannot find k distinct
+    centers (tiny or degenerate corpora).  The guard costs one
+    ``distinct().limit(k)`` — output bounded at k rows regardless of
+    corpus size.
     """
     try:
         from pyspark.ml.clustering import KMeans
@@ -36,8 +42,13 @@ def kmeans_centroids(
     except ImportError as e:  # pragma: no cover - ml ships in this container
         raise NotImplementedError("pyspark.ml not available for kmeans_centroids") from e
 
-    feats = df.select(array_to_vector(to_double_array(vec_col)).alias("features"))
-    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    arr = df.select(to_double_array(vec_col).alias("a"))
+    n_distinct_bounded = arr.distinct().limit(k).count()
+    if n_distinct_bounded == 0:
+        raise ValueError("kmeans_centroids: input has no vectors")
+    k_eff = min(k, n_distinct_bounded)
+    feats = arr.select(array_to_vector(F.col("a")).alias("features"))
+    model = KMeans(k=k_eff, seed=seed, maxIter=max_iter).fit(feats)
     spark = df.sparkSession
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())

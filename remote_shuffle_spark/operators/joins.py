@@ -160,23 +160,44 @@ def fuzzy_self_join_blocked(
     within ``max_distance`` Levenshtein edits — the entity-resolution /
     record-linkage primitive.
 
-    Candidate pairs come only from rows sharing (length, ``block_prefix``-
-    char prefix): an equi-join Catalyst shuffles on the block key, never a
-    cross join.  Blocking is approximate BY CONSTRUCTION — a pair editing
-    inside the prefix is unseen (raise recall with additional blocking
-    passes, e.g. a suffix block, and union).  Oversized blocks are dropped
-    like the LSH dedups' hot buckets (``max_block_size``), keeping worst-
-    case pair counts bounded at any corpus size.  Verification is exact
+    Blocking: every row is emitted under ``max_distance + 1`` keys
+    (length − j, prefix) for j in 0..max_distance, so ANY pair within the
+    distance budget — substitutions (|Δlen| = 0) and insertions/deletions
+    (|Δlen| ≤ max_distance) alike — shares at least the min-length key.
+    The candidate join is an equi-join on the block key (Catalyst
+    shuffles on it, never a cross join) with an (d+1)× emission factor,
+    not a fan-out explosion.  Recall is still approximate BY
+    CONSTRUCTION in ONE documented way: a pair whose edit falls inside
+    the first ``block_prefix`` characters has differing prefixes and is
+    unseen (raise recall with additional blocking passes — e.g. a suffix
+    block — and union).  Oversized blocks are dropped like the LSH
+    dedups' hot buckets (``max_block_size``), keeping worst-case pair
+    counts bounded at any corpus size.  Verification is exact
     ``levenshtein`` (JVM expression) on candidates only.  Returns
-    (id_a, id_b, dist), id_a < id_b.
+    distinct (id_a, id_b, dist), id_a < id_b.
     """
-    blocked = df.select(
-        F.col(id_col).alias("k"),
-        F.col(text_col).alias("t"),
-        F.struct(
-            F.length(text_col).alias("len"),
-            F.substring(text_col, 1, block_prefix).alias("pre"),
-        ).alias("block"),
+    blocked = (
+        df.select(
+            F.col(id_col).alias("k"),
+            F.col(text_col).alias("t"),
+            F.length(text_col).alias("_len"),
+            F.substring(text_col, 1, block_prefix).alias("_pre"),
+        )
+        .select(
+            "k",
+            "t",
+            "_len",
+            "_pre",
+            F.explode(F.sequence(F.lit(0), F.lit(max_distance))).alias("_j"),
+        )
+        .filter(F.col("_len") - F.col("_j") >= 0)
+        .select(
+            "k",
+            "t",
+            F.struct(
+                (F.col("_len") - F.col("_j")).alias("lkey"), F.col("_pre").alias("pre")
+            ).alias("block"),
+        )
     )
     sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("bsize"))
     bounded = blocked.join(
@@ -185,13 +206,14 @@ def fuzzy_self_join_blocked(
     )
     a = bounded.select("block", F.col("k").alias("id_a"), F.col("t").alias("t_a"))
     b = bounded.select("block", F.col("k").alias("id_b"), F.col("t").alias("t_b"))
-    return (
+    # same-length pairs share multiple exploded keys → dedup candidates
+    # BEFORE the levenshtein so each pair is verified exactly once
+    cand = (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.levenshtein(F.col("t_a"), F.col("t_b")).alias("dist"),
-        )
-        .filter(F.col("dist") <= max_distance)
+        .select("id_a", "id_b", "t_a", "t_b")
+        .distinct()
     )
+    return cand.select(
+        "id_a", "id_b", F.levenshtein(F.col("t_a"), F.col("t_b")).alias("dist")
+    ).filter(F.col("dist") <= max_distance)

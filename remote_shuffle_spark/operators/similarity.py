@@ -89,7 +89,8 @@ def assign_ivf_cells(
       numpy matrix; an iterator pandas UDF computes each Arrow batch's
       argmax with one (batch × K) matmul.  This is the 100 TB path for
       K ≈ √corpus-rows (thousands+), where the literal plan can't compile.
-    - ``method="auto"`` (default) — expr for K ≤ 64, pandas above.
+    - ``method="auto"`` (default) — expr for K ≤ _EXPR_MAX_CENTROIDS (8,
+      the measured crossover), pandas above.
 
     Tie-break in both paths: equal similarity → larger cid wins (the
     struct-max ordering of the expr form, emulated in the pandas form by

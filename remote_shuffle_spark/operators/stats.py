@@ -152,30 +152,60 @@ def chi_square_independence(
     summed as DECIMAL (order-independent), so the statistic is
     bit-identical across engines.  Returns one row:
     (n, n_rows, n_cols, dof, chi2).
+
+    NULL policy: a NULL category is a REAL category (its own row/column
+    of the contingency table) — for a dataset-audit primitive, missing
+    labels are usually the most interesting stratum, and silently
+    zeroing their observed counts (what plain equi-joins on the grid
+    would do) skews the statistic.  All grid joins are null-safe and the
+    row/column cardinalities count the NULL stratum.
     """
+    if not 0 <= round_to <= 10:
+        raise ValueError(f"round_to must be in [0, 10], got {round_to}")
     cells = df.groupBy(
         F.col(row_col).alias("r"), F.col(col_col).alias("c")
     ).agg(F.count(F.lit(1)).alias("o"))
     row_tot = cells.groupBy("r").agg(F.sum("o").alias("rt"))
     col_tot = cells.groupBy("c").agg(F.sum("o").alias("ct"))
     n = cells.agg(F.sum("o").alias("n"))
+    # row_tot/col_tot row counts ARE the category cardinalities including
+    # the NULL stratum (count_distinct would drop it)
+    nr = row_tot.agg(F.count(F.lit(1)).alias("n_rows"))
+    nc = col_tot.agg(F.count(F.lit(1)).alias("n_cols"))
     # the statistic sums over EVERY (r, c) cell of the table, including
     # unobserved ones (O=0 still contributes E): build the full grid from
-    # the two marginal tables, then left-join the observed counts
+    # the two marginal tables, then null-safe left-join the observed
+    # counts so NULL categories keep their observations
+    obs = cells.select(
+        F.col("r").alias("_obs_r"), F.col("c").alias("_obs_c"), "o"
+    )
     expected = (
         row_tot.crossJoin(col_tot)
-        .join(cells, ["r", "c"], "left_outer")
+        .join(
+            obs,
+            F.col("r").eqNullSafe(F.col("_obs_r"))
+            & F.col("c").eqNullSafe(F.col("_obs_c")),
+            "left_outer",
+        )
         .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .drop("_obs_r", "_obs_c")
         .crossJoin(F.broadcast(n))
         .withColumn("e", F.col("rt") * F.col("ct") / F.col("n"))
     )
     term = F.round(
         (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), round_to
-    ).cast("decimal(28,6)")
-    return expected.agg(
-        F.max("n").alias("n"),
-        F.count_distinct("r").alias("n_rows"),
-        F.count_distinct("c").alias("n_cols"),
-        ((F.count_distinct("r") - 1) * (F.count_distinct("c") - 1)).alias("dof"),
-        F.sum(term).cast("double").alias("chi2"),
+    ).cast(f"decimal(28,{round_to})")
+    chi = expected.agg(
+        F.max("n").alias("n"), F.sum(term).cast("double").alias("chi2")
+    )
+    return (
+        chi.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n",
+            "n_rows",
+            "n_cols",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+            "chi2",
+        )
     )

@@ -322,6 +322,8 @@ def bm25_scores(
     Returns (id_col, dl, score) for documents matching >= 1 query term.
     """
     terms = tuple(dict.fromkeys(query_terms))  # stable order, unique
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
     spark_scalars = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         # exact integer sum / exact count -> one double division: identical
