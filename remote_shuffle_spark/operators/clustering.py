@@ -43,7 +43,12 @@ def kmeans_centroids(
         raise NotImplementedError("pyspark.ml not available for kmeans_centroids") from e
 
     arr = df.select(to_double_array(vec_col).alias("a"))
-    n_distinct_bounded = arr.distinct().limit(k).count()
+    # two-tier guard: a LIMITed prefix usually proves >= k distinct
+    # vectors with a near-free job (no full-corpus distinct shuffle);
+    # only degenerate corpora pay for the full bounded distinct
+    n_distinct_bounded = arr.limit(max(64, 8 * k)).distinct().limit(k).count()
+    if n_distinct_bounded < k:
+        n_distinct_bounded = arr.distinct().limit(k).count()
     if n_distinct_bounded == 0:
         raise ValueError("kmeans_centroids: input has no vectors")
     k_eff = min(k, n_distinct_bounded)

@@ -46,6 +46,32 @@ def windowed_event_counts(
     session's ``spark.sql.shuffle.partitions`` untouched (use on a real
     cluster where the session conf is already sized for state).
     """
+    agg, _ = windowed_event_agg(
+        spark, sf_dir, window=window, watermark=watermark, state_partitions=state_partitions
+    )
+    name = f"windowed_events_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    out = agg.sparkSession.table(name)
+    return _project_windows(out)
+
+
+def windowed_event_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: str = "5 minutes",
+    watermark: str = "1 hour",
+    state_partitions: int | None = 8,
+):
+    """The streaming windowed aggregation FRAME (not yet drained) +
+    the scoped session that owns it — shared by every sink flavor
+    (memory drain above, parquet sinks in streaming.sink)."""
     from remote_shuffle_spark.streaming.source import (
         event_time,
         file_stream_dir,
@@ -69,21 +95,35 @@ def windowed_event_counts(
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
     )
-    name = f"windowed_events_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    return agg, scoped
+
+
+def _project_windows(out: DataFrame) -> DataFrame:
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
+
+
+def windowed_event_counts_filesink(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: str = "5 minutes",
+    watermark: str = "1 hour",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Same windowed aggregation driven through the PRODUCTION sink
+    (streaming.sink.drain_complete_to_parquet: foreachBatch + idempotent
+    parquet overwrite, executor-side writes) and read back from the files
+    — the ship-path counterpart of the memory-sink backfill above, with
+    the identical result contract (same oracle)."""
+    from remote_shuffle_spark.streaming.sink import drain_complete_to_parquet
+
+    agg, scoped = windowed_event_agg(
+        spark, sf_dir, window=window, watermark=watermark, state_partitions=state_partitions
     )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    out = scoped.table(name)
-    return (
-        out.select(
-            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
-        .orderBy("window_start", "event_type")
-    )
+    out_dir = drain_complete_to_parquet(agg)
+    return _project_windows(scoped.read.parquet(out_dir))

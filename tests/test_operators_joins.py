@@ -137,3 +137,36 @@ def test_fuzzy_self_join_hot_block_guard(spark):
     rows = [(i, f"same-prefix-van-{i}") for i in range(5)]
     df = spark.createDataFrame(rows, ["id", "name"])
     assert fuzzy_self_join_blocked(df, "id", "name", max_block_size=4).count() == 0
+
+
+def test_fuzzy_self_join_recalls_indel_pairs(spark):
+    """Insertion/deletion pairs differ in LENGTH; the length-band blocking
+    (every row emitted under keys len-0..len-max_distance) must co-block
+    them as long as the edit is after the prefix (ADVICE r3: exact-length
+    blocking made every indel pair structurally unreachable)."""
+    from remote_shuffle_spark.operators.joins import fuzzy_self_join_blocked
+
+    rows = [
+        (1, "alpha-record-000-suffix"),
+        (2, "alpha-record-000-suffi"),    # DELETION after prefix -> dist 1
+        (3, "alpha-record-000-suffixx"),  # INSERTION after prefix -> dist 1
+        (4, "lpha-record-000-suffix"),    # deletion INSIDE prefix -> unseen (documented)
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join_blocked(df, "id", "name").collect()
+    }
+    # 1<->2 and 1<->3 are single indels; 2<->3 is dist 2 > max_distance=1
+    assert got == {(1, 2, 1), (1, 3, 1)}
+
+
+def test_fuzzy_self_join_no_duplicate_pairs_from_band_overlap(spark):
+    """Same-length pairs share BOTH their len-0 and len-1 band keys; the
+    candidate dedup must emit each pair exactly once."""
+    from remote_shuffle_spark.operators.joins import fuzzy_self_join_blocked
+
+    rows = [(1, "alpha-record-000x"), (2, "alpha-record-000y")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = fuzzy_self_join_blocked(df, "id", "name").collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in out] == [(1, 2, 1)]

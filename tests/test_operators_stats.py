@@ -111,3 +111,42 @@ def test_hll_rollup_merge_equals_groups(spark):
     # cardinalities are exact in HLL, so within_5pct must hold everywhere
     assert out["GLOBAL"][0] == 50
     assert all(flag == 1 for _, flag in out.values())
+
+
+def test_chi_square_null_category_is_real_stratum(spark):
+    """NULL labels form their own contingency row/column (ADVICE r3: plain
+    equi-joins zeroed their observed counts while n still included them,
+    skewing the statistic)."""
+    from remote_shuffle_spark.operators.stats import chi_square_independence
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 10
+        + [(None, "x")] * 20 + [(None, "y")] * 0
+    )
+    df = spark.createDataFrame(rows, ["r", "c"])
+    got = chi_square_independence(df, "r", "c").collect()[0]
+    assert got.n == 40
+    assert got.n_rows == 2      # 'a' and NULL
+    assert got.n_cols == 2
+    assert got.dof == 1
+    # hand-computed: rows a=20, NULL=20; cols x=30, y=10
+    # E = [[15,5],[15,5]]; O = [[10,10],[20,0]]
+    # chi2 = 25/15 + 25/5 + 25/15 + 25/5 = 13.3333...
+    assert abs(got.chi2 - (25 / 15 + 25 / 5 + 25 / 15 + 25 / 5)) < 1e-6
+
+
+def test_chi_square_round_to_sets_decimal_scale(spark):
+    """round_to > 6 must not be silently re-rounded to 6 dp (ADVICE r3:
+    the term decimal was hardcoded DECIMAL(28,6))."""
+    from remote_shuffle_spark.operators.stats import chi_square_independence
+
+    rows = [("a", "x")] * 3 + [("a", "y")] * 1 + [("b", "x")] * 1 + [("b", "y")] * 2
+    df = spark.createDataFrame(rows, ["r", "c"])
+    r6 = chi_square_independence(df, "r", "c", round_to=6).collect()[0].chi2
+    r9 = chi_square_independence(df, "r", "c", round_to=9).collect()[0].chi2
+    # 9-dp terms carry MORE precision than 6-dp ones; with these counts the
+    # raw terms are non-terminating (thirds/sevenths), so the sums differ
+    assert r6 != r9
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chi_square_independence(df, "r", "c", round_to=11)

@@ -311,3 +311,49 @@ def test_stream_stream_join_matches_across_microbatches(spark):
         q.stop()
     got = {(r.v_id, r.p_id) for r in spark.table(name).collect()}
     assert got == {(1, 2), (1, 3)}
+
+
+def test_append_parquet_sink_matches_memory_sink(spark, sf_smoke):
+    """The production append sink (native parquet writeStream) emits the
+    same closed sessions as the memory-sink drain — sink choice must not
+    change results (the windowed complete-mode counterpart is pinned by
+    the ext_stream_window_filesink declared oracle)."""
+    from remote_shuffle_spark.streaming.sink import drain_append_to_parquet
+
+    stream_dir = os.path.join(tempfile.gettempdir(), "events_stream_sessionize")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_smoke, "events"), link)
+    raw = spark.read.parquet(table_path(sf_smoke, "events"))
+
+    def sessions_stream():
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .parquet(stream_dir)
+            .withColumn("ts", event_time(dict(raw.dtypes).get("ts")))
+        )
+        return sessionize_streaming(stream, gap_minutes=30.0)
+
+    out_dir = drain_append_to_parquet(sessions_stream())
+    from_files = spark.read.parquet(out_dir).collect()
+
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions_stream()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from_memory = spark.table(name).collect()
+
+    def key(r):
+        return (r.user_id, r.session_id, r.session_start, r.session_end, r.n_events)
+
+    assert len(from_files) > 0
+    assert sorted(key(r) for r in from_files) == sorted(key(r) for r in from_memory)
