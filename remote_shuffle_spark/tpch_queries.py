@@ -455,3 +455,264 @@ def q72_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("returns:"), F.col("l_returnflag")).alias("k")
     ).agg(F.count(F.lit(1)).alias("n")).select("k", "n", F.lit("lineitem").alias("src"))
     return a.unionByName(b).orderBy("src", "k")
+
+
+@declared(
+    "q73_volume_shipping",
+    oracle=f"""
+    SELECT supp_region, cust_region, l_year,
+           CAST(ROUND(SUM(rev), 4) AS DOUBLE) AS revenue
+    FROM (
+      SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year, {_REV_SQL} AS rev
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE r1.r_name IN ('EUROPE', 'ASIA') AND r2.r_name IN ('EUROPE', 'ASIA')
+        AND r1.r_name <> r2.r_name
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q73_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional trade volume between two geographies
+    by ship year — the long join chain (lineitem ⋈ supplier ⋈ orders ⋈
+    customer plus two nation→region dimension arms).  Q7's nation pair is
+    lifted to the REGION pair (EUROPE ↔ ASIA) because the fixture's
+    supplier table is sparse at sf0.001 (10 suppliers over 25 nations —
+    a nation pair is empty there; a region pair is not).  Both dimension
+    arms broadcast pre-filtered to the two regions, so the big joins stay
+    key-pruned; the cross-direction inequality runs after both arms."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("EUROPE", "ASIA"))
+    arm1 = nat.join(
+        reg.select(F.col("r_regionkey").alias("r1k"), F.col("r_name").alias("supp_region")),
+        F.col("n_regionkey") == F.col("r1k"),
+    ).select(F.col("n_nationkey").alias("n1k"), "supp_region")
+    arm2 = nat.join(
+        reg.select(F.col("r_regionkey").alias("r2k"), F.col("r_name").alias("cust_region")),
+        F.col("n_regionkey") == F.col("r2k"),
+    ).select(F.col("n_nationkey").alias("n2k"), "cust_region")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    j = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(arm1), F.col("s_nationkey") == F.col("n1k"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(arm2), F.col("c_nationkey") == F.col("n2k"))
+        .filter(F.col("supp_region") != F.col("cust_region"))
+    )
+    return (
+        j.groupBy(
+            "supp_region", "cust_region", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.round(F.sum(_rev()), 4).cast("double").alias("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+@declared(
+    "q74_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, {_REV_SQL} AS rev,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                               ELSE CAST(0 AS DECIMAL(12,4)) END)
+                      / SUM(rev), 6) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q74_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of ECONOMY-part revenue
+    sold into ASIA customers, by order year — the 8-table star with a
+    conditional-share division.  part/nation/region broadcast; the share
+    is two exact decimal sums and ONE double division rounded at 6 dp
+    (engine-stable; no double accumulation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nat.select(F.col("n_nationkey").alias("n1k"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2k"), F.col("n_regionkey").alias("n2r"))
+    zero = F.lit(0).cast("decimal(12,4)")
+    j = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1k"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2k"))
+        .join(F.broadcast(reg), F.col("n2r") == F.col("r_regionkey"))
+    )
+    national = F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(zero)
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(national) / F.sum(_rev()), 6)
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@declared(
+    "q75_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(ROUND(SUM({_REV_SQL}), 4) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "agg", "topk"),
+)
+def q75_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter.  The returnflag filter prunes lineitem map-side, the quarter
+    filter prunes orders before the join, nation broadcasts, and the
+    top-k is a TakeOrdered over the customer-sized aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_rev()), 4).cast("double").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.col("c_acctbal").cast("double").alias("acctbal"), "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@declared(
+    "q76_product_type_revenue",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM({_REV_SQL}), 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q76_product_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit → revenue; the fixture has no partsupp/
+    supplycost): widget-part revenue by supplier nation and order year.
+    The LIKE filter prunes part before its broadcast, so the lineitem
+    join is both key- and content-pruned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(_rev()), 4).cast("double").alias("revenue"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@declared(
+    "q77_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_REV_SQL}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(ROUND(total_rev, 4) AS DOUBLE) AS total_rev
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "join", "subquery", "topk"),
+)
+def q77_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    the view + scalar-max-subquery pattern.  The max comparison runs on
+    the EXACT decimal revenue (ties included, per spec), not the rounded
+    double render; the one-row max broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+    revenue = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("total_rev"))
+    )
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round("total_rev", 4).cast("double").alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )

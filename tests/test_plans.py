@@ -276,3 +276,30 @@ def test_funnel_narrows_without_window_over_corpus(spark, sf_smoke):
     plan = explain.physical_plan(df)
     assert "Window" not in plan
     assert "PushedFilters" in plan  # step filters reach the scans
+
+
+def test_q73_dimension_arms_broadcast(spark, sf_smoke):
+    """Q7's nation→region dimension arms must broadcast (25x5 rows) —
+    a shuffled dim join here would add two pointless exchanges to the
+    6-table chain."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q73_volume_shipping"](spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q77_max_compare_runs_on_exact_decimal(spark, sf_smoke):
+    """Q15's tie-preserving max filter must compare the EXACT decimal
+    revenue — comparing the rounded double render would merge near-ties
+    and is engine-unstable."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q77_top_supplier"](spark, sf_smoke)
+    # the one-row max side broadcasts; the equality predicate references
+    # the decimal column, and the double cast happens only in the output
+    plan = explain.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert len(rows) >= 1
