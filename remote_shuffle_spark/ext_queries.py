@@ -2624,7 +2624,7 @@ def ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(c_name) AS blen, substr(c_name, 1, 16) AS bpre
       FROM customer
     ), e AS (
-      SELECT k, t, blen - j AS lkey, bpre
+      SELECT k, t, blen, blen - j AS lkey, bpre
       FROM b, (SELECT UNNEST([0, 1]) AS j) js
       WHERE blen - j >= 0
     ), sized AS (
@@ -2632,23 +2632,30 @@ def ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), bounded AS (
       SELECT e.* FROM e JOIN sized USING (lkey, bpre)
       WHERE sized.bsize BETWEEN 2 AND 512
+    ), anchor AS (
+      SELECT * FROM bounded WHERE lkey = blen
     )
-    SELECT DISTINCT a.k AS id_a, p.k AS id_b, levenshtein(a.t, p.t) AS dist
-    FROM bounded a JOIN bounded p
-      ON a.lkey = p.lkey AND a.bpre = p.bpre AND a.k < p.k
-    WHERE levenshtein(a.t, p.t) <= 1
+    SELECT LEAST(a.k, p.k) AS id_a, GREATEST(a.k, p.k) AS id_b,
+           levenshtein(CASE WHEN a.k < p.k THEN a.t ELSE p.t END,
+                       CASE WHEN a.k < p.k THEN p.t ELSE a.t END) AS dist
+    FROM anchor a JOIN bounded p
+      ON a.lkey = p.lkey AND a.bpre = p.bpre
+    WHERE (a.blen < p.blen OR (a.blen = p.blen AND a.k < p.k))
+      AND levenshtein(a.t, p.t) <= 1
     ORDER BY id_a, id_b
     """,
     tags=("ext", "join", "fuzzy"),
 )
 def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-join over customer names: every row is emitted
-    under length-band keys (len − j, 16-char prefix) for j ∈ {0, 1}, so
-    substitution AND single-indel pairs share a block; candidates are
-    verified with exact Levenshtein ≤ 1
-    (operators/joins.py:fuzzy_self_join_blocked).  The oracle applies the
-    SAME blocking, so the one remaining approximation — edits inside the
-    prefix are unseen — is part of the pinned contract."""
+    under length-band keys (len − j, 16-char prefix) for j ∈ {0, 1}; the
+    candidate join anchors each pair at its MIN-length key (shorter side
+    anchors, equal lengths order by id), so substitution AND single-indel
+    pairs are each found exactly once; candidates are verified with exact
+    Levenshtein ≤ 1 (operators/joins.py:fuzzy_self_join_blocked).  The
+    oracle applies the SAME blocking, so the one remaining approximation
+    — edits inside the prefix are unseen — is part of the pinned
+    contract."""
     from remote_shuffle_spark.operators.joins import fuzzy_self_join_blocked
 
     cust = load_table(spark, sf_dir, "customer")

@@ -160,21 +160,25 @@ def fuzzy_self_join_blocked(
     within ``max_distance`` Levenshtein edits — the entity-resolution /
     record-linkage primitive.
 
-    Blocking: every row is emitted under ``max_distance + 1`` keys
-    (length − j, prefix) for j in 0..max_distance, so ANY pair within the
-    distance budget — substitutions (|Δlen| = 0) and insertions/deletions
-    (|Δlen| ≤ max_distance) alike — shares at least the min-length key.
-    The candidate join is an equi-join on the block key (Catalyst
-    shuffles on it, never a cross join) with an (d+1)× emission factor,
-    not a fan-out explosion.  Recall is still approximate BY
-    CONSTRUCTION in ONE documented way: a pair whose edit falls inside
-    the first ``block_prefix`` characters has differing prefixes and is
-    unseen (raise recall with additional blocking passes — e.g. a suffix
-    block — and union).  Oversized blocks are dropped like the LSH
-    dedups' hot buckets (``max_block_size``), keeping worst-case pair
-    counts bounded at any corpus size.  Verification is exact
-    ``levenshtein`` (JVM expression) on candidates only.  Returns
-    distinct (id_a, id_b, dist), id_a < id_b.
+    Blocking (asymmetric length bands): every row is emitted under
+    ``max_distance + 1`` keys (length − j, prefix) for j in
+    0..max_distance; the candidate join matches each row's ANCHOR
+    emission (j = 0, its own length) against the full emission set, with
+    the tie-break (shorter side anchors; equal lengths order by id), so
+    ANY pair within the distance budget — substitutions (|Δlen| = 0) and
+    insertions/deletions (|Δlen| ≤ max_distance) alike — matches at the
+    min-length key EXACTLY ONCE: no duplicate candidates, no dedup pass.
+    The join is an equi-join on the block key (Catalyst shuffles on it,
+    never a cross join) with a (d+1)× emission factor on one side only.
+    Recall is still approximate BY CONSTRUCTION in ONE documented way: a
+    pair whose edit falls inside the first ``block_prefix`` characters
+    has differing prefixes and is unseen (raise recall with additional
+    blocking passes — e.g. a suffix block — and union).  Oversized
+    blocks are dropped like the LSH dedups' hot buckets
+    (``max_block_size``), keeping worst-case pair counts bounded at any
+    corpus size.  Verification is exact ``levenshtein`` (JVM expression)
+    on candidates only.  Returns (id_a, id_b, dist), id_a < id_b, each
+    pair once.
     """
     blocked = (
         df.select(
@@ -187,13 +191,14 @@ def fuzzy_self_join_blocked(
             "k",
             "t",
             "_len",
-            "_pre",
             F.explode(F.sequence(F.lit(0), F.lit(max_distance))).alias("_j"),
+            "_pre",
         )
         .filter(F.col("_len") - F.col("_j") >= 0)
         .select(
             "k",
             "t",
+            "_len",
             F.struct(
                 (F.col("_len") - F.col("_j")).alias("lkey"), F.col("_pre").alias("pre")
             ).alias("block"),
@@ -204,16 +209,22 @@ def fuzzy_self_join_blocked(
         sizes.filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_block_size)),
         "block",
     )
-    a = bounded.select("block", F.col("k").alias("id_a"), F.col("t").alias("t_a"))
-    b = bounded.select("block", F.col("k").alias("id_b"), F.col("t").alias("t_b"))
-    # same-length pairs share multiple exploded keys → dedup candidates
-    # BEFORE the levenshtein so each pair is verified exactly once
-    cand = (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "t_a", "t_b")
-        .distinct()
+    anchor = bounded.filter(F.col("block.lkey") == F.col("_len")).select(
+        "block", F.col("k").alias("ka"), F.col("t").alias("ta"), F.col("_len").alias("la")
     )
+    other = bounded.select(
+        "block", F.col("k").alias("kb"), F.col("t").alias("tb"), F.col("_len").alias("lb")
+    )
+    cand = anchor.join(other, "block").filter(
+        (F.col("la") < F.col("lb"))
+        | ((F.col("la") == F.col("lb")) & (F.col("ka") < F.col("kb")))
+    )
+    first = F.col("ka") < F.col("kb")
     return cand.select(
-        "id_a", "id_b", F.levenshtein(F.col("t_a"), F.col("t_b")).alias("dist")
+        F.least("ka", "kb").alias("id_a"),
+        F.greatest("ka", "kb").alias("id_b"),
+        F.levenshtein(
+            F.when(first, F.col("ta")).otherwise(F.col("tb")),
+            F.when(first, F.col("tb")).otherwise(F.col("ta")),
+        ).alias("dist"),
     ).filter(F.col("dist") <= max_distance)
