@@ -716,3 +716,133 @@ def q77_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@declared(
+    "q78_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey  = l1.l_orderkey
+    JOIN supplier ON s_suppkey   = l1.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND r_name = 'ASIA'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("tpch", "join", "anti", "agg"),
+)
+def q78_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier order — the classic double-correlated EXISTS / NOT
+    EXISTS plan.  Fixture adaptation (FIXTURES.md has no l_receiptdate /
+    l_commitdate): "late" := l_shipdate > o_orderdate + 60 days, and the
+    single-nation filter widens to one region (supplier counts per nation
+    are single-digit at fixture scale).
+
+    Spark plan: instead of the literal pair of correlated self-joins on
+    lineitem (two extra shuffles of the fact table, reference-class
+    engines rewrite them the same way), aggregate once per
+    (order, supplier) and once per order — both map-side combinable, no
+    Expand — then the order-level frame pins EXISTS as
+    n_supp >= 2 and NOT EXISTS as "the late-supplier set is exactly
+    {l1.l_suppkey}" (n_late_supp = 1).  One shuffle of 8-byte keys
+    replaces two fact-fact joins; supplier/nation/region are broadcast.
+    At 100 TB the only wide exchange is lineitem keyed by l_orderkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+
+    flagged = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+    )
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("any_late"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_lines"),
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("any_late"), 1).otherwise(0)).alias("n_late_supp"),
+        F.max(F.when(F.col("any_late"), F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.when(F.col("any_late"), F.col("late_lines"))).alias("late_lines"),
+    )
+    waiting = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy("late_supp")
+        .agg(F.sum("late_lines").alias("numwait"))
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("s_suppkey") == F.col("late_supp"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@declared(
+    "q79_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "agg", "pushdown"),
+)
+def q79_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate forecast query —
+    every predicate (date range, discount band, quantity cap) must reach
+    the parquet scan as a pushed filter, and the single global sum runs
+    map-side-combined with no groupBy shuffle at all.  Money through the
+    exact-decimal idiom (queries.py dec/dsum rules) so the cross-engine
+    sum is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    disc_rev = F.col("l_extendedprice").cast("decimal(12,4)") * F.col(
+        "l_discount"
+    ).cast("decimal(6,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(disc_rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
