@@ -279,6 +279,35 @@ def main():
             },
         )
     )
+    # round-4 additions: the two operators whose scale behavior the round-3
+    # review flagged as the open question — iterative CC (job-count growth)
+    # and IVF probe (centroid-count crossover)
+    from remote_shuffle_spark.operators.graph import near_duplicate_groups
+
+    results.append(
+        probe(
+            "dedup_groups_200k_docs",
+            lambda: {
+                "groups": near_duplicate_groups(
+                    docs, "doc_id", "text", max_bucket_size=256
+                )
+                .filter(~F.col("is_keeper"))
+                .count()
+            },
+        )
+    )
+    k_ivf = max(16, int(n_vec ** 0.5))
+    results.append(
+        probe(
+            f"ivf_topk_{n_vec}_vecs_K{k_ivf}",
+            lambda: {
+                "top1": similarity.ivf_topk(
+                    emb, "vec_id", "embedding", q,
+                    k=10, num_cells=k_ivf, nprobe=max(4, k_ivf // 16),
+                ).collect()[0].vec_id
+            },
+        )
+    )
     print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
 
 

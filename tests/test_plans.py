@@ -303,3 +303,45 @@ def test_q77_max_compare_runs_on_exact_decimal(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     rows = df.collect()
     assert len(rows) >= 1
+
+
+def test_q78_single_fact_exchange_and_broadcast_dims(spark, sf_smoke):
+    """Q21's plan promise: the double EXISTS/NOT-EXISTS rewrite keeps
+    lineitem to ONE wide exchange (keyed by l_orderkey for the per-
+    supplier agg; the per-order rollup reuses that partitioning), and
+    supplier/nation/region ride broadcasts — no fact-fact self-join
+    survives in the physical plan."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q78_waiting_suppliers"](spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # the would-be self-join shape
+    # wide exchanges: lineitem→orders join + (order,supplier) agg chain;
+    # the final 100-supplier numwait agg is tiny but still an exchange.
+    # What must NOT appear is a second fact-sized exchange from a
+    # correlated-subquery self-join (literal Q21 runs 4+).
+    assert explain.count_shuffle_exchanges(df) <= 3
+
+
+def test_q79_all_predicates_pushed_no_groupby_exchange(spark, sf_smoke):
+    """Q6 is the pushdown sentinel: date band, discount band, and
+    quantity cap all reach the parquet scan, the scan reads only the
+    four referenced columns, and the global agg plans as partial/final
+    with a single-partition exchange (no groupBy key shuffle)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q79_forecast_revenue"](spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    explain.assert_pushed_filters(
+        df,
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    )
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read and "l_returnflag" not in read
+    assert explain.count_shuffle_exchanges(df) <= 1
