@@ -244,7 +244,13 @@ def bigram_lm_scores(
     cardinality (≪ corpus) and join back to the exploded doc-bigram stream
     on the gram string — a plain shuffled equi-join that AQE broadcasts
     when the LM table is dictionary-sized.  No driver-side model object:
-    the "model" stays a DataFrame end to end.
+    the "model" stays a DataFrame end to end.  The doc-bigram stream is
+    deliberately NOT checkpointed even though it is evaluated twice
+    (count pass + score pass): materializing a corpus-sized intermediate
+    in executor storage was measured to starve the LM broadcast build
+    into an OOM at 1M docs / 39M bigrams, while recomputing the narrow
+    tokenize+shingle projection is pure map-side CPU (docs/scale.md,
+    round-4 5x probe).
 
     Determinism: each -ln P is rounded to 6 dp (absorbs libm ULP) and
     summed as DECIMAL(28,6) — exact, order-independent — then divided by
