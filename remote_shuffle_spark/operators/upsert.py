@@ -116,3 +116,37 @@ def snapshot_diff(
         .filter(F.col("status").isNotNull())
         .select(*keys_out, "status")
     )
+
+
+def merge_upsert_ordered(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Order-aware MERGE (CDC latest-wins): for each key, the row with the
+    highest ``order_cols`` tuple survives, whichever side carries it.
+
+    Unlike ``merge_upsert`` (arrival order wins), the result is
+    independent of HOW the updates were batched — applying changelog
+    batches in any interleaving converges to the same table, which is
+    the property a CDC ingest needs when micro-batches are not
+    time-ordered (file-arrival order, shuffled topics, backfills).
+    Equivalent to MERGE ... WHEN MATCHED AND s.ord > t.ord THEN UPDATE.
+
+    ``order_cols`` must be a total order per key (e.g. event time plus a
+    unique id as tiebreak); otherwise the surviving row is
+    undeterministic under ties.  Both sides shuffle once on the key for
+    the window; with key-bucketed snapshots the exchange disappears.
+    """
+    from pyspark.sql.window import Window
+
+    allr = target.select(*updates.columns).unionByName(updates)
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        allr.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,3 +1,4 @@
+from remote_shuffle_spark.streaming.cdc import streaming_cdc_upsert
 from remote_shuffle_spark.streaming.dedup import streaming_distinct
 from remote_shuffle_spark.streaming.sessionize import (
     sessionize_batch,
@@ -17,6 +18,7 @@ __all__ = [
     "drain_append_to_parquet",
     "drain_complete_to_parquet",
     "sessionize_batch",
+    "streaming_cdc_upsert",
     "sessionize_streaming",
     "sessionize_streaming_table",
     "streaming_distinct",

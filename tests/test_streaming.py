@@ -357,3 +357,57 @@ def test_append_parquet_sink_matches_memory_sink(spark, sf_smoke):
 
     assert len(from_files) > 0
     assert sorted(key(r) for r in from_files) == sorted(key(r) for r in from_memory)
+
+
+def test_merge_upsert_ordered_batch_order_independent(spark):
+    """The CDC merge's defining property: any interleaving of changelog
+    batches converges to the same table (latest (ts, id) wins)."""
+    from remote_shuffle_spark.operators.upsert import merge_upsert_ordered
+
+    rows = [
+        # (key, ts, id, val) — key 1 updated in every batch, key 2 only
+        # early, key 3 only late, key 4 has a ts tie broken by id
+        (1, 10, 100, "a"), (2, 10, 101, "b"),
+        (1, 20, 200, "c"), (4, 50, 201, "d"),
+        (1, 30, 300, "e"), (3, 5, 301, "f"), (4, 50, 302, "g"),
+    ]
+    cols = ["k", "ts", "event_id", "val"]
+    batches = [
+        spark.createDataFrame(rows[0:2], cols),
+        spark.createDataFrame(rows[2:4], cols),
+        spark.createDataFrame(rows[4:7], cols),
+    ]
+    empty = spark.createDataFrame([], batches[0].schema)
+
+    def apply_all(order):
+        t = empty
+        for i in order:
+            t = merge_upsert_ordered(t, batches[i], ["k"], ["ts", "event_id"])
+        return {tuple(r) for r in t.collect()}
+
+    expect = {(1, 30, 300, "e"), (2, 10, 101, "b"), (3, 5, 301, "f"), (4, 50, 302, "g")}
+    assert apply_all([0, 1, 2]) == expect
+    assert apply_all([2, 0, 1]) == expect
+    assert apply_all([1, 2, 0]) == expect
+    # redelivery idempotence: re-applying an already-applied batch is a no-op
+    t = merge_upsert_ordered(
+        merge_upsert_ordered(empty, batches[2], ["k"], ["ts", "event_id"]),
+        batches[2], ["k"], ["ts", "event_id"],
+    )
+    assert {tuple(r) for r in t.collect()} == {
+        (1, 30, 300, "e"), (3, 5, 301, "f"), (4, 50, 302, "g")
+    }
+
+
+def test_cdc_split_source_yields_true_microbatches(spark, sf_smoke):
+    """The split dir must expose n real files (n micro-batches under
+    maxFilesPerTrigger=1) that partition the fixture exactly."""
+    from remote_shuffle_spark.streaming.cdc import split_stream_dir
+
+    path = table_path(sf_smoke, "events")
+    d = split_stream_dir(spark, path, n_splits=4)
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == 4
+    n_src = spark.read.parquet(path).count()
+    n_split = spark.read.parquet(*[os.path.join(d, f) for f in files]).count()
+    assert n_split == n_src
