@@ -890,39 +890,6 @@ def ext_stream_window_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts_filesink(spark, sf_dir)
 
 
-@declared(
-    "ext_stream_cdc_upsert",
-    oracle="""
-    SELECT user_id,
-           event_id AS last_event_id,
-           event_type AS last_event_type,
-           CAST(value AS DOUBLE) AS last_value
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY user_id
-        -- micro-second truncation to match the stream's event_time
-        -- normalization if the fixture regenerates as TIMESTAMP(NANOS)
-        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
-      ) AS rn FROM events
-    )
-    WHERE rn = 1 ORDER BY user_id
-    """,
-    tags=("ext", "streaming", "upsert"),
-)
-def ext_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC ingest: the events changelog split into four true
-    micro-batches (file source, maxFilesPerTrigger=1, batches span the
-    whole time range — NOT time-ordered), each foreachBatch-MERGEd into a
-    versioned parquet snapshot with the order-aware latest-(ts, id)-wins
-    upsert (streaming/cdc.py; operators/upsert.py
-    merge_upsert_ordered).  The final snapshot must equal the batch
-    window "latest event per user" regardless of batch interleaving —
-    which is exactly what the oracle pins.  Snapshot versioning makes
-    batch redelivery idempotent (a re-run batch id rewrites its own
-    version from the same predecessor)."""
-    from remote_shuffle_spark.streaming import streaming_cdc_upsert
-
-    return streaming_cdc_upsert(spark, sf_dir)
 
 
 @declared(
@@ -2927,3 +2894,38 @@ def ext_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "ext_stream_cdc_upsert",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           CAST(value AS DOUBLE) AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        -- micro-second truncation to match the stream's event_time
+        -- normalization if the fixture regenerates as TIMESTAMP(NANOS)
+        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+      ) AS rn FROM events
+    )
+    WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("ext", "streaming", "upsert"),
+)
+def ext_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC ingest: the events changelog split into four true
+    micro-batches (file source, maxFilesPerTrigger=1, batches span the
+    whole time range — NOT time-ordered), each foreachBatch-MERGEd into a
+    versioned parquet snapshot with the order-aware latest-(ts, id)-wins
+    upsert (streaming/cdc.py; operators/upsert.py
+    merge_upsert_ordered).  The final snapshot must equal the batch
+    window "latest event per user" regardless of batch interleaving —
+    which is exactly what the oracle pins.  Snapshot versioning makes
+    batch redelivery idempotent (a re-run batch id rewrites its own
+    version from the same predecessor)."""
+    from remote_shuffle_spark.streaming import streaming_cdc_upsert
+
+    return streaming_cdc_upsert(spark, sf_dir)
