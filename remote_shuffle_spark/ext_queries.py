@@ -2929,3 +2929,42 @@ def ext_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.streaming import streaming_cdc_upsert
 
     return streaming_cdc_upsert(spark, sf_dir)
+
+@declared(
+    "ext_pmi_collocations",
+    oracle=f"""
+    WITH tk AS (
+      SELECT string_split({_NORM}, ' ') AS toks FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS w FROM tk
+    ), uc AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+    grams AS (
+      SELECT unnest({_sql_grams(2)}) AS gram FROM tk WHERE len(toks) >= 2
+    ), bc AS (
+      SELECT gram, COUNT(*) AS c12 FROM grams GROUP BY gram
+    ), nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM grams)
+    SELECT split_part(gram, ' ', 1) AS w1,
+           split_part(gram, ' ', 2) AS w2,
+           CAST(c12 AS BIGINT) AS c_bigram,
+           ROUND(ln((CAST(c12 AS DOUBLE) * nu.n * nu.n)
+                    / (nb.n * u1.c * u2.c)), 6) AS pmi
+    FROM bc, nu, nb
+    JOIN uc u1 ON u1.w = split_part(gram, ' ', 1)
+    JOIN uc u2 ON u2.w = split_part(gram, ' ', 2)
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 100
+    """,
+    tags=("ext", "text"),
+)
+def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by pointwise mutual information — the
+    phrase-mining / tokenizer-merge-candidate signal
+    (operators/text.py:pmi_collocations).  Counts feed one exact double
+    division into ln on both engines; round(6) absorbs libm ULP, ties
+    break on (w1, w2)."""
+    from remote_shuffle_spark.operators.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "doc_id", "text", min_count=5, top_n=100)

@@ -408,3 +408,64 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (F.col("tf") * idf).alias("score"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Top-N collocations by pointwise mutual information —
+    PMI(w1, w2) = ln( P(w1 w2) / (P(w1)·P(w2)) ) with probabilities from
+    corpus unigram/bigram counts.  The classic phrase-mining signal
+    (word2vec's phrase pass, NPMI collocation extraction) for building
+    tokenizer merge candidates and stop-phrase lists.
+
+    Shape at corpus scale: one explode for unigrams, one for bigram
+    shingles — both feed map-side-combinable counts; the two unigram
+    joins back onto the bigram table are vocabulary-sized (AQE
+    broadcasts them), and the corpus totals ride a broadcast 1-row
+    cross-join.  TakeOrdered top-N; the corpus is never sorted.
+
+    Determinism: every count is exactly representable, so the single
+    double division feeds ln the same value in any engine; the result is
+    rounded to 6 dp (same last-ULP absorption rule as bigram_lm_scores)
+    and tie-broken on (w1, w2).  Bigrams come only from docs with ≥2
+    tokens; unigram stats use the whole corpus.
+    """
+    from remote_shuffle_spark.functions.hashing import tokens, word_shingles_from_tokens
+
+    tk = df.select(tokens(text_col).alias("_tk"))
+    uni = tk.select(F.explode("_tk").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_uni")
+    )
+    n_uni = uni.agg(F.sum("c_uni").cast("double").alias("_n_uni"))
+    grams = tk.filter(F.size("_tk") >= 2).select(
+        F.explode(word_shingles_from_tokens(F.col("_tk"), 2)).alias("gram")
+    )
+    bi = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bigram"))
+    n_bi = grams.agg(F.count(F.lit(1)).cast("double").alias("_n_bi"))
+    u1 = uni.select(F.col("w").alias("_w1"), F.col("c_uni").alias("_c1"))
+    u2 = uni.select(F.col("w").alias("_w2"), F.col("c_uni").alias("_c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_bigram").cast("double") * F.col("_n_uni") * F.col("_n_uni"))
+            / (F.col("_n_bi") * F.col("_c1") * F.col("_c2"))
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("c_bigram") >= min_count)
+        .withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("gram"), F.lit(" "), F.lit(2)))
+        .join(u1, F.col("w1") == F.col("_w1"))
+        .join(u2, F.col("w2") == F.col("_w2"))
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("w1", "w2", "c_bigram", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_n)
+    )
