@@ -95,6 +95,7 @@ def range_join(
     lower_us: int,
     upper_us: int,
     right_values: list[str],
+    join_strategy: str = "merge",
 ) -> DataFrame:
     """Interval join: pairs where ``right_ts`` ∈ [left_ts+lower_us,
     left_ts+upper_us] (microsecond offsets, lower may be negative) and the
@@ -103,9 +104,21 @@ def range_join(
     Bucket width = interval span, so each left row probes ≤ 3 buckets —
     candidate generation is an equi-join on (keys, bucket), never a
     cartesian product.  Returns all left columns + requested right values.
+
+    ``join_strategy`` is the physical hint for the big-big candidate
+    join.  Default ``"merge"`` (sort-merge): external sort spills
+    gracefully at any input size — the only strategy that survives the
+    per-partition build outgrowing memory, measured at 50M rows where
+    shuffle-hash hard-OOMs under AQE-coalesced partitions.
+    ``"shuffle_hash"`` is the measured 4x-faster opt-in when the right
+    side per partition fits execution memory (5M rows: 1.5 s vs 6.6 s).
+    Either hint keeps Catalyst from broadcasting a misestimated side
+    (observed 357 MB runaway broadcast on stats-free synthetic inputs).
     """
     if upper_us <= lower_us:
         raise ValueError("upper_us must exceed lower_us")
+    if join_strategy not in ("merge", "shuffle_hash"):
+        raise ValueError(f"join_strategy must be 'merge' or 'shuffle_hash', got {join_strategy!r}")
     span = upper_us - lower_us
     l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
     r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
@@ -132,10 +145,7 @@ def range_join(
             )
         ),
     )
-    # big-big by construction: pin shuffle-hash so a misestimated side
-    # never becomes a runaway broadcast (observed 357 MB broadcast on
-    # synthetic 5M-row inputs when size stats were optimistic)
-    joined = l_tagged.join(r_tagged.hint("shuffle_hash"), on=[*on, "_bucket"]).filter(
+    joined = l_tagged.join(r_tagged.hint(join_strategy), on=[*on, "_bucket"]).filter(
         (F.col("_r_us") >= F.col("_l_us") + F.lit(lower_us))
         & (F.col("_r_us") <= F.col("_l_us") + F.lit(upper_us))
     )

@@ -438,6 +438,10 @@ def pmi_collocations(
     """
     from remote_shuffle_spark.functions.hashing import tokens, word_shingles_from_tokens
 
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
     tk = df.select(tokens(text_col).alias("_tk"))
     uni = tk.select(F.explode("_tk").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c_uni")

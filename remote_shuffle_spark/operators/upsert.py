@@ -141,6 +141,13 @@ def merge_upsert_ordered(
     """
     from pyspark.sql.window import Window
 
+    if not key_cols:
+        raise ValueError("merge_upsert_ordered needs at least one key column")
+    if not order_cols:
+        raise ValueError(
+            "merge_upsert_ordered needs at least one order column (latest-wins "
+            "is undefined without an order)"
+        )
     allr = target.select(*updates.columns).unionByName(updates)
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in order_cols]

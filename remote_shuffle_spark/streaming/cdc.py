@@ -51,6 +51,8 @@ def split_stream_dir(spark: SparkSession, path: str, *, n_splits: int = 4) -> st
     rename), reused afterwards."""
     import hashlib
 
+    if n_splits < 1:
+        raise ValueError(f"n_splits must be >= 1, got {n_splits}")
     real = os.path.realpath(path)
     key = hashlib.sha1(f"{real}|{n_splits}".encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"rss_cdc_split_{key}")

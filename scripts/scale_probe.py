@@ -83,8 +83,20 @@ def main():
     from remote_shuffle_spark.streaming.sessionize import sessionize_batch
 
     # 8g: enough for the 5M-row shuffle-hash builds; bigger heaps measured
-    # slower on this VM (see EngineConfig.driver_memory)
-    spark = get_session(EngineConfig(driver_memory="8g"))
+    # slower on this VM (see EngineConfig.driver_memory).  Shuffle
+    # partitions scale with the input — the docs/scale.md sizing rule,
+    # practiced: at --scale 10 the 50M-event shuffle-hash build OOMs the
+    # fixture-sized 32 partitions (measured), while 32*ceil(scale)
+    # keeps every per-partition build bounded and AQE coalesces the
+    # small stages back down.
+    import math
+
+    spark = get_session(
+        EngineConfig(
+            driver_memory="8g",
+            shuffle_partitions=32 * max(1, math.ceil(s)),
+        )
+    )
     results = []
 
     docs = synth_docs(spark, int(200_000 * s))
