@@ -75,6 +75,11 @@ def probe(name, fn):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0)
+    # local mode is ONE JVM for driver + all executor threads, so broadcast
+    # builds compete with execution memory in a way a cluster driver never
+    # sees; at --scale 10 the (cluster-correct, dictionary-sized) bigram-LM
+    # broadcast needs headroom beyond the 8g throughput sweet spot
+    ap.add_argument("--driver-memory", default="8g")
     args = ap.parse_args()
     s = args.scale
 
@@ -93,7 +98,7 @@ def main():
 
     spark = get_session(
         EngineConfig(
-            driver_memory="8g",
+            driver_memory=args.driver_memory,
             shuffle_partitions=32 * max(1, math.ceil(s)),
         )
     )

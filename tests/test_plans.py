@@ -345,3 +345,15 @@ def test_q79_all_predicates_pushed_no_groupby_exchange(spark, sf_smoke):
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_extendedprice" in read and "l_returnflag" not in read
     assert explain.count_shuffle_exchanges(df) <= 1
+
+
+def test_range_join_default_is_spill_safe_sort_merge(spark, sf_smoke):
+    """range_join's default strategy must stay the spill-safe sort-merge
+    (survives any per-partition size; docs/scale.md round-4 probe), with
+    no broadcast of either data-sized side and no cartesian product."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["ext_range_join"](spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
