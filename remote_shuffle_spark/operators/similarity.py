@@ -145,7 +145,10 @@ def assign_ivf_cells(
             if len(s) == 0:
                 yield pd.Series([], dtype="int32")
                 continue
-            V = np.stack([np.asarray(x, dtype=np.float64) for x in s])
+            # single C-level conversion: a per-row np.asarray loop here
+            # measured 13x slower and dominated the assignment pass at 2M
+            # vectors (docs/scale.md 10x probe)
+            V = np.array(s.tolist(), dtype=np.float64)
             vnorm = np.linalg.norm(V, axis=1)
             Vn = V / np.where(vnorm > 0.0, vnorm, 1.0)[:, None]
             Vn[vnorm == 0.0] = 0.0  # zero vector → all sims 0, max-cid cell
