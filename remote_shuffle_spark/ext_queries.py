@@ -2789,7 +2789,7 @@ def ext_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "ext_kfold_split",
     oracle="""
-    SELECT (doc_id * 2654435761 + 11) % 5 AS fold,
+    SELECT ((doc_id % 999983) * (2654435761 % 999983) + 11) % 999983 % 5 AS fold,
            COUNT(*) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS chars
     FROM documents GROUP BY 1 ORDER BY fold
@@ -2801,9 +2801,21 @@ def ext_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded eval: the fold is a pure function of the id (salted
     congruence pinned for external replay; production uses
     xxhash64(id, salt) % k), so folds are stable across runs and
-    machines with zero stored state.  One combinable aggregation."""
+    machines with zero stored state.  One combinable aggregation.
+
+    The congruence reduces doc_id mod a prime FIRST (same form as
+    ext_per_key_sample / ext_weighted_sample) so the multiply never
+    exceeds ~2^60: raw `doc_id * 2654435761` wraps silently in Spark
+    but raises in DuckDB for ids above ~3.5e9, so the naive form is an
+    engine-divergence trap (tests/test_primitives.py pins id > 2^32)."""
     docs = load_table(spark, sf_dir, "documents")
-    fold = F.pmod(F.col("doc_id") * 2654435761 + 11, F.lit(5))
+    fold = F.pmod(
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(999983)) * F.lit(2654435761 % 999983) + 11,
+            F.lit(999983),
+        ),
+        F.lit(5),
+    )
     return (
         docs.groupBy(fold.alias("fold"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))

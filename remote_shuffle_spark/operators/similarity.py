@@ -21,6 +21,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from remote_shuffle_spark.functions.vectors import cosine_similarity, to_double_array
@@ -163,12 +164,19 @@ def assign_ivf_cells(
 def seed_centroids(df: DataFrame, id_col: str, vec_col: str, *, k: int) -> DataFrame:
     """Deterministic centroid seeds: the k smallest ids (k-means init
     stand-in; a real pipeline would run k-means|| — pyspark.ml KMeans —
-    but the IVF mechanics are identical)."""
+    but the IVF mechanics are identical).
+
+    cid is ``row_number() over (order by id)`` — a plan-independent
+    function of the data.  (An earlier version used
+    monotonically_increasing_id() after orderBy().limit(k), which is
+    stable only while the limit collapses to one partition — a plan
+    change would silently renumber the cells.)"""
+    w = W.orderBy(F.col(id_col))
     return (
         df.orderBy(id_col)
         .limit(k)
         .select(
-            F.monotonically_increasing_id().cast("int").alias("cid"),
+            (F.row_number().over(w) - F.lit(1)).cast("int").alias("cid"),
             to_double_array(vec_col).alias("cvec"),
         )
     )

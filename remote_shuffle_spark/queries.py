@@ -60,18 +60,32 @@ def declared(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # After each round's gate runs, fold its green names into this set
 # (scripts/update_driver_verified.py prints the literal).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
-    "ext_asof_join", "ext_bpe_tokens", "ext_chunk_sequences",
-    "ext_dataset_mixture", "ext_dedup_exact", "ext_dedup_incremental",
-    "ext_dedup_prefix_blocks", "ext_doc_embedding_join", "ext_doc_histogram",
-    "ext_fingerprint", "ext_global_index", "ext_label_centroids",
+    "ext_asof_join", "ext_bigram_counts", "ext_bigram_lm_quality",
+    "ext_bloom_anti_join", "ext_bloom_semi_join", "ext_bm25_topk",
+    "ext_bpe_tokens", "ext_chi_square", "ext_chunk_sequences",
+    "ext_compaction", "ext_corr_matrix", "ext_dataset_mixture",
+    "ext_decontaminate", "ext_dedup_exact", "ext_dedup_groups",
+    "ext_dedup_incremental", "ext_dedup_minhash", "ext_dedup_prefix_blocks",
+    "ext_dedup_simhash", "ext_doc_embedding_join", "ext_doc_histogram",
+    "ext_embedding_neardup", "ext_event_debounce", "ext_event_runs",
+    "ext_fingerprint", "ext_funnel", "ext_fuzzy_join",
+    "ext_global_index", "ext_hll_rollup", "ext_hopping_window",
+    "ext_incremental_agg", "ext_inverted_index", "ext_kfold_split",
+    "ext_kmeans_cells", "ext_label_centroids", "ext_label_entropy",
     "ext_lang_id", "ext_multimodal_decode", "ext_multimodal_features",
-    "ext_multimodal_frames", "ext_ngram_jaccard", "ext_pii_scrub",
-    "ext_quality_features", "ext_range_join", "ext_repetition",
-    "ext_salted_agg", "ext_scd2", "ext_sessionize",
-    "ext_similarity_topk", "ext_stream_dedup", "ext_stream_sessionize",
-    "ext_stream_window", "ext_text_quality", "ext_text_stats",
-    "ext_tf_idf", "ext_upsert", "ext_vector_normalize",
-    "ext_vocab", "q01_scan_filter_agg", "q02_repartition",
+    "ext_multimodal_frames", "ext_ngram_jaccard", "ext_pack_greedy",
+    "ext_per_key_sample", "ext_pii_scrub", "ext_pmi_collocations",
+    "ext_quality_features", "ext_quantile_bins", "ext_range_join",
+    "ext_repetition", "ext_rolling_time_window", "ext_salted_agg",
+    "ext_scd2", "ext_semantic_dedup", "ext_sessionize",
+    "ext_similarity_ivf", "ext_similarity_topk", "ext_skew_report",
+    "ext_snapshot_diff", "ext_stratified_sample", "ext_stream_cdc_upsert",
+    "ext_stream_dedup", "ext_stream_enrich", "ext_stream_sessionize",
+    "ext_stream_stream_join", "ext_stream_window", "ext_stream_window_filesink",
+    "ext_text_quality", "ext_text_stats", "ext_tf_idf",
+    "ext_train_split", "ext_upsert", "ext_vector_normalize",
+    "ext_vocab", "ext_weighted_sample", "ext_window_zscore",
+    "ext_zorder_key", "q01_scan_filter_agg", "q02_repartition",
     "q03_repartition_empty", "q04_global_sort", "q05_groupby_aqe",
     "q06_tpch_q1", "q07_groupbykey_collect", "q08_distinct",
     "q09_count_distinct", "q10_sort_merge_join", "q11_broadcast_join",
@@ -88,10 +102,12 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q42_regional_revenue", "q43_correlated_scalar", "q44_exists_subquery",
     "q45_not_exists", "q46_range_frame", "q47_value_window_funcs",
     "q48_posexplode", "q49_median_mode", "q50_string_agg",
-    "q52_levenshtein", "q53_gap_fill", "q54_set_ops_all",
-    "q55_unpivot", "q56_multi_distinct", "q57_null_safe_join",
-    "q58_ignore_nulls_window", "q59_keep_latest", "q60_sql_entry",
-    "q61_lateral_join",
+    "q51_conditional_agg", "q52_levenshtein", "q53_gap_fill",
+    "q54_set_ops_all", "q55_unpivot", "q56_multi_distinct",
+    "q57_null_safe_join", "q58_ignore_nulls_window", "q59_keep_latest",
+    "q60_sql_entry", "q61_lateral_join", "q62_order_priority_exists",
+    "q63_conditional_priority_agg", "q64_customer_order_histogram", "q65_promo_revenue_share",
+    "q66_small_quantity_revenue", "q67_large_volume_orders", "q68_disjunctive_revenue",
 })
 
 

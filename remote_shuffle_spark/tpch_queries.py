@@ -306,7 +306,9 @@ def q68_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_acctbal > (
         SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.00
       )
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
     GROUP BY c_nationkey ORDER BY c_nationkey
     """,
     tags=("tpch", "subquery", "anti"),
@@ -314,8 +316,13 @@ def q68_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q69_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers above the global positive-balance
     average (uncorrelated scalar subquery → broadcast one-row frame) with
-    no orders (anti join), grouped by nation (nationkey stands in for the
-    fixture's missing phone country code).
+    no *recent* orders (anti join on a date-filtered orders scan), grouped
+    by nation (nationkey stands in for the fixture's missing phone country
+    code).  The driver fixture gives every custkey at least one order, so
+    classic Q22's "no orders at all" predicate is vacuously empty; anchoring
+    the anti join at 2000-01-01 keeps the identical plan shape (pushed
+    filter → anti SMJ) while producing a non-trivial result (~55 rows at
+    sf0.01) the oracle hash actually exercises.
 
     AVG determinism note: both engines average the same ~1.5k doubles in
     ascending-partition order only by accident, so the cutoff itself is
@@ -331,7 +338,11 @@ def q69_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.crossJoin(F.broadcast(cutoff))
         .filter(F.col("c_acctbal") > F.col("cut"))
-        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(
+            orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
@@ -800,7 +811,8 @@ def q78_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
         .filter(F.col("r_name") == "ASIA")
-        .select("s_name", "numwait")
+        .groupBy("s_name")
+        .agg(F.sum("numwait").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -111,3 +111,34 @@ def test_new_operators_on_empty_inputs(spark):
         left, empty_right, on=["k"], left_ts="ts", right_ts="ts", right_values=["v"]
     ).collect()
     assert len(out) == 1 and out[0].v_asof is None
+
+
+def test_kfold_congruence_survives_large_ids(spark, tmp_path):
+    """ext_kfold_split's fold function must not overflow int64: raw
+    `doc_id * 2654435761` wraps silently in Spark but raises in DuckDB
+    for ids above ~3.5e9, so the mod-first form is load-bearing.  Pin
+    Spark ≡ DuckDB on ids straddling 2^32."""
+    import duckdb
+
+    import remote_shuffle_spark.ext_queries  # noqa: F401 — registers EXT queries
+    from remote_shuffle_spark.queries import REGISTRY
+
+    ids = [1, 7, 2**31 - 1, 2**32 + 12345, 2**40 + 7, 2**62 + 3]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, 100, "en", "t" * 4) for i in ids],
+        "doc_id long, n_chars int, lang string, text string",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    qd = REGISTRY["ext_kfold_split"]
+    got = {
+        (r.fold, r.n, r.chars)
+        for r in qd.fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{sf}/documents.parquet/*.parquet')"
+    )
+    want = set(map(tuple, con.execute(qd.oracle).fetchall()))
+    assert got == want
