@@ -858,3 +858,277 @@ def q79_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Synthesized partsupp: the driver fixture has no partsupp table, which
+# blocked TPC-H Q2/Q11/Q16/Q20 (docs/coverage.md).  Both engines derive the
+# SAME deterministic partsupp from part × supplier cardinalities (the public
+# dbgen idea — 4 suppliers per part spread S/4 apart — with overflow-safe
+# congruences for qty/cost), so the oracle stays a pure function of the
+# pre-registered views and the driver gate CAN check these shapes.
+# ps_suppkey = (p + p//S + i*(S//4)) % S is 4 DISTINCT suppliers per part
+# for any S >= 4 (i*(S//4) < S for i in 0..3), verified key-unique in
+# tests/test_queries_oracle.py.  In production partsupp is a real table;
+# the query plans below do not depend on the synthesis (it's a leaf).
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+    s_cnt AS (SELECT COUNT(*) AS s FROM supplier),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + p_partkey // s + i.i * (s // 4)) % s AS ps_suppkey,
+             (p_partkey * 37 + i.i * 101) % 9999 + 1 AS ps_availqty,
+             CAST((p_partkey * 13 + i.i * 7) % 99000 + 100 AS DOUBLE) / 100.0
+               AS ps_supplycost
+      FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i) CROSS JOIN s_cnt
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str, part: DataFrame | None = None) -> DataFrame:
+    """Deterministic partsupp synthesis (see block comment above).  ``part``
+    lets callers pass an already-filtered part frame so the synthesis only
+    materializes the rows the query needs — the stand-in for partition
+    pruning on a real partsupp table."""
+    if part is None:
+        part = load_table(spark, sf_dir, "part")
+    s_cnt = load_table(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s"))
+    quarters = spark.range(4).select(F.col("id").alias("i"))
+    return (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(quarters))
+        .crossJoin(F.broadcast(s_cnt))
+        .selectExpr(
+            "p_partkey AS ps_partkey",
+            "(p_partkey + p_partkey DIV s + i * (s DIV 4)) % s AS ps_suppkey",
+            "(p_partkey * 37 + i * 101) % 9999 + 1 AS ps_availqty",
+            "CAST((p_partkey * 13 + i * 7) % 99000 + 100 AS DOUBLE) / 100.0"
+            " AS ps_supplycost",
+        )
+    )
+
+
+@declared(
+    "q80_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    eu_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p_partkey, p_brand, ps_supplycost, s_name, s_acctbal, n_name
+      FROM part JOIN partsupp ON ps_partkey = p_partkey
+      JOIN eu_supp ON s_suppkey = ps_suppkey
+      WHERE p_size = 15
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+    FROM cand
+    WHERE ps_supplycost = (
+      SELECT MIN(c2.ps_supplycost) FROM cand c2 WHERE c2.p_partkey = cand.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch", "join", "subquery", "window"),
+)
+def q80_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest EUROPE supplier per size-15 part — the
+    classic correlated-MIN subquery.  Spark plans it as ONE window
+    (min over p_partkey) + filter instead of the literal self-join
+    decorrelation: one exchange on the part key, dimension joins all
+    broadcast.  The partsupp leaf is synthesized from the already-filtered
+    part frame, the engine analog of pruning a real partsupp scan to the
+    selected parts."""
+    part_f = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    ps = _partsupp(spark, sf_dir, part=part_f)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    eu = (
+        supp.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    from pyspark.sql import Window as W
+
+    cand = ps.join(
+        F.broadcast(part_f.select(F.col("p_partkey").alias("pk"), "p_brand")),
+        F.col("pk") == F.col("ps_partkey"),
+    ).join(F.broadcast(eu), F.col("s_suppkey") == F.col("ps_suppkey"))
+    mincost = F.min("ps_supplycost").over(W.partitionBy("ps_partkey"))
+    return (
+        cand.withColumn("mincost", mincost)
+        .filter(F.col("ps_supplycost") == F.col("mincost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            "ps_supplycost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@declared(
+    "q81_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    nat_ps AS (
+      SELECT ps_partkey, CAST(ps_supplycost AS DECIMAL(12,4)) * ps_availqty AS v
+      FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+    ),
+    per_part AS (SELECT ps_partkey, SUM(v) AS value FROM nat_ps GROUP BY ps_partkey),
+    tot AS (SELECT SUM(value) AS total FROM per_part)
+    SELECT ps_partkey, CAST(ROUND(value, 4) AS DOUBLE) AS value
+    FROM per_part CROSS JOIN tot
+    WHERE CAST(value AS DECIMAL(18,4)) * 200 > CAST(total AS DECIMAL(18,4))
+    ORDER BY value DESC, ps_partkey
+    """,
+    tags=("tpch", "agg", "subquery"),
+)
+def q81_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value within a nation group,
+    HAVING value > 1/200 of the group total (uncorrelated scalar
+    aggregate → broadcast one-row frame).  Threshold compared in exact
+    DECIMAL on both engines (value*200 > total — integer multiplier, no
+    division rounding).  Two combinable aggregations; the only wide
+    exchange carries (partkey, decimal) pairs."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    nat_supp = (
+        supp.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13"))
+        .select("s_suppkey")
+    )
+    v = F.col("ps_supplycost").cast("decimal(12,4)") * F.col("ps_availqty")
+    per_part = (
+        ps.join(F.broadcast(nat_supp), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(v).alias("value"))
+    )
+    tot = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value").cast("decimal(18,4)") * F.lit(200)
+            > F.col("total").cast("decimal(18,4)")
+        )
+        .select("ps_partkey", F.round("value", 4).cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@declared(
+    "q82_supplier_cnt_by_part",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "agg", "anti", "distinct"),
+)
+def q82_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute group,
+    excluding blacklisted suppliers (negative balance stands in for the
+    fixture's missing comment column) — NOT IN planned as a broadcast
+    ANTI join (s_suppkey is non-null, so anti ≡ NOT IN).  The distinct
+    aggregate is the one genuine exchange."""
+    part_f = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    ps = _partsupp(spark, sf_dir, part=part_f)
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(
+            part_f.select(
+                F.col("p_partkey").alias("pk"), "p_brand", "p_type", "p_size"
+            ),
+            F.col("pk") == F.col("ps_partkey"),
+        )
+        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("ps_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@declared(
+    "q83_promotable_parts",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_regionkey = 2
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE p_name LIKE 'small%'
+          AND CAST(ps_availqty AS DOUBLE) > 0.5 * qty
+      )
+    ORDER BY s_name
+    """,
+    tags=("tpch", "join", "semi"),
+)
+def q83_promotable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one region holding excess stock
+    (availqty > half of what they shipped in 1997) of 'small%' parts —
+    nested IN over a join of partsupp with a pre-aggregated lineitem
+    frame, planned as two semi joins.  l_quantity is whole-number-valued
+    so the double SUM is order-independent-exact and the 0.5*qty
+    comparison cannot tie-break differently across engines."""
+    part_f = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    ps = _partsupp(spark, sf_dir, part=part_f)
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    shipped = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    promo = (
+        ps.join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty").cast("double") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .filter(F.col("n_regionkey") == 2)
+        .join(F.broadcast(promo), F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )

@@ -41,3 +41,16 @@ def test_query_matches_oracle(spark, sf_correct, duck, name):
     oracle_pdf = duck.execute(oracles[name]).df()
     res: ParityResult = compare_frames(name, spark_pdf, oracle_pdf)
     assert res.ok, res.detail
+
+
+def test_synth_partsupp_key_unique(spark):
+    """The synthesized partsupp (tpch_queries._partsupp) must be key-unique
+    on (ps_partkey, ps_suppkey) at every fixture SF — the suppkey spread
+    i*(S//4) stays distinct for any supplier count S >= 4."""
+    from remote_shuffle_spark.tpch_queries import _partsupp
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ps = _partsupp(spark, sf)
+        total = ps.count()
+        distinct = ps.select("ps_partkey", "ps_suppkey").distinct().count()
+        assert total == distinct and total > 0, (sf, total, distinct)
