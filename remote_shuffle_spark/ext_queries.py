@@ -2665,6 +2665,71 @@ def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_fuzzy_join_suffix",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey AS k, c_name AS t, len(c_name) AS blen,
+             substr(c_name, 1, 16) AS bpre,
+             substr(reverse(c_name), 1, 16) AS bsuf
+      FROM customer
+    ), e1 AS (
+      SELECT k, t, blen, blen - j AS lkey, bpre AS key
+      FROM b, (SELECT UNNEST([0, 1]) AS j) js WHERE blen - j >= 0
+    ), sized1 AS (
+      SELECT lkey, key, COUNT(*) AS bsize FROM e1 GROUP BY 1, 2
+    ), bounded1 AS (
+      SELECT e1.* FROM e1 JOIN sized1 USING (lkey, key)
+      WHERE sized1.bsize BETWEEN 2 AND 512
+    ), e2 AS (
+      SELECT k, t, blen, blen - j AS lkey, bsuf AS key
+      FROM b, (SELECT UNNEST([0, 1]) AS j) js WHERE blen - j >= 0
+    ), sized2 AS (
+      SELECT lkey, key, COUNT(*) AS bsize FROM e2 GROUP BY 1, 2
+    ), bounded2 AS (
+      SELECT e2.* FROM e2 JOIN sized2 USING (lkey, key)
+      WHERE sized2.bsize BETWEEN 2 AND 512
+    ), pairs AS (
+      SELECT LEAST(a.k, p.k) AS id_a, GREATEST(a.k, p.k) AS id_b,
+             levenshtein(CASE WHEN a.k < p.k THEN a.t ELSE p.t END,
+                         CASE WHEN a.k < p.k THEN p.t ELSE a.t END) AS dist
+      FROM (SELECT * FROM bounded1 WHERE lkey = blen) a
+      JOIN bounded1 p ON a.lkey = p.lkey AND a.key = p.key
+      WHERE (a.blen < p.blen OR (a.blen = p.blen AND a.k < p.k))
+        AND levenshtein(a.t, p.t) <= 1
+      UNION
+      SELECT LEAST(a.k, p.k) AS id_a, GREATEST(a.k, p.k) AS id_b,
+             levenshtein(CASE WHEN a.k < p.k THEN a.t ELSE p.t END,
+                         CASE WHEN a.k < p.k THEN p.t ELSE a.t END) AS dist
+      FROM (SELECT * FROM bounded2 WHERE lkey = blen) a
+      JOIN bounded2 p ON a.lkey = p.lkey AND a.key = p.key
+      WHERE (a.blen < p.blen OR (a.blen = p.blen AND a.k < p.k))
+        AND levenshtein(a.t, p.t) <= 1
+    )
+    SELECT id_a, id_b, dist FROM pairs ORDER BY id_a, id_b
+    """,
+    tags=("ext", "join", "fuzzy"),
+)
+def ext_fuzzy_join_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy self-join with the suffix-block union pass enabled
+    (operators/joins.py fuzzy_self_join_blocked suffix_block=True): the
+    prefix pass alone is blind to edits inside the first 16 characters;
+    the reversed-prefix pass recalls them (a single edit before the tail
+    leaves the last 16 characters identical even under indel shift), so
+    single-edit pairs are fully recalled for names of length >= 32 and
+    the pinned contract's only remaining gap is short-string edits
+    sitting in BOTH zones.  Candidates stay bounded per pass; the union
+    is DISTINCT.  The oracle runs the identical two blocking passes as
+    separate chains (separate size bounds, like the engine) and UNIONs
+    the verified pairs."""
+    from remote_shuffle_spark.operators.joins import fuzzy_self_join_blocked
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_self_join_blocked(
+        cust, "c_custkey", "c_name", suffix_block=True
+    ).orderBy("id_a", "id_b")
+
+
+@declared(
     "ext_event_debounce",
     oracle="""
     WITH lagged AS (

@@ -165,6 +165,7 @@ def fuzzy_self_join_blocked(
     block_prefix: int = 16,
     max_distance: int = 1,
     max_block_size: int = 512,
+    suffix_block: bool = False,
 ) -> DataFrame:
     """Blocked fuzzy self-join: pairs of rows whose ``text_col`` values are
     within ``max_distance`` Levenshtein edits — the entity-resolution /
@@ -182,59 +183,80 @@ def fuzzy_self_join_blocked(
     never a cross join) with a (d+1)× emission factor on one side only.
     Recall is still approximate BY CONSTRUCTION in ONE documented way: a
     pair whose edit falls inside the first ``block_prefix`` characters
-    has differing prefixes and is unseen (raise recall with additional
-    blocking passes — e.g. a suffix block — and union).  Oversized
-    blocks are dropped like the LSH dedups' hot buckets
-    (``max_block_size``), keeping worst-case pair counts bounded at any
-    corpus size.  Verification is exact ``levenshtein`` (JVM expression)
-    on candidates only.  Returns (id_a, id_b, dist), id_a < id_b, each
-    pair once.
+    has differing prefixes and is unseen by the prefix pass.
+    ``suffix_block=True`` adds the union'd second pass: the same length
+    bands keyed on the REVERSED prefix (i.e. the last ``block_prefix``
+    characters aligned from the end — a single edit anywhere before the
+    tail leaves the tail identical even when an indel shifts positions),
+    so single-edit pairs are fully recalled whenever
+    len ≥ 2·block_prefix (an edit cannot sit inside both zones); both
+    passes share the bounding and the union is DISTINCT (a mid-string
+    edit is found by both).  Oversized blocks are dropped like the LSH
+    dedups' hot buckets (``max_block_size``), keeping worst-case pair
+    counts bounded at any corpus size — per pass, so the union is too.
+    Verification is exact ``levenshtein`` (JVM expression) on candidates
+    only.  Returns (id_a, id_b, dist), id_a < id_b, each pair once.
     """
-    blocked = (
-        df.select(
-            F.col(id_col).alias("k"),
-            F.col(text_col).alias("t"),
-            F.length(text_col).alias("_len"),
-            F.substring(text_col, 1, block_prefix).alias("_pre"),
+
+    def _pass(key: F.Column) -> DataFrame:
+        blocked = (
+            df.select(
+                F.col(id_col).alias("k"),
+                F.col(text_col).alias("t"),
+                F.length(text_col).alias("_len"),
+                key.alias("_pre"),
+            )
+            .select(
+                "k",
+                "t",
+                "_len",
+                F.explode(F.sequence(F.lit(0), F.lit(max_distance))).alias("_j"),
+                "_pre",
+            )
+            .filter(F.col("_len") - F.col("_j") >= 0)
+            .select(
+                "k",
+                "t",
+                "_len",
+                F.struct(
+                    (F.col("_len") - F.col("_j")).alias("lkey"),
+                    F.col("_pre").alias("pre"),
+                ).alias("block"),
+            )
         )
-        .select(
-            "k",
-            "t",
-            "_len",
-            F.explode(F.sequence(F.lit(0), F.lit(max_distance))).alias("_j"),
-            "_pre",
+        sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("bsize"))
+        bounded = blocked.join(
+            sizes.filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_block_size)),
+            "block",
         )
-        .filter(F.col("_len") - F.col("_j") >= 0)
-        .select(
-            "k",
-            "t",
-            "_len",
-            F.struct(
-                (F.col("_len") - F.col("_j")).alias("lkey"), F.col("_pre").alias("pre")
-            ).alias("block"),
+        anchor = bounded.filter(F.col("block.lkey") == F.col("_len")).select(
+            "block",
+            F.col("k").alias("ka"),
+            F.col("t").alias("ta"),
+            F.col("_len").alias("la"),
         )
-    )
-    sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("bsize"))
-    bounded = blocked.join(
-        sizes.filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_block_size)),
-        "block",
-    )
-    anchor = bounded.filter(F.col("block.lkey") == F.col("_len")).select(
-        "block", F.col("k").alias("ka"), F.col("t").alias("ta"), F.col("_len").alias("la")
-    )
-    other = bounded.select(
-        "block", F.col("k").alias("kb"), F.col("t").alias("tb"), F.col("_len").alias("lb")
-    )
-    cand = anchor.join(other, "block").filter(
-        (F.col("la") < F.col("lb"))
-        | ((F.col("la") == F.col("lb")) & (F.col("ka") < F.col("kb")))
-    )
-    first = F.col("ka") < F.col("kb")
-    return cand.select(
-        F.least("ka", "kb").alias("id_a"),
-        F.greatest("ka", "kb").alias("id_b"),
-        F.levenshtein(
-            F.when(first, F.col("ta")).otherwise(F.col("tb")),
-            F.when(first, F.col("tb")).otherwise(F.col("ta")),
-        ).alias("dist"),
-    ).filter(F.col("dist") <= max_distance)
+        other = bounded.select(
+            "block",
+            F.col("k").alias("kb"),
+            F.col("t").alias("tb"),
+            F.col("_len").alias("lb"),
+        )
+        cand = anchor.join(other, "block").filter(
+            (F.col("la") < F.col("lb"))
+            | ((F.col("la") == F.col("lb")) & (F.col("ka") < F.col("kb")))
+        )
+        first = F.col("ka") < F.col("kb")
+        return cand.select(
+            F.least("ka", "kb").alias("id_a"),
+            F.greatest("ka", "kb").alias("id_b"),
+            F.levenshtein(
+                F.when(first, F.col("ta")).otherwise(F.col("tb")),
+                F.when(first, F.col("tb")).otherwise(F.col("ta")),
+            ).alias("dist"),
+        ).filter(F.col("dist") <= max_distance)
+
+    prefix_pairs = _pass(F.substring(F.col(text_col), 1, block_prefix))
+    if not suffix_block:
+        return prefix_pairs
+    suffix_pairs = _pass(F.substring(F.reverse(F.col(text_col)), 1, block_prefix))
+    return prefix_pairs.union(suffix_pairs).distinct()

@@ -227,7 +227,12 @@ def inverted_index(
 
 
 def bigram_lm_scores(
-    df: DataFrame, id_col: str, text_col: str, *, alpha: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    alpha: float = 0.5,
+    max_broadcast_grams: int = 1_000_000,
 ) -> DataFrame:
     """Corpus-trained add-alpha bigram language-model score per document —
     the CCNet-style "perplexity vs an in-domain LM" quality filter (CCNet
@@ -242,9 +247,18 @@ def bigram_lm_scores(
 
     Shape at corpus scale: the count tables are vocabulary-/bigram-
     cardinality (≪ corpus) and join back to the exploded doc-bigram stream
-    on the gram string — a plain shuffled equi-join that AQE broadcasts
-    when the LM table is dictionary-sized.  No driver-side model object:
-    the "model" stays a DataFrame end to end.  The doc-bigram stream is
+    on the gram string.  The join strategy is chosen EXPLICITLY from the
+    measured dictionary cardinality, not left to size-estimate guessing:
+    ``bi_counts`` is persisted (it is gram-sized, safe to materialize)
+    and counted once — at or under ``max_broadcast_grams`` the LM table
+    is broadcast (no shuffle of the corpus-sized stream); above it the
+    join is hinted sort-merge, which spills gracefully instead of
+    building a vocab²-scaling broadcast (docs/scale.md round-4 10x probe,
+    finding 2: the unbounded broadcast needed a 16 GB local heap).  The
+    persist also collapses what was a double evaluation of the corpus
+    aggregation (bi_counts feeds both the probability numerator and the
+    context sums) into one pass.  No driver-side model object: the
+    "model" stays a DataFrame end to end.  The doc-bigram stream is
     deliberately NOT checkpointed even though it is evaluated twice
     (count pass + score pass): materializing a corpus-sized intermediate
     in executor storage was measured to starve the LM broadcast build
@@ -268,7 +282,12 @@ def bigram_lm_scores(
         F.col(id_col),
         F.explode(word_shingles_from_tokens(F.col("_tk"), 2)).alias("gram"),
     )
-    bi_counts = doc_bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
+    bi_counts = (
+        doc_bi.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+        .persist()  # gram-cardinality, NOT corpus-sized — safe to pin
+    )
+    n_grams = bi_counts.count()  # materializes the persist + sizes the join
     # context counts derive ALGEBRAICALLY from the bigram table —
     # c(w1 ·) = Σ over grams starting with w1 of c(w1 w2) — so the corpus-
     # sized explode stream is aggregated once, not twice (measured 25% of
@@ -290,7 +309,10 @@ def bigram_lm_scores(
         .crossJoin(F.broadcast(vocab))
         .select("gram", F.round(-F.log(p), 6).cast("decimal(28,6)").alias("neglog"))
     )
-    scored = doc_bi.join(gram_p, "gram")
+    if n_grams <= max_broadcast_grams:
+        scored = doc_bi.join(F.broadcast(gram_p), "gram")
+    else:
+        scored = doc_bi.join(gram_p.hint("merge"), "gram")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (F.sum("neglog").cast("double") / F.count(F.lit(1))).alias("avg_neg_logprob"),

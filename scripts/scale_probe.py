@@ -64,7 +64,12 @@ def synth_embeddings(spark, n: int, dim: int = 64):
     return spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
 
 
+_ONLY: str | None = None
+
+
 def probe(name, fn):
+    if _ONLY is not None and _ONLY not in name:
+        return name, None, "skipped"
     t0 = time.perf_counter()
     out = fn()
     dt = time.perf_counter() - t0
@@ -80,8 +85,11 @@ def main():
     # sees; at --scale 10 the (cluster-correct, dictionary-sized) bigram-LM
     # broadcast needs headroom beyond the 8g throughput sweet spot
     ap.add_argument("--driver-memory", default="8g")
+    ap.add_argument("--only", default=None, help="substring filter on probe names")
     args = ap.parse_args()
     s = args.scale
+    global _ONLY
+    _ONLY = args.only
 
     from remote_shuffle_spark import EngineConfig, get_session
     from remote_shuffle_spark.operators import dedup, joins, similarity

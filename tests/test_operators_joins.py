@@ -170,3 +170,37 @@ def test_fuzzy_self_join_no_duplicate_pairs_from_band_overlap(spark):
     df = spark.createDataFrame(rows, ["id", "name"])
     out = fuzzy_self_join_blocked(df, "id", "name").collect()
     assert [(r.id_a, r.id_b, r.dist) for r in out] == [(1, 2, 1)]
+
+
+def test_fuzzy_self_join_suffix_pass_recalls_prefix_edits(spark):
+    """suffix_block=True unions a reversed-prefix pass: pairs whose edit
+    sits INSIDE the 16-char prefix (structurally unseen by the prefix
+    pass, including indels that shift every later position) are recalled,
+    while pairs already found by both passes stay deduplicated."""
+    from remote_shuffle_spark.operators.joins import fuzzy_self_join_blocked
+
+    rows = [
+        (1, "alpha-record-000-shared-tail-suffix"),
+        (2, "alXha-record-000-shared-tail-suffix"),  # substitution at pos 3
+        (3, "lpha-record-000-shared-tail-suffix"),   # deletion at pos 1 (indel shift)
+        (4, "alpha-record-000-shared-tail-suffiy"),  # edit in the TAIL (prefix pass finds)
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+
+    prefix_only = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join_blocked(df, "id", "name").collect()
+    }
+    assert prefix_only == {(1, 4, 1)}  # prefix-zone edits unseen
+
+    both = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join_blocked(df, "id", "name", suffix_block=True).collect()
+    }
+    # 1<->2 (substitution in prefix) and 1<->3 (indel in prefix) recalled;
+    # 2<->3, 2<->4, 3<->4 are all dist 2 > max_distance
+    assert both == {(1, 2, 1), (1, 3, 1), (1, 4, 1)}
+
+    # union stays exactly-once per pair (no duplicates from double-found pairs)
+    rows_out = fuzzy_self_join_blocked(df, "id", "name", suffix_block=True).collect()
+    assert len(rows_out) == len({(r.id_a, r.id_b) for r in rows_out})

@@ -357,3 +357,26 @@ def test_range_join_default_is_spill_safe_sort_merge(spark, sf_smoke):
     plan = explain.physical_plan(df)
     assert "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_dictionary_join_strategy_is_size_gated(spark, sf_smoke):
+    """bigram_lm_scores picks the LM-dictionary join explicitly from the
+    MEASURED gram cardinality: broadcast at/below max_broadcast_grams (no
+    shuffle of the corpus-sized stream), hinted sort-merge above it (spills
+    instead of building a vocab²-scaling broadcast — docs/scale.md round-4
+    10x finding 2).  Both paths must return identical rows."""
+    from remote_shuffle_spark.operators.text import bigram_lm_scores
+    from remote_shuffle_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(200)
+
+    small = bigram_lm_scores(docs, "doc_id", "text")
+    assert "BroadcastHashJoin" in explain.physical_plan(small)
+
+    big = bigram_lm_scores(docs, "doc_id", "text", max_broadcast_grams=0)
+    plan = explain.physical_plan(big)
+    assert "SortMergeJoin" in plan
+
+    a = {tuple(r) for r in small.collect()}
+    b = {tuple(r) for r in big.collect()}
+    assert a == b and len(a) > 0
