@@ -52,14 +52,56 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str, media_type: str = 
     return df.select(F.col(id_col), payload.alias("payload"), meta.alias("media_meta"))
 
 
+try:  # import-gated real decoder: present on real clusters, absent here
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover — container has no Pillow
+    _PILImage = None
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_header(buf: bytes) -> tuple[int, int, int]:
+    """Real (library-free) PNG decode of the IHDR dimensions: the first
+    chunk after the 8-byte signature is always IHDR with big-endian
+    width/height at offsets 16/20 (PNG spec, public).  Raises ValueError
+    on a truncated or non-IHDR stream — a corrupt payload must fail
+    loudly, not fall through to the fake."""
+    if len(buf) < 24 or buf[12:16] != b"IHDR":
+        raise ValueError("corrupt PNG: missing IHDR")
+    width = int.from_bytes(buf[16:20], "big")
+    height = int.from_bytes(buf[20:24], "big")
+    return (width, height, 1)
+
+
 def _decode_bytes(buf: bytes, real_decoder: bool = False) -> tuple[int, int, int]:
-    """STUB decode: deterministic fake (width, height, n_frames) from the
-    payload length.  ``real_decoder=True`` is the marked seam for PIL /
-    ffmpeg — unavailable in this container."""
+    """Decode chain for (width, height, n_frames):
+
+    1. Pillow when importable (real clusters) — full decode, animated
+       formats report their true frame count;
+    2. a library-free PNG header parse (real decode of a real format —
+       what the container CAN verify end-to-end through the Arrow
+       plumbing, tests/test_operators_multimodal.py);
+    3. the deterministic fake for non-media payloads (the driver
+       fixtures carry utf-8 text, which can never start with the PNG
+       magic — ``ext_multimodal_decode``'s pinned oracle is unchanged).
+
+    ``real_decoder=True`` demands a real decode (tier 1 or 2) and raises
+    NotImplementedError if neither applies — the documented seam for
+    ffmpeg-class formats this module does not parse."""
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(buf)) as img:
+                return (img.width, img.height, getattr(img, "n_frames", 1))
+        except Exception:  # noqa: BLE001 — not an image: fall through
+            pass
+    if buf[:8] == _PNG_MAGIC:
+        return _decode_png_header(buf)
     if real_decoder:
         raise NotImplementedError(
-            "real media decoding needs PIL/ffmpeg — not in this environment; "
-            "wire the real decoder at this seam"
+            "real media decoding for this format needs PIL/ffmpeg — "
+            "unavailable here; wire the full decoder at this seam"
         )
     n = len(buf)
     return (n % 640 + 1, (n // 640) % 480 + 1, n % 24 + 1)

@@ -27,6 +27,7 @@ import os
 import shutil
 import threading
 from collections import defaultdict
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -134,15 +135,36 @@ def checkpoint_to(df: DataFrame, path: str, *, format: str = "parquet") -> DataF
     return df.sparkSession.read.format(format).load(path)
 
 
-def read_checkpoint(spark: SparkSession, path: str, *, format: str = "parquet") -> DataFrame:
+def read_checkpoint(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str = "parquet",
+    rebuild: Callable[[], DataFrame] | None = None,
+) -> DataFrame:
     """Re-open a :func:`checkpoint_to` materialization with integrity check.
 
     A fresh directory listing would silently NOT SEE a deleted part file
     (the dataset would just be smaller) — the exact failure mode the
     reference exists to prevent.  Verify the manifest first; raise
     :class:`CheckpointIntegrityError` on any lost/resized block.
+
+    ``rebuild`` is the retry-ONCE semantics of the reference's corrupt-
+    block fetch (RemoteShuffleBlockIterator.scala:429-438 retries a
+    corrupt stream exactly once, then fails the task): a zero-arg
+    callable returning the checkpoint's source lineage.  On integrity
+    failure the checkpoint is re-materialized from it ONCE and
+    re-verified; a second failure raises — never a silent loop, never a
+    partial result.  Without ``rebuild`` (lineage unavailable — e.g. the
+    source was itself dropped after the cut) the first failure raises.
     """
-    _verify_manifest(spark, path)
+    try:
+        _verify_manifest(spark, path)
+    except CheckpointIntegrityError:
+        if rebuild is None:
+            raise
+        checkpoint_to(rebuild(), path, format=format)  # the single retry
+        _verify_manifest(spark, path)  # still broken → fail loudly
     return spark.read.format(format).load(path)
 
 

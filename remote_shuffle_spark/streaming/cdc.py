@@ -46,15 +46,28 @@ from remote_shuffle_spark.streaming.source import event_time, stream_session
 def split_stream_dir(spark: SparkSession, path: str, *, n_splits: int = 4) -> str:
     """Split one parquet file into ``n_splits`` files for the file-stream
     source, so a single-file fixture still exercises multiple
-    micro-batches.  Content-keyed on the source realpath (same rule as
-    ``source.file_stream_dir``); built once, atomically (tmp dir +
-    rename), reused afterwards."""
+    micro-batches.  Keyed on the source realpath PLUS its file
+    (name, size, mtime) set — unlike ``source.file_stream_dir``'s
+    symlink (which always resolves to current data) this COPIES the
+    fixture, so a fixture regenerated in place must invalidate the
+    cached split rather than silently replaying stale rows.  Built once,
+    atomically (tmp dir + rename), reused while the source is unchanged."""
     import hashlib
 
     if n_splits < 1:
         raise ValueError(f"n_splits must be >= 1, got {n_splits}")
     real = os.path.realpath(path)
-    key = hashlib.sha1(f"{real}|{n_splits}".encode()).hexdigest()[:12]
+    if os.path.isdir(real):
+        stats = sorted(
+            (f, st.st_size, st.st_mtime_ns)
+            for f in os.listdir(real)
+            if not f.startswith((".", "_"))
+            for st in (os.stat(os.path.join(real, f)),)
+        )
+    else:
+        st = os.stat(real)
+        stats = [(os.path.basename(real), st.st_size, st.st_mtime_ns)]
+    key = hashlib.sha1(f"{real}|{n_splits}|{stats}".encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"rss_cdc_split_{key}")
     if os.path.isdir(out) and os.path.exists(os.path.join(out, "_SUCCESS")):
         return out

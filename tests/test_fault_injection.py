@@ -162,3 +162,53 @@ def test_sequential_recommit_is_idempotent(spark, tmp_path):
     b = checkpoint_to(spark.range(0, 250).repartition(3), ckpt)
     assert b.count() == 250
     assert spark.read.parquet(ckpt).count() == 250
+
+
+def test_corrupt_block_rebuilds_once_from_lineage(spark, tmp_path, source_dir):
+    """Retry-once parity (RemoteShuffleBlockIterator.scala:429-438, suite
+    :47): a corrupt checkpoint with lineage available is re-materialized
+    EXACTLY once — first read after corruption heals and returns the full
+    result; persistent corruption (re-injected by the rebuild itself,
+    simulating a bad disk) raises after the single retry instead of
+    looping or returning a partial frame."""
+    ckpt = str(tmp_path / "ckpt")
+    src = spark.read.parquet(source_dir).repartition(4)
+    checkpoint_to(src, ckpt)
+
+    calls = {"n": 0}
+
+    def rebuild():
+        calls["n"] += 1
+        return spark.read.parquet(source_dir).repartition(4)
+
+    parts = sorted(glob.glob(os.path.join(ckpt, "part-*.parquet")))
+    os.remove(parts[1])
+
+    healed = read_checkpoint(spark, ckpt, rebuild=rebuild)
+    assert healed.count() == 1000
+    assert calls["n"] == 1  # exactly one rebuild
+
+    # clean read afterwards: no further rebuilds
+    assert read_checkpoint(spark, ckpt, rebuild=rebuild).count() == 1000
+    assert calls["n"] == 1
+
+    # persistent storage fault: every commit loses a block right after the
+    # manifest lands (patched at the module seam), so the single rebuild
+    # also yields a broken checkpoint -> the read must raise, not loop
+    import remote_shuffle_spark.plans.shuffle_policy as sp
+
+    real_write = sp._write_manifest
+
+    def write_then_lose(spark_, path_):
+        real_write(spark_, path_)
+        os.remove(sorted(glob.glob(os.path.join(path_, "part-*.parquet")))[0])
+
+    os.remove(sorted(glob.glob(os.path.join(ckpt, "part-*.parquet")))[2])
+    sp._write_manifest = write_then_lose
+    try:
+        with pytest.raises(CheckpointIntegrityError, match="lost blocks"):
+            read_checkpoint(spark, ckpt, rebuild=rebuild)
+    finally:
+        sp._write_manifest = real_write
+    # exactly one retry for this read, not a loop
+    assert calls["n"] == 2

@@ -68,3 +68,59 @@ def test_resize_media_shapes(spark, payloads):
     for r in out:
         assert len(r.payload) == want
         assert (r.width, r.height) == (224, 224)
+
+
+def _tiny_png(width: int, height: int) -> bytes:
+    """Build a REAL, spec-valid PNG in pure stdlib (zlib + struct): 8-bit
+    grayscale, one black scanline row per pixel row."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_media_real_png_fixture(spark):
+    """A real tiny PNG goes through the FULL Spark plumbing (binary column
+    -> Arrow batch -> mapInPandas decode) and comes back with its true
+    dimensions — the decode seam is exercised with real media, not the
+    deterministic fake (which still serves the text payloads)."""
+    from remote_shuffle_spark.operators.multimodal import decode_media
+
+    png_a = _tiny_png(7, 3)
+    png_b = _tiny_png(640, 480)
+    df = spark.createDataFrame(
+        [(1, bytearray(png_a)), (2, bytearray(png_b)), (3, bytearray(b"plain text"))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: (r.width, r.height, r.n_frames) for r in decode_media(df).collect()}
+    assert got[1] == (7, 3, 1)
+    assert got[2] == (640, 480, 1)
+    # non-media payload: deterministic fake, unchanged contract
+    n = len(b"plain text")
+    assert got[3] == (n % 640 + 1, (n // 640) % 480 + 1, n % 24 + 1)
+
+
+def test_decode_corrupt_png_fails_loudly():
+    """A payload claiming the PNG magic but lacking IHDR must raise, not
+    fall through to the fake decode."""
+    import pytest as _pytest
+
+    from remote_shuffle_spark.operators.multimodal import _decode_bytes
+
+    with _pytest.raises(ValueError, match="corrupt PNG"):
+        _decode_bytes(b"\x89PNG\r\n\x1a\n-too-short")
