@@ -68,7 +68,7 @@ _ONLY: str | None = None
 
 
 def probe(name, fn):
-    if _ONLY is not None and _ONLY not in name:
+    if _ONLY is not None and not any(tok in name for tok in _ONLY.split(",")):
         return name, None, "skipped"
     t0 = time.perf_counter()
     out = fn()
