@@ -3045,3 +3045,73 @@ def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pmi_collocations(docs, "doc_id", "text", min_count=5, top_n=100)
+
+
+@declared(
+    "ext_corpus_prep_pipeline",
+    oracle=f"""
+    WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_NORM}),
+    survivors AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+    filtered AS (
+      SELECT doc_id, len(string_split({_NORM}, ' ')) AS tok_cnt
+      FROM survivors
+      WHERE n_chars >= 100 AND len(string_split({_NORM}, ' ')) >= 20
+    ),
+    assigned AS (
+      -- the variate sits at bucket MIDPOINTS ((k+0.5)/100) so it can never
+      -- tie a split threshold: engines parse high-precision float literals
+      -- differently (DuckDB decimal vs Spark double), so tie behavior is
+      -- the one part of the branch that is NOT engine-stable
+      SELECT *, CASE WHEN (((doc_id * 37 + 11) % 100) + 0.5) / 100.0 < 0.90 THEN 'train'
+                     WHEN (((doc_id * 37 + 11) % 100) + 0.5) / 100.0 < 0.95 THEN 'valid'
+                     ELSE 'test' END AS split
+      FROM filtered
+    )
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(tok_cnt) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    tags=("ext", "pipeline", "dedup", "composite"),
+)
+def ext_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-preparation COMPOSITE: exact dedup (keep-first,
+    hash-keyed shuffle) → quality gate (length + token floor) → stable
+    train/valid/test assignment → per-split token accounting.  The
+    individual stages each have their own pinned query; this one pins the
+    COMPOSITION — the handoffs (survivor set feeding the filter, the
+    filtered set feeding the split) are where pipeline bugs live, and at
+    100 TB the whole chain is one narrow projection after the single
+    dedup exchange (filters push past it; the final agg is combinable
+    over three split keys).  The split congruence is the oracle-pinned
+    variate (production: salted xxhash64 — deterministic_split)."""
+    from remote_shuffle_spark.functions.hashing import tokens
+    from remote_shuffle_spark.operators.dedup import drop_exact_duplicates
+    from remote_shuffle_spark.operators.pipeline import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = drop_exact_duplicates(docs, "doc_id", "text")
+    filtered = (
+        survivors.withColumn("tok_cnt", F.size(tokens("text")))
+        .filter((F.col("n_chars") >= 100) & (F.col("tok_cnt") >= 20))
+        .select("doc_id", "tok_cnt")
+    )
+    # midpoint variate: never ties a threshold, so float-literal parsing
+    # differences between engines cannot flip a branch (see oracle note)
+    u = (
+        F.pmod(F.col("doc_id") * 37 + 11, F.lit(100)).cast("double") + 0.5
+    ) / 100.0
+    assigned = deterministic_split(
+        filtered,
+        "doc_id",
+        weights={"train": 0.90, "valid": 0.05, "test": 0.05},
+        u_expr=u,
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_cnt").alias("total_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )

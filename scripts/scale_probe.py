@@ -24,13 +24,27 @@ from pyspark.sql import functions as F
 
 
 def synth_docs(spark, n: int, dup_fraction: float = 0.01):
-    """n docs of ~40 vocab words; ~dup_fraction exact duplicates."""
+    """n docs of ~40 vocab words; ~dup_fraction exact duplicates.
+
+    The duplicate SEED COUNT scales with the corpus so planted group size
+    stays ~206 (< the probes' max_bucket_size=256): with a fixed seed
+    count, groups at --scale 25 grew past the hot-bucket cap and the
+    guard (correctly) dropped every planted pair — the probe measured
+    nothing.  ~206/group keeps pair counts linear in docs, which is what
+    the pair-driven scaling judgment needs, and reproduces the recorded
+    5x/10x corpora exactly (both resolve to the historical 97 seeds)."""
     vocab = 500
+    n_dups = int(n * dup_fraction)
+    seeds = max(97, n_dups // 206)
+    every = int(1 / dup_fraction)
     base = spark.range(n).select(
         F.col("id").alias("doc_id"),
-        # duplicate docs share a content seed
+        # duplicate docs share a content seed; the seed is keyed on the
+        # dup INDEX (id/every), not the raw id — raw multiples of `every`
+        # cover only seeds/gcd(every, seeds) residues, silently collapsing
+        # the group count (and blowing group size past the bucket cap)
         F.when(
-            F.col("id") % int(1 / dup_fraction) == 0, F.col("id") % 97
+            F.col("id") % every == 0, (F.col("id") / every).cast("long") % seeds
         ).otherwise(F.col("id")).alias("seed"),
     )
     words = F.transform(

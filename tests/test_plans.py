@@ -380,3 +380,30 @@ def test_bigram_lm_dictionary_join_strategy_is_size_gated(spark, sf_smoke):
     a = {tuple(r) for r in small.collect()}
     b = {tuple(r) for r in big.collect()}
     assert a == b and len(a) > 0
+
+
+def test_q80_single_exchange_window_min(spark, sf_smoke):
+    """TPC-H Q2 shape: the correlated-MIN subquery must plan as ONE window
+    over the part key — one shuffle exchange total, the p_size predicate
+    pushed into the part scan, every dimension join broadcast, TakeOrdered
+    for the limit (never a global sort)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q80_min_cost_supplier"](spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert "EqualTo(p_size,15)" in plan  # pushed, not post-scan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # everything broadcast
+    assert explain.count_shuffle_exchanges(df) <= 2  # window + (AQE) agg
+
+
+def test_q82_not_in_plans_as_broadcast_anti(spark, sf_smoke):
+    """TPC-H Q16 shape: the supplier blacklist NOT IN must plan as a
+    broadcast ANTI join (s_suppkey is non-null), never a nested-loop or
+    full-shuffle anti."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q82_supplier_cnt_by_part"](spark, sf_smoke)
+    plan = explain.physical_plan(df)
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin LeftAnti" not in plan
