@@ -3115,3 +3115,33 @@ def ext_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@declared(
+    "ext_similarity_lsh",
+    oracle="""
+    SELECT e.vec_id,
+           ROUND(CASE WHEN list_aggregate(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                                         x -> x * x), 'sum') > 0
+                      THEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                      ELSE 0.0 END, 6) AS cos_sim
+    FROM embeddings e,
+         (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("ext", "similarity"),
+)
+def ext_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-10 around vec_id=0 at FULL Hamming radius
+    (8 planes, radius 8 → all 256 buckets probed), which degrades LSH to
+    exact search — so the whole pipeline (hyperplane sign signatures,
+    driver-side probe-mask enumeration, broadcast bucket join, cosine,
+    top-k) is hard-verified against the brute-force oracle, the same
+    full-probe pattern ext_similarity_ivf uses.  Approximate recall at
+    small radii is pinned by tests/test_operators_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.lsh_topk(
+        emb, "vec_id", "embedding", q, k=10, dim=64, num_planes=8, hamming_radius=8
+    )

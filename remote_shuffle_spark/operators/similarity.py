@@ -10,6 +10,10 @@ Two paths, same contract (return the top-k neighbors of a query vector):
   of K centroids), the query probes only ``nprobe`` nearest cells.  At
   100 TB the assignment is written as a bucketed/partitioned table so a
   query touches K/nprobe-th of the data.
+- :func:`lsh_topk` — random-hyperplane LSH buckets, no training step:
+  sign-bit signatures are pure expressions, the query probes buckets
+  within a Hamming radius of its own.  The right scale path when a
+  k-means build pass is not worth it (write-once corpora, ad-hoc probes).
 
 All vector math is JVM-side higher-order expressions (functions.vectors).
 """
@@ -233,6 +237,79 @@ def ivf_topk(
         cos = F.round(cos, round_to)
     return (
         pruned.select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    *,
+    k: int = 10,
+    dim: int,
+    num_planes: int = 8,
+    hamming_radius: int = 1,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: probe only buckets within
+    ``hamming_radius`` sign-bit flips of the query's bucket.
+
+    The scale path next to :func:`ivf_topk` (no training step): every
+    vector gets a ``num_planes``-bit random-hyperplane signature — a pure
+    expression, no stored matrix (operators/dedup.py
+    _hyperplane_sign_bit) — and the query joins only the probed buckets.
+    The probe set (sum of C(planes, i) for i <= radius masks XOR'd onto
+    the query bucket) is data-INDEPENDENT, enumerated driver-side, and
+    broadcast: on a bucket-partitioned table the bucket equi-join is
+    partition pruning, exactly like IVF's cell pruning.  Recall rises
+    with the radius; ``hamming_radius=num_planes`` probes every bucket
+    and degrades to exact search — the oracle hook (the whole pipeline
+    signature → probe → join → cosine → top-k is then hash-verified
+    against brute force, same pattern as ext_similarity_ivf).
+
+    Returns (id_col, cos_sim), deterministic tie-break on id.
+    """
+    from itertools import combinations
+
+    from remote_shuffle_spark.operators.dedup import _hyperplane_sign_bit
+
+    if not 0 <= hamming_radius <= num_planes:
+        raise ValueError(f"hamming_radius must be in [0, {num_planes}]")
+
+    def bucket_of(vec: F.Column) -> F.Column:
+        b = F.lit(0).cast("long")
+        for p in range(num_planes):
+            b = F.shiftleft(b, 1).bitwiseOR(
+                _hyperplane_sign_bit(vec, p, dim).cast("long")
+            )
+        return b
+
+    masks = [0] + [
+        sum(1 << bit for bit in bits)
+        for r in range(1, hamming_radius + 1)
+        for bits in combinations(range(num_planes), r)
+    ]
+    q = query_df.select(
+        to_double_array(vec_col).alias("_qvec"),
+        bucket_of(to_double_array(vec_col)).alias("_qb"),
+    )
+    probes = q.select(
+        "_qvec",
+        F.explode(
+            F.array(*[F.col("_qb").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_bucket"),
+    )
+    v = to_double_array(vec_col)
+    data = df.select(F.col(id_col), v.alias("_vec"), bucket_of(v).alias("_bucket"))
+    cos = cosine_similarity(F.col("_vec"), F.col("_qvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        data.join(F.broadcast(probes), "_bucket")
+        .select(F.col(id_col), cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )

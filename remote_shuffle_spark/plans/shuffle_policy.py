@@ -132,7 +132,11 @@ def checkpoint_to(df: DataFrame, path: str, *, format: str = "parquet") -> DataF
     with _commit_lock(path):
         df.write.mode("overwrite").format(format).save(path)
         _write_manifest(df.sparkSession, path)
-    return df.sparkSession.read.format(format).load(path)
+        # re-open INSIDE the lock: load() lists the directory eagerly, and
+        # a racing same-path writer's overwrite (delete + rewrite) must not
+        # interleave with that listing — seen as a flaky read failure in
+        # the commit-race test before the read moved under the lock
+        return df.sparkSession.read.format(format).load(path)
 
 
 def read_checkpoint(

@@ -180,3 +180,38 @@ def test_l2_normalize_and_quantize_roundtrip(spark):
     assert rows[2].q.scale == 0.0 and rows[2].rt == [0.0, 0.0]
     # int8 code range respected
     assert all(-127 <= c <= 127 for c in rows[1].q.q)
+
+
+def test_lsh_topk_partial_probe_recall_and_pruning(spark):
+    """lsh_topk at a small Hamming radius must (a) actually PRUNE (scan
+    fewer candidates than the corpus), (b) recall a planted near-parallel
+    neighbor (tiny angle → same bucket with overwhelming probability),
+    and (c) at full radius return exactly the brute-force top-k."""
+    import math
+
+    from remote_shuffle_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    dim = 8
+    base = [1.0, 0.5, -0.25, 2.0, 0.0, -1.0, 0.75, 0.125]
+    twin = [x * 1.001 + (0.0001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    rows = [(0, base), (1, twin)] + [
+        (i, [math.sin(i * 37.0 + j * 11.0) for j in range(dim)]) for i in range(2, 202)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+
+    near = lsh_topk(df, "vec_id", "embedding", q, k=3, dim=dim,
+                    num_planes=6, hamming_radius=0)
+    got = {r.vec_id for r in near.collect()}
+    assert 1 in got  # planted near-parallel twin recalled at radius 0
+
+    exact = brute_force_topk(df, "vec_id", "embedding", q, k=10)
+    full = lsh_topk(df, "vec_id", "embedding", q, k=10, dim=dim,
+                    num_planes=6, hamming_radius=6)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in exact.collect()]
+
+    # pruning: radius-0 probes 1 of 2^6 buckets — candidate count must be
+    # well under the corpus (the equi-join filters before any cosine)
+    probed = lsh_topk(df, "vec_id", "embedding", q, k=202, dim=dim,
+                      num_planes=6, hamming_radius=0).count()
+    assert probed < 202 / 2
