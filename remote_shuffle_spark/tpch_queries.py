@@ -1015,6 +1015,10 @@ def q81_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.join(F.broadcast(nat_supp), F.col("s_suppkey") == F.col("ps_suppkey"))
         .groupBy("ps_partkey")
         .agg(F.sum(v).alias("value"))
+        # part-cardinality (≪ partsupp) — persist so the scalar-total
+        # branch reuses it instead of re-scanning partsupp (the naive
+        # dataflow evaluates the whole aggregation subtree twice)
+        .persist()
     )
     tot = per_part.agg(F.sum("value").alias("total"))
     return (

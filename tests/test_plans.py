@@ -319,10 +319,12 @@ def test_q78_single_fact_exchange_and_broadcast_dims(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # the would-be self-join shape
     # wide exchanges: lineitem→orders join + (order,supplier) agg chain;
-    # the final 100-supplier numwait agg is tiny but still an exchange.
+    # the final numwait-by-supplier and regroup-by-s_name aggs are
+    # supplier-cardinality-tiny but still exchanges (the s_name regroup
+    # matches the oracle's GROUP BY s_name semantics — ADVICE r4).
     # What must NOT appear is a second fact-sized exchange from a
     # correlated-subquery self-join (literal Q21 runs 4+).
-    assert explain.count_shuffle_exchanges(df) <= 3
+    assert explain.count_shuffle_exchanges(df) <= 4
 
 
 def test_q79_all_predicates_pushed_no_groupby_exchange(spark, sf_smoke):
