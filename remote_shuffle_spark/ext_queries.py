@@ -3145,3 +3145,59 @@ def ext_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(
         emb, "vec_id", "embedding", q, k=10, dim=64, num_planes=8, hamming_radius=8
     )
+
+
+@declared(
+    "ext_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, COUNT(*) AS user_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS user_value
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(d.user_events) AS BIGINT) AS dim_events,
+           CAST(ROUND(SUM(CAST(d.user_value AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS dim_value
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    tags=("ext", "join", "skew"),
+)
+def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join (plans.shuffle_policy.salted_join, the
+    join companion of ext_salted_agg): the fact side carries a per-row
+    salt, the dim side replicates ×8, the join key widens to
+    (user_id, salt) so one hot user fans out over 8 reducers instead of
+    pinning one.  The oracle is the PLAIN join — salting must be
+    result-invariant — and the salt is pinned to pmod(event_id, 8) so
+    the plan under test is the production shape (hash-varying within a
+    key).  Dim here is a per-user aggregate of the same stream (too wide
+    to broadcast at corpus scale; mid-sized replication is the point)."""
+    from remote_shuffle_spark.plans.shuffle_policy import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("user_value"),
+    )
+    fact = events.select("event_id", "user_id", "event_type")
+    joined = salted_join(
+        fact,
+        dim,
+        "user_id",
+        salt_buckets=8,
+        salt_expr=F.pmod(F.col("event_id"), F.lit(8)),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_events").alias("dim_events"),
+            F.round(F.sum(F.col("user_value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("dim_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -217,6 +217,50 @@ def salted_aggregate(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    salt_buckets: int = 8,
+    how: str = "inner",
+    salt_expr: Column | None = None,
+) -> DataFrame:
+    """Skew-salted equi-join: fan one hot key out over ``salt_buckets``
+    reducers by salting the big (left) side and replicating the build
+    (right) side once per salt value, then joining on (key, salt).
+
+    The companion of :func:`salted_aggregate` for the join case — the
+    classic fix when a SINGLE key dominates beyond what AQE's skew-split
+    thresholds catch (AQE splits oversized partitions, but a partition
+    that is one hot key's hash bucket can only split if the join key set
+    is widened — which is exactly what the salt does).  Cost: the right
+    side shuffles ``salt_buckets``× its size; use it when right ≪ left
+    but too big (or too mid) to broadcast.
+
+    ``salt_expr`` must be a deterministic per-ROW expression in
+    [0, salt_buckets) that VARIES WITHIN a key (default: xxhash64 over
+    all left columns — fine when rows are distinct; pass an id-based
+    expression otherwise).  Result is identical to the unsalted join for
+    ``inner`` and ``left`` (each left row carries exactly one salt and
+    the replicated right covers every salt), asserted in tests and by
+    the declared query's oracle.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = (
+        salt_expr
+        if salt_expr is not None
+        else F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    )
+    lsalted = left.withColumn("_salt", salt.cast("int"))
+    replicas = left.sparkSession.range(salt_buckets).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    rsalted = right.crossJoin(F.broadcast(replicas))
+    return lsalted.join(rsalted, [on, "_salt"], how).drop("_salt")
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

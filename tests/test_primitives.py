@@ -142,3 +142,32 @@ def test_kfold_congruence_survives_large_ids(spark, tmp_path):
     )
     want = set(map(tuple, con.execute(qd.oracle).fetchall()))
     assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be result-invariant vs the plain join for inner
+    and left joins, including unmatched left rows (exactly once, nulls)
+    and a key hot enough to dominate a partition."""
+    from remote_shuffle_spark.plans.shuffle_policy import salted_join
+
+    left = spark.createDataFrame(
+        [(i, 0 if i < 900 else i, f"r{i}") for i in range(1000)],
+        "row_id long, k long, payload string",
+    )  # key 0 carries 90% of rows
+    right = spark.createDataFrame(
+        [(0, "hot"), (950, "cold")], "k long, tag string"
+    )
+
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how).select("row_id", "k", "tag")
+        salted = salted_join(left, right, "k", salt_buckets=4, how=how).select(
+            "row_id", "k", "tag"
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+    # the physical join key must include the salt (the whole point)
+    plan = salted_join(left, right, "k", salt_buckets=4)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "_salt" in plan
