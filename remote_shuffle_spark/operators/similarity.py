@@ -302,8 +302,14 @@ def lsh_topk(
             F.array(*[F.col("_qb").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("_bucket"),
     )
-    v = to_double_array(vec_col)
-    data = df.select(F.col(id_col), v.alias("_vec"), bucket_of(v).alias("_bucket"))
+    # materialize the double-array ONCE before the 8 sign-bit lambdas —
+    # HOF lambdas re-evaluate inlined subtrees per element (round-2
+    # lesson, functions.hashing.word_shingles_from_tokens), so inlining
+    # the cast into bucket_of costs 8 redundant conversions per row
+    data = (
+        df.select(F.col(id_col), to_double_array(vec_col).alias("_vec"))
+        .select(F.col(id_col), "_vec", bucket_of(F.col("_vec")).alias("_bucket"))
+    )
     cos = cosine_similarity(F.col("_vec"), F.col("_qvec"))
     if round_to is not None:
         cos = F.round(cos, round_to)
