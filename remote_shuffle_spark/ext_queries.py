@@ -3201,3 +3201,63 @@ def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "ext_heavy_hitters",
+    oracle=f"""
+    WITH terms AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term
+    )
+    SELECT term, CAST(cnt AS BIGINT) AS exact_cnt, TRUE AS cms_within_bound
+    FROM counts ORDER BY cnt DESC, term LIMIT 10
+    """,
+    tags=("ext", "sketch", "text"),
+)
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter terms with a Count-Min-Sketch cross-check — the third
+    sketch family next to q29's HLL and approx-percentile.
+
+    Exact side (the oracle): explode → combinable count → top-10 with a
+    deterministic (count desc, term) tie-break.  Sketch side: ONE
+    distributed `count_min_sketch` aggregate over the same stream (the
+    sketch is mergeable, so partial aggregation does the map-side work;
+    at 100 TB this is the only way to answer frequency queries without
+    keeping term-cardinality state).  The driver probes the ~100 KB
+    sketch for the ten winners and emits the published CMS guarantee as
+    a hash-checkable boolean: exact <= estimate <= exact + eps*N at
+    confidence 0.99 (eps 0.001).  The driver-side probe is the SERVING
+    step — ten estimateCount calls on a broadcast-sized object, never a
+    corpus-sized collect."""
+    from remote_shuffle_spark.functions.hashing import tokens
+
+    eps, conf = 0.001, 0.99
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("term"))
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "term")
+        .limit(10)
+    )
+    sk_row = toks.agg(
+        F.count_min_sketch("term", F.lit(eps), F.lit(conf), F.lit(42)).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row.sk)
+    )
+    slack = eps * sk_row.n
+    out = [
+        (
+            r.term,
+            r.exact_cnt,
+            r.exact_cnt <= cms.estimateCount(r.term) <= r.exact_cnt + slack,
+        )
+        for r in top.collect()
+    ]
+    return spark.createDataFrame(
+        out, "term string, exact_cnt bigint, cms_within_bound boolean"
+    ).orderBy(F.col("exact_cnt").desc(), "term")
