@@ -347,6 +347,33 @@ def main():
             },
         )
     )
+    results.append(
+        probe(
+            f"lsh_topk_{n_vec}_vecs_r2",
+            lambda: {
+                "top1": similarity.lsh_topk(
+                    emb, "vec_id", "embedding", q,
+                    k=10, dim=64, num_planes=12, hamming_radius=2,
+                ).collect()[0].vec_id
+            },
+        )
+    )
+    from remote_shuffle_spark.plans.shuffle_policy import salted_join
+
+    results.append(
+        probe(
+            f"salted_join_{int(5_000_000 * s)}_events",
+            lambda: {
+                "rows": salted_join(
+                    events.select("event_id", "user_id", "event_type"),
+                    events.groupBy("user_id").agg(F.count(F.lit(1)).alias("ue")),
+                    "user_id",
+                    salt_buckets=8,
+                    salt_expr=F.pmod(F.col("event_id"), F.lit(8)),
+                ).count()
+            },
+        )
+    )
     print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
 
 
