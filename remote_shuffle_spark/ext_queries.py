@@ -3261,3 +3261,51 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "term string, exact_cnt bigint, cms_within_bound boolean"
     ).orderBy(F.col("exact_cnt").desc(), "term")
+
+
+@declared(
+    "ext_stream_late_drop",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             ROW_NUMBER() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+             COUNT(*) OVER () AS total
+      FROM events
+    ), arr AS (
+      SELECT *, CASE WHEN ((rn - 1) * 4) // total = 0 AND event_id % 7 = 0
+                     THEN 4 ELSE ((rn - 1) * 4) // total END AS arrival
+      FROM ordered
+    ), bmax AS (
+      SELECT arrival, MAX(ts) AS mts FROM arr GROUP BY arrival
+    ), wm AS (
+      SELECT a.arrival,
+             (SELECT MAX(b.mts) FROM bmax b WHERE b.arrival < a.arrival)
+               - INTERVAL 30 MINUTE AS wm
+      FROM (SELECT DISTINCT arrival FROM arr) a
+    ), kept AS (
+      SELECT arr.* FROM arr JOIN wm USING (arrival)
+      WHERE wm.wm IS NULL
+         OR time_bucket(INTERVAL 5 MINUTE, arr.ts) + INTERVAL 5 MINUTE > wm.wm
+    )
+    SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, COUNT(*) AS n
+    FROM kept GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    tags=("ext", "streaming", "watermark"),
+)
+def ext_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics, hash-verified: a time-ordered
+    4-file split re-delivers every 7th event of the first batch in a
+    final 5th file, after the watermark (max event time - 30 min) has
+    advanced past it; the windowed count keeps exactly the rows whose
+    window end is still above the watermark at their arrival batch.  The
+    other stream queries pick watermarks so nothing is late (stream ≡
+    batch); this one pins the DROP rule itself — the oracle recomputes
+    arrival batches, per-batch watermarks, and the surviving row set as
+    pure SQL over the same fixture (streaming/latedrop.py docstring has
+    the determinism argument; boundary ties are asserted absent in
+    tests/test_streaming.py)."""
+    from remote_shuffle_spark.streaming.latedrop import windowed_counts_with_late_drop
+
+    return windowed_counts_with_late_drop(spark, sf_dir)

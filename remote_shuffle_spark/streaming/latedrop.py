@@ -1,0 +1,155 @@
+"""Watermark late-data semantics, made deterministic and oracle-checkable.
+
+Every other streaming query here chooses its watermark so nothing is ever
+late (stream ≡ batch).  This one does the opposite: it drives a windowed
+aggregation through a TIME-ORDERED file split whose final file re-delivers
+a subset of the earliest events — deliberately late — and pins exactly
+which rows the watermark DROPS.
+
+Determinism: with ``maxFilesPerTrigger=1`` and monotonically increasing
+file mtimes, the file source processes one file per micro-batch in a known
+order, and Structured Streaming's global watermark for batch k is
+``max(event time over batches < k) - delay``.  A late row is dropped iff
+its window's END is at or below that watermark (its window's state was
+evicted).  Both sides of that rule are pure functions of the fixture, so a
+DuckDB oracle can reproduce the surviving row set exactly
+(ext_stream_late_drop).  Boundary ties (window_end == watermark) are
+excluded by construction on the fixture and asserted in
+tests/test_streaming.py — the eviction comparison's <=/< choice can never
+matter here.
+
+The reference is batch-only (SURVEY §2.3); this is EXT streaming surface:
+the part of watermarking the stream≡batch queries can't exercise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from remote_shuffle_spark.sources.tables import load_table, table_path
+from remote_shuffle_spark.streaming.source import event_time, stream_session
+
+
+def _ordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dtype = dict(ev.dtypes).get("ts")
+    return ev.select(
+        "event_id", "user_id", "event_type", event_time(dtype).alias("ts")
+    )
+
+
+def assign_arrival(
+    events: DataFrame, *, n_splits: int = 4, late_every: int = 7
+) -> DataFrame:
+    """Deterministic arrival-batch assignment: rows ordered by
+    (ts, event_id) split into ``n_splits`` contiguous batches; every
+    ``late_every``-th event_id of batch 0 is re-routed to a FINAL extra
+    batch (arrival == n_splits), i.e. re-delivered after the watermark
+    has advanced past it.  Pure integer arithmetic — reproducible by the
+    oracle: batch = ((rn - 1) * n_splits) DIV total."""
+    total = events.count()
+    rn = F.row_number().over(W.orderBy("ts", "event_id"))
+    batch = ((F.col("rn") - F.lit(1)) * n_splits / F.lit(total)).cast("int")
+    late = (F.col("batch") == 0) & (F.pmod(F.col("event_id"), F.lit(late_every)) == 0)
+    return (
+        events.withColumn("rn", rn)
+        .withColumn("batch", batch)
+        .withColumn(
+            "arrival", F.when(late, F.lit(n_splits)).otherwise(F.col("batch"))
+        )
+    )
+
+
+def late_split_dir(
+    spark: SparkSession, sf_dir: str, *, n_splits: int = 4, late_every: int = 7
+) -> str:
+    """Materialize the arrival-ordered split as one parquet file per batch
+    with increasing mtimes (the file source's processing order).  Cached
+    per (source realpath, params, file size+mtime) — a regenerated
+    fixture invalidates the copy (same rule as cdc.split_stream_dir)."""
+    src = table_path(sf_dir, "events")
+    real = os.path.realpath(src)
+    st = os.stat(real)
+    key = hashlib.sha1(
+        f"{real}|{n_splits}|{late_every}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"rss_latedrop_{key}")
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    assigned = assign_arrival(
+        _ordered_events(spark, sf_dir), n_splits=n_splits, late_every=late_every
+    )
+    base_mtime = 1_700_000_000
+    for k in range(n_splits + 1):
+        part_dir = os.path.join(tmp, f"_p{k}")
+        assigned.filter(F.col("arrival") == k).select(
+            "event_id", "user_id", "event_type", "ts"
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        fname = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(tmp, f"split_{k}.parquet")
+        shutil.move(os.path.join(part_dir, fname), dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (base_mtime + k * 10, base_mtime + k * 10))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    return out
+
+
+def windowed_counts_with_late_drop(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: str = "5 minutes",
+    delay: str = "30 minutes",
+    n_splits: int = 4,
+    late_every: int = 7,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Windowed per-type counts where the watermark REALLY drops rows.
+
+    One file per micro-batch (ordered mtimes), UPDATE output mode to a
+    memory sink; a window's final count is the max over its emitted
+    updates (counts are monotone).  Returns (window_start, event_type, n)
+    for the SURVIVING rows only — the oracle recomputes the drop set from
+    the arrival model (see module docstring).
+    """
+    split = late_split_dir(spark, sf_dir, n_splits=n_splits, late_every=late_every)
+    schema = _ordered_events(spark, sf_dir).schema
+    s2 = stream_session(spark, state_partitions)
+    stream = (
+        s2.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(split)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("window"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"late_drop_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    updates = s2.table(name).select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    )
+    return (
+        updates.groupBy("window_start", "event_type")
+        .agg(F.max("n").alias("n"))
+        .orderBy("window_start", "event_type")
+    )

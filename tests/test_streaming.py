@@ -411,3 +411,43 @@ def test_cdc_split_source_yields_true_microbatches(spark, sf_smoke):
     n_src = spark.read.parquet(path).count()
     n_split = spark.read.parquet(*[os.path.join(d, f) for f in files]).count()
     assert n_split == n_src
+
+
+def test_late_drop_actually_drops_and_no_boundary_ties(spark):
+    """ext_stream_late_drop's determinism rests on (a) late rows REALLY
+    being dropped (the query would trivially pass if the watermark never
+    bit) and (b) no row's window end exactly EQUALING its arrival batch's
+    watermark (the <=/< eviction boundary must never matter)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.streaming.latedrop import (
+        assign_arrival,
+        _ordered_events,
+        windowed_counts_with_late_drop,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        assigned = assign_arrival(_ordered_events(spark, sf))
+        total = assigned.count()
+        kept = windowed_counts_with_late_drop(spark, sf).agg(
+            F.sum("n").alias("s")
+        ).collect()[0].s
+        assert kept < total  # the watermark bit: some rows really dropped
+        assert kept > total * 0.9  # ...but only the late slice
+
+        rows = assigned.select(
+            "arrival",
+            "ts",
+            (F.window("ts", "5 minutes").end).alias("wend"),
+        ).collect()
+        max_ts: dict[int, object] = {}
+        for r in rows:
+            if r.arrival not in max_ts or r.ts > max_ts[r.arrival]:
+                max_ts[r.arrival] = r.ts
+        delay = datetime.timedelta(minutes=30)
+        for r in rows:
+            prev = [v for k, v in max_ts.items() if k < r.arrival]
+            if prev:
+                assert r.wend != max(prev) - delay, (sf, r)
