@@ -451,3 +451,34 @@ def test_late_drop_actually_drops_and_no_boundary_ties(spark):
             prev = [v for k, v in max_ts.items() if k < r.arrival]
             if prev:
                 assert r.wend != max(prev) - delay, (sf, r)
+
+
+def test_first_n_per_key_tws_or_documented_gate(spark):
+    """Spark 4 transformWithStateInPandas seam: when the TWS protocol can
+    run (google.protobuf present — real cluster images), the stateful
+    limiter must equal the batch row_number oracle; in this container the
+    gate must raise with the documented environment reason, never crash
+    the stream mid-query."""
+    import pytest as _pytest
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.streaming.latedrop import _ordered_events
+    from remote_shuffle_spark.streaming.stateful_v2 import (
+        first_n_per_key_stream,
+        tws_available,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not tws_available():
+        with _pytest.raises(RuntimeError, match="google.protobuf"):
+            first_n_per_key_stream(spark, sf)
+        _pytest.skip("TWS state-server protocol needs google.protobuf (absent here)")
+
+    got = {(r.user_id, r.event_id) for r in first_n_per_key_stream(spark, sf).collect()}
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    want = {
+        (r.user_id, r.event_id)
+        for r in _ordered_events(spark, sf).withColumn("rn", rn).filter("rn <= 5").collect()
+    }
+    assert got == want
