@@ -133,3 +133,74 @@ def test_chunk_and_pack_sequences_properties(spark, weights):
         rows.sort(key=lambda r: r.seq_pos)
         assert [r.seq_pos for r in rows] == list(range(len(rows)))
         assert sum(r.w for r in rows) <= budget or len(rows) == 1
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1_000_000)),
+        min_size=1,
+        max_size=40,
+    ),
+    dim_keys=st.lists(st.integers(0, 5), max_size=6),
+    buckets=st.integers(min_value=1, max_value=5),
+)
+def test_salted_join_property_equals_plain(spark, rows, dim_keys, buckets):
+    """salted_join ≡ plain join for arbitrary key/row distributions,
+    duplicate dim keys included, any salt bucket count."""
+    from remote_shuffle_spark.plans.shuffle_policy import salted_join
+
+    left = spark.createDataFrame(
+        [(i, k, rid) for i, (k, rid) in enumerate(rows)], ["row_id", "k", "payload"]
+    )
+    dim_rows = [(k, f"d{j}") for j, k in enumerate(dim_keys)]
+    right = (
+        spark.createDataFrame(dim_rows, ["k", "tag"])
+        if dim_rows
+        else spark.createDataFrame([], "k long, tag string")
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, left.join(right, "k", how).select("row_id", "tag").collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(left, right, "k", salt_buckets=buckets, how=how)
+                .select("row_id", "tag")
+                .collect(),
+            )
+        )
+        assert plain == salted
+
+
+@SLOW
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-8, 8, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_lsh_full_radius_equals_brute_force(spark, vecs):
+    """lsh_topk at full Hamming radius must equal brute-force top-k for
+    arbitrary vectors (zero vectors included — the cosine guard)."""
+    from remote_shuffle_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.limit(1)
+    exact = [tuple(r) for r in brute_force_topk(df, "vec_id", "embedding", q, k=5).collect()]
+    full = [
+        tuple(r)
+        for r in lsh_topk(
+            df, "vec_id", "embedding", q, k=5, dim=4, num_planes=4, hamming_radius=4
+        ).collect()
+    ]
+    assert full == exact
