@@ -3309,3 +3309,57 @@ def ext_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.streaming.latedrop import windowed_counts_with_late_drop
 
     return windowed_counts_with_late_drop(spark, sf_dir)
+
+
+@declared(
+    "ext_interval_overlap_join",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ls,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS le
+      FROM events
+    ), r AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS rs,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS re
+      FROM events WHERE event_type = 'error'
+    ), pairs AS (
+      SELECT l.user_id, ls, le, rs, re FROM l JOIN r USING (user_id)
+      WHERE ls < re AND rs < le
+    )
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(LEAST(le, re) - GREATEST(ls, rs)) AS BIGINT) AS total_overlap_us
+    FROM pairs
+    """,
+    tags=("ext", "join", "temporal"),
+)
+def ext_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (both sides are intervals — the sibling of
+    the point-in-interval ext_range_join): per-user activity windows
+    [ts, ts+10min) against error windows [ts, ts+30min), exactly-once
+    via the grid-cell + credit-to-first-common-chunk plan
+    (operators/joins.py:interval_overlap_join — candidate generation is
+    an equi-join on (user, cell), never a cartesian product, and the
+    in-plan assert bounds per-row explosion).  The oracle is the literal
+    quadratic overlap predicate, so candidate completeness AND the
+    exactly-once dedup are both hash-pinned; overlap micros are integer
+    arithmetic, exact on both engines."""
+    from remote_shuffle_spark.operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    left = ev.select(
+        "user_id", us.alias("start"), (us + 600_000_000).alias("end")
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", us.alias("start"), (us + 1_800_000_000).alias("end")
+    )
+    pairs = interval_overlap_join(
+        left, right, on=["user_id"], chunk_us=1_800_000_000
+    )
+    overlap = F.least("l_end_us", "r_end_us") - F.greatest("l_start_us", "r_start_us")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(overlap).alias("total_overlap_us"),
+    )

@@ -260,3 +260,96 @@ def fuzzy_self_join_blocked(
         return prefix_pairs
     suffix_pairs = _pass(F.substring(F.reverse(F.col(text_col)), 1, block_prefix))
     return prefix_pairs.union(suffix_pairs).distinct()
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str] | None = None,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    chunk_us: int,
+    max_chunks_per_row: int = 1024,
+) -> DataFrame:
+    """Overlap join of two INTERVAL relations: pairs where
+    [left_start, left_end) ∩ [right_start, right_end) ≠ ∅ (and the
+    optional equi keys match) — the both-sides-are-intervals sibling of
+    :func:`range_join` (point vs interval).
+
+    Scale shape: time is cut into ``chunk_us``-wide grid cells; each
+    interval is exploded to the cells it touches and the candidate join
+    is an equi-join on (keys, cell) — never a cartesian product.  A pair
+    overlapping several cells would match in each, so the match is
+    KEPT ONLY in the first cell both intervals inhabit
+    (cell == max(first_left_cell, first_right_cell)) — exactly-once with
+    no dedup pass, the same credit-to-first-chunk trick published for
+    grid-based spatial joins.  Size ``chunk_us`` near the typical
+    interval length: explosion factor is len/chunk_us + 1 per row,
+    guarded by ``max_chunks_per_row`` (fail loud, never a silent
+    hot-cell blowup — same policy as the LSH max_bucket_size).
+
+    Timestamps or epoch-micros longs both work; intervals are compared in
+    epoch micros.  Returns (keys..., l_start_us, l_end_us, r_start_us,
+    r_end_us) — deliberately narrow; join payload columns back by key
+    (same rule as the LSH dedups: the wide exchange carries interval
+    endpoints, never whole rows).
+    """
+    on = on or []
+
+    def _us(col: str, df: DataFrame) -> F.Column:
+        dtype = dict(df.dtypes).get(col)
+        c = F.col(col)
+        return c if dtype == "bigint" else F.unix_micros(c.cast("timestamp"))
+
+    def _explode(df: DataFrame, s_col: str, e_col: str, tag: str) -> DataFrame:
+        s_us, e_us = _us(s_col, df), _us(e_col, df)
+        first = F.expr(f"_{tag}s div {chunk_us}")
+        last = F.expr(f"(_{tag}e - 1) div {chunk_us}")
+        out = df.select(
+            *[F.col(c) for c in on],
+            s_us.alias(f"_{tag}s"),
+            e_us.alias(f"_{tag}e"),
+        ).filter(F.col(f"_{tag}e") > F.col(f"_{tag}s"))
+        # fail loud on grid abuse IN-PLAN (no extra pass): assert_true
+        # returns NULL on success, so coalesce falls through to the real
+        # bound; on violation the job fails with the sizing message
+        guarded_last = F.coalesce(
+            F.assert_true(
+                (last - first + 1) <= max_chunks_per_row,
+                F.lit(
+                    f"interval spans more than max_chunks_per_row="
+                    f"{max_chunks_per_row} grid cells; raise chunk_us "
+                    f"(= {chunk_us}) or the guard"
+                ),
+            ).cast("bigint"),
+            last,
+        )
+        return out.select(
+            *on,
+            f"_{tag}s",
+            f"_{tag}e",
+            F.explode(F.sequence(first, guarded_last)).alias("_cell"),
+            first.alias(f"_{tag}c0"),
+        )
+
+    l = _explode(left, left_start, left_end, "l")
+    r = _explode(right, right_start, right_end, "r")
+    cand = l.join(r, [*on, "_cell"])
+    return (
+        cand.filter(
+            (F.col("_ls") < F.col("_re"))
+            & (F.col("_rs") < F.col("_le"))
+            # exactly-once: credit the first cell both intervals inhabit
+            & (F.col("_cell") == F.greatest("_lc0", "_rc0"))
+        )
+        .select(
+            *on,
+            F.col("_ls").alias("l_start_us"),
+            F.col("_le").alias("l_end_us"),
+            F.col("_rs").alias("r_start_us"),
+            F.col("_re").alias("r_end_us"),
+        )
+    )

@@ -204,3 +204,33 @@ def test_fuzzy_self_join_suffix_pass_recalls_prefix_edits(spark):
     # union stays exactly-once per pair (no duplicates from double-found pairs)
     rows_out = fuzzy_self_join_blocked(df, "id", "name", suffix_block=True).collect()
     assert len(rows_out) == len({(r.id_a, r.id_b) for r in rows_out})
+
+
+def test_interval_overlap_join_exactly_once_and_guard(spark):
+    """Pairs overlapping MANY grid cells must emit exactly once (the
+    credit-to-first-common-chunk dedup), boundary-touching intervals
+    (le == rs) must NOT match (half-open), and the per-row explosion
+    guard must fail loud on a mis-sized grid."""
+    import pytest as _pytest
+
+    from remote_shuffle_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 1000), (1, 2000, 2100), (2, 0, 100)],
+        "k long, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [(1, 500, 2050), (1, 2100, 2200), (2, 100, 200)],
+        "k long, start long, end long",
+    )
+    out = interval_overlap_join(left, right, on=["k"], chunk_us=128)
+    rows = sorted(map(tuple, out.collect()))
+    # (1,0,1000)x(1,500,2050) spans many cells -> once; (1,2000,2100) overlaps
+    # (1,500,2050) -> once; (1,2100,2200) touches at the boundary -> no match;
+    # (2,0,100) touches (2,100,200) at the boundary -> no match (half-open)
+    assert rows == [(1, 0, 1000, 500, 2050), (1, 2000, 2100, 500, 2050)]
+
+    with _pytest.raises(Exception, match="max_chunks_per_row"):
+        interval_overlap_join(
+            left, right, on=["k"], chunk_us=1, max_chunks_per_row=4
+        ).collect()
