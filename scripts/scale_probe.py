@@ -358,6 +358,29 @@ def main():
             },
         )
     )
+    from remote_shuffle_spark.operators.joins import interval_overlap_join
+
+    results.append(
+        probe(
+            f"interval_overlap_{int(5_000_000 * s)}_events",
+            lambda: {
+                "pairs": interval_overlap_join(
+                    events.select(
+                        "user_id",
+                        F.unix_micros("ts").alias("start"),
+                        (F.unix_micros("ts") + 600_000_000).alias("end"),
+                    ),
+                    events.filter(F.col("event_type") == "error").select(
+                        "user_id",
+                        F.unix_micros("ts").alias("start"),
+                        (F.unix_micros("ts") + 1_800_000_000).alias("end"),
+                    ),
+                    on=["user_id"],
+                    chunk_us=1_800_000_000,
+                ).count()
+            },
+        )
+    )
     from remote_shuffle_spark.plans.shuffle_policy import salted_join
 
     results.append(
