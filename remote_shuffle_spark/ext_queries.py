@@ -3363,3 +3363,39 @@ def ext_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(overlap).alias("total_overlap_us"),
     )
+
+
+@declared(
+    "ext_asof_join_forward",
+    oracle="""
+    SELECT l.event_id, r.value AS value_next
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND r.ts >= l.ts
+    ORDER BY l.event_id
+    """,
+    tags=("ext", "join", "temporal"),
+)
+def ext_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click picks up the user's NEXT view's
+    value (earliest view at or after the click) — the attribution-window
+    mirror of ext_asof_join, same one-shuffle union-window plan with the
+    time ordering reversed (operators/joins.py asof_join
+    direction='forward'); the oracle is DuckDB's native ASOF with the
+    >= comparator."""
+    from remote_shuffle_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+        suffix="_next",
+        direction="forward",
+    )
+    return out.select("event_id", F.col("value_next")).orderBy("event_id")

@@ -30,9 +30,14 @@ def asof_join(
     right_ts: str,
     right_values: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row of the
-    same key group with ``right_ts <= left_ts`` (inclusive).
+    """As-of join: for each left row, the nearest right row of the same
+    key group — ``direction="backward"`` (default) takes the LATEST right
+    row with ``right_ts <= left_ts``; ``direction="forward"`` the
+    EARLIEST right row with ``right_ts >= left_ts`` (both inclusive).
+    Forward is the same one-shuffle union-window plan with the time
+    ordering reversed — no second code path to diverge.
 
     Returns all left columns plus ``<value><suffix>`` for each of
     ``right_values`` (null when no prior right row exists).  Ties between
@@ -65,10 +70,14 @@ def asof_join(
     # unionByName null-fills each side's missing columns (left payload on
     # right rows, right values on left rows)
     unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
-    # right rows order before left rows at equal _ts → inclusive semantics
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    # right rows order before left rows at equal _ts → inclusive semantics;
+    # forward scans time in reverse so "previous right row" = next in time
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         W.partitionBy(*on)
-        .orderBy(F.col("_ts"), F.col("_is_left_row"))
+        .orderBy(ts_order, F.col("_is_left_row"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     # one struct per right row (null on left rows — skipped by the fill);

@@ -234,3 +234,35 @@ def test_interval_overlap_join_exactly_once_and_guard(spark):
         interval_overlap_join(
             left, right, on=["k"], chunk_us=1, max_chunks_per_row=4
         ).collect()
+
+
+def test_asof_join_forward_direction(spark):
+    """direction='forward' picks the EARLIEST right row at or after each
+    left timestamp (inclusive), null when none follows — the reversed
+    ordering must not disturb backward semantics."""
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 250), (3, "B", 50)], ["id", "k", "t"]
+    ).select("id", "k", F.timestamp_micros("t").alias("ts"))
+    right = spark.createDataFrame(
+        [("A", 100, 1.0), ("A", 200, 2.0), ("B", 40, 3.0)], ["k", "t", "v"]
+    ).select("k", F.timestamp_micros("t").alias("ts"), "v")
+
+    fwd = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_values=["v"], direction="forward",
+    )
+    assert sorted((r.id, r.v_asof) for r in fwd.collect()) == [
+        (1, 1.0),   # inclusive: right at exactly ts=100
+        (2, None),  # nothing at or after 250
+        (3, None),  # B's only right row precedes the left row
+    ]
+    bwd = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", right_values=["v"]
+    )
+    assert sorted((r.id, r.v_asof) for r in bwd.collect()) == [
+        (1, 1.0), (2, 2.0), (3, 3.0)
+    ]
