@@ -3399,3 +3399,39 @@ def ext_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
     )
     return out.select("event_id", F.col("value_next")).orderBy("event_id")
+
+
+@declared(
+    "ext_asof_join_nearest",
+    oracle="""
+    SELECT l.event_id,
+           (SELECT r.value FROM events r
+            WHERE r.event_type = 'view' AND r.user_id = l.user_id
+            ORDER BY ABS(epoch_us(CAST(r.ts AS TIMESTAMP))
+                         - epoch_us(CAST(l.ts AS TIMESTAMP))),
+                     CAST(r.ts AS TIMESTAMP)
+            LIMIT 1) AS value_nearest
+    FROM events l WHERE l.event_type = 'click'
+    ORDER BY l.event_id
+    """,
+    tags=("ext", "join", "temporal"),
+)
+def ext_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest' parity):
+    each click picks the view minimizing |Δt|, exact-time-distance ties
+    resolving backward — composed from the backward+forward window
+    passes (operators/joins.py asof_join_nearest, two keyed shuffles).
+    The oracle is the literal correlated nearest-row subquery ordered by
+    (|Δt|, ts); (user, ts) is unique among views in the fixture so the
+    tiebreak is total (verified in the dedup check alongside
+    ext_asof_join's rounds-green history)."""
+    from remote_shuffle_spark.operators.joins import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join_nearest(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_values=["value"],
+    )
+    return out.select("event_id", F.col("value_nearest")).orderBy("event_id")

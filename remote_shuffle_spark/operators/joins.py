@@ -362,3 +362,46 @@ def interval_overlap_join(
             F.col("_re").alias("r_end_us"),
         )
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    suffix: str = "_nearest",
+) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof(direction='nearest')``
+    parity): for each left row, the right row minimizing |right_ts −
+    left_ts| within the key group; exact-time ties resolve BACKWARD (the
+    earlier row), matching pandas.  Composed from the backward and
+    forward passes of :func:`asof_join` — two keyed window shuffles, no
+    new mechanism — then a per-row pick on the two deltas."""
+    b = asof_join(
+        left, right, on=on, left_ts=left_ts, right_ts=right_ts,
+        right_values=[*right_values, right_ts], suffix="_b",
+    )
+    both = asof_join(
+        b, right, on=on, left_ts=left_ts, right_ts=right_ts,
+        right_values=[*right_values, right_ts], suffix="_f",
+        direction="forward",
+    )
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    db = l_us - F.unix_micros(F.col(f"{right_ts}_b").cast("timestamp"))
+    df_ = F.unix_micros(F.col(f"{right_ts}_f").cast("timestamp")) - l_us
+    # backward wins ties and missing-forward; forward wins strictly smaller
+    take_fwd = F.col(f"{right_ts}_b").isNull() | (
+        F.col(f"{right_ts}_f").isNotNull() & (df_ < db)
+    )
+    out = both
+    for v in right_values:
+        out = out.withColumn(
+            f"{v}{suffix}",
+            F.when(take_fwd, F.col(f"{v}_f")).otherwise(F.col(f"{v}_b")),
+        )
+    drop = [f"{v}_b" for v in right_values] + [f"{v}_f" for v in right_values]
+    drop += [f"{right_ts}_b", f"{right_ts}_f"]
+    return out.drop(*drop)

@@ -266,3 +266,34 @@ def test_asof_join_forward_direction(spark):
     assert sorted((r.id, r.v_asof) for r in bwd.collect()) == [
         (1, 1.0), (2, 2.0), (3, 3.0)
     ]
+
+
+def test_asof_join_nearest_matches_pandas(spark):
+    """Nearest direction vs pandas merge_asof: equidistant ties go
+    backward, forward-only and backward-only neighbors both match."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.joins import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 240), (3, "A", 151), (4, "B", 10)],
+        ["id", "k", "t"],
+    ).select("id", "k", F.timestamp_micros("t").alias("ts"))
+    right = spark.createDataFrame(
+        [("A", 100, 1.0), ("A", 202, 2.0), ("B", 400, 3.0)], ["k", "t", "v"]
+    ).select("k", F.timestamp_micros("t").alias("ts"), "v")
+    got = sorted(
+        (r.id, r.v_nearest)
+        for r in asof_join_nearest(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", right_values=["v"]
+        ).collect()
+    )
+    lp = pd.DataFrame(
+        {"id": [1, 2, 3, 4], "k": ["A", "A", "A", "B"], "t": [100, 240, 151, 10]}
+    ).sort_values("t")
+    rp = pd.DataFrame(
+        {"k": ["A", "A", "B"], "t": [100, 202, 400], "v": [1.0, 2.0, 3.0]}
+    ).sort_values("t")
+    m = pd.merge_asof(lp, rp, on="t", by="k", direction="nearest")
+    assert got == sorted(zip(m["id"], m["v"]))
