@@ -112,3 +112,24 @@ def test_update_driver_verified_matches_current_set():
     from remote_shuffle_spark.queries import REGISTRY
 
     assert names <= set(REGISTRY)
+
+
+def test_unverified_queries_occupy_gate_slots():
+    """The external gate hash-checks only the FIRST 50 queries() entries;
+    every never-driver-verified query must sort into those slots (oracled
+    before rows-only, stable registration order) or it can never earn a
+    CORRECTNESS row."""
+    import __spark_entry__ as entrymod
+    from remote_shuffle_spark.queries import DRIVER_VERIFIED, REGISTRY
+
+    names = list(entrymod.queries())
+    first50 = set(names[:50])
+    unverified = [n for n in REGISTRY if n not in DRIVER_VERIFIED]
+    missing = [n for n in unverified if n not in first50]
+    assert len(unverified) <= 50, (
+        f"{len(unverified)} unverified queries cannot all fit the 50-slot "
+        "gate window — fold the next CORRECTNESS results into DRIVER_VERIFIED"
+    )
+    assert not missing, f"unverified queries outside the gate window: {missing}"
+    # and the ordering itself is deterministic across import orders
+    assert names == list(entrymod.queries())
