@@ -3435,3 +3435,71 @@ def ext_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_values=["value"],
     )
     return out.select("event_id", F.col("value_nearest")).orderBy("event_id")
+
+
+@declared(
+    "ext_hll_rolling_distinct",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS day,
+             user_id
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM pairs)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           (SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+            WHERE p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day)
+             AS exact_rolling_distinct,
+           TRUE AS hll_within_5pct
+    FROM days d ORDER BY day
+    """,
+    tags=("ext", "sketch", "window", "rollup"),
+)
+def ext_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from MERGED daily sketches — the
+    continuous-aggregate / hypertable-rollup pattern: the corpus is
+    scanned ONCE into per-day HLL sketches, and any rolling window is
+    answered by unioning 7 fixed-size sketches (hll_union_agg over a
+    RANGE frame) instead of re-scanning raw events.  At 100 TB the
+    windowed union runs over O(days) pre-aggregated rows — the
+    single-partition window is day-cardinality, never the corpus — and
+    the daily sketch table is the thing you persist.  The oracle pins
+    the exact rolling distinct (computed from distinct (day, user)
+    pairs) and that every sketch estimate lands within 5% — the same
+    hard-external-check pattern as ext_hll_rollup, extended over time."""
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(day).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.unix_date(F.col("day").cast("date"))).rangeBetween(-6, 0)
+    est = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"),
+    )
+    pairs = events.select(day, "user_id").distinct()
+    days = pairs.select("day").distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            pairs.alias("p"),
+            (F.col("p.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("p.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("p.user_id").alias("exact_rolling_distinct"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "exact_rolling_distinct")
+    )
+    return (
+        exact.join(est, "day")
+        .select(
+            "day",
+            "exact_rolling_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_rolling_distinct"))
+                <= 0.05 * F.col("exact_rolling_distinct")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("day")
+    )
