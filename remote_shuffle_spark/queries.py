@@ -52,74 +52,205 @@ def declared(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# Names already hard-verified by the driver's external DuckDB oracle in a
-# previous round (CORRECTNESS_r01/r02/r03).  The driver's correctness
-# gate checks the FIRST 50 registry entries positionally, so `queries()`
-# orders never-externally-checked queries first (oracled ones ahead of
-# rows-only ones) to maximize fresh hard-oracle coverage each round.
-# After each round's gate runs, fold its green names into this set
+# name -> latest round whose external DuckDB gate row was fully green
+# (rows+schema+hash).  The driver's correctness gate checks the FIRST 50
+# registry entries positionally, so `queries()` orders by this value
+# ascending: never-verified queries (implicit round 0) come first, then
+# the STALEST-verified rows — every round the gate re-checks the 50
+# queries whose last hard verification is oldest, so a regression in a
+# long-ago-verified query cannot sit undetected indefinitely.
+# After each round's gate runs, refresh this dict
 # (scripts/update_driver_verified.py prints the literal).
-DRIVER_VERIFIED: frozenset[str] = frozenset({
-    "ext_asof_join", "ext_bigram_counts", "ext_bigram_lm_quality",
-    "ext_bloom_anti_join", "ext_bloom_semi_join", "ext_bm25_topk",
-    "ext_bpe_tokens", "ext_chi_square", "ext_chunk_sequences",
-    "ext_compaction", "ext_corr_matrix", "ext_dataset_mixture",
-    "ext_decontaminate", "ext_dedup_exact", "ext_dedup_groups",
-    "ext_dedup_incremental", "ext_dedup_minhash", "ext_dedup_prefix_blocks",
-    "ext_dedup_simhash", "ext_doc_embedding_join", "ext_doc_histogram",
-    "ext_embedding_neardup", "ext_event_debounce", "ext_event_runs",
-    "ext_fingerprint", "ext_funnel", "ext_fuzzy_join",
-    "ext_global_index", "ext_hll_rollup", "ext_hopping_window",
-    "ext_incremental_agg", "ext_inverted_index", "ext_kfold_split",
-    "ext_kmeans_cells", "ext_label_centroids", "ext_label_entropy",
-    "ext_lang_id", "ext_multimodal_decode", "ext_multimodal_features",
-    "ext_multimodal_frames", "ext_ngram_jaccard", "ext_pack_greedy",
-    "ext_per_key_sample", "ext_pii_scrub", "ext_pmi_collocations",
-    "ext_quality_features", "ext_quantile_bins", "ext_range_join",
-    "ext_repetition", "ext_rolling_time_window", "ext_salted_agg",
-    "ext_scd2", "ext_semantic_dedup", "ext_sessionize",
-    "ext_similarity_ivf", "ext_similarity_topk", "ext_skew_report",
-    "ext_snapshot_diff", "ext_stratified_sample", "ext_stream_cdc_upsert",
-    "ext_stream_dedup", "ext_stream_enrich", "ext_stream_sessionize",
-    "ext_stream_stream_join", "ext_stream_window", "ext_stream_window_filesink",
-    "ext_text_quality", "ext_text_stats", "ext_tf_idf",
-    "ext_train_split", "ext_upsert", "ext_vector_normalize",
-    "ext_vocab", "ext_weighted_sample", "ext_window_zscore",
-    "ext_zorder_key", "q01_scan_filter_agg", "q02_repartition",
-    "q03_repartition_empty", "q04_global_sort", "q05_groupby_aqe",
-    "q06_tpch_q1", "q07_groupbykey_collect", "q08_distinct",
-    "q09_count_distinct", "q10_sort_merge_join", "q11_broadcast_join",
-    "q12_semi_join", "q13_anti_join", "q14_multistage",
-    "q15_skew_groupby", "q16_null_keys", "q17_window_topk",
-    "q18_union_distinct", "q19_intersect", "q20_except",
-    "q21_rollup", "q22_pivot", "q23_json_scalar",
-    "q24_date_parts", "q25_cube", "q26_string_funcs",
-    "q27_explode_unnest", "q28_percentiles", "q29_approx_agg",
-    "q30_math_funcs", "q31_window_running", "q32_grouping_sets",
-    "q33_scalar_subquery", "q34_array_funcs", "q35_map_funcs",
-    "q36_case_null_funcs", "q37_regex_funcs", "q38_datetime_arith",
-    "q39_window_misc", "q40_outer_join", "q41_shipping_priority",
-    "q42_regional_revenue", "q43_correlated_scalar", "q44_exists_subquery",
-    "q45_not_exists", "q46_range_frame", "q47_value_window_funcs",
-    "q48_posexplode", "q49_median_mode", "q50_string_agg",
-    "q51_conditional_agg", "q52_levenshtein", "q53_gap_fill",
-    "q54_set_ops_all", "q55_unpivot", "q56_multi_distinct",
-    "q57_null_safe_join", "q58_ignore_nulls_window", "q59_keep_latest",
-    "q60_sql_entry", "q61_lateral_join", "q62_order_priority_exists",
-    "q63_conditional_priority_agg", "q64_customer_order_histogram", "q65_promo_revenue_share",
-    "q66_small_quantity_revenue", "q67_large_volume_orders", "q68_disjunctive_revenue",
-})
+DRIVER_VERIFIED_ROUND: dict[str, int] = {
+    "ext_asof_join": 3,
+    "ext_asof_join_forward": 5,
+    "ext_asof_join_nearest": 5,
+    "ext_bigram_counts": 4,
+    "ext_bigram_lm_quality": 4,
+    "ext_bloom_anti_join": 4,
+    "ext_bloom_semi_join": 4,
+    "ext_bm25_topk": 4,
+    "ext_bpe_tokens": 3,
+    "ext_chi_square": 4,
+    "ext_chunk_sequences": 3,
+    "ext_compaction": 4,
+    "ext_corpus_prep_pipeline": 5,
+    "ext_corr_matrix": 4,
+    "ext_dataset_mixture": 3,
+    "ext_decontaminate": 4,
+    "ext_dedup_exact": 3,
+    "ext_dedup_groups": 4,
+    "ext_dedup_incremental": 3,
+    "ext_dedup_minhash": 4,
+    "ext_dedup_prefix_blocks": 3,
+    "ext_dedup_simhash": 4,
+    "ext_doc_embedding_join": 3,
+    "ext_doc_histogram": 3,
+    "ext_embedding_neardup": 4,
+    "ext_event_debounce": 4,
+    "ext_event_runs": 4,
+    "ext_fingerprint": 3,
+    "ext_funnel": 4,
+    "ext_fuzzy_join": 4,
+    "ext_fuzzy_join_suffix": 5,
+    "ext_global_index": 3,
+    "ext_heavy_hitters": 5,
+    "ext_hll_rolling_distinct": 5,
+    "ext_hll_rollup": 4,
+    "ext_hopping_window": 4,
+    "ext_incremental_agg": 4,
+    "ext_interval_overlap_join": 5,
+    "ext_inverted_index": 4,
+    "ext_kfold_split": 4,
+    "ext_kmeans_cells": 4,
+    "ext_label_centroids": 3,
+    "ext_label_entropy": 4,
+    "ext_lang_id": 3,
+    "ext_multimodal_decode": 3,
+    "ext_multimodal_features": 3,
+    "ext_multimodal_frames": 3,
+    "ext_ngram_jaccard": 3,
+    "ext_pack_greedy": 4,
+    "ext_per_key_sample": 4,
+    "ext_pii_scrub": 3,
+    "ext_pmi_collocations": 4,
+    "ext_quality_features": 3,
+    "ext_quantile_bins": 4,
+    "ext_range_join": 3,
+    "ext_repetition": 3,
+    "ext_rolling_time_window": 4,
+    "ext_salted_agg": 3,
+    "ext_salted_join": 5,
+    "ext_scd2": 3,
+    "ext_semantic_dedup": 4,
+    "ext_sessionize": 3,
+    "ext_similarity_ivf": 4,
+    "ext_similarity_lsh": 5,
+    "ext_similarity_topk": 3,
+    "ext_skew_report": 4,
+    "ext_snapshot_diff": 4,
+    "ext_stratified_sample": 4,
+    "ext_stream_cdc_upsert": 4,
+    "ext_stream_dedup": 3,
+    "ext_stream_enrich": 4,
+    "ext_stream_late_drop": 5,
+    "ext_stream_sessionize": 3,
+    "ext_stream_stream_join": 4,
+    "ext_stream_window": 3,
+    "ext_stream_window_filesink": 4,
+    "ext_text_quality": 3,
+    "ext_text_stats": 3,
+    "ext_tf_idf": 3,
+    "ext_train_split": 4,
+    "ext_upsert": 3,
+    "ext_vector_normalize": 3,
+    "ext_vocab": 3,
+    "ext_weighted_sample": 4,
+    "ext_window_zscore": 4,
+    "ext_zorder_key": 4,
+    "q01_scan_filter_agg": 5,
+    "q02_repartition": 5,
+    "q03_repartition_empty": 5,
+    "q04_global_sort": 5,
+    "q05_groupby_aqe": 5,
+    "q06_tpch_q1": 5,
+    "q07_groupbykey_collect": 5,
+    "q08_distinct": 5,
+    "q09_count_distinct": 5,
+    "q10_sort_merge_join": 5,
+    "q11_broadcast_join": 5,
+    "q12_semi_join": 5,
+    "q13_anti_join": 5,
+    "q14_multistage": 5,
+    "q15_skew_groupby": 5,
+    "q16_null_keys": 5,
+    "q17_window_topk": 5,
+    "q18_union_distinct": 5,
+    "q19_intersect": 5,
+    "q20_except": 5,
+    "q21_rollup": 5,
+    "q22_pivot": 2,
+    "q23_json_scalar": 5,
+    "q24_date_parts": 5,
+    "q25_cube": 5,
+    "q26_string_funcs": 5,
+    "q27_explode_unnest": 2,
+    "q28_percentiles": 2,
+    "q29_approx_agg": 3,
+    "q30_math_funcs": 2,
+    "q31_window_running": 2,
+    "q32_grouping_sets": 2,
+    "q33_scalar_subquery": 2,
+    "q34_array_funcs": 2,
+    "q35_map_funcs": 2,
+    "q36_case_null_funcs": 2,
+    "q37_regex_funcs": 2,
+    "q38_datetime_arith": 2,
+    "q39_window_misc": 2,
+    "q40_outer_join": 2,
+    "q41_shipping_priority": 2,
+    "q42_regional_revenue": 2,
+    "q43_correlated_scalar": 2,
+    "q44_exists_subquery": 2,
+    "q45_not_exists": 2,
+    "q46_range_frame": 2,
+    "q47_value_window_funcs": 2,
+    "q48_posexplode": 2,
+    "q49_median_mode": 2,
+    "q50_string_agg": 2,
+    "q51_conditional_agg": 4,
+    "q52_levenshtein": 3,
+    "q53_gap_fill": 3,
+    "q54_set_ops_all": 3,
+    "q55_unpivot": 3,
+    "q56_multi_distinct": 3,
+    "q57_null_safe_join": 3,
+    "q58_ignore_nulls_window": 3,
+    "q59_keep_latest": 3,
+    "q60_sql_entry": 3,
+    "q61_lateral_join": 3,
+    "q62_order_priority_exists": 4,
+    "q63_conditional_priority_agg": 4,
+    "q64_customer_order_histogram": 4,
+    "q65_promo_revenue_share": 4,
+    "q66_small_quantity_revenue": 4,
+    "q67_large_volume_orders": 4,
+    "q68_disjunctive_revenue": 4,
+    "q69_idle_customer_balance": 5,
+    "q70_grouping_id": 5,
+    "q71_mom_growth": 5,
+    "q72_union_by_name": 5,
+    "q73_volume_shipping": 5,
+    "q74_market_share": 5,
+    "q75_returned_items": 5,
+    "q76_product_type_revenue": 5,
+    "q77_top_supplier": 5,
+    "q78_waiting_suppliers": 5,
+    "q79_forecast_revenue": 5,
+    "q80_min_cost_supplier": 5,
+    "q81_important_stock": 5,
+    "q82_supplier_cnt_by_part": 5,
+    "q83_promotable_parts": 5,
+}
+
+# Derived flat set (kept for tests / external callers).
+DRIVER_VERIFIED: frozenset[str] = frozenset(DRIVER_VERIFIED_ROUND)
 
 
 def _ordered_names() -> list[str]:
-    """Registry names, unverified-by-driver first (oracled before rows-only),
-    registration order as the tiebreak.  Keeps the external correctness gate
-    pointed at the queries that most need a hard check."""
+    """Registry names ordered oldest-verified-round-first: never-verified
+    queries (round 0, oracled before rows-only) lead, then rows whose last
+    external gate check is stalest.  Keeps the driver's 50-slot correctness
+    window pointed at the queries that most need a (re-)check."""
     names = list(REGISTRY)
     idx = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
-        key=lambda n: (n in DRIVER_VERIFIED, REGISTRY[n].oracle is None, idx[n]),
+        key=lambda n: (
+            DRIVER_VERIFIED_ROUND.get(n, 0),
+            REGISTRY[n].oracle is None,
+            idx[n],
+        ),
     )
 
 

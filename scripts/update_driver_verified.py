@@ -1,10 +1,11 @@
-"""Print the up-to-date DRIVER_VERIFIED set for queries.py.
+"""Print the up-to-date DRIVER_VERIFIED_ROUND dict for queries.py.
 
-Reads every CORRECTNESS_r*.json in the repo root and emits the names
-whose rows passed the external gate (rows+schema+hash all true) in ANY
-round.  Run at round start, paste the output over the set literal in
-remote_shuffle_spark/queries.py — the registry then rotates the next
-never-verified queries into the driver's 50-slot window.
+Reads every CORRECTNESS_r*.json in the repo root and emits, for each query
+name that passed the external gate (rows+schema+hash all true), the LATEST
+round in which it passed.  Run at round start, paste the output over the
+dict literal in remote_shuffle_spark/queries.py — the registry then rotates
+the stalest-verified queries into the driver's 50-slot window (never-
+verified queries sort first with round 0).
 
 Usage: python scripts/update_driver_verified.py
 """
@@ -14,24 +15,31 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def verified_names() -> list[str]:
-    names: set[str] = set()
+def verified_rounds() -> dict[str, int]:
+    """name -> latest round number with a fully-green gate row."""
+    rounds: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         for name, row in json.load(open(path)).items():
             if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
-                names.add(name)
-    return sorted(names)
+                rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
+
+
+def verified_names() -> list[str]:
+    return sorted(verified_rounds())
 
 
 if __name__ == "__main__":
-    names = verified_names()
-    print(f"# {len(names)} names externally verified across all rounds")
-    print("DRIVER_VERIFIED: frozenset[str] = frozenset({")
-    for i in range(0, len(names), 3):
-        chunk = ", ".join(f'"{n}"' for n in names[i : i + 3])
-        print(f"    {chunk},")
-    print("})")
+    rounds = verified_rounds()
+    print(f"# {len(rounds)} names externally verified; value = latest green round")
+    print("DRIVER_VERIFIED_ROUND: dict[str, int] = {")
+    for n in sorted(rounds):
+        print(f'    "{n}": {rounds[n]},')
+    print("}")

@@ -114,22 +114,28 @@ def test_update_driver_verified_matches_current_set():
     assert names <= set(REGISTRY)
 
 
-def test_unverified_queries_occupy_gate_slots():
-    """The external gate hash-checks only the FIRST 50 queries() entries;
-    every never-driver-verified query must sort into those slots (oracled
-    before rows-only, stable registration order) or it can never earn a
-    CORRECTNESS row."""
+def test_stalest_queries_occupy_gate_slots():
+    """The external gate hash-checks only the FIRST 50 queries() entries.
+    Ordering contract: never-driver-verified queries (round 0) must all sit
+    in those slots, and among verified rows the window must hold the ones
+    with the OLDEST last-green round — no query outside the window may be
+    staler than one inside it."""
     import __spark_entry__ as entrymod
-    from remote_shuffle_spark.queries import DRIVER_VERIFIED, REGISTRY
+    from remote_shuffle_spark.queries import DRIVER_VERIFIED_ROUND, REGISTRY
 
     names = list(entrymod.queries())
-    first50 = set(names[:50])
-    unverified = [n for n in REGISTRY if n not in DRIVER_VERIFIED]
-    missing = [n for n in unverified if n not in first50]
+    first50, rest = names[:50], names[50:]
+    rnd = lambda n: DRIVER_VERIFIED_ROUND.get(n, 0)
+    unverified = [n for n in REGISTRY if rnd(n) == 0]
+    missing = [n for n in unverified if n not in set(first50)]
     assert len(unverified) <= 50, (
         f"{len(unverified)} unverified queries cannot all fit the 50-slot "
-        "gate window — fold the next CORRECTNESS results into DRIVER_VERIFIED"
+        "gate window — fold the next CORRECTNESS results into DRIVER_VERIFIED_ROUND"
     )
     assert not missing, f"unverified queries outside the gate window: {missing}"
+    if rest:
+        assert max(rnd(n) for n in first50) <= min(rnd(n) for n in rest), (
+            "gate window does not hold the stalest-verified rows"
+        )
     # and the ordering itself is deterministic across import orders
     assert names == list(entrymod.queries())
