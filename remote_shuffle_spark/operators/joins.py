@@ -306,6 +306,11 @@ def interval_overlap_join(
     (same rule as the LSH dedups: the wide exchange carries interval
     endpoints, never whole rows).
     """
+    if chunk_us < 1:
+        # chunk_us=0 would make `div` return NULL, sequence(NULL) null out,
+        # and explode silently drop every row — empty result instead of
+        # this module's fail-loud policy.
+        raise ValueError(f"chunk_us must be >= 1, got {chunk_us}")
     on = on or []
 
     def _us(col: str, df: DataFrame) -> F.Column:

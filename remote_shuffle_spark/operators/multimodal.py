@@ -58,19 +58,65 @@ except ImportError:  # pragma: no cover — container has no Pillow
     _PILImage = None
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+# JPEG SOFn markers that carry frame dimensions (0xC0–0xCF minus the
+# non-frame C4=DHT, C8=JPG-extension, CC=DAC; public JPEG/JFIF spec)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 
 def _decode_png_header(buf: bytes) -> tuple[int, int, int]:
-    """Real (library-free) PNG decode of the IHDR dimensions: the first
-    chunk after the 8-byte signature is always IHDR with big-endian
-    width/height at offsets 16/20 (PNG spec, public).  Raises ValueError
-    on a truncated or non-IHDR stream — a corrupt payload must fail
-    loudly, not fall through to the fake."""
+    """Real (library-free) PNG decode: IHDR dimensions plus the APNG
+    frame count.  The first chunk after the 8-byte signature is always
+    IHDR with big-endian width/height at offsets 16/20; an animated PNG
+    additionally carries an ``acTL`` chunk (num_frames at its first 4
+    bytes) before the first IDAT (PNG/APNG specs, public) — parsed here
+    so this tier reports the same n_frames Pillow's tier does for the
+    same payload.  Raises ValueError on a truncated or non-IHDR stream —
+    a corrupt payload must fail loudly, not fall through to the fake."""
     if len(buf) < 24 or buf[12:16] != b"IHDR":
         raise ValueError("corrupt PNG: missing IHDR")
     width = int.from_bytes(buf[16:20], "big")
     height = int.from_bytes(buf[20:24], "big")
-    return (width, height, 1)
+    n_frames = 1
+    pos = 8  # walk chunks: [len:4][type:4][data:len][crc:4]
+    while pos + 8 <= len(buf):
+        clen = int.from_bytes(buf[pos : pos + 4], "big")
+        ctype = buf[pos + 4 : pos + 8]
+        if ctype == b"IDAT" or ctype == b"IEND":
+            break  # acTL must precede IDAT per the APNG spec
+        if ctype == b"acTL" and pos + 12 <= len(buf):
+            n_frames = max(1, int.from_bytes(buf[pos + 8 : pos + 12], "big"))
+            break
+        pos += 12 + clen
+    return (width, height, n_frames)
+
+
+def _decode_jpeg_header(buf: bytes) -> tuple[int, int, int]:
+    """Real (library-free) JPEG decode of the SOF frame dimensions: walk
+    the marker stream (each segment is FF <marker> <len:2 incl. itself>)
+    to the first SOFn, whose payload is precision(1) height(2) width(2)
+    big-endian (JPEG spec, public).  JPEG is single-frame (n_frames=1,
+    matching Pillow).  Raises ValueError when no SOF is found — corrupt
+    payloads fail loudly, same policy as the PNG tier."""
+    pos = 2  # past FFD8
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            break
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker in (0x01, 0xFF):
+            pos += 2  # standalone marker / fill byte, no length field
+            continue
+        seg_len = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        if marker in _JPEG_SOF:
+            if pos + 9 > len(buf):
+                break
+            height = int.from_bytes(buf[pos + 5 : pos + 7], "big")
+            width = int.from_bytes(buf[pos + 7 : pos + 9], "big")
+            return (width, height, 1)
+        pos += 2 + seg_len
+    raise ValueError("corrupt JPEG: no SOF marker")
 
 
 def _decode_bytes(buf: bytes, real_decoder: bool = False) -> tuple[int, int, int]:
@@ -78,12 +124,16 @@ def _decode_bytes(buf: bytes, real_decoder: bool = False) -> tuple[int, int, int
 
     1. Pillow when importable (real clusters) — full decode, animated
        formats report their true frame count;
-    2. a library-free PNG header parse (real decode of a real format —
-       what the container CAN verify end-to-end through the Arrow
-       plumbing, tests/test_operators_multimodal.py);
+    2. a library-free PNG (IHDR + APNG acTL frame count) or JPEG (SOF
+       markers) header parse — real decodes of real formats, tier-
+       consistent with Pillow's answers for the same payloads (APNG
+       frame counts included), and what the container CAN verify
+       end-to-end through the Arrow plumbing
+       (tests/test_operators_multimodal.py);
     3. the deterministic fake for non-media payloads (the driver
-       fixtures carry utf-8 text, which can never start with the PNG
-       magic — ``ext_multimodal_decode``'s pinned oracle is unchanged).
+       fixtures carry utf-8 text, which can never start with the PNG or
+       JPEG magic — ``ext_multimodal_decode``'s pinned oracle is
+       unchanged).
 
     ``real_decoder=True`` demands a real decode (tier 1 or 2) and raises
     NotImplementedError if neither applies — the documented seam for
@@ -98,6 +148,8 @@ def _decode_bytes(buf: bytes, real_decoder: bool = False) -> tuple[int, int, int
             pass
     if buf[:8] == _PNG_MAGIC:
         return _decode_png_header(buf)
+    if buf[:3] == _JPEG_MAGIC:
+        return _decode_jpeg_header(buf)
     if real_decoder:
         raise NotImplementedError(
             "real media decoding for this format needs PIL/ffmpeg — "

@@ -285,9 +285,16 @@ def bigram_lm_scores(
     bi_counts = (
         doc_bi.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c_bi"))
-        .persist()  # gram-cardinality, NOT corpus-sized — safe to pin
+        # gram-cardinality, NOT corpus-sized — safe to materialize.
+        # localCheckpoint (not persist): the blocks are freed by the
+        # ContextCleaner as soon as the returned plan is no longer
+        # referenced, so a long multi-query session does not accumulate
+        # pinned cache entries (the exact storage pressure the broadcast
+        # note below describes); persist() would hold them until an
+        # explicit unpersist that no caller is positioned to issue.
+        .localCheckpoint(eager=False)
     )
-    n_grams = bi_counts.count()  # materializes the persist + sizes the join
+    n_grams = bi_counts.count()  # materializes the checkpoint + sizes the join
     # context counts derive ALGEBRAICALLY from the bigram table —
     # c(w1 ·) = Σ over grams starting with w1 of c(w1 w2) — so the corpus-
     # sized explode stream is aggregated once, not twice (measured 25% of

@@ -238,20 +238,26 @@ def salted_join(
     side shuffles ``salt_buckets``× its size; use it when right ≪ left
     but too big (or too mid) to broadcast.
 
-    ``salt_expr`` must be a deterministic per-ROW expression in
-    [0, salt_buckets) that VARIES WITHIN a key (default: xxhash64 over
-    all left columns — fine when rows are distinct; pass an id-based
-    expression otherwise).  Result is identical to the unsalted join for
-    ``inner`` and ``left`` (each left row carries exactly one salt and
-    the replicated right covers every salt), asserted in tests and by
-    the declared query's oracle.
+    CAVEAT (top billing): the default salt is ``xxhash64`` over all left
+    columns, so LITERALLY-DUPLICATE rows (common in logs) get identical
+    salts and a hot key made of duplicates stays on ONE reducer — pass a
+    per-row-unique ``salt_expr`` (e.g. over a row id) to actually split
+    it.  ``salt_expr`` should be a deterministic per-ROW expression that
+    VARIES WITHIN a key; it is wrapped in ``pmod(.., salt_buckets)``
+    here, so out-of-range values cannot silently drop (inner) or
+    mis-null (left) rows — result-invariance holds for any integer
+    expression.  Result is identical to the unsalted join for ``inner``
+    and ``left`` (each left row carries exactly one salt and the
+    replicated right covers every salt), asserted in tests and by the
+    declared query's oracle.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = (
+    salt = F.pmod(
         salt_expr
         if salt_expr is not None
-        else F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+        else F.xxhash64(*[F.col(c) for c in left.columns]),
+        F.lit(salt_buckets),
     )
     lsalted = left.withColumn("_salt", salt.cast("int"))
     replicas = left.sparkSession.range(salt_buckets).select(

@@ -47,34 +47,42 @@ def _ordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def assign_arrival(
-    events: DataFrame, *, n_splits: int = 4, late_every: int = 7
+    events: DataFrame, *, n_splits: int = 4, late_every: int | None = 7
 ) -> DataFrame:
     """Deterministic arrival-batch assignment: rows ordered by
     (ts, event_id) split into ``n_splits`` contiguous batches; every
     ``late_every``-th event_id of batch 0 is re-routed to a FINAL extra
     batch (arrival == n_splits), i.e. re-delivered after the watermark
-    has advanced past it.  Pure integer arithmetic — reproducible by the
-    oracle: batch = ((rn - 1) * n_splits) DIV total."""
+    has advanced past it.  ``late_every=None`` disables the re-routing:
+    every batch is strictly event-time-ordered (what order-sensitive
+    stateful processors like FirstNPerKey require).  Pure integer
+    arithmetic — reproducible by the oracle:
+    batch = ((rn - 1) * n_splits) DIV total.
+
+    NOTE: this runs ``events.count()`` eagerly at plan-build time (the
+    contiguous-split formula needs the total); callers embedding this in
+    a lazy pipeline should be aware it triggers a job."""
     total = events.count()
     rn = F.row_number().over(W.orderBy("ts", "event_id"))
     batch = ((F.col("rn") - F.lit(1)) * n_splits / F.lit(total)).cast("int")
+    assigned = events.withColumn("rn", rn).withColumn("batch", batch)
+    if late_every is None:
+        return assigned.withColumn("arrival", F.col("batch"))
     late = (F.col("batch") == 0) & (F.pmod(F.col("event_id"), F.lit(late_every)) == 0)
-    return (
-        events.withColumn("rn", rn)
-        .withColumn("batch", batch)
-        .withColumn(
-            "arrival", F.when(late, F.lit(n_splits)).otherwise(F.col("batch"))
-        )
+    return assigned.withColumn(
+        "arrival", F.when(late, F.lit(n_splits)).otherwise(F.col("batch"))
     )
 
 
 def late_split_dir(
-    spark: SparkSession, sf_dir: str, *, n_splits: int = 4, late_every: int = 7
+    spark: SparkSession, sf_dir: str, *, n_splits: int = 4, late_every: int | None = 7
 ) -> str:
     """Materialize the arrival-ordered split as one parquet file per batch
-    with increasing mtimes (the file source's processing order).  Cached
-    per (source realpath, params, file size+mtime) — a regenerated
-    fixture invalidates the copy (same rule as cdc.split_stream_dir)."""
+    with increasing mtimes (the file source's processing order).
+    ``late_every=None`` produces a strictly time-ordered split with no
+    late re-delivery (and no trailing late file).  Cached per (source
+    realpath, params, file size+mtime) — a regenerated fixture
+    invalidates the copy (same rule as cdc.split_stream_dir)."""
     src = table_path(sf_dir, "events")
     real = os.path.realpath(src)
     st = os.stat(real)
@@ -90,7 +98,8 @@ def late_split_dir(
         _ordered_events(spark, sf_dir), n_splits=n_splits, late_every=late_every
     )
     base_mtime = 1_700_000_000
-    for k in range(n_splits + 1):
+    n_files = n_splits if late_every is None else n_splits + 1
+    for k in range(n_files):
         part_dir = os.path.join(tmp, f"_p{k}")
         assigned.filter(F.col("arrival") == k).select(
             "event_id", "user_id", "event_type", "ts"

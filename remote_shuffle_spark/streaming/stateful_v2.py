@@ -36,9 +36,12 @@ def tws_available() -> bool:
 class FirstNPerKey(StatefulProcessor):
     """Keep each key's first ``n`` rows by (ts, event_id) across ALL
     micro-batches — a stateful limiter (per-user rate cap / bounded
-    sampling).  One ValueState long per key; batches must arrive in
-    event-time order for "first" to be global (latedrop.late_split_dir
-    provides exactly that ordering)."""
+    sampling).  One ValueState long per key.  CONTRACT: batches must
+    arrive in event-time order for "first" to be global — feed it
+    ``latedrop.late_split_dir(..., late_every=None)`` (the ordered-only
+    split).  The default late-re-delivery split violates this: its final
+    batch re-delivers the EARLIEST events, which this processor would
+    wrongly reject as beyond-count."""
 
     def __init__(self, n: int = 5):
         self.n = n
@@ -67,7 +70,9 @@ def first_n_per_key_stream(
     n: int = 5,
     state_partitions: int | None = 8,
 ) -> DataFrame:
-    """Run :class:`FirstNPerKey` over the time-ordered event split and
+    """Run :class:`FirstNPerKey` over the strictly time-ordered event
+    split (``late_split_dir(..., late_every=None)`` — no late
+    re-delivery, satisfying the processor's ordered-batch contract) and
     return the drained (user_id, event_id) frame.  Batch oracle: rows
     with ``row_number() over (partition by user_id order by ts,
     event_id) <= n``.  Raises RuntimeError with the environment reason
@@ -86,7 +91,7 @@ def first_n_per_key_stream(
     )
     from remote_shuffle_spark.streaming.source import stream_session
 
-    split = late_split_dir(spark, sf_dir)
+    split = late_split_dir(spark, sf_dir, late_every=None)
     schema = _ordered_events(spark, sf_dir).schema
     s2 = stream_session(spark, state_partitions)
     s2.conf.set(

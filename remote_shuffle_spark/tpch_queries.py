@@ -1015,10 +1015,13 @@ def q81_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.join(F.broadcast(nat_supp), F.col("s_suppkey") == F.col("ps_suppkey"))
         .groupBy("ps_partkey")
         .agg(F.sum(v).alias("value"))
-        # part-cardinality (≪ partsupp) — persist so the scalar-total
+        # part-cardinality (≪ partsupp) — materialize so the scalar-total
         # branch reuses it instead of re-scanning partsupp (the naive
-        # dataflow evaluates the whole aggregation subtree twice)
-        .persist()
+        # dataflow evaluates the whole aggregation subtree twice).
+        # localCheckpoint, not persist: blocks are context-cleaned once
+        # the result plan is dropped, so gate sessions running all 169
+        # queries don't accumulate pinned cache entries
+        .localCheckpoint(eager=False)
     )
     tot = per_part.agg(F.sum("value").alias("total"))
     return (

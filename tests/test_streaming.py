@@ -482,3 +482,31 @@ def test_first_n_per_key_tws_or_documented_gate(spark):
         for r in _ordered_events(spark, sf).withColumn("rn", rn).filter("rn <= 5").collect()
     }
     assert got == want
+
+
+def test_ordered_only_split_is_strictly_time_ordered(spark):
+    """late_split_dir(late_every=None) is the split FirstNPerKey's
+    ordered-batch contract requires (round-5 advice: the default late
+    re-delivery split hands the stateful limiter its EARLIEST events
+    LAST, silently corrupting "first").  Pin: no trailing late file, and
+    every file's max ts <= the next file's min ts."""
+    import os
+
+    from remote_shuffle_spark.streaming.latedrop import late_split_dir
+
+    sf = "/root/testdata/sf0.001"
+    d = late_split_dir(spark, sf, n_splits=4, late_every=None)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert files == [f"split_{k}.parquet" for k in range(4)]  # no late file
+    prev_max = None
+    total = 0
+    for f in files:
+        rows = spark.read.parquet(os.path.join(d, f)).select("ts").collect()
+        total += len(rows)
+        ts = [r.ts for r in rows]
+        if prev_max is not None:
+            assert min(ts) >= prev_max, f
+        prev_max = max(ts)
+    from remote_shuffle_spark.streaming.latedrop import _ordered_events
+
+    assert total == _ordered_events(spark, sf).count()  # nothing dropped
