@@ -3503,3 +3503,74 @@ def ext_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@declared(
+    "ext_fuzzy_join_segments",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey AS k,
+             CAST(CAST(substr(c_name, 10) AS INT) AS VARCHAR) AS t
+      FROM customer
+    ), bl AS (
+      SELECT k, t, len(t) AS tl FROM b
+    ), anchors AS (
+      SELECT tl AS l, i,
+             substr(t, (i*(tl//3) + least(i, tl%3)) + 1,
+                    (tl//3) + CASE WHEN i < tl%3 THEN 1 ELSE 0 END) AS seg,
+             k AS ka, t AS ta, tl AS la
+      FROM bl, (SELECT UNNEST(generate_series(0, 2)) AS i) si
+    ), pexp AS (
+      SELECT k, t, tl, UNNEST(generate_series(greatest(1, tl-2), tl)) AS l
+      FROM bl
+    ), praw AS (
+      SELECT k, t, tl, l, i,
+             (i*(l//3) + least(i, l%3)) + delta AS st,
+             (l//3) + CASE WHEN i < l%3 THEN 1 ELSE 0 END AS sl
+      FROM pexp,
+           (SELECT UNNEST(generate_series(0, 2)) AS i) si,
+           (SELECT UNNEST(generate_series(-2, 2)) AS delta) sd
+    ), probes AS (
+      SELECT l, i, substr(t, st + 1, sl) AS seg, k AS kb, t AS tb, tl AS lb
+      FROM praw WHERE st >= 0 AND st + sl <= tl
+    ), sizes AS (
+      SELECT l, i, seg FROM (
+        SELECT l, i, seg FROM anchors UNION ALL SELECT l, i, seg FROM probes
+      ) GROUP BY 1, 2, 3 HAVING COUNT(*) BETWEEN 2 AND 512
+    ), cand AS (
+      SELECT DISTINCT LEAST(a.ka, p.kb) AS id_a, GREATEST(a.ka, p.kb) AS id_b,
+             CASE WHEN a.ka < p.kb THEN a.ta ELSE p.tb END AS sa,
+             CASE WHEN a.ka < p.kb THEN p.tb ELSE a.ta END AS sb
+      FROM anchors a
+      JOIN sizes s ON a.l = s.l AND a.i = s.i AND a.seg = s.seg
+      JOIN probes p ON p.l = s.l AND p.i = s.i AND p.seg = s.seg
+      WHERE a.la < p.lb OR (a.la = p.lb AND a.ka < p.kb)
+    )
+    SELECT id_a, id_b, levenshtein(sa, sb) AS dist
+    FROM cand WHERE levenshtein(sa, sb) <= 2
+    ORDER BY id_a, id_b
+    """,
+    tags=("ext", "join", "fuzzy"),
+)
+def ext_fuzzy_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-segment fuzzy self-join at max_distance=2
+    (operators/joins.py:fuzzy_self_join_segments — PassJoin blocking):
+    the input is each customer's numeric id rendered as a digit string
+    (the fixture's c_name is a constant-prefix pattern, so the digits
+    carry all the edit structure: '123' vs '124' is one substitution,
+    '99' vs '989' one insertion).  Any pair within 2 edits shares an
+    untouched segment of the shorter string's 3-partitioning and is
+    recalled regardless of WHERE the edits fall — including one edit in
+    the prefix AND one in the suffix, the documented blind spot of
+    ext_fuzzy_join_suffix.  The oracle applies the identical emission,
+    hot-block bound, orientation, and verify in DuckDB SQL, so the only
+    approximation (hot blocks dropped) is part of the pinned contract."""
+    from remote_shuffle_spark.operators.joins import fuzzy_self_join_segments
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.expr("cast(cast(substring(c_name, 10) as int) as string)").alias("name_digits"),
+    )
+    return fuzzy_self_join_segments(
+        cust, "c_custkey", "name_digits", max_distance=2
+    ).orderBy("id_a", "id_b")

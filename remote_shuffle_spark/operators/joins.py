@@ -200,9 +200,13 @@ def fuzzy_self_join_blocked(
     so single-edit pairs are fully recalled whenever
     len ≥ 2·block_prefix (an edit cannot sit inside both zones); both
     passes share the bounding and the union is DISTINCT (a mid-string
-    edit is found by both).  Oversized blocks are dropped like the LSH
-    dedups' hot buckets (``max_block_size``), keeping worst-case pair
-    counts bounded at any corpus size — per pass, so the union is too.
+    edit is found by both).  For ``max_distance >= 2`` a pair with one
+    edit in the prefix zone AND one in the suffix zone is invisible to
+    both passes — use :func:`fuzzy_self_join_segments` (pigeonhole
+    segment blocking) for a full ≤ d-edit recall guarantee.  Oversized
+    blocks are dropped like the LSH dedups' hot buckets
+    (``max_block_size``), keeping worst-case pair counts bounded at any
+    corpus size — per pass, so the union is too.
     Verification is exact ``levenshtein`` (JVM expression) on candidates
     only.  Returns (id_a, id_b, dist), id_a < id_b, each pair once.
     """
@@ -269,6 +273,135 @@ def fuzzy_self_join_blocked(
         return prefix_pairs
     suffix_pairs = _pass(F.substring(F.reverse(F.col(text_col)), 1, block_prefix))
     return prefix_pairs.union(suffix_pairs).distinct()
+
+
+def fuzzy_self_join_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int = 2,
+    max_block_size: int = 512,
+) -> DataFrame:
+    """Pigeonhole-segment fuzzy self-join: pairs within ``max_distance``
+    Levenshtein edits, found by the published PassJoin blocking (Li et
+    al., VLDB 2011 — public) — the strictly stronger scheme that
+    supersedes :func:`fuzzy_self_join_blocked`'s prefix/suffix union for
+    ``max_distance >= 2``, whose single-edit guarantee cannot see a pair
+    with one edit in the prefix zone AND one in the suffix zone.
+
+    Guarantee: split the SHORTER string of a pair into d+1 contiguous
+    segments; ≤ d edits touch ≤ d segments, so some segment survives
+    untouched and appears verbatim in the longer string shifted by at
+    most the net indel count (|shift| ≤ d).  Blocking therefore emits:
+
+    - ANCHOR keys: each row's own d+1 segments, keyed
+      (own_length, segment_index, segment_text);
+    - PROBE keys: for each candidate anchor length l in [len−d, len]
+      and each segment of the l-partitioning, the row's substrings at
+      the segment's position shifted by δ ∈ [−d, d] (clamped in-range).
+
+    Any ≤ d-edit pair shares a block (the untouched segment), regardless
+    of where the edits fall — wholly inside a prefix, a suffix, or both.
+    Emission factor: d+1 anchor keys + ≤ (d+1)²(2d+1) probe keys per
+    row (45 at d=2) — constant, so candidate generation is an equi-join
+    on the block key, never all-pairs.  Oversized blocks are dropped
+    (``max_block_size``, counting every emission in the block) exactly
+    like the LSH dedups' hot buckets; candidate pairs dedup BEFORE the
+    exact ``levenshtein`` verify (one JVM distance call per distinct
+    pair).  Orientation: the shorter side anchors; equal lengths order
+    by id — each pair evaluated once.  Returns (id_a, id_b, dist),
+    id_a < id_b.
+    """
+    d = max_distance
+    if d < 1:
+        raise ValueError(f"max_distance must be >= 1, got {d}")
+    nseg = d + 1
+    base = df.select(
+        F.col(id_col).alias("k"),
+        F.col(text_col).alias("t"),
+        F.length(text_col).alias("_tl"),
+    )
+    # segment arithmetic for the l-partitioning (first l%nseg segments one
+    # char longer); identical expressions on anchor and probe sides
+    seg_start = f"i * (l div {nseg}) + least(i, l % {nseg})"
+    seg_len = f"(l div {nseg}) + if(i < l % {nseg}, 1, 0)"
+
+    anchors = (
+        base.select(
+            "k", "t", "_tl", F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i")
+        )
+        .withColumn("l", F.col("_tl"))
+        .select(
+            F.struct(
+                "l", "i", F.expr(f"substring(t, ({seg_start}) + 1, {seg_len})").alias("seg")
+            ).alias("block"),
+            F.col("k").alias("ka"),
+            F.col("t").alias("ta"),
+            F.col("_tl").alias("la"),
+        )
+    )
+    probes = (
+        base.select(
+            "k",
+            "t",
+            "_tl",
+            F.explode(
+                F.sequence(F.greatest(F.lit(1), F.col("_tl") - d), F.col("_tl"))
+            ).alias("l"),
+        )
+        .select(
+            "k", "t", "_tl", "l", F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i")
+        )
+        .select(
+            "k",
+            "t",
+            "_tl",
+            "l",
+            "i",
+            F.explode(F.sequence(F.lit(-d), F.lit(d))).alias("delta"),
+        )
+        .withColumn("_start", F.expr(seg_start) + F.col("delta"))
+        .withColumn("_slen", F.expr(seg_len))
+        .filter((F.col("_start") >= 0) & (F.col("_start") + F.col("_slen") <= F.col("_tl")))
+        .select(
+            F.struct(
+                "l", "i", F.expr("substring(t, _start + 1, _slen)").alias("seg")
+            ).alias("block"),
+            F.col("k").alias("kb"),
+            F.col("t").alias("tb"),
+            F.col("_tl").alias("lb"),
+        )
+    )
+    # hot-block guard over EVERY emission in the block (anchor + probe)
+    sizes = (
+        anchors.select("block")
+        .unionAll(probes.select("block"))
+        .groupBy("block")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_block_size))
+        .select("block")
+    )
+    cand = (
+        anchors.join(sizes, "block")
+        .join(probes.join(sizes, "block"), "block")
+        # shorter side anchors (probe only enumerates l <= its own length,
+        # so la <= lb within a block); equal lengths order by id
+        .filter(
+            (F.col("la") < F.col("lb"))
+            | ((F.col("la") == F.col("lb")) & (F.col("ka") < F.col("kb")))
+        )
+    )
+    first = F.col("ka") < F.col("kb")
+    pairs = cand.select(
+        F.least("ka", "kb").alias("id_a"),
+        F.greatest("ka", "kb").alias("id_b"),
+        F.when(first, F.col("ta")).otherwise(F.col("tb")).alias("sa"),
+        F.when(first, F.col("tb")).otherwise(F.col("ta")).alias("sb"),
+    ).distinct()  # a pair can match in several (i, delta) blocks: verify once
+    return pairs.select(
+        "id_a", "id_b", F.levenshtein("sa", "sb").alias("dist")
+    ).filter(F.col("dist") <= d)
 
 
 def interval_overlap_join(

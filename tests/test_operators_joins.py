@@ -297,3 +297,82 @@ def test_asof_join_nearest_matches_pandas(spark):
     ).sort_values("t")
     m = pd.merge_asof(lp, rp, on="t", by="k", direction="nearest")
     assert got == sorted(zip(m["id"], m["v"]))
+
+
+def _lev(a: str, b: str) -> int:
+    m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        m[i][0] = i
+    for j in range(len(b) + 1):
+        m[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i][j] = min(
+                m[i - 1][j] + 1,
+                m[i][j - 1] + 1,
+                m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return m[len(a)][len(b)]
+
+
+def test_fuzzy_segments_full_recall_vs_brute_force(spark):
+    """Pigeonhole segment blocking must recall EVERY pair within
+    max_distance=2 — including pairs with one edit in the prefix zone AND
+    one in the suffix zone (the documented blind spot of the
+    prefix+suffix union, round-5 verdict item 2), and indel+substitution
+    combinations.  Verified pair-for-pair against a brute-force
+    Levenshtein oracle."""
+    import itertools
+
+    from remote_shuffle_spark.operators.joins import (
+        fuzzy_self_join_blocked,
+        fuzzy_self_join_segments,
+    )
+
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rows = []
+    for i in range(40):
+        s = "".join(alpha[(i * 7 + k * 3) % 26] for k in range(40))
+        rows.append((i, s))
+        # one edit at pos 3 (prefix zone) AND one at pos 37 (suffix zone)
+        rows.append((1000 + i, s[:3] + "Z" + s[4:37] + "Q" + s[38:]))
+        # deletion at pos 5 + substitution at pos 35 (indel shift case)
+        rows.append((2000 + i, s[:5] + s[6:35] + "X" + s[36:]))
+
+    df = spark.createDataFrame(rows, "id long, txt string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join_segments(
+            df, "id", "txt", max_distance=2, max_block_size=4096
+        ).collect()
+    }
+    want = {
+        (min(i, j), max(i, j), _lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want  # full recall AND no false pairs
+    # the double-zone pairs are exactly what prefix+suffix cannot see
+    union = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_self_join_blocked(
+            df, "id", "txt", max_distance=2, suffix_block=True, max_block_size=4096
+        ).collect()
+    }
+    double_zone = {(i, 1000 + i) for i in range(40)}
+    assert double_zone.isdisjoint(union)
+    assert double_zone <= {(a, b) for a, b, _ in got}
+
+
+def test_fuzzy_segments_hot_block_guard_and_validation(spark):
+    from pytest import raises
+
+    from remote_shuffle_spark.operators.joins import fuzzy_self_join_segments
+
+    # identical strings: every block is one hot block -> dropped, empty
+    df = spark.createDataFrame(
+        [(i, "samesamesame") for i in range(50)], "id long, txt string"
+    )
+    assert fuzzy_self_join_segments(df, "id", "txt", max_block_size=10).count() == 0
+    with raises(ValueError, match="max_distance"):
+        fuzzy_self_join_segments(df, "id", "txt", max_distance=0)
