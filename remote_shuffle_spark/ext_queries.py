@@ -3229,9 +3229,13 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch for the ten winners and emits the published CMS guarantee as
     a hash-checkable boolean: exact <= estimate <= exact + eps*N at
     confidence 0.99 (eps 0.001).  The driver-side probe is the SERVING
-    step — ten estimateCount calls on a broadcast-sized object, never a
-    corpus-sized collect."""
+    step — ten estimate calls on a broadcast-sized object, never a
+    corpus-sized collect — and runs through the pure-Python wire-format
+    reader (functions/sketches.py), NOT ``spark._jvm`` (py4j-private,
+    absent under Spark Connect); the reader is byte-parity-pinned
+    against the JVM implementation in tests."""
     from remote_shuffle_spark.functions.hashing import tokens
+    from remote_shuffle_spark.functions.sketches import CountMinSketchReader
 
     eps, conf = 0.001, 0.99
     docs = load_table(spark, sf_dir, "documents")
@@ -3246,15 +3250,13 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_min_sketch("term", F.lit(eps), F.lit(conf), F.lit(42)).alias("sk"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        bytes(sk_row.sk)
-    )
+    cms = CountMinSketchReader.from_bytes(bytes(sk_row.sk))
     slack = eps * sk_row.n
     out = [
         (
             r.term,
             r.exact_cnt,
-            r.exact_cnt <= cms.estimateCount(r.term) <= r.exact_cnt + slack,
+            r.exact_cnt <= cms.estimate_string(r.term) <= r.exact_cnt + slack,
         )
         for r in top.collect()
     ]

@@ -31,6 +31,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     on_nonconverged: str = "raise",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Component label per vertex: (vertex, component) with component =
     min vertex id in the component.
@@ -43,6 +44,18 @@ def connected_components(
     components: ``on_nonconverged`` controls whether that raises
     (default — silent wrong answers poison downstream dedup) or merely
     warns (``"warn"``, for exploratory use).
+
+    ``checkpoint_dir`` selects the reliability mode for the edge-list
+    materialization: ``None`` (local default) uses localCheckpoint —
+    executor-memory blocks, lost with the executor; a path routes it
+    through :func:`plans.shuffle_policy.checkpoint_to` (durable storage
+    + commit manifest), so at cluster scale an executor loss mid-loop
+    re-READS the edges instead of re-running the whole upstream MinHash
+    candidate join — the reference's executor-loss-no-recompute
+    guarantee (DAGScheduler.scala:2038-2040) applied to the iterative
+    operator.  Per-iteration frontiers stay local either way: losing one
+    costs one iteration's recompute from the durable edges, not the
+    pipeline.
     """
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError(f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}")
@@ -54,10 +67,13 @@ def connected_components(
     # materialize the edge list ONCE: every iteration re-reads it, and
     # without the checkpoint each round would re-execute the upstream
     # pipeline that produced the edges (for near-dup groups that is the
-    # whole MinHash candidate join — measured as the dominant cost).
-    # At cluster scale swap localCheckpoint for checkpoint_to (reliable
-    # storage) so executor loss can't lose the edge materialization.
-    sym = sym.localCheckpoint(eager=True)
+    # whole MinHash candidate join — measured as the dominant cost)
+    if checkpoint_dir is not None:
+        from remote_shuffle_spark.plans.shuffle_policy import checkpoint_to
+
+        sym = checkpoint_to(sym, checkpoint_dir)
+    else:
+        sym = sym.localCheckpoint(eager=True)
     # initial label = min(self, min neighbor)
     labels = (
         sym.groupBy("u")

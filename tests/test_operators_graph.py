@@ -120,3 +120,53 @@ def test_label_centroids_match_numpy(spark, sf_smoke):
     }
     for r in got:
         assert abs(arr[r.label][r.pos] - r.value) < 1e-12
+
+
+def test_connected_components_durable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir routes the edge materialization through
+    checkpoint_to (durable storage): (a) results match the local mode,
+    (b) after the cut the UPSTREAM edges can vanish mid-loop with no
+    recompute — the reference's executor-loss-no-recompute guarantee
+    (DAGScheduler.scala:2038-2040) applied to the iterative operator,
+    and (c) losing a materialized block fails LOUDLY via the manifest,
+    never a silently shrunk component set."""
+    import glob
+    import os
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.graph import connected_components
+
+    src_dir = str(tmp_path / "edges_src")
+    # two chains + an island pair: components {0..4}, {10..13}, {20,21}
+    edges = [(i, i + 1) for i in range(4)] + [(i, i + 1) for i in range(10, 13)] + [(20, 21)]
+    spark.createDataFrame(edges, "id_a long, id_b long").write.parquet(src_dir)
+    edf = spark.read.parquet(src_dir)
+
+    local = {
+        (r.vertex, r.component)
+        for r in connected_components(edf).collect()
+    }
+    ckpt = str(tmp_path / "cc_edges")
+    durable_df = connected_components(edf, checkpoint_dir=ckpt)
+    # poison upstream BEFORE collecting: a recompute past the cut would
+    # see the mutated edge list (one giant component) or fail
+    spark.createDataFrame([(0, 999)], "id_a long, id_b long").write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    durable = {(r.vertex, r.component) for r in durable_df.collect()}
+    assert durable == local
+    assert durable and (999 not in {v for v, _ in durable})
+
+    # losing a materialized block fails loudly (manifest integrity)
+    part = sorted(glob.glob(os.path.join(ckpt, "part-*")))[0]
+    os.remove(part)
+    from remote_shuffle_spark.plans.shuffle_policy import (
+        CheckpointIntegrityError,
+        read_checkpoint,
+    )
+
+    with _pytest.raises((CheckpointIntegrityError, Py4JJavaError)):
+        read_checkpoint(spark, ckpt).count()

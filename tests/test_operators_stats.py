@@ -150,3 +150,39 @@ def test_chi_square_round_to_sets_decimal_scale(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chi_square_independence(df, "r", "c", round_to=11)
+
+
+def test_cms_python_reader_jvm_parity(spark):
+    """The pure-Python CountMinSketch reader (functions/sketches.py) must
+    reproduce the JVM estimateCount EXACTLY — every term, several sketch
+    geometries and seeds — so ext_heavy_hitters can drop spark._jvm
+    (py4j-private, absent under Spark Connect) without changing results.
+    The _jvm handle is used HERE, test-only, as the ground truth; in
+    classic mode it is reachable, and this is the pin that catches any
+    future wire-format drift."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.functions.sketches import CountMinSketchReader
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                for _ in range(rng.randint(1, 23)))
+        for _ in range(200)
+    ]
+    data = [(w,) for w in words for _ in range(rng.randint(1, 5))]
+    df = spark.createDataFrame(data, "term string")
+    probes = words + ["missing-term", "", "a", "unicode-日本語"]
+    for eps, conf, seed in ((0.01, 0.9, 1), (0.001, 0.99, 42), (0.05, 0.95, 123)):
+        buf = bytes(
+            df.agg(
+                F.count_min_sketch("term", F.lit(eps), F.lit(conf), F.lit(seed)).alias("sk")
+            ).collect()[0].sk
+        )
+        py = CountMinSketchReader.from_bytes(buf)
+        jvm = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(buf)
+        assert py.total_count == jvm.totalCount()
+        for w in probes:
+            assert py.estimate_string(w) == jvm.estimateCount(w), (eps, conf, seed, w)
