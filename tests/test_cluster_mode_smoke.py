@@ -1,0 +1,71 @@
+"""Multi-executor smoke: the surfaces local[32] can't falsify.
+
+local[*] runs everything in ONE JVM, so driver-only assumptions — py4j
+private APIs on the query path, localCheckpoint blocks assumed reachable,
+file paths visible only to the driver — pass silently and die on a real
+cluster.  ``local-cluster[2,2,1024]`` starts two REAL separate executor
+JVMs (same machine, real RPC, real remote block fetch), which is the
+closest this container gets to cluster topology (Spark Connect would be
+closer for the py4j dimension but its Python client needs
+google.protobuf, absent here — the same gate as streaming/stateful_v2).
+
+Pinned here: entry() end-to-end, the de-privatized CMS query (the
+round-5 verdict's _jvm fragility — its probe must run without touching
+the JVM handle), and connected_components' durable checkpoint mode
+(edge materialization written by one executor set, read back across
+executors)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+SCRIPT = r"""
+import json, os
+os.environ.setdefault("SPARK_HOME", "/opt/spark")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local-cluster[2,2,1024]")
+    .appName("cluster_smoke")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+out = {}
+import __spark_entry__ as e
+out["entry_rows"] = len(e.entry(spark).collect())
+qs = e.queries()
+sf = "/root/testdata/sf0.001"
+hh = qs["ext_heavy_hitters"](spark, sf).collect()
+out["heavy_hitters_rows"] = len(hh)
+out["heavy_hitters_all_within_bound"] = all(r.cms_within_bound for r in hh)
+from remote_shuffle_spark.operators.graph import connected_components
+import tempfile
+edges = spark.createDataFrame(
+    [(i, i + 1) for i in range(6)] + [(10, 11)], "id_a long, id_b long")
+with tempfile.TemporaryDirectory() as td:
+    comp = connected_components(edges, checkpoint_dir=os.path.join(td, "cc"))
+    out["cc"] = sorted((r.vertex, r.component) for r in comp.collect())
+print("RESULT:" + json.dumps(out))
+spark.stop()
+"""
+
+
+def test_local_cluster_smoke():
+    res = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    line = next(
+        ln for ln in res.stdout.splitlines() if ln.startswith("RESULT:")
+    )
+    got = json.loads(line.removeprefix("RESULT:"))
+    assert got["entry_rows"] > 0
+    assert got["heavy_hitters_rows"] == 10
+    assert got["heavy_hitters_all_within_bound"] is True
+    want = [[i, 0] for i in range(7)] + [[10, 10], [11, 10]]
+    assert got["cc"] == want
