@@ -3576,3 +3576,168 @@ def ext_fuzzy_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_join_segments(
         cust, "c_custkey", "name_digits", max_distance=2
     ).orderBy("id_a", "id_b")
+
+
+@declared(
+    "ext_knn_join",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(CASE WHEN list_aggregate(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                                           x -> x * x), 'sum') > 0
+                         AND list_aggregate(list_transform(q.qe, x -> x * x), 'sum') > 0
+                        THEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                        ELSE 0.0 END, 6) AS cos_sim
+      FROM embeddings e, q
+    ), ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id, cos_sim
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    tags=("ext", "similarity", "join"),
+)
+def ext_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact k-NN join (operators/similarity.py:knn_join): four
+    query vectors each get their 5 nearest corpus rows by cosine in ONE
+    pass — broadcast query batch, narrow scoring scan, two-phase top-k
+    (per-(query, id-hash-subgroup) window, then a tiny final window) so
+    no reducer sorts a corpus-sized slice.  Similarities round to 6 dp
+    before ranking with id tie-breaks, so the selected neighbor SET is
+    engine-stable; the oracle replays the same scoring and ranking with
+    DuckDB's list_cosine_similarity."""
+    from remote_shuffle_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3))
+    return knn_join(emb, "vec_id", "embedding", queries, "vec_id", k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@declared(
+    "ext_kll_quantiles",
+    oracle="""
+    WITH qa AS (
+      SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS qs
+      FROM lineitem
+    )
+    SELECT p AS prob, ROUND(qs[i], 4) AS exact_q, TRUE AS kll_within_bound
+    FROM qa, (SELECT UNNEST([0.25, 0.5, 0.75, 0.95]) AS p,
+                     UNNEST([1, 2, 3, 4]) AS i) ps
+    ORDER BY prob
+    """,
+    tags=("ext", "sketch", "percentile"),
+)
+def ext_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles via the KLL sketch (Spark 4's datasketches binding) —
+    the fourth sketch family next to HLL (q29/ext_hll_*), CMS
+    (ext_heavy_hitters), and Theta (ext_theta_distinct).
+
+    One mergeable ``kll_sketch_agg_double`` aggregate (map-side partial,
+    fixed-size state — the 100 TB way to serve quantiles without the
+    per-group value sort q28's exact percentile pays).  The sketch's
+    estimates are NOT engine-reproducible (compaction is randomized and
+    merge-order-dependent — measured: the same 60k rows at 4/7/32
+    partitions give three different medians), so the pinned surface is
+    the PUBLISHED GUARANTEE, the same pattern as the other sketch
+    queries: the exact rank of each estimate (one broadcast pass over
+    the column) must sit within 3% of the target rank — k=200's
+    normalized rank error is ~1.33%, so 3% holds with huge margin at
+    any partitioning.  Exact quantiles ride along for the value hash."""
+    probs = [0.25, 0.5, 0.75, 0.95]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    agg = li.agg(
+        F.kll_sketch_agg_double("x", F.lit(200)).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("x", F.array(*[F.lit(p) for p in probs])).alias("ex"),
+    )
+    est = agg.select(
+        F.posexplode(
+            F.expr(
+                "kll_sketch_get_quantile_double(sk, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            )
+        ).alias("i", "kll_q"),
+        "n",
+        "ex",
+    )
+    ranked = (
+        li.crossJoin(F.broadcast(est))
+        .groupBy("i", "kll_q", "n", "ex")
+        .agg(F.count(F.when(F.col("x") <= F.col("kll_q"), 1)).alias("le"))
+    )
+    prob_arr = F.array(*[F.lit(p) for p in probs])
+    return (
+        ranked.select(
+            F.element_at(prob_arr, F.col("i") + 1).alias("prob"),
+            F.round(F.element_at("ex", F.col("i") + 1), 4).alias("exact_q"),
+            (
+                F.abs(F.col("le") / F.col("n") - F.element_at(prob_arr, F.col("i") + 1))
+                <= 0.03
+            ).alias("kll_within_bound"),
+        )
+        .orderBy("prob")
+    )
+
+
+@declared(
+    "ext_theta_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS theta_within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__union__', COUNT(DISTINCT user_id), TRUE FROM events
+    ORDER BY event_type
+    """,
+    tags=("ext", "sketch", "distinct"),
+)
+def ext_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment distinct users via Theta sketches PLUS their union —
+    the sketch family whose point over HLL is SET ALGEBRA: per-type
+    sketches are built once (mergeable, map-side combined) and the
+    overall distinct comes from ``theta_union_agg`` over five tiny
+    sketch states, never a re-scan of events.  At 100 TB: daily/segment
+    sketches persist a few KB each and any union of segments is served
+    driver-side.  Pinned surface: exact distinct counts (engine-
+    checkable) plus the published bound as a boolean — default lgK=12
+    gives ~1.6% RSE, so 5% covers estimation mode, and at fixture
+    cardinalities (≤ 4096 distinct) the sketch is in EXACT mode and the
+    estimate equals the count outright."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    typed = per_type.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.theta_sketch_estimate("sk") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("theta_within_5pct"),
+    )
+    union_est = per_type.agg(
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("uest")
+    )
+    overall = (
+        events.agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .crossJoin(F.broadcast(union_est))
+        .select(
+            F.lit("__union__").alias("event_type"),
+            "exact_distinct",
+            (
+                F.abs(F.col("uest") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("theta_within_5pct"),
+        )
+    )
+    return typed.unionAll(overall).orderBy("event_type")

@@ -319,3 +319,74 @@ def lsh_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_join(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries_df: DataFrame,
+    query_id_col: str,
+    *,
+    k: int = 10,
+    round_to: int | None = 6,
+    num_subgroups: int = 64,
+) -> DataFrame:
+    """Batch exact k-NN join: EVERY query vector gets its ``k`` nearest
+    corpus rows by cosine — the many-probe sibling of
+    :func:`brute_force_topk` (training-data pipelines rarely probe one
+    vector; they attach neighbors to a whole eval batch at once).
+
+    Plan shape: the query batch is broadcast (bounded — a batch, not a
+    second corpus), the corpus side stays NARROW through scoring
+    (scan → broadcast nested loop → project cosine), and top-k is
+    TWO-PHASE so no reducer ever sorts a corpus-sized slice: rows first
+    shuffle on (query, subgroup = id-hash % ``num_subgroups``) for a
+    per-subgroup window top-k — reducer work is corpus/num_subgroups —
+    then the Q × num_subgroups × k survivors take a second, tiny window
+    for the final per-query top-k.  A single-phase window on query alone
+    would hand each of Q reducers the whole corpus (the classic top-k
+    skew); with Q queries and 32 reducers that is the difference between
+    minutes and a stuck stage at 100 TB.  For corpus sizes where even
+    the scoring scan is too much per query batch, compose
+    :func:`lsh_topk`/:func:`ivf_topk` per query instead (partition
+    pruning replaces the scan; this operator is the exact baseline).
+
+    Zero-norm vectors score 0.0 (the module's guard).  Similarities are
+    rounded (``round_to``) BEFORE ranking and ties break on corpus id,
+    so the selected ids are reproducible by an engine accumulating the
+    dot product in a different order.  Returns (query_id, rank, id,
+    cos_sim), rank 1..k.
+    """
+    q = F.broadcast(
+        queries_df.select(
+            F.col(query_id_col).alias("_qid"),
+            to_double_array(vec_col).alias("_qvec"),
+        )
+    )
+    cos = cosine_similarity(to_double_array(vec_col), F.col("_qvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = df.crossJoin(q).select(
+        F.col("_qid"),
+        F.col(id_col).alias("_id"),
+        cos.alias("cos_sim"),
+        F.pmod(F.xxhash64(id_col), F.lit(num_subgroups)).alias("_sub"),
+    )
+    w1 = W.partitionBy("_qid", "_sub").orderBy(F.col("cos_sim").desc(), F.col("_id"))
+    survivors = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_sub")
+    )
+    w2 = W.partitionBy("_qid").orderBy(F.col("cos_sim").desc(), F.col("_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            "rank",
+            F.col("_id").alias(id_col),
+            "cos_sim",
+        )
+    )

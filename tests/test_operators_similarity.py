@@ -215,3 +215,42 @@ def test_lsh_topk_partial_probe_recall_and_pruning(spark):
     probed = lsh_topk(df, "vec_id", "embedding", q, k=202, dim=dim,
                       num_planes=6, hamming_radius=0).count()
     assert probed < 202 / 2
+
+
+def test_knn_join_matches_per_query_brute_force(spark, sf_smoke):
+    """Batch knn_join must equal k independent brute_force_topk probes —
+    same ids, same ranks, same rounded scores — and the two-phase top-k
+    must not lose a global winner to subgroup pruning (each subgroup
+    keeps k, so the union always contains the global top-k)."""
+    from remote_shuffle_spark.operators.similarity import (
+        brute_force_topk,
+        knn_join,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 5, 9))
+    batch = knn_join(emb, "vec_id", "embedding", queries, "vec_id", k=7).collect()
+    by_query = {}
+    for r in batch:
+        by_query.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    assert set(by_query) == {0, 5, 9}
+    for qid, rows in by_query.items():
+        one = brute_force_topk(
+            emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == qid), k=7
+        ).collect()
+        want = [(i + 1, r.vec_id, r.cos_sim) for i, r in enumerate(one)]
+        assert sorted(rows) == want, qid
+
+
+def test_knn_join_zero_norm_queries_score_zero(spark):
+    from remote_shuffle_spark.operators.similarity import knn_join
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_join(
+        df, "vec_id", "embedding", df.filter("vec_id = 3"), "vec_id", k=2
+    ).collect()
+    assert all(r.cos_sim == 0.0 for r in out)
+    assert [r.vec_id for r in out] == [1, 2]  # id tie-break at equal score
