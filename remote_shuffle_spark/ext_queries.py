@@ -3741,3 +3741,79 @@ def ext_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return typed.unionAll(overall).orderBy("event_type")
+
+
+@declared(
+    "ext_theta_set_algebra",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS did_p,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) > 0 AS did_e
+      FROM events GROUP BY user_id
+    )
+    SELECT op, exact_users, TRUE AS theta_within_bound FROM (
+      SELECT 'difference' AS op,
+             COUNT(CASE WHEN did_p AND NOT did_e THEN 1 END) AS exact_users
+      FROM per_user
+      UNION ALL
+      SELECT 'intersection',
+             COUNT(CASE WHEN did_p AND did_e THEN 1 END) FROM per_user
+      UNION ALL
+      SELECT 'union',
+             COUNT(CASE WHEN did_p OR did_e THEN 1 END) FROM per_user
+    ) ORDER BY op
+    """,
+    tags=("ext", "sketch", "distinct"),
+)
+def ext_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA — the capability HLL lacks and the reason
+    the Theta family earns its place: purchasers ∩ erroring users,
+    purchasers \\ erroring users, and their union, each estimated from
+    TWO per-segment sketches (a few KB each, built in one mergeable
+    aggregate) with no re-scan of events.  At 100 TB audience-overlap
+    questions ("how many purchasers also hit errors?") are served from a
+    sketch store; the exact per-user pass here is the AUDIT side, which
+    the oracle reproduces.  Bound: at fixture cardinalities the sketches
+    are in exact mode (< 4096 retained hashes) so every estimate equals
+    the exact count; the boolean pins it with the 5%+2 cushion the
+    estimation-mode math would need."""
+    events = load_table(spark, sf_dir, "events")
+    sk = events.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)"
+        ).alias("sp"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'error' THEN user_id END)"
+        ).alias("se"),
+    )
+    est = sk.select(
+        F.expr("theta_sketch_estimate(theta_difference(sp, se))").alias("e_diff"),
+        F.expr("theta_sketch_estimate(theta_intersection(sp, se))").alias("e_int"),
+        F.expr("theta_sketch_estimate(theta_union(sp, se))").alias("e_uni"),
+    )
+    per_user = events.groupBy("user_id").agg(
+        (F.count(F.when(F.col("event_type") == "purchase", 1)) > 0).alias("did_p"),
+        (F.count(F.when(F.col("event_type") == "error", 1)) > 0).alias("did_e"),
+    )
+    exact = per_user.agg(
+        F.count(F.when(F.col("did_p") & ~F.col("did_e"), 1)).alias("x_diff"),
+        F.count(F.when(F.col("did_p") & F.col("did_e"), 1)).alias("x_int"),
+        F.count(F.when(F.col("did_p") | F.col("did_e"), 1)).alias("x_uni"),
+    )
+    both = exact.crossJoin(F.broadcast(est))
+    within = lambda e, x: F.abs(F.col(e) - F.col(x)) <= 0.05 * F.col(x) + 2
+    rows = [
+        ("difference", "x_diff", "e_diff"),
+        ("intersection", "x_int", "e_int"),
+        ("union", "x_uni", "e_uni"),
+    ]
+    out = None
+    for op, xcol, ecol in rows:
+        one = both.select(
+            F.lit(op).alias("op"),
+            F.col(xcol).alias("exact_users"),
+            within(ecol, xcol).alias("theta_within_bound"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("op")

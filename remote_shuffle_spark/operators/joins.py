@@ -373,7 +373,13 @@ def fuzzy_self_join_segments(
             F.col("_tl").alias("lb"),
         )
     )
-    # hot-block guard over EVERY emission in the block (anchor + probe)
+    # hot-block guard over EVERY emission in the block (anchor + probe).
+    # The sizes frame is BLOCK-cardinality — it scales with the corpus,
+    # not a dimension table — so the guard joins are hinted sort-merge:
+    # Catalyst's post-aggregate size estimate otherwise picks a broadcast
+    # that OOMs the driver at ~1M rows (measured, 10x probe), and the
+    # merge hint reuses the block-hash distribution the candidate join
+    # needs anyway.
     sizes = (
         anchors.select("block")
         .unionAll(probes.select("block"))
@@ -381,6 +387,7 @@ def fuzzy_self_join_segments(
         .agg(F.count(F.lit(1)).alias("bsize"))
         .filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_block_size))
         .select("block")
+        .hint("merge")
     )
     cand = (
         anchors.join(sizes, "block")

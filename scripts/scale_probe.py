@@ -381,6 +381,38 @@ def main():
             },
         )
     )
+    # pigeonhole-segment fuzzy join (round 6): high-entropy 12-char hex
+    # strings keep blocks small (16^4 key space per segment), and every
+    # 100th row is a PLANTED distance-2 partner of its predecessor (two
+    # substitutions, one in the first segment and one in the last — the
+    # exact pair class prefix/suffix blocking cannot see), so recalled
+    # pairs scale linearly with rows and the probe measures the full
+    # emit → block → verify pipeline, not just guarded-away emission
+    def _fuzzy_segments_corpus(n: int):
+        seed = F.col("id") - F.when(F.col("id") % 100 == 1, 1).otherwise(0)
+        base = F.lower(F.lpad(F.hex(F.xxhash64(seed)), 16, "0")).substr(1, 12)
+        edited = F.concat(
+            base.substr(1, 3), F.lit("z"), base.substr(5, 5), F.lit("z"), base.substr(11, 2)
+        )
+        return spark.range(n).select(
+            F.col("id"),
+            F.when(F.col("id") % 100 == 1, edited).otherwise(base).alias("txt"),
+        )
+
+    results.append(
+        probe(
+            f"fuzzy_segments_{int(100_000 * s)}_ids",
+            lambda: {
+                "pairs": joins.fuzzy_self_join_segments(
+                    _fuzzy_segments_corpus(int(100_000 * s)),
+                    "id",
+                    "txt",
+                    max_distance=2,
+                    max_block_size=512,
+                ).count()
+            },
+        )
+    )
     from remote_shuffle_spark.plans.shuffle_policy import salted_join
 
     results.append(
