@@ -3817,3 +3817,88 @@ def ext_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionAll(one)
     return out.orderBy("op")
+
+
+@declared(
+    "ext_fuzzy_link",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey * 2 AS k,
+             CAST(CAST(substr(c_name, 10) AS INT) AS VARCHAR) AS t
+      FROM customer
+      UNION ALL
+      SELECT s_suppkey * 2 + 1,
+             CAST(CAST(substr(s_name, 10) AS INT) AS VARCHAR)
+      FROM supplier
+    ), bl AS (
+      SELECT k, t, len(t) AS tl FROM b
+    ), anchors AS (
+      SELECT tl AS l, i,
+             substr(t, (i*(tl//3) + least(i, tl%3)) + 1,
+                    (tl//3) + CASE WHEN i < tl%3 THEN 1 ELSE 0 END) AS seg,
+             k AS ka, t AS ta, tl AS la
+      FROM bl, (SELECT UNNEST(generate_series(0, 2)) AS i) si
+    ), pexp AS (
+      SELECT k, t, tl, UNNEST(generate_series(greatest(1, tl-2), tl)) AS l
+      FROM bl
+    ), praw AS (
+      SELECT k, t, tl, l, i,
+             (i*(l//3) + least(i, l%3)) + delta AS st,
+             (l//3) + CASE WHEN i < l%3 THEN 1 ELSE 0 END AS sl
+      FROM pexp,
+           (SELECT UNNEST(generate_series(0, 2)) AS i) si,
+           (SELECT UNNEST(generate_series(-2, 2)) AS delta) sd
+    ), probes AS (
+      SELECT l, i, substr(t, st + 1, sl) AS seg, k AS kb, t AS tb, tl AS lb
+      FROM praw WHERE st >= 0 AND st + sl <= tl
+    ), sizes AS (
+      SELECT l, i, seg FROM (
+        SELECT l, i, seg FROM anchors UNION ALL SELECT l, i, seg FROM probes
+      ) GROUP BY 1, 2, 3 HAVING COUNT(*) BETWEEN 2 AND 512
+    ), cand AS (
+      SELECT DISTINCT LEAST(a.ka, p.kb) AS id_a, GREATEST(a.ka, p.kb) AS id_b,
+             CASE WHEN a.ka < p.kb THEN a.ta ELSE p.tb END AS sa,
+             CASE WHEN a.ka < p.kb THEN p.tb ELSE a.ta END AS sb
+      FROM anchors a
+      JOIN sizes s ON a.l = s.l AND a.i = s.i AND a.seg = s.seg
+      JOIN probes p ON p.l = s.l AND p.i = s.i AND p.seg = s.seg
+      WHERE a.la < p.lb OR (a.la = p.lb AND a.ka < p.kb)
+    ), pairs AS (
+      SELECT id_a, id_b, levenshtein(sa, sb) AS dist
+      FROM cand WHERE levenshtein(sa, sb) <= 2 AND (id_a % 2) != (id_b % 2)
+    )
+    SELECT (CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) // 2 AS left_id,
+           ((CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) - 1) // 2 AS right_id,
+           dist
+    FROM pairs ORDER BY left_id, right_id
+    """,
+    tags=("ext", "join", "fuzzy"),
+)
+def ext_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table record linkage (operators/joins.py:fuzzy_link_segments):
+    customer id digit strings linked to supplier id digit strings within
+    2 edits — the two-table entity-resolution shape (dirty catalog vs
+    master list).  The parity-encoded union reuses the pigeonhole
+    self-join verbatim, so the full ≤2-edit recall guarantee carries
+    over; the oracle replays the identical emission over the encoded
+    union and decodes the parity at the end."""
+    from remote_shuffle_spark.operators.joins import fuzzy_link_segments
+
+    digits = lambda name_col: F.expr(
+        f"cast(cast(substring({name_col}, 10) as int) as string)"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", digits("c_name").alias("cd")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", digits("s_name").alias("sd")
+    )
+    return fuzzy_link_segments(
+        cust,
+        supp,
+        left_id="c_custkey",
+        left_text="cd",
+        right_id="s_suppkey",
+        right_text="sd",
+        max_distance=2,
+    ).orderBy("left_id", "right_id")

@@ -550,3 +550,56 @@ def asof_join_nearest(
     drop = [f"{v}_b" for v in right_values] + [f"{v}_f" for v in right_values]
     drop += [f"{right_ts}_b", f"{right_ts}_f"]
     return out.drop(*drop)
+
+
+def fuzzy_link_segments(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    max_distance: int = 2,
+    max_block_size: int = 512,
+) -> DataFrame:
+    """Cross-table fuzzy RECORD LINKAGE: pairs (left row, right row)
+    within ``max_distance`` Levenshtein edits — the two-table sibling of
+    :func:`fuzzy_self_join_segments`, with the same pigeonhole recall
+    guarantee (any ≤ d-edit pair shares an untouched segment of the
+    shorter string, wherever the edits fall).
+
+    Implementation: the two tables embed into ONE id space by parity
+    (left id → 2·id, right id → 2·id+1 — ids must be non-negative
+    longs), the segment self-join runs once over the union, and only
+    mixed-parity pairs survive.  Everything the self-join guarantees —
+    bounded emission (45×/row at d=2), hot-block guard counting every
+    emission, sort-merge guard joins, dedup-before-verify — is inherited
+    verbatim rather than re-implemented.  Same-table near-pairs are
+    computed and discarded; when both tables are large and only the
+    cross pairs matter, that waste is bounded by the same block caps
+    that bound the self-join (a block mixes both sources, so the
+    candidate count within it is what it would have been anyway).
+
+    Returns (left_id, right_id, dist)."""
+    enc_l = left.select(
+        (F.col(left_id) * 2).alias("_k"), F.col(left_text).alias("_t")
+    )
+    enc_r = right.select(
+        (F.col(right_id) * 2 + 1).alias("_k"), F.col(right_text).alias("_t")
+    )
+    pairs = fuzzy_self_join_segments(
+        enc_l.unionAll(enc_r),
+        "_k",
+        "_t",
+        max_distance=max_distance,
+        max_block_size=max_block_size,
+    )
+    cross = pairs.filter(F.pmod("id_a", F.lit(2)) != F.pmod("id_b", F.lit(2)))
+    lk = F.when(F.pmod("id_a", F.lit(2)) == 0, F.col("id_a")).otherwise(F.col("id_b"))
+    rk = F.when(F.pmod("id_a", F.lit(2)) == 1, F.col("id_a")).otherwise(F.col("id_b"))
+    return cross.select(
+        (lk / 2).cast("long").alias("left_id"),
+        ((rk - 1) / 2).cast("long").alias("right_id"),
+        "dist",
+    )

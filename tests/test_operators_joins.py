@@ -376,3 +376,42 @@ def test_fuzzy_segments_hot_block_guard_and_validation(spark):
     assert fuzzy_self_join_segments(df, "id", "txt", max_block_size=10).count() == 0
     with raises(ValueError, match="max_distance"):
         fuzzy_self_join_segments(df, "id", "txt", max_distance=0)
+
+
+def test_fuzzy_link_segments_cross_table_recall(spark):
+    """Cross-table linkage must recall every L-R pair within distance 2
+    (brute-force verified) and emit NO same-table pairs."""
+    import itertools
+
+    from remote_shuffle_spark.operators.joins import fuzzy_link_segments
+
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    lrows, rrows = [], []
+    for i in range(30):
+        s = "".join(alpha[(i * 5 + k * 3) % 26] for k in range(30))
+        lrows.append((i, s))
+        # right-side partner: edits in first AND last segment zones
+        rrows.append((i, s[:2] + "Z" + s[3:27] + "Q" + s[28:]))
+        rrows.append((100 + i, s[::-1]))  # far string, no accidental link
+    ldf = spark.createDataFrame(lrows, "lid long, ltxt string")
+    rdf = spark.createDataFrame(rrows, "rid long, rtxt string")
+    got = {
+        (r.left_id, r.right_id, r.dist)
+        for r in fuzzy_link_segments(
+            ldf,
+            rdf,
+            left_id="lid",
+            left_text="ltxt",
+            right_id="rid",
+            right_text="rtxt",
+            max_distance=2,
+            max_block_size=4096,
+        ).collect()
+    }
+    want = {
+        (li, ri, _lev(a, b))
+        for (li, a), (ri, b) in itertools.product(lrows, rrows)
+        if _lev(a, b) <= 2
+    }
+    assert got == want
+    assert {(i, i) for i in range(30)} <= {(a, b) for a, b, _ in got}
