@@ -3902,3 +3902,73 @@ def ext_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_text="sd",
         max_distance=2,
     ).orderBy("left_id", "right_id")
+
+
+@declared(
+    "ext_kll_rolling_quantile",
+    oracle="""
+    WITH ev AS (
+      SELECT time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS day, value
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM ev)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           (SELECT ROUND(quantile_cont(e.value, 0.5), 4) FROM ev e
+            WHERE e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day)
+             AS exact_median,
+           TRUE AS kll_within_bound
+    FROM days d ORDER BY day
+    """,
+    tags=("ext", "sketch", "window", "percentile"),
+)
+def ext_kll_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day median event value from MERGED daily KLL sketches —
+    the quantile twin of ext_hll_rolling_distinct (latency/SLO
+    percentiles over sliding windows are THE production use of mergeable
+    quantile sketches).  The corpus is scanned once into per-day
+    sketches; every rolling window is `kll_merge_agg_double` over ≤ 7
+    fixed-size sketch states in a RANGE frame (day-cardinality window,
+    never the corpus).  Merged-sketch estimates are randomized (same
+    measurement as ext_kll_quantiles), so the pinned surface is the rank
+    bound: each day's estimate must sit within 4% of rank 0.5 inside its
+    OWN window's values (k=200 merged keeps ~2% rank error); the exact
+    rolling median — 2-decimal inputs land interpolation on the
+    4-decimal grid, bit-stable across engines — rides along for the
+    value hash."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.expr("kll_sketch_agg_double(v, 200)").alias("sk")
+    )
+    w = W.orderBy(F.unix_date(F.col("day").cast("date"))).rangeBetween(-6, 0)
+    est = daily.select(
+        "day",
+        F.kll_sketch_get_quantile_double(
+            F.expr("kll_merge_agg_double(sk)").over(w), F.lit(0.5)
+        ).alias("kll_med"),
+    )
+    windowed = (
+        est.alias("d")
+        .join(
+            ev.alias("e"),
+            (F.col("e.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("e.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"), "kll_med")
+        .agg(
+            F.percentile("v", F.lit(0.5)).alias("exact_med"),
+            (
+                F.count(F.when(F.col("v") <= F.col("kll_med"), 1))
+                / F.count(F.lit(1))
+            ).alias("kll_rank"),
+        )
+    )
+    return windowed.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("exact_med", 4).alias("exact_median"),
+        (F.abs(F.col("kll_rank") - 0.5) <= 0.04).alias("kll_within_bound"),
+    ).orderBy("day")
