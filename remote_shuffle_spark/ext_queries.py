@@ -3628,7 +3628,8 @@ def ext_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS qs
       FROM lineitem
     )
-    SELECT p AS prob, ROUND(qs[i], 4) AS exact_q, TRUE AS kll_within_bound
+    SELECT CAST(p AS DOUBLE) AS prob, ROUND(qs[i], 4) AS exact_q,
+           TRUE AS kll_within_bound
     FROM qa, (SELECT UNNEST([0.25, 0.5, 0.75, 0.95]) AS p,
                      UNNEST([1, 2, 3, 4]) AS i) ps
     ORDER BY prob
