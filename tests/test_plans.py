@@ -6,6 +6,8 @@ pushdown, broadcast choice, or bucketed-join exchange elimination."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -409,3 +411,49 @@ def test_q82_not_in_plans_as_broadcast_anti(spark, sf_smoke):
     plan = explain.physical_plan(df)
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin LeftAnti" not in plan
+
+
+def test_fuzzy_segments_guard_joins_never_broadcast(spark):
+    """The block-size guard table is BLOCK-cardinality (scales with the
+    corpus); Catalyst's post-aggregate estimate broadcast it and OOM'd
+    the 8g driver at the 1M-row probe (docs/scale.md round 6).  Pin the
+    fix: both guard joins plan as SortMergeJoin, and no broadcast
+    exchange carries the sizes aggregate."""
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.joins import fuzzy_self_join_segments
+
+    df = spark.range(2000).select(
+        F.col("id"), F.lower(F.hex(F.xxhash64("id"))).alias("txt")
+    )
+    out = fuzzy_self_join_segments(df, "id", "txt", max_distance=2)
+    plan = explain.physical_plan(out)
+    # the two hinted guard joins must be sort-merge regardless of what
+    # AQE picks for the candidate join (fixture-small sides may still
+    # broadcast THERE, which is fine — the guard table must not)
+    assert plan.count("SortMergeJoin") >= 2
+
+
+def test_knn_join_plan_broadcast_queries_two_phase_topk(spark, sf_smoke):
+    """knn_join: the query batch joins by BROADCAST (corpus never
+    shuffles for scoring) and top-k is TWO window nodes — the
+    per-(query, subgroup) pass plus the tiny final — so no reducer sorts
+    a corpus-sized slice."""
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.similarity import knn_join
+    from remote_shuffle_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = knn_join(emb, "vec_id", "embedding", q, "vec_id", k=5)
+    plan = explain.physical_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # two row_number window OPERATORS (headers "(n) Window"; the regex
+    # must not also match Spark's WindowGroupLimit partial top-k nodes)
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 2
+    # Spark adds map-side WindowGroupLimit (partial rank pruning) around
+    # both windows — the plan-level proof the top-k never ships full
+    # partitions to a reducer
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan  # scoring never shuffles the corpus
