@@ -3973,3 +3973,79 @@ def ext_kll_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("exact_med", 4).alias("exact_median"),
         (F.abs(F.col("kll_rank") - 0.5) <= 0.04).alias("kll_within_bound"),
     ).orderBy("day")
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled DuckDB mirror of operators/graph.py:pagerank — the same
+    scaled-integer recurrence, stage by stage.  Pure integer arithmetic
+    (// on positives == Spark div), so every stage is exact in both
+    engines; no float appears until the final display division."""
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS t
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), sym AS (
+      SELECT s AS u, t AS v FROM e0 UNION SELECT t, s FROM e0
+    ), deg AS (
+      SELECT u, COUNT(*) AS dg FROM sym GROUP BY u
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (
+      SELECT u, CAST(1000000000000 // nn.n AS BIGINT) AS rs FROM deg, nn
+    )"""
+    stages = []
+    for k in range(1, iterations + 1):
+        stages.append(f"""
+    , s{k} AS (
+      SELECT sym.v, SUM(r.rs // deg.dg) AS sm
+      FROM sym JOIN r{k-1} r ON sym.u = r.u JOIN deg ON deg.u = sym.u
+      GROUP BY sym.v
+    ), r{k} AS (
+      SELECT d.u,
+             CAST((15 * 1000000000000) // (100 * nn.n)
+                  + (85 * COALESCE(s{k}.sm, 0)) // 100 AS BIGINT) AS rs
+      FROM deg d LEFT JOIN s{k} ON s{k}.v = d.u, nn
+    )""")
+    tail = f"""
+    SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           u // 2 AS node_key, rs AS rank_scaled,
+           CAST(rs AS DOUBLE) / 1000000000000 AS rank
+    FROM r{iterations} ORDER BY node_type, node_key
+    """
+    return head + "".join(stages) + tail
+
+
+@declared(
+    "ext_pagerank",
+    oracle=_pagerank_oracle_sql(5),
+    tags=("ext", "graph", "iterative"),
+)
+def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-iteration PageRank over the customer↔supplier trade graph
+    (parity-encoded nodes; edges = distinct (customer, supplier) pairs
+    through orders ⋈ lineitem, symmetrized so no node dangles) — the
+    second ITERATIVE operator family, hard-verified: the loop runs in
+    scaled-INTEGER fixed-point (no float op anywhere — double rounding
+    proved engine-unstable by one ULP), so the whole trajectory is
+    exactly identical across engines and the oracle unrolls the same
+    five integer stages in SQL; the driver hash-compares every rank."""
+    from remote_shuffle_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=5)
+    return pr.select(
+        F.when(F.pmod("vertex", F.lit(2)) == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        (F.col("vertex") / 2).cast("long").alias("node_key"),
+        "rank_scaled",
+        "rank",
+    ).orderBy("node_type", "node_key")

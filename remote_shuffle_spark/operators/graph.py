@@ -143,3 +143,73 @@ def near_duplicate_groups(
         F.col("component").alias("group_id"),
         (F.col("vertex") == F.col("component")).alias("is_keeper"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    iterations: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an UNDIRECTED edge list (edges are
+    symmetrized, so every connected node has out-degree ≥ 1 and the
+    dangling-mass correction is unnecessary) — the second iterative
+    operator next to :func:`connected_components`, same driver-loop /
+    executor-data shape Spark prescribes for Pregel-style algorithms.
+
+    Engine-portable by construction: the recurrence runs in SCALED
+    INTEGER fixed-point (``scale`` = 1e12), so there is no float
+    operation anywhere in the loop —
+
+        r₀ = scale div N
+        rₜ₊₁(v) = (100-d)·scale div (100·N)
+                  + d · Σ_{u→v} (rₜ(u) div deg(u)) div 100
+
+    with ``div`` integer division on positive values (identical in
+    Spark and DuckDB, unlike double rounding: a first cut re-quantized
+    doubles to 12 dp each iteration and diverged from the oracle by one
+    ULP at a rounding boundary — ROUND(double, n) is not engine-stable).
+    The DuckDB oracle unrolls the identical integer stages, so the
+    driver hash-compares every rank exactly.  Total mass stays ≤ scale,
+    so BIGINT never overflows.
+
+    Two shuffles per iteration (contribution join + sum); per-iteration
+    frontiers localCheckpoint to keep plans from growing with the loop.
+    Returns (vertex, rank_scaled BIGINT, rank DOUBLE = rank_scaled/scale
+    — exact integer→double conversion below 2⁵³, one IEEE division).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    sym_deg = sym.join(deg, "u").localCheckpoint(eager=True)
+    nodes = deg.select("u").localCheckpoint(eager=True)
+    n = nodes.count()
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    r = nodes.select("u", F.lit(scale // n).cast("long").alias("rs"))
+    for _ in range(iterations):
+        contrib = sym_deg.join(r, "u").select(
+            F.col("v"), F.expr("rs div _deg").alias("_c")
+        )
+        sums = contrib.groupBy("v").agg(F.sum("_c").alias("_s"))
+        r = (
+            nodes.join(sums, nodes["u"] == sums["v"], "left")
+            .select(
+                "u",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(_s, 0L)) div 100")
+                ).cast("long").alias("rs"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r.select(
+        F.col("u").alias("vertex"),
+        F.col("rs").alias("rank_scaled"),
+        (F.col("rs").cast("double") / scale).alias("rank"),
+    )

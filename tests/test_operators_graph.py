@@ -170,3 +170,28 @@ def test_connected_components_durable_checkpoint_mode(spark, tmp_path):
 
     with _pytest.raises((CheckpointIntegrityError, Py4JJavaError)):
         read_checkpoint(spark, ckpt).count()
+
+
+def test_pagerank_properties(spark):
+    """PageRank sanity on a known graph: (a) mass ≈ 1 (integer floor
+    losses only), (b) the hub of a star out-ranks its leaves, (c) ranks
+    are symmetric for symmetric nodes, (d) deterministic across
+    repartitionings (integer fixed-point has no accumulation order)."""
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.graph import pagerank
+
+    # star: 0 - {1,2,3,4}; plus a detached pair 10-11
+    edges = [(0, i) for i in range(1, 5)] + [(10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.vertex: (r.rank_scaled, r.rank) for r in pagerank(df).collect()}
+    total = sum(v for v, _ in out.values())
+    assert 0.999 * 10**12 <= total <= 10**12  # floor losses < 0.1%
+    assert out[0][0] > out[1][0]  # hub beats leaf
+    assert out[1][0] == out[2][0] == out[3][0] == out[4][0]  # symmetry
+    assert out[10][0] == out[11][0]
+    again = {
+        r.vertex: r.rank_scaled
+        for r in pagerank(df.repartition(7, "dst")).collect()
+    }
+    assert again == {k: v for k, (v, _) in out.items()}
