@@ -4049,3 +4049,107 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_scaled",
         "rank",
     ).orderBy("node_type", "node_key")
+
+
+@declared(
+    "ext_bfs_levels",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS t
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), sym AS (
+      SELECT s AS u, t AS v FROM e0 UNION SELECT t, s FROM e0
+    ), walk(v, lvl) AS (
+      SELECT CAST(0 AS BIGINT) AS v, 0 AS lvl
+      UNION
+      SELECT sym.v, walk.lvl + 1
+      FROM walk JOIN sym ON sym.u = walk.v
+      WHERE walk.lvl < 12
+    )
+    SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           v // 2 AS node_key, MIN(lvl) AS level
+    FROM walk GROUP BY 1, 2 ORDER BY node_type, node_key
+    """,
+    tags=("ext", "graph", "iterative"),
+)
+def ext_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop levels from customer 0 over the
+    customer↔supplier trade graph (operators/graph.py:bfs_levels) —
+    integer-exact iterative relaxation, hash-checked against a DuckDB
+    recursive-CTE traversal taking MIN level per node.  The third
+    iterative operator, completing the family: min-label propagation
+    (components), fixed-point recurrence (pagerank), frontier expansion
+    (BFS)."""
+    from remote_shuffle_spark.operators.graph import bfs_levels
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    lv = bfs_levels(edges, 0)
+    return lv.select(
+        F.when(F.pmod("vertex", F.lit(2)) == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        (F.col("vertex") / 2).cast("long").alias("node_key"),
+        "level",
+    ).orderBy("node_type", "node_key")
+
+
+@declared(
+    "ext_session_window_native",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("ext", "window", "session"),
+)
+def ext_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (batch form) — the
+    built-in gap-based session assignment, complementing the custom
+    applyInPandasWithState sessionizer (ext_sessionize): same 30-minute
+    gap rule, zero Python, one shuffle on (user, session merge).  The
+    semantics pin: session end = last event + gap (Spark's definition),
+    reproduced by the oracle's gaps-and-islands SQL (LAG > gap starts an
+    island; end = MAX(ts) + gap) — so the two formulations are proven
+    equivalent on the fixture, which is exactly the check a user
+    migrating from hand-rolled islands SQL to session_window needs."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

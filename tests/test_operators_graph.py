@@ -195,3 +195,18 @@ def test_pagerank_properties(spark):
         for r in pagerank(df.repartition(7, "dst")).collect()
     }
     assert again == {k: v for k, (v, _) in out.items()}
+
+
+def test_bfs_levels_known_graph(spark):
+    """BFS on a path + branch: exact hop distances, unreachable omitted,
+    nonconvergence raises."""
+    import pytest as _pytest
+    from remote_shuffle_spark.operators.graph import bfs_levels
+
+    # path 0-1-2-3, branch 1-10, island 50-51
+    edges = [(0, 1), (1, 2), (2, 3), (1, 10), (50, 51)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: r.level for r in bfs_levels(df, 0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 10: 2, 3: 3}
+    with _pytest.raises(RuntimeError, match="converge"):
+        bfs_levels(df, 0, max_iter=2)
