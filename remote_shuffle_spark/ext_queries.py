@@ -4153,3 +4153,52 @@ def ext_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@declared(
+    "ext_stream_outer_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ), v AS (
+      SELECT user_id AS u, event_id AS vid, ts AS vts FROM ev
+      WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id AS pu, event_id AS pid, ts AS pts FROM ev
+      WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT v.u AS user_id, v.vid AS view_id, p.pid AS purchase_id
+      FROM v JOIN p ON v.u = p.pu
+        AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 60 MINUTE
+    ), wm AS (
+      SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM ev
+    ), nulls AS (
+      SELECT v.u AS user_id, v.vid AS view_id, CAST(NULL AS BIGINT) AS purchase_id
+      FROM v, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.pu = v.u
+          AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 60 MINUTE
+      ) AND v.vts + INTERVAL 60 MINUTE < wm.w
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM nulls
+    ORDER BY view_id, purchase_id NULLS FIRST
+    """,
+    tags=("ext", "streaming", "join"),
+)
+def ext_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join with watermark null-emission
+    (streaming/join.py:view_purchase_attribution_outer) — the outer
+    sibling of ext_stream_stream_join, pinning the semantics batch SQL
+    cannot show: a view with no in-horizon purchase emits its
+    null-extended row ONLY when state eviction fires, i.e. when the
+    final watermark (max ts − 2 h, advanced by Spark's no-data batch)
+    has passed its join window.  The oracle reproduces both halves —
+    the inner band join AND the eviction rule — as pure SQL over the
+    finite fixture; the fixture has no window-end == watermark tie
+    (asserted in tests/test_streaming.py), so the <=/< eviction
+    boundary cannot matter."""
+    from remote_shuffle_spark.streaming.join import view_purchase_attribution_outer
+
+    return view_purchase_attribution_outer(spark, sf_dir)

@@ -83,3 +83,78 @@ def view_purchase_attribution(
     finally:
         query.stop()
     return scoped.table(name).orderBy("view_id", "purchase_id")
+
+
+def view_purchase_attribution_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    horizon_minutes: float = 60.0,
+    watermark: str = "2 hours",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every view gets its in-horizon
+    purchases, and a view with NO purchase emits a null-extended row —
+    but only once the watermark passes its join window (state eviction
+    is what PRODUCES outer results in a stream; a row still in state at
+    stream end never emits its null).  With the whole fixture as one
+    micro-batch, the final watermark is ``max(ts) - watermark`` and
+    Spark's no-data batch after it performs the eviction, so the
+    null-emission set is a pure function of the input:
+
+        unmatched view emits null  iff  v_ts + horizon < final_watermark
+
+    (boundary verified empirically and pinned by the oracle + pytest;
+    views inside the final watermark window stay in state, exactly what
+    a restarted stream would still be allowed to match).  Returns
+    (user_id, view_id, purchase_id nullable).
+    """
+    from remote_shuffle_spark.sources.tables import table_path
+    from remote_shuffle_spark.streaming.source import (
+        event_time,
+        file_stream_dir,
+        stream_session,
+    )
+
+    scoped = stream_session(spark, state_partitions)
+    path = table_path(sf_dir, "events")
+    batch = scoped.read.parquet(path)
+    stream_dir = file_stream_dir(path)
+
+    def _side(kind: str, prefix: str) -> DataFrame:
+        s = (
+            scoped.readStream.schema(batch.schema)
+            .parquet(stream_dir)
+            .withColumn("ts", event_time(dict(batch.dtypes).get("ts")))
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+        return s.withWatermark(f"{prefix}_ts", watermark)
+
+    views = _side("view", "v")
+    purchases = _side("purchase", "p")
+    horizon = f"interval {int(horizon_minutes * 60)} seconds"
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + {horizon}"
+        ),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+    )
+    name = f"stream_attrib_outer_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return scoped.table(name).orderBy("view_id", "purchase_id")

@@ -510,3 +510,29 @@ def test_ordered_only_split_is_strictly_time_ordered(spark):
     from remote_shuffle_spark.streaming.latedrop import _ordered_events
 
     assert total == _ordered_events(spark, sf).count()  # nothing dropped
+
+
+def test_stream_outer_join_no_boundary_ties_and_nulls_emitted(spark):
+    """ext_stream_outer_join's determinism rests on (a) null rows REALLY
+    being emitted by eviction (not an empty outer tail) and (b) no
+    view's window end exactly EQUALING the final watermark — the <=/<
+    eviction boundary must never matter (same pin as late_drop)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.sources.tables import load_table
+    from remote_shuffle_spark.streaming.join import view_purchase_attribution_outer
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = load_table(spark, sf, "events").select(
+            "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+        )
+        maxts = ev.agg(F.max("ts")).collect()[0][0]
+        wm = maxts - datetime.timedelta(hours=2)
+        vts = [r.ts for r in ev.filter("event_type='view'").collect()]
+        assert all(t + datetime.timedelta(minutes=60) != wm for t in vts), sf
+        rows = view_purchase_attribution_outer(spark, sf).collect()
+        n_null = sum(1 for r in rows if r.purchase_id is None)
+        assert n_null > 0  # eviction really fired
+        assert n_null < len(rows)  # and some matches exist
