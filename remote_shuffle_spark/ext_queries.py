@@ -4202,3 +4202,81 @@ def ext_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.streaming.join import view_purchase_attribution_outer
 
     return view_purchase_attribution_outer(spark, sf_dir)
+
+
+@declared(
+    "ext_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(node, root, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, w.root, w.depth + 1
+      FROM customer c JOIN walk w ON c.c_custkey // 10 = w.node
+      WHERE c.c_custkey >= 10
+    )
+    SELECT root, depth, COUNT(*) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS sum_keys
+    FROM walk GROUP BY root, depth ORDER BY root, depth
+    """,
+    tags=("ext", "sql", "iterative"),
+)
+def ext_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's WITH RECURSIVE (SPARK-24497) run through the SQL entry
+    path — the hierarchy walk every ORG-chart / BOM workload needs,
+    previously only expressible as a driver loop (bfs_levels).  The
+    customer key space forms a decimal forest (parent = key div 10,
+    roots < 10); both engines execute the IDENTICAL recursive SQL, so
+    the integer (root, depth) roll-up hash-matches exactly.  Catalyst
+    plans the recursion as a UnionLoop — the declarative twin of the
+    iterative operators' driver loops."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "rss_rec_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM rss_rec_customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, w.root, w.depth + 1
+          FROM rss_rec_customer c JOIN walk w ON c.c_custkey div 10 = w.node
+          WHERE c.c_custkey >= 10
+        )
+        SELECT root, depth, COUNT(*) AS n_nodes, SUM(node) AS sum_keys
+        FROM walk GROUP BY root, depth ORDER BY root, depth
+        """
+    )
+
+
+@declared(
+    "ext_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50
+                      THEN 1 END) AS n_big
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ext", "sql", "json"),
+)
+def ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``parse_json`` once into a variant column, then typed
+    ``variant_get`` path extraction — the open-format answer to a JSON
+    column that q23's string-functions path parses repeatedly.  At
+    100 TB the variant binary encoding is shredded/columnarized by the
+    reader, so repeated path access stops re-parsing text.  The oracle
+    extracts the same paths with DuckDB's native JSON functions —
+    engine-independent results for typed extraction."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_big"),
+        )
+        .orderBy("event_type")
+    )
