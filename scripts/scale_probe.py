@@ -413,6 +413,46 @@ def main():
             },
         )
     )
+    # round-6 iterative family: pagerank + BFS over a synthetic bipartite
+    # trade graph (distinct edges ~ n_edges; degree ~ uniform)
+    from remote_shuffle_spark.operators import graph as graph_ops
+
+    n_edges = int(1_000_000 * s)
+    gedges = spark.range(n_edges).select(
+        (F.pmod(F.xxhash64("id"), F.lit(int(15_000 * s))) * 2).alias("src"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(int(1_000 * s))) * 2 + 1).alias("dst"),
+    )
+    results.append(
+        probe(
+            f"pagerank_{n_edges}_edges",
+            lambda: {
+                "nodes": graph_ops.pagerank(gedges, iterations=5).count()
+            },
+        )
+    )
+    results.append(
+        probe(
+            f"bfs_{n_edges}_edges",
+            lambda: {
+                "reached": graph_ops.bfs_levels(gedges, 1).count()
+            },
+        )
+    )
+    results.append(
+        probe(
+            f"knn_join_{int(200_000 * s)}_vecs_q16",
+            lambda: {
+                "rows": similarity.knn_join(
+                    emb,
+                    "vec_id",
+                    "embedding",
+                    emb.filter(F.col("vec_id") < 16),
+                    "vec_id",
+                    k=10,
+                ).count()
+            },
+        )
+    )
     from remote_shuffle_spark.plans.shuffle_policy import salted_join
 
     results.append(
