@@ -4280,3 +4280,49 @@ def ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "ext_stream_session_window",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, sid
+    ), wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM ev)
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events
+    FROM sessions, wm WHERE s_end < wm.w
+    ORDER BY user_id, session_start
+    """,
+    tags=("ext", "streaming", "session"),
+)
+def ext_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NATIVE session windows in append mode
+    (streaming/windowed.py:session_window_stream): the watermark
+    FINALIZES sessions — only sessions whose end (last event + gap)
+    precedes the final watermark are emitted; tail sessions stay
+    mergeable in state.  The oracle computes the same sessions with
+    gaps-and-islands SQL and applies the same finalization cut, so the
+    emit/not-emit rule itself is the hash-checked surface (no
+    window-end == watermark tie exists on the fixture, asserted in
+    tests/test_streaming.py)."""
+    from remote_shuffle_spark.streaming.windowed import session_window_stream
+
+    return session_window_stream(spark, sf_dir)

@@ -127,3 +127,65 @@ def windowed_event_counts_filesink(
     )
     out_dir = drain_complete_to_parquet(agg)
     return _project_windows(scoped.read.parquet(out_dir))
+
+
+def session_window_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """NATIVE streaming session windows (``F.session_window`` under
+    append mode) — the built-in merging-session state operator, next to
+    the hand-rolled applyInPandasWithState sessionizer.  Append mode
+    emits a session only when the watermark FINALIZES it (no more
+    events can merge in), so with the fixture as one micro-batch plus
+    Spark's no-data eviction batch the emitted set is a pure function
+    of the input:
+
+        session emitted  iff  session_end (= last event + gap) <
+                              max(ts) - watermark_delay
+
+    (boundary tie-free on the fixtures, asserted in tests; unfinalized
+    tail sessions stay in state exactly as a live stream would keep
+    them mergeable).  Returns (user_id, session_start, session_end,
+    n_events) as formatted strings/longs, batch-oracle-comparable."""
+    import uuid
+
+    from remote_shuffle_spark.sources.tables import table_path
+    from remote_shuffle_spark.streaming.source import (
+        event_time,
+        file_stream_dir,
+        stream_session,
+    )
+
+    scoped = stream_session(spark, state_partitions)
+    path = table_path(sf_dir, "events")
+    batch = scoped.read.parquet(path)
+    stream = (
+        scoped.readStream.schema(batch.schema)
+        .parquet(file_stream_dir(path))
+        .withColumn("ts", event_time(dict(batch.dtypes).get("ts")))
+        .withWatermark("ts", watermark)
+    )
+    agg = stream.groupBy(
+        "user_id", F.session_window("ts", gap).alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"session_stream_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        scoped.table(name)
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

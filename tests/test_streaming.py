@@ -536,3 +536,31 @@ def test_stream_outer_join_no_boundary_ties_and_nulls_emitted(spark):
         n_null = sum(1 for r in rows if r.purchase_id is None)
         assert n_null > 0  # eviction really fired
         assert n_null < len(rows)  # and some matches exist
+
+
+def test_stream_session_window_finalization_tie_free_and_partial(spark):
+    """ext_stream_session_window's determinism: (a) no session end
+    exactly EQUALS the final watermark (<=/< cannot matter), (b) the
+    stream really withholds unfinalized tail sessions (emitted count <
+    batch session count — the append-mode semantics the query pins)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.sources.tables import load_table
+    from remote_shuffle_spark.streaming.windowed import session_window_stream
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = load_table(spark, sf, "events").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        allb = (
+            ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        maxts = ev.agg(F.max("ts")).collect()[0][0]
+        wm = maxts - datetime.timedelta(hours=2)
+        assert all(r.sw.end != wm for r in allb), sf
+        emitted = session_window_stream(spark, sf).count()
+        assert 0 < emitted < len(allb), sf
