@@ -4326,3 +4326,47 @@ def ext_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.streaming.windowed import session_window_stream
 
     return session_window_stream(spark, sf_dir)
+
+
+@declared(
+    "ext_python_datasource",
+    oracle="""
+    WITH g AS (
+      SELECT UNNEST(generate_series(0, 59999)) AS id
+    ), s AS (
+      SELECT id, (id * 2654435761) % 999983 % 500 AS user_id,
+             CAST(id % 30 AS INT) AS day, (id * id) % 9973 AS metric
+      FROM g
+    )
+    SELECT day, COUNT(*) AS n, CAST(SUM(metric) AS BIGINT) AS sum_metric,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM s GROUP BY day ORDER BY day
+    """,
+    tags=("ext", "source"),
+)
+def ext_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API (sources/python_source.py): a
+    custom PARTITIONED source — each InputPartition generates its own
+    index range, no driver-side data — read and aggregated like any
+    table.  The row model is a pure integer function of the row index,
+    so the DuckDB oracle regenerates the identical rows from
+    generate_series; overflow-safe congruences (the id*PRIME trap is
+    avoided by keeping products under 2.7e15)."""
+    from remote_shuffle_spark.sources.python_source import register_synth_source
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("rss_synth")
+        .option("n", "60000")
+        .option("parts", "16")
+        .load()
+    )
+    return (
+        df.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("metric").alias("sum_metric"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )

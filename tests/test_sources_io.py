@@ -55,3 +55,32 @@ def test_optional_formats_are_gated(spark):
     assert sio.optional_format(spark, "parquet")
     assert not sio.optional_format(spark, "delta")
     assert not sio.optional_format(spark, "kafka")
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    """The custom Python DataSource must really parallelize (one task
+    per InputPartition) and produce identical rows at any partitioning
+    (pure function of the row index)."""
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.sources.python_source import register_synth_source
+
+    register_synth_source(spark)
+
+    def read(parts):
+        return (
+            spark.read.format("rss_synth")
+            .option("n", "5000")
+            .option("parts", str(parts))
+            .load()
+        )
+
+    assert read(8).rdd.getNumPartitions() == 8
+    a = sorted(tuple(r) for r in read(8).collect())
+    b = sorted(tuple(r) for r in read(3).collect())
+    assert a == b and len(a) == 5000
+    # row model pinned (the oracle's congruences)
+    row = read(4).filter(F.col("id") == 1234).collect()[0]
+    assert (row.user_id, row.day, row.metric) == (
+        (1234 * 2654435761) % 999983 % 500, 1234 % 30, (1234 * 1234) % 9973
+    )
