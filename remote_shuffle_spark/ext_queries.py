@@ -3523,7 +3523,7 @@ def ext_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              k AS ka, t AS ta, tl AS la
       FROM bl, (SELECT UNNEST(generate_series(0, 2)) AS i) si
     ), pexp AS (
-      SELECT k, t, tl, UNNEST(generate_series(greatest(1, tl-2), tl)) AS l
+      SELECT k, t, tl, UNNEST(generate_series(greatest(0, tl-2), tl)) AS l
       FROM bl
     ), praw AS (
       SELECT k, t, tl, l, i,
@@ -3840,7 +3840,7 @@ def ext_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
              k AS ka, t AS ta, tl AS la
       FROM bl, (SELECT UNNEST(generate_series(0, 2)) AS i) si
     ), pexp AS (
-      SELECT k, t, tl, UNNEST(generate_series(greatest(1, tl-2), tl)) AS l
+      SELECT k, t, tl, UNNEST(generate_series(greatest(0, tl-2), tl)) AS l
       FROM bl
     ), praw AS (
       SELECT k, t, tl, l, i,

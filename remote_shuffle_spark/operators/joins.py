@@ -346,8 +346,11 @@ def fuzzy_self_join_segments(
             "k",
             "t",
             "_tl",
+            # clamp at 0, not 1: an EMPTY anchor string (length 0) is
+            # legitimate — a pair ('', t) with len(t) <= d must match on
+            # the l=0 empty-segment block (hypothesis-found edge case)
             F.explode(
-                F.sequence(F.greatest(F.lit(1), F.col("_tl") - d), F.col("_tl"))
+                F.sequence(F.greatest(F.lit(0), F.col("_tl") - d), F.col("_tl"))
             ).alias("l"),
         )
         .select(

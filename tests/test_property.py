@@ -204,3 +204,52 @@ def test_lsh_full_radius_equals_brute_force(spark, vecs):
         ).collect()
     ]
     assert full == exact
+
+
+def _lev_py(a: str, b: str) -> int:
+    m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        m[i][0] = i
+    for j in range(len(b) + 1):
+        m[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i][j] = min(
+                m[i - 1][j] + 1,
+                m[i][j - 1] + 1,
+                m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return m[len(a)][len(b)]
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=12), min_size=2, max_size=14
+    ),
+    d=st.integers(min_value=1, max_value=2),
+)
+def test_fuzzy_segments_property_full_recall(spark, texts, d):
+    """Pigeonhole guarantee as a PROPERTY: on arbitrary short strings
+    (tiny alphabet maximizes collisions, empty strings and duplicates
+    included) the segment join with an unreachable block cap returns
+    EXACTLY the brute-force ≤d pair set — full recall AND no false
+    pairs, at both supported distances."""
+    import itertools
+
+    from remote_shuffle_spark.operators.joins import fuzzy_self_join_segments
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "id long, txt string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join_segments(
+            df, "id", "txt", max_distance=d, max_block_size=100_000
+        ).collect()
+    }
+    want = {
+        (i, j, _lev_py(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _lev_py(a, b) <= d
+    }
+    assert got == want
