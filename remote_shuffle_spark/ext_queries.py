@@ -4370,3 +4370,44 @@ def ext_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@declared(
+    "ext_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("ext", "layout", "join"),
+)
+def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-layout join surfaced as an oracled query: customer
+    and orders are persisted `bucketBy(c_custkey/o_custkey)` (the
+    engine's dkey layout — plans/shuffle_policy.write_bucketed) and the
+    join+aggregate runs over the bucketed tables, which Catalyst plans
+    with ZERO shuffle exchange on the join key (asserted separately in
+    tests/test_plans.py; at 100 TB this is the repeatedly-joined fact
+    pattern: pay the layout once, join for free forever).  The oracle
+    is the plain join over the raw parquet — bucketing must be
+    result-invisible, which is exactly what the hash pins."""
+    from remote_shuffle_spark.plans.shuffle_policy import read_bucketed, write_bucketed
+    from remote_shuffle_spark.queries import dec
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    write_bucketed(cust, "rss_b6_customer", ["c_custkey"], num_buckets=8)
+    write_bucketed(orders, "rss_b6_orders", ["o_custkey"], num_buckets=8)
+    bc = read_bucketed(spark, "rss_b6_customer")
+    bo = read_bucketed(spark, "rss_b6_orders")
+    return (
+        bc.join(bo, bc["c_custkey"] == bo["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
