@@ -4172,7 +4172,12 @@ def ext_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v JOIN p ON v.u = p.pu
         AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 60 MINUTE
     ), wm AS (
-      SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM ev
+      -- global watermark = MIN of the per-side watermarks (each side
+      -- tracks max event time over ITS OWN stream), minus the delay
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM ev WHERE event_type = 'view'),
+        (SELECT MAX(ts) FROM ev WHERE event_type = 'purchase')
+      ) - INTERVAL 2 HOUR AS w
     ), nulls AS (
       SELECT v.u AS user_id, v.vid AS view_id, CAST(NULL AS BIGINT) AS purchase_id
       FROM v, wm
@@ -4411,3 +4416,62 @@ def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@declared(
+    "ext_stream_full_outer_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ), v AS (
+      SELECT user_id AS u, event_id AS vid, ts AS vts FROM ev
+      WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id AS pu, event_id AS pid, ts AS pts FROM ev
+      WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT v.u AS user_id, v.vid AS view_id, p.pid AS purchase_id
+      FROM v JOIN p ON v.u = p.pu
+        AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 60 MINUTE
+    ), wm AS (
+      -- global watermark = MIN of the per-side watermarks (each side
+      -- tracks max event time over ITS OWN stream), minus the delay
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM ev WHERE event_type = 'view'),
+        (SELECT MAX(ts) FROM ev WHERE event_type = 'purchase')
+      ) - INTERVAL 2 HOUR AS w
+    ), vnull AS (
+      SELECT v.u AS user_id, v.vid AS view_id, CAST(NULL AS BIGINT) AS purchase_id
+      FROM v, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.pu = v.u
+          AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 60 MINUTE
+      ) AND v.vts + INTERVAL 60 MINUTE < wm.w
+    ), pnull AS (
+      SELECT p.pu AS user_id, CAST(NULL AS BIGINT) AS view_id, p.pid AS purchase_id
+      FROM p, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM v WHERE v.u = p.pu
+          AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 60 MINUTE
+      ) AND p.pts < wm.w
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM vnull
+    UNION ALL SELECT * FROM pnull
+    ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST
+    """,
+    tags=("ext", "streaming", "join"),
+)
+def ext_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join
+    (streaming/join.py:view_purchase_attribution_full): both sides'
+    null-emission rules are the hash-checked surface — unmatched views
+    emit when the watermark passes their horizon window, unmatched
+    purchases when it passes their own timestamp (no earlier view can
+    still arrive).  The oracle reproduces the band join plus BOTH
+    eviction rules as SQL; boundary tie-freedom is asserted in
+    tests/test_streaming.py."""
+    from remote_shuffle_spark.streaming.join import view_purchase_attribution_full
+
+    return view_purchase_attribution_full(spark, sf_dir)

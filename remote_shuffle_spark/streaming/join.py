@@ -104,7 +104,11 @@ def view_purchase_attribution_outer(
 
         unmatched view emits null  iff  v_ts + horizon < final_watermark
 
-    (boundary verified empirically and pinned by the oracle + pytest;
+    where final_watermark = MIN over the two sides of (that side's max
+    event time) - delay — each watermark operator tracks ITS OWN stream
+    and the join uses the global minimum (verified empirically: the
+    max-over-all-events model diverges whenever the sides' maxima
+    differ; boundary pinned by the oracle + pytest;
     views inside the final watermark window stay in state, exactly what
     a restarted stream would still be allowed to match).  Returns
     (user_id, view_id, purchase_id nullable).
@@ -150,6 +154,82 @@ def view_purchase_attribution_outer(
         F.col("p_id").alias("purchase_id"),
     )
     name = f"stream_attrib_outer_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return scoped.table(name).orderBy("view_id", "purchase_id")
+
+
+def view_purchase_attribution_full(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    horizon_minutes: float = 60.0,
+    watermark: str = "2 hours",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """FULL OUTER stream-stream join — both unmatched sides null-emit on
+    their own eviction rule, completing the stream-join family
+    (inner / left_outer / full_outer):
+
+    - unmatched VIEW emits  iff  v_ts + horizon < final_watermark
+      (no future purchase can land in its window);
+    - unmatched PURCHASE emits  iff  p_ts < final_watermark
+      (matchable views need v_ts <= p_ts, so once the watermark passes
+      p_ts no view that could match can still arrive).
+
+    with final_watermark = MIN over sides of (own max event time) -
+    delay.  Both rules verified empirically (single data batch + Spark's
+    no-data eviction batch) and tie-free on the fixtures (pytest); the
+    2-row divergence that exposed the per-side-watermark subtlety at
+    sf0.01 is documented in the query's oracle comment.  Returns
+    (user_id, view_id nullable, purchase_id nullable) with user_id
+    coalesced across sides."""
+    from remote_shuffle_spark.sources.tables import table_path
+    from remote_shuffle_spark.streaming.source import (
+        event_time,
+        file_stream_dir,
+        stream_session,
+    )
+
+    scoped = stream_session(spark, state_partitions)
+    path = table_path(sf_dir, "events")
+    batch = scoped.read.parquet(path)
+    stream_dir = file_stream_dir(path)
+
+    def _side(kind: str, prefix: str) -> DataFrame:
+        s = (
+            scoped.readStream.schema(batch.schema)
+            .parquet(stream_dir)
+            .withColumn("ts", event_time(dict(batch.dtypes).get("ts")))
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+        return s.withWatermark(f"{prefix}_ts", watermark)
+
+    views = _side("view", "v")
+    purchases = _side("purchase", "p")
+    horizon = f"interval {int(horizon_minutes * 60)} seconds"
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + {horizon}"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+    )
+    name = f"stream_attrib_full_{uuid.uuid4().hex[:8]}"
     query = (
         joined.writeStream.outputMode("append").format("memory").queryName(name).start()
     )

@@ -513,29 +513,37 @@ def test_ordered_only_split_is_strictly_time_ordered(spark):
 
 
 def test_stream_outer_join_no_boundary_ties_and_nulls_emitted(spark):
-    """ext_stream_outer_join's determinism rests on (a) null rows REALLY
-    being emitted by eviction (not an empty outer tail) and (b) no
-    view's window end exactly EQUALING the final watermark — the <=/<
-    eviction boundary must never matter (same pin as late_drop)."""
+    """ext_stream_outer_join / ext_stream_full_outer_join determinism:
+    (a) null rows REALLY emit by eviction on BOTH sides, (b) neither
+    eviction boundary ties the final watermark — which is the MIN of
+    the two sides' own (max event time - delay), the subtlety a
+    max-over-all-events model got wrong by exactly 2 rows at sf0.01."""
     import datetime
 
     from pyspark.sql import functions as F
 
     from remote_shuffle_spark.sources.tables import load_table
-    from remote_shuffle_spark.streaming.join import view_purchase_attribution_outer
+    from remote_shuffle_spark.streaming.join import (
+        view_purchase_attribution_full,
+        view_purchase_attribution_outer,
+    )
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         ev = load_table(spark, sf, "events").select(
             "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
         )
-        maxts = ev.agg(F.max("ts")).collect()[0][0]
-        wm = maxts - datetime.timedelta(hours=2)
         vts = [r.ts for r in ev.filter("event_type='view'").collect()]
+        pts = [r.ts for r in ev.filter("event_type='purchase'").collect()]
+        wm = min(max(vts), max(pts)) - datetime.timedelta(hours=2)
         assert all(t + datetime.timedelta(minutes=60) != wm for t in vts), sf
+        assert all(t != wm for t in pts), sf
         rows = view_purchase_attribution_outer(spark, sf).collect()
         n_null = sum(1 for r in rows if r.purchase_id is None)
-        assert n_null > 0  # eviction really fired
-        assert n_null < len(rows)  # and some matches exist
+        assert 0 < n_null < len(rows)
+        frows = view_purchase_attribution_full(spark, sf).collect()
+        n_v = sum(1 for r in frows if r.purchase_id is None)
+        n_p = sum(1 for r in frows if r.view_id is None)
+        assert n_v > 0 and n_p > 0 and n_v + n_p < len(frows)
 
 
 def test_stream_session_window_finalization_tie_free_and_partial(spark):
