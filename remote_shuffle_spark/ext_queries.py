@@ -4475,3 +4475,64 @@ def ext_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.streaming.join import view_purchase_attribution_full
 
     return view_purchase_attribution_full(spark, sf_dir)
+
+
+@declared(
+    "ext_stream_hopping_window",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) * 900 AS w0
+      FROM events
+    ), w AS (
+      SELECT event_type, unnest([w0, w0 - 900]) AS window_start_s FROM x
+    )
+    SELECT window_start_s, event_type, COUNT(*) AS n
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("ext", "streaming", "window"),
+)
+def ext_stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING hopping windows (30-minute windows sliding every 15
+    through a real readStream + watermark, complete-mode drain) — the
+    overlapping-window state operator ext_stream_window's tumbling form
+    doesn't exercise: each event updates TWO window states.  Watermark
+    1 hour with a single-batch source means nothing is ever late, so
+    stream ≡ batch and the oracle is the same epoch-seconds hopping SQL
+    as ext_hopping_window."""
+    import uuid as _uuid
+
+    from remote_shuffle_spark.sources.tables import table_path
+    from remote_shuffle_spark.streaming.source import (
+        event_time,
+        file_stream_dir,
+        stream_session,
+    )
+
+    scoped = stream_session(spark, 8)
+    path = table_path(sf_dir, "events")
+    batch = scoped.read.parquet(path)
+    stream = scoped.readStream.schema(batch.schema).parquet(file_stream_dir(path))
+    agg = (
+        stream.withColumn("ts", event_time(dict(batch.dtypes).get("ts")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"hop_stream_{_uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        scoped.table(name)
+        .select(
+            (F.unix_micros(F.col("w.start")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("window_start_s"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start_s", "event_type")
+    )
