@@ -211,3 +211,19 @@ def test_decode_corrupt_jpeg_fails_loudly():
 
     with _pytest.raises(ValueError, match="corrupt JPEG"):
         _decode_bytes(b"\xff\xd8\xff\xd9")
+
+
+def test_extract_features_arrow_equals_pandas_path(spark, payloads):
+    """The mapInArrow feature extractor must emit exactly what the
+    mapInPandas path emits — the two Python boundaries are
+    interchangeable at the seam."""
+    with_payload, _ = payloads
+    a = {
+        r.doc_id: r.features
+        for r in multimodal.extract_features_arrow(with_payload, dim=8).collect()
+    }
+    b = {
+        r.doc_id: r.features
+        for r in multimodal.extract_features(with_payload, dim=8).collect()
+    }
+    assert a == b and len(a) > 0
