@@ -4536,3 +4536,48 @@ def ext_stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_s", "event_type")
     )
+
+
+@declared(
+    "ext_stream_python_datasource",
+    oracle="""
+    WITH g AS (
+      SELECT UNNEST(generate_series(0, 19999)) AS id
+    ), s AS (
+      SELECT id, CAST(id % 30 AS INT) AS day, (id * id) % 9973 AS metric
+      FROM g
+    )
+    SELECT day, COUNT(*) AS n, CAST(SUM(metric) AS BIGINT) AS sum_metric
+    FROM s GROUP BY day ORDER BY day
+    """,
+    tags=("ext", "source", "streaming"),
+)
+def ext_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the Python DataSource API
+    (sources/python_source.py:_SynthStreamReader): the same synthetic
+    source consumed through readStream in real micro-batches (row-
+    position offsets, 4 batches of 5000, deterministic replay via
+    readBetweenOffsets — the WAL replay contract), aggregated in
+    complete mode.  Stream ≡ batch by construction, so the oracle is
+    the same generate_series regeneration as the batch query."""
+    import uuid as _uuid
+
+    from remote_shuffle_spark.sources.python_source import register_synth_source
+
+    register_synth_source(spark)
+    df = (
+        spark.readStream.format("rss_synth")
+        .option("n", "20000")
+        .option("step", "5000")
+        .load()
+    )
+    agg = df.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("metric").alias("sum_metric")
+    )
+    name = f"pds_stream_{_uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("day")

@@ -20,7 +20,12 @@ Row model (id ∈ [0, n)):
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 FORMAT_NAME = "rss_synth"
 _MIX = 2654435761
@@ -59,7 +64,47 @@ class SynthTelemetrySource(DataSource):
     def reader(self, schema):
         return _SynthReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return _SynthStreamReader(self.options)
+
 
 def register_synth_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SynthTelemetrySource)
+
+
+class _SynthStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader over the same row model: offsets are
+    plain row positions, each micro-batch advances ``step`` rows until
+    ``n`` — a bounded, exactly-replayable stream (readBetweenOffsets
+    regenerates any range deterministically, which is precisely the
+    replay contract Structured Streaming's WAL expects of a source)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 10_000))
+        self.step = int(options.get("step", 2_500))
+        self.users = int(options.get("users", 500))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST iterator, not a generator: the runner's prefetch cache
+        # copy.copy()s and pickles the iterator, which generators can't
+        # survive (TypeError: cannot pickle 'generator'); a batch is at
+        # most ``step`` rows, so materializing is bounded by design
+        users = self.users
+        return iter(
+            [
+                (k, (k * _MIX) % _MOD % users, k % 30, (k * k) % _METRIC_MOD)
+                for k in range(lo, hi)
+            ]
+        )
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(self.n, pos + self.step)
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["pos"], end["pos"])
