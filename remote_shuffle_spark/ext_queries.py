@@ -4184,7 +4184,7 @@ def ext_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE NOT EXISTS (
         SELECT 1 FROM p WHERE p.pu = v.u
           AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 60 MINUTE
-      ) AND v.vts + INTERVAL 60 MINUTE < wm.w
+      ) AND v.vts + INTERVAL 60 MINUTE <= wm.w - INTERVAL 1 MILLISECOND
     )
     SELECT * FROM matched
     UNION ALL SELECT * FROM nulls
@@ -4447,14 +4447,14 @@ def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE NOT EXISTS (
         SELECT 1 FROM p WHERE p.pu = v.u
           AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 60 MINUTE
-      ) AND v.vts + INTERVAL 60 MINUTE < wm.w
+      ) AND v.vts + INTERVAL 60 MINUTE <= wm.w - INTERVAL 1 MILLISECOND
     ), pnull AS (
       SELECT p.pu AS user_id, CAST(NULL AS BIGINT) AS view_id, p.pid AS purchase_id
       FROM p, wm
       WHERE NOT EXISTS (
         SELECT 1 FROM v WHERE v.u = p.pu
           AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 60 MINUTE
-      ) AND p.pts < wm.w
+      ) AND p.pts <= wm.w - INTERVAL 1 MILLISECOND
     )
     SELECT * FROM matched
     UNION ALL SELECT * FROM vnull

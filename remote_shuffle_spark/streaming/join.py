@@ -102,13 +102,16 @@ def view_purchase_attribution_outer(
     Spark's no-data batch after it performs the eviction, so the
     null-emission set is a pure function of the input:
 
-        unmatched view emits null  iff  v_ts + horizon < final_watermark
+        unmatched view emits null  iff  v_ts + horizon <= final_watermark - 1ms
 
     where final_watermark = MIN over the two sides of (that side's max
     event time) - delay — each watermark operator tracks ITS OWN stream
     and the join uses the global minimum (verified empirically: the
     max-over-all-events model diverges whenever the sides' maxima
-    differ; boundary pinned by the oracle + pytest;
+    differ), and the 1 ms subtraction is Spark's state-value-watermark
+    adjustment, pinned at millisecond offsets by
+    tests/test_streaming.py::test_stream_join_eviction_boundary_is_wm_minus_1ms
+    (so no fixture tie-freedom is needed;
     views inside the final watermark window stay in state, exactly what
     a restarted stream would still be allowed to match).  Returns
     (user_id, view_id, purchase_id nullable).
@@ -176,17 +179,20 @@ def view_purchase_attribution_full(
     their own eviction rule, completing the stream-join family
     (inner / left_outer / full_outer):
 
-    - unmatched VIEW emits  iff  v_ts + horizon < final_watermark
+    - unmatched VIEW emits  iff  v_ts + horizon <= final_watermark - 1ms
       (no future purchase can land in its window);
-    - unmatched PURCHASE emits  iff  p_ts < final_watermark
+    - unmatched PURCHASE emits  iff  p_ts <= final_watermark - 1ms
       (matchable views need v_ts <= p_ts, so once the watermark passes
       p_ts no view that could match can still arrive).
 
     with final_watermark = MIN over sides of (own max event time) -
-    delay.  Both rules verified empirically (single data batch + Spark's
-    no-data eviction batch) and tie-free on the fixtures (pytest); the
-    2-row divergence that exposed the per-side-watermark subtlety at
-    sf0.01 is documented in the query's oracle comment.  Returns
+    delay, and the 1 ms subtraction being Spark's state-value-watermark
+    adjustment (boundary-scanned at millisecond offsets in pytest — a
+    window end EQUAL to the watermark stays in state, so no fixture
+    tie-freedom is required).  Both rules verified empirically (single
+    data batch + Spark's no-data eviction batch); the 2-row divergence
+    that exposed the per-side-watermark subtlety at sf0.01 is documented
+    in the query's oracle comment.  Returns
     (user_id, view_id nullable, purchase_id nullable) with user_id
     coalesced across sides."""
     from remote_shuffle_spark.sources.tables import table_path

@@ -512,31 +512,21 @@ def test_ordered_only_split_is_strictly_time_ordered(spark):
     assert total == _ordered_events(spark, sf).count()  # nothing dropped
 
 
-def test_stream_outer_join_no_boundary_ties_and_nulls_emitted(spark):
-    """ext_stream_outer_join / ext_stream_full_outer_join determinism:
-    (a) null rows REALLY emit by eviction on BOTH sides, (b) neither
-    eviction boundary ties the final watermark — which is the MIN of
-    the two sides' own (max event time - delay), the subtlety a
-    max-over-all-events model got wrong by exactly 2 rows at sf0.01."""
-    import datetime
-
-    from pyspark.sql import functions as F
-
-    from remote_shuffle_spark.sources.tables import load_table
+def test_stream_outer_join_nulls_emitted_both_sides(spark):
+    """ext_stream_outer_join / ext_stream_full_outer_join: null rows
+    REALLY emit by eviction on both sides (the watermark bit), and the
+    final watermark is the MIN of the two sides' own (max event time -
+    delay) — the subtlety a max-over-all-events model got wrong by
+    exactly 2 rows at sf0.01.  The eviction BOUNDARY itself needs no
+    fixture tie-freedom: it is the exact rule pinned by
+    test_stream_join_eviction_boundary_is_wm_minus_1ms and encoded in
+    the oracles (boundary <= wm - 1ms)."""
     from remote_shuffle_spark.streaming.join import (
         view_purchase_attribution_full,
         view_purchase_attribution_outer,
     )
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
-        ev = load_table(spark, sf, "events").select(
-            "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
-        )
-        vts = [r.ts for r in ev.filter("event_type='view'").collect()]
-        pts = [r.ts for r in ev.filter("event_type='purchase'").collect()]
-        wm = min(max(vts), max(pts)) - datetime.timedelta(hours=2)
-        assert all(t + datetime.timedelta(minutes=60) != wm for t in vts), sf
-        assert all(t != wm for t in pts), sf
         rows = view_purchase_attribution_outer(spark, sf).collect()
         n_null = sum(1 for r in rows if r.purchase_id is None)
         assert 0 < n_null < len(rows)
@@ -544,6 +534,92 @@ def test_stream_outer_join_no_boundary_ties_and_nulls_emitted(spark):
         n_v = sum(1 for r in frows if r.purchase_id is None)
         n_p = sum(1 for r in frows if r.view_id is None)
         assert n_v > 0 and n_p > 0 and n_v + n_p < len(frows)
+
+
+def test_stream_join_eviction_boundary_is_wm_minus_1ms(spark, tmp_path):
+    """The EXACT outer-join eviction rule, pinned against a crafted
+    fixture with events planted at millisecond offsets around the
+    watermark: a row null-emits iff its boundary value (view window end
+    / purchase timestamp) <= wm - 1ms — Spark's state-value-watermark
+    subtracts one millisecond, so a window end EQUAL to the watermark
+    (or within the open 1 ms band below it) stays in state.  This is
+    the rule both outer oracles encode; if a Spark upgrade moves the
+    boundary, this test localizes it immediately."""
+    import os
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.streaming.source import (
+        event_time,
+        file_stream_dir,
+        stream_session,
+    )
+
+    T0 = pd.Timestamp("2024-01-01 00:00:00")
+    ms = pd.Timedelta(milliseconds=1)
+    offsets = [-2, -1, 0, 1]
+    rows = []
+    # views: window end (v_ts + 1h) lands at wm + off
+    for i, off in enumerate(offsets):
+        rows.append((100 + i, T0 + pd.Timedelta(hours=3) + off * ms, 20 + i, "view", 0.0, "{}"))
+    # purchases: p_ts lands at wm + off
+    for i, off in enumerate(offsets):
+        rows.append((200 + i, T0 + pd.Timedelta(hours=4) + off * ms, 40 + i, "purchase", 0.0, "{}"))
+    # anchors fixing both sides' max event time -> wm = T0+4h
+    rows += [
+        (4, T0 + pd.Timedelta(hours=6), 99, "view", 0.0, "{}"),
+        (5, T0 + pd.Timedelta(hours=6), 98, "purchase", 0.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "boundary")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
+
+    scoped = stream_session(spark, 4)
+    batch = scoped.read.parquet(os.path.join(d, "events.parquet"))
+    dtype = dict(batch.dtypes)["ts"]
+    stream = scoped.readStream.schema(batch.schema).parquet(
+        file_stream_dir(os.path.join(d, "events.parquet"))
+    )
+
+    def side(kind, p):
+        return (
+            stream.filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"{p}_user"),
+                F.col("event_id").alias(f"{p}_id"),
+                event_time(dtype).alias(f"{p}_ts"),
+            )
+            .withWatermark(f"{p}_ts", "2 hours")
+        )
+
+    j = (
+        side("view", "v")
+        .join(
+            side("purchase", "p"),
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 3600 seconds"
+            ),
+            "full_outer",
+        )
+        .select("v_id", "p_id")
+    )
+    name = f"boundary_{uuid.uuid4().hex[:8]}"
+    q = j.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = scoped.table(name).collect()
+    vnull = {r.v_id for r in out if r.p_id is None}
+    pnull = {r.p_id for r in out if r.v_id is None}
+    for i, off in enumerate(offsets):
+        assert (100 + i in vnull) == (off <= -1), f"view offset {off}ms"
+        assert (200 + i in pnull) == (off <= -1), f"purchase offset {off}ms"
 
 
 def test_stream_session_window_finalization_tie_free_and_partial(spark):
