@@ -4313,7 +4313,7 @@ def ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
            n_events
-    FROM sessions, wm WHERE s_end < wm.w
+    FROM sessions, wm WHERE s_end <= wm.w
     ORDER BY user_id, session_start
     """,
     tags=("ext", "streaming", "session"),

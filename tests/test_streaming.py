@@ -622,13 +622,12 @@ def test_stream_join_eviction_boundary_is_wm_minus_1ms(spark, tmp_path):
         assert (200 + i in pnull) == (off <= -1), f"purchase offset {off}ms"
 
 
-def test_stream_session_window_finalization_tie_free_and_partial(spark):
-    """ext_stream_session_window's determinism: (a) no session end
-    exactly EQUALS the final watermark (<=/< cannot matter), (b) the
-    stream really withholds unfinalized tail sessions (emitted count <
-    batch session count — the append-mode semantics the query pins)."""
-    import datetime
-
+def test_stream_session_window_withholds_tail(spark):
+    """ext_stream_session_window really withholds unfinalized tail
+    sessions (emitted count < batch session count — the append-mode
+    semantics the query pins); the finalization boundary itself is
+    exact (see test_session_finalization_boundary_is_inclusive), so no
+    fixture tie-freedom is required."""
     from pyspark.sql import functions as F
 
     from remote_shuffle_spark.sources.tables import load_table
@@ -638,13 +637,66 @@ def test_stream_session_window_finalization_tie_free_and_partial(spark):
         ev = load_table(spark, sf, "events").select(
             "user_id", F.col("ts").cast("timestamp").alias("ts")
         )
-        allb = (
-            ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+        n_all = (
+            ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .count()
+            .count()
         )
-        maxts = ev.agg(F.max("ts")).collect()[0][0]
-        wm = maxts - datetime.timedelta(hours=2)
-        assert all(r.sw.end != wm for r in allb), sf
         emitted = session_window_stream(spark, sf).count()
-        assert 0 < emitted < len(allb), sf
+        assert 0 < emitted < n_all, sf
+
+
+def test_session_finalization_boundary_is_inclusive(spark, tmp_path):
+    """Append-mode session windows finalize with an INCLUSIVE bound:
+    a session whose end EQUALS the watermark emits; end = wm + 1ms does
+    not — scanned at millisecond offsets on a crafted fixture.  Note
+    the contrast with the stream-join eviction (boundary <= wm - 1ms):
+    two state operators, two different boundary conventions, each
+    pinned by its own scan and encoded in its oracle."""
+    import os
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.streaming.source import (
+        event_time,
+        file_stream_dir,
+        stream_session,
+    )
+
+    T0 = pd.Timestamp("2024-01-01 00:00:00")
+    ms = pd.Timedelta(milliseconds=1)
+    offsets = [-1, 0, 1]
+    rows = [
+        (300 + i, T0 + pd.Timedelta(hours=3, minutes=30) + off * ms, 60 + i, "view", 0.0, "{}")
+        for i, off in enumerate(offsets)
+    ]
+    rows.append((4, T0 + pd.Timedelta(hours=6), 99, "view", 0.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "sess_boundary")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    scoped = stream_session(spark, 4)
+    batch = scoped.read.parquet(os.path.join(d, "events.parquet"))
+    dtype = dict(batch.dtypes)["ts"]
+    stream = (
+        scoped.readStream.schema(batch.schema)
+        .parquet(file_stream_dir(os.path.join(d, "events.parquet")))
+        .withColumn("ts", event_time(dtype))
+        .withWatermark("ts", "2 hours")
+    )
+    agg = stream.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    name = f"sess_boundary_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.user_id for r in scoped.table(name).collect()}
+    for i, off in enumerate(offsets):
+        assert (60 + i in got) == (off <= 0), f"session end = wm {off:+d}ms"
