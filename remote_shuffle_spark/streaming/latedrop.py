@@ -18,6 +18,17 @@ excluded by construction on the fixture and asserted in
 tests/test_streaming.py — the eviction comparison's <=/< choice can never
 matter here.
 
+MECHANISM (round-6 boundary scans, tests/test_streaming.py): update-mode
+aggregation does NOT filter late input rows — a late row whose window
+state is still LIVE merges into it regardless of the watermark; the
+"drop" is produced by state EVICTION (end-of-batch, using that batch's
+OPERATIVE watermark, i.e. computed from strictly earlier batches)
+followed by the re-created single-row window being absorbed by the
+query's MAX-over-update-emissions.  The oracle's per-arrival watermark is
+therefore exact here because the re-routed rows all originate in batch 0,
+far below both candidate watermarks — the model is safe BY CONSTRUCTION,
+not merely by tie-freedom.
+
 The reference is batch-only (SURVEY §2.3); this is EXT streaming surface:
 the part of watermarking the stream≡batch queries can't exercise.
 """

@@ -700,3 +700,74 @@ def test_session_finalization_boundary_is_inclusive(spark, tmp_path):
     got = {r.user_id for r in scoped.table(name).collect()}
     for i, off in enumerate(offsets):
         assert (60 + i in got) == (off <= 0), f"session end = wm {off:+d}ms"
+
+
+def test_update_mode_late_rows_merge_into_live_state(spark, tmp_path):
+    """Update-mode aggregation has NO input-side late filter: a row
+    arriving after the watermark passed its window still MERGES when the
+    window's state is live (eviction runs at end-of-batch with the
+    batch's operative watermark — computed from strictly earlier
+    batches — so the first batch after a watermark advance still sees
+    pre-advance state).  This is the mechanism behind
+    ext_stream_late_drop's observable drops (eviction + MAX absorption),
+    pinned so a Spark behavior change is localized immediately."""
+    import os
+    import shutil
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.streaming.source import event_time, stream_session
+
+    T0 = pd.Timestamp("2024-01-01 00:00:00")
+    E = T0 + pd.Timedelta(hours=1, minutes=5)  # window [01:00, 01:05)
+    b0 = pd.DataFrame(
+        [
+            (1, E - pd.Timedelta(minutes=2), 1, "view", 0.0, "{}"),
+            # anchor pushes the batch-1 watermark 1ms PAST the window end
+            (2, E + pd.Timedelta(minutes=30, milliseconds=1), 1, "view", 0.0, "{}"),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    b1 = pd.DataFrame(
+        [(3, E - pd.Timedelta(seconds=10), 2, "view", 0.0, "{}")], columns=b0.columns
+    )
+    d = str(tmp_path / "late_merge")
+    os.makedirs(d)
+    for k, df in enumerate((b0, b1)):
+        tmpd = os.path.join(d, f"_t{k}")
+        os.makedirs(tmpd)
+        fp = os.path.join(tmpd, "f.parquet")
+        df.to_parquet(fp, index=False)
+        dst = os.path.join(d, f"split_{k}.parquet")
+        shutil.move(fp, dst)
+        os.utime(dst, (1_700_000_000 + k * 10,) * 2)
+        shutil.rmtree(tmpd)
+    scoped = stream_session(spark, 4)
+    sb = scoped.read.parquet(os.path.join(d, "split_0.parquet"))
+    stream = (
+        scoped.readStream.schema(sb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", event_time(dict(sb.dtypes)["ts"]))
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = stream.groupBy(F.window("ts", "5 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    import uuid as _uuid
+
+    name = f"late_merge_{_uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ns = [
+        r.n
+        for r in scoped.table(name).collect()
+        if r.w.end.replace(tzinfo=None) == E.to_pydatetime()
+    ]
+    # watermark (E + 1ms) is past the window end, yet the late row MERGED
+    assert max(ns) == 2
