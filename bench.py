@@ -14,6 +14,10 @@ first execution pays one-time whole-stage-codegen compilation, measured
 at ~1.3x median inflation (q27: 5.5 s first vs 0.37 s steady), which two
 rounds of trend analysis had to caveat in prose — and
 ``queries_first_exec`` keeps the cold numbers so nothing is hidden.
+The final stdout line is a COMPACT JSON (totals, n_queries, slowest-20
+steady map) sized to survive the driver's 2000-char tail; the full
+per-query first/steady maps are written to ``BENCH_full.json`` next to
+this script for round-over-round comparison.
 Usage: ``python bench.py [--queries name1,name2] [--repeat 1]`` (repeat 1
 restores the old single-run behavior; queries then reports first-exec).
 """
@@ -74,7 +78,26 @@ def main() -> None:
         "value_first_exec": round(sum(first.values()), 3),
         "sf": sf,
     }
-    print(json.dumps(result))
+    # The driver records only the LAST 2000 chars of output, which the full
+    # 188-query map overflows (BENCH_r06 parsed:null).  Persist the full map
+    # to a repo file for round-over-round per-query comparison, and make the
+    # FINAL stdout line a compact JSON — totals + the slowest-20 steady
+    # times — that always fits in the tail.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(result, fh, sort_keys=True)
+    slowest = dict(sorted(steady.items(), key=lambda kv: -kv[1])[:20])
+    compact = {
+        "metric": "declared_query_wall_time",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(steady),
+        "value_first_exec": result["value_first_exec"],
+        "queries": slowest,
+        "queries_note": "slowest-20 steady; full per-query map in BENCH_full.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -4092,7 +4092,9 @@ def ext_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    lv = bfs_levels(edges, 0)
+    # max_iter matches the oracle CTE's depth bound (walk.lvl < 12) so both
+    # sides explore exactly 12 hops; an eccentricity in (12, 20] can't diverge.
+    lv = bfs_levels(edges, 0, max_iter=12)
     return lv.select(
         F.when(F.pmod("vertex", F.lit(2)) == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))

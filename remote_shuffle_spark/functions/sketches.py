@@ -120,8 +120,11 @@ class CountMinSketchReader:
         best = None
         for i in range(self.depth):
             combined = _to_i32(h1 + i * h2)
-            if combined < 0:
-                combined = _to_i32(-combined)  # Java Math.abs, MIN_VALUE wraps
-            v = self.table[i][combined % self.width]
+            # JVM order is Math.abs((h1 + i*h2) % width) — signed remainder
+            # FIRST (Java % truncates toward zero), then abs.  For every
+            # int32 including MIN_VALUE that equals abs(combined) % width
+            # under Python's exact integers, so parity holds with no
+            # wrap-around corner case.
+            v = self.table[i][abs(combined) % self.width]
             best = v if best is None else min(best, v)
         return best if best is not None else 0

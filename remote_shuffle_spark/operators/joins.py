@@ -574,7 +574,9 @@ def fuzzy_link_segments(
 
     Implementation: the two tables embed into ONE id space by parity
     (left id → 2·id, right id → 2·id+1 — ids must be non-negative
-    longs), the segment self-join runs once over the union, and only
+    longs BELOW 2**62, or 2·id wraps int64; callers minting ids from
+    ``monotonically_increasing_id`` or natural keys are safely inside
+    that), the segment self-join runs once over the union, and only
     mixed-parity pairs survive.  Everything the self-join guarantees —
     bounded emission (45×/row at d=2), hot-block guard counting every
     emission, sort-merge guard joins, dedup-before-verify — is inherited
@@ -601,8 +603,11 @@ def fuzzy_link_segments(
     cross = pairs.filter(F.pmod("id_a", F.lit(2)) != F.pmod("id_b", F.lit(2)))
     lk = F.when(F.pmod("id_a", F.lit(2)) == 0, F.col("id_a")).otherwise(F.col("id_b"))
     rk = F.when(F.pmod("id_a", F.lit(2)) == 1, F.col("id_a")).otherwise(F.col("id_b"))
+    # Integer decode (shiftright = exact floor-div-2 on non-negative longs):
+    # float division is only exact below ~2^52, well short of the 2^62 id
+    # range the parity encoding itself supports.
     return cross.select(
-        (lk / 2).cast("long").alias("left_id"),
-        ((rk - 1) / 2).cast("long").alias("right_id"),
+        F.shiftright(lk, 1).alias("left_id"),
+        F.shiftright(rk - 1, 1).alias("right_id"),
         "dist",
     )

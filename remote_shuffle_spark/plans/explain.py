@@ -9,14 +9,23 @@ assertable in tests (tests/test_plans.py) instead of eyeballed.
 
 from __future__ import annotations
 
+import io
+from contextlib import redirect_stdout
+
 from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
-    """The physical plan as a string (post-AQE initial plan)."""
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), mode
-    )
+    """The physical plan as a string (post-AQE initial plan).
+
+    Captures the public ``df.explain(mode=...)`` output instead of calling
+    the py4j-private ``PythonSQLUtils.explainString`` — identical text in
+    classic mode, and the only form that also works under Spark Connect
+    (where ``_jvm`` does not exist)."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
 
 
 def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:

@@ -53,10 +53,37 @@ class CheckpointIntegrityError(RuntimeError):
     """A checkpoint's on-disk file set no longer matches its commit manifest."""
 
 
-def _hadoop_fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+def _local_dir(path: str) -> str:
+    """Resolve a ``file://``-scheme or scheme-less path to a plain local
+    directory.  Manifest I/O is pure-Python ``os``/``open`` so it works
+    identically in classic and Spark Connect mode (no ``_jvm``) and, on a
+    real cluster, runs wherever the driver process runs — matching the
+    reference, whose commit bookkeeping must not be driver-py4j-bound
+    (RemoteShuffleBlockResolver commits from executors, scala:133-197).
+
+    Remote schemes (hdfs://, s3a://, ...) need a Hadoop FS client that a
+    pure-Python process doesn't have; fail loud rather than silently skip
+    the integrity manifest — callers on such storage should point
+    ``checkpoint_to`` at a mounted path or extend this seam with a
+    cloud-store client."""
+    if path.startswith("file://"):
+        return path[len("file:") :]
+    if path.startswith("file:"):
+        return path[len("file:") :]
+    if "://" in path or (":" in path.split("/", 1)[0] and not os.path.isabs(path)):
+        raise NotImplementedError(
+            f"checkpoint manifest I/O is local-filesystem-only (got {path!r}); "
+            "use a file:// / mounted path, or extend _local_dir for your store"
+        )
+    return path
+
+
+def _list_data_files(d: str) -> dict[str, int]:
+    return {
+        name: os.path.getsize(os.path.join(d, name))
+        for name in os.listdir(d)
+        if not name.startswith(("_", "."))
+    }
 
 
 def _write_manifest(spark: SparkSession, path: str) -> None:
@@ -67,39 +94,24 @@ def _write_manifest(spark: SparkSession, path: str) -> None:
     empty block."""
     import json
 
-    fs, hpath, jvm = _hadoop_fs(spark, path)
-    files = {
-        st.getPath().getName(): st.getLen()
-        for st in fs.listStatus(hpath)
-        if not st.getPath().getName().startswith(("_", "."))
-    }
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME), True)
-    try:
-        out.write(bytearray(json.dumps({"files": files}).encode()))
-    finally:
-        out.close()
+    d = _local_dir(path)
+    files = _list_data_files(d)
+    tmp = os.path.join(d, f".{MANIFEST_NAME}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"files": files}, fh)
+    os.replace(tmp, os.path.join(d, MANIFEST_NAME))  # atomic, like the index commit
 
 
 def _verify_manifest(spark: SparkSession, path: str) -> None:
     import json
 
-    fs, hpath, jvm = _hadoop_fs(spark, path)
-    mpath = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
-    if not fs.exists(mpath):
+    d = _local_dir(path)
+    mfile = os.path.join(d, MANIFEST_NAME)
+    if not os.path.exists(mfile):
         return  # not a manifested checkpoint (plain directory) — nothing to assert
-    # read the (tiny) manifest via the Hadoop fs so any scheme works —
-    # Spark's own readers skip underscore-prefixed files even by exact path
-    stream = fs.open(mpath)
-    try:
-        raw = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    manifest = json.loads(raw.decode())
-    on_disk = {
-        st.getPath().getName(): st.getLen()
-        for st in fs.listStatus(hpath)
-        if not st.getPath().getName().startswith(("_", "."))
-    }
+    with open(mfile) as fh:
+        manifest = json.load(fh)
+    on_disk = _list_data_files(d)
     missing = [f for f in manifest["files"] if f not in on_disk]
     resized = [
         f for f, n in manifest["files"].items() if f in on_disk and on_disk[f] != n
@@ -281,6 +293,13 @@ def write_bucketed(
     way run with ZERO shuffle exchange (asserted in tests/test_plans.py) —
     the 100 TB pattern for repeatedly-joined fact tables, and the direct
     analog of the reference's dkey-per-reduce-partition layout.
+
+    SINGLE-SESSION assumption: this drops + rmtree's the managed-table
+    location under the shared warehouse dir, so two concurrent sessions
+    writing the SAME ``table_name`` would race each other's files.  Callers
+    that may run concurrently (e.g. two gate sessions over one checkout)
+    should pass a unique name — ``unique_table_name(prefix)`` below mints a
+    uuid-suffixed one.  Single-session (the registry's regime) is unchanged.
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
@@ -295,6 +314,14 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def unique_table_name(prefix: str) -> str:
+    """uuid-suffixed table name so concurrent sessions sharing one
+    warehouse dir can't race :func:`write_bucketed`'s drop+rmtree."""
+    import uuid
+
+    return f"{prefix}_{uuid.uuid4().hex[:12]}"
 
 
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:

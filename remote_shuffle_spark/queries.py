@@ -65,12 +65,14 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_asof_join": 3,
     "ext_asof_join_forward": 5,
     "ext_asof_join_nearest": 5,
+    "ext_bfs_levels": 6,
     "ext_bigram_counts": 4,
     "ext_bigram_lm_quality": 4,
     "ext_bloom_anti_join": 4,
     "ext_bloom_semi_join": 4,
     "ext_bm25_topk": 4,
     "ext_bpe_tokens": 3,
+    "ext_bucketed_join": 6,
     "ext_chi_square": 4,
     "ext_chunk_sequences": 3,
     "ext_compaction": 4,
@@ -92,7 +94,9 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_fingerprint": 3,
     "ext_funnel": 4,
     "ext_fuzzy_join": 4,
+    "ext_fuzzy_join_segments": 6,
     "ext_fuzzy_join_suffix": 5,
+    "ext_fuzzy_link": 6,
     "ext_global_index": 3,
     "ext_heavy_hitters": 5,
     "ext_hll_rolling_distinct": 5,
@@ -102,7 +106,10 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_interval_overlap_join": 5,
     "ext_inverted_index": 4,
     "ext_kfold_split": 4,
+    "ext_kll_quantiles": 6,
+    "ext_kll_rolling_quantile": 6,
     "ext_kmeans_cells": 4,
+    "ext_knn_join": 6,
     "ext_label_centroids": 3,
     "ext_label_entropy": 4,
     "ext_lang_id": 3,
@@ -111,18 +118,22 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_multimodal_frames": 3,
     "ext_ngram_jaccard": 3,
     "ext_pack_greedy": 4,
+    "ext_pagerank": 6,
     "ext_per_key_sample": 4,
     "ext_pii_scrub": 3,
     "ext_pmi_collocations": 4,
+    "ext_python_datasource": 6,
     "ext_quality_features": 3,
     "ext_quantile_bins": 4,
     "ext_range_join": 3,
+    "ext_recursive_cte": 6,
     "ext_repetition": 3,
     "ext_rolling_time_window": 4,
     "ext_salted_agg": 3,
     "ext_salted_join": 5,
     "ext_scd2": 3,
     "ext_semantic_dedup": 4,
+    "ext_session_window_native": 6,
     "ext_sessionize": 3,
     "ext_similarity_ivf": 4,
     "ext_similarity_lsh": 5,
@@ -133,7 +144,12 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_stream_cdc_upsert": 4,
     "ext_stream_dedup": 3,
     "ext_stream_enrich": 4,
+    "ext_stream_full_outer_join": 6,
+    "ext_stream_hopping_window": 6,
     "ext_stream_late_drop": 5,
+    "ext_stream_outer_join": 6,
+    "ext_stream_python_datasource": 6,
+    "ext_stream_session_window": 6,
     "ext_stream_sessionize": 3,
     "ext_stream_stream_join": 4,
     "ext_stream_window": 3,
@@ -141,8 +157,11 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_text_quality": 3,
     "ext_text_stats": 3,
     "ext_tf_idf": 3,
+    "ext_theta_distinct": 6,
+    "ext_theta_set_algebra": 6,
     "ext_train_split": 4,
     "ext_upsert": 3,
+    "ext_variant_json": 6,
     "ext_vector_normalize": 3,
     "ext_vocab": 3,
     "ext_weighted_sample": 4,
@@ -169,42 +188,42 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q19_intersect": 5,
     "q20_except": 5,
     "q21_rollup": 5,
-    "q22_pivot": 2,
+    "q22_pivot": 6,
     "q23_json_scalar": 5,
     "q24_date_parts": 5,
     "q25_cube": 5,
     "q26_string_funcs": 5,
-    "q27_explode_unnest": 2,
-    "q28_percentiles": 2,
-    "q29_approx_agg": 3,
-    "q30_math_funcs": 2,
-    "q31_window_running": 2,
-    "q32_grouping_sets": 2,
-    "q33_scalar_subquery": 2,
-    "q34_array_funcs": 2,
-    "q35_map_funcs": 2,
-    "q36_case_null_funcs": 2,
-    "q37_regex_funcs": 2,
-    "q38_datetime_arith": 2,
-    "q39_window_misc": 2,
-    "q40_outer_join": 2,
-    "q41_shipping_priority": 2,
-    "q42_regional_revenue": 2,
-    "q43_correlated_scalar": 2,
-    "q44_exists_subquery": 2,
-    "q45_not_exists": 2,
-    "q46_range_frame": 2,
-    "q47_value_window_funcs": 2,
-    "q48_posexplode": 2,
-    "q49_median_mode": 2,
-    "q50_string_agg": 2,
+    "q27_explode_unnest": 6,
+    "q28_percentiles": 6,
+    "q29_approx_agg": 6,
+    "q30_math_funcs": 6,
+    "q31_window_running": 6,
+    "q32_grouping_sets": 6,
+    "q33_scalar_subquery": 6,
+    "q34_array_funcs": 6,
+    "q35_map_funcs": 6,
+    "q36_case_null_funcs": 6,
+    "q37_regex_funcs": 6,
+    "q38_datetime_arith": 6,
+    "q39_window_misc": 6,
+    "q40_outer_join": 6,
+    "q41_shipping_priority": 6,
+    "q42_regional_revenue": 6,
+    "q43_correlated_scalar": 6,
+    "q44_exists_subquery": 6,
+    "q45_not_exists": 6,
+    "q46_range_frame": 6,
+    "q47_value_window_funcs": 6,
+    "q48_posexplode": 6,
+    "q49_median_mode": 6,
+    "q50_string_agg": 6,
     "q51_conditional_agg": 4,
-    "q52_levenshtein": 3,
-    "q53_gap_fill": 3,
-    "q54_set_ops_all": 3,
-    "q55_unpivot": 3,
-    "q56_multi_distinct": 3,
-    "q57_null_safe_join": 3,
+    "q52_levenshtein": 6,
+    "q53_gap_fill": 6,
+    "q54_set_ops_all": 6,
+    "q55_unpivot": 6,
+    "q56_multi_distinct": 6,
+    "q57_null_safe_join": 6,
     "q58_ignore_nulls_window": 3,
     "q59_keep_latest": 3,
     "q60_sql_entry": 3,
