@@ -4583,3 +4583,80 @@ def ext_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("day")
+
+
+@declared(
+    "ext_stream_tws_limiter",
+    oracle="""
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    ORDER BY user_id, event_id
+    """,
+    tags=("ext", "streaming", "stateful", "tws"),
+)
+def ext_stream_tws_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` stateful limiter
+    (streaming/stateful_v2.py:FirstNPerKey): keep each user's first 5
+    events by (ts, event_id) across micro-batches, one ValueState long
+    per key in RocksDB.  Runs the NEW typed-state API for real — the
+    Python<->JVM state-server protocol speaks protobuf through the
+    vendored minimal runtime (vendor/protoshim, activated only when the
+    real google.protobuf is absent).  Fed the strictly time-ordered
+    split (late_every=None), so "first" is global and equals the batch
+    row_number oracle.  Reference parity: a keyed stateful operator
+    whose per-key state must survive shuffle/batch boundaries is the
+    streaming face of the reference's reduce-side state discipline."""
+    from remote_shuffle_spark.streaming.stateful_v2 import first_n_per_key_stream
+
+    return first_n_per_key_stream(spark, sf_dir, n=5)
+
+
+@declared(
+    "ext_stream_tws_type_counts",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    tags=("ext", "streaming", "stateful", "tws"),
+)
+def ext_stream_tws_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS typed-state coverage beyond ValueState
+    (streaming/stateful_v2.py:TypeCountsProcessor): per-user event_type
+    counts in a MapState (getValue/containsKey/updateValue), seen ids in
+    a ListState (appendList + paged get), deleteIfExists — every state
+    family of the TWS protocol except timers (ext_stream_tws_timers).
+    Update-mode emissions are cumulative so the final total per key is
+    the MAX emission; the batch oracle is a plain COUNT(*)."""
+    from remote_shuffle_spark.streaming.stateful_v2 import type_counts_stream
+
+    return type_counts_stream(spark, sf_dir)
+
+
+@declared(
+    "ext_stream_tws_timers",
+    oracle="""
+    SELECT DISTINCT user_id, user_id AS fired_ms
+    FROM events ORDER BY user_id
+    """,
+    tags=("ext", "streaming", "stateful", "tws"),
+)
+def ext_stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS event-time TIMER coverage
+    (streaming/stateful_v2.py:FirstSeenTimerProcessor): on each user's
+    first batch registers an already-expired event-time timer at
+    expiry = user_id ms plus a far-future timer that is listed and
+    deleted (RegisterTimer / ListTimers / DeleteTimer / expiry-timer
+    iterator all exercised); handleExpiredTimer emits exactly one
+    (user_id, fired_ms) row when the watermark passes the expiry —
+    independent of batch layout, so the oracle is one row per distinct
+    user.  EventTime mode terminates under processAllAvailable
+    (ProcessingTime would re-batch forever — see module docstring)."""
+    from remote_shuffle_spark.streaming.stateful_v2 import first_seen_timer_stream
+
+    return first_seen_timer_stream(spark, sf_dir)

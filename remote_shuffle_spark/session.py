@@ -126,6 +126,12 @@ class EngineConfig:
 
 def get_session(config: EngineConfig | None = None) -> SparkSession:
     """Build (or reuse) the engine SparkSession."""
+    # Before the JVM exists: put the minimal protobuf shim on PYTHONPATH so
+    # JVM-spawned Python workers (the TWS state protocol runs there) can
+    # import google.protobuf.  No-op when the real package is installed.
+    from remote_shuffle_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
     config = config or EngineConfig()
     builder = SparkSession.builder.appName(config.app_name).master(config.resolved_master())
     for k, v in config.to_conf().items():

@@ -2,18 +2,22 @@
 stateful API: typed ValueState/ListState/MapState, timers, TTL, initial
 state).
 
-ENVIRONMENT GATE: the API's Python↔JVM state server speaks protobuf, and
-this container ships no `google.protobuf` (verified: the TWS driver worker
-crashes with `ImportError: cannot import name 'descriptor'` during
-`validateAndMaybeEvolveStateSchema`).  The code below is therefore the
-documented seam — real processor, real wiring, importable and unit-shaped —
-behind :func:`tws_available`, exactly like the multimodal Pillow tier:
-on a real cluster (protobuf present) it runs as written; here the pytest
-skips with the reason recorded.
+ENVIRONMENT GATE, now satisfied: the API's Python↔JVM state server speaks
+protobuf; this container ships no `google.protobuf` and has no network, so
+rounds 1–6 could only skip.  Round 7 vendored a minimal pure-Python
+protobuf runtime for exactly the StateMessage.proto subset
+(remote_shuffle_spark/vendor/protoshim — wire format from the public
+encoding spec, activated by ``vendor.ensure_protobuf()`` in get_session
+ONLY when the real package is absent), and the seam now EXECUTES here:
+driver-side schema validation, worker-side state server round-trips
+(ValueState get/exists/update), RocksDB state store.  On a real cluster
+image with protobuf installed the shim never loads and the code runs
+identically on the real runtime.
 
-The applyInPandasWithState path (streaming/sessionize.py) remains the
-container-verified stateful operator; this module exists so a user of the
-NEW API has a working pattern to start from.
+:func:`tws_available` remains the gate for environments where neither the
+real package nor the shim path is active (e.g. this module imported
+without get_session).  The applyInPandasWithState path
+(streaming/sessionize.py) remains the independent stateful operator.
 """
 
 from __future__ import annotations
@@ -25,6 +29,9 @@ from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 def tws_available() -> bool:
     """True iff transformWithStateInPandas can actually run here: the
     state-server protocol imports google.protobuf at first use."""
+    from remote_shuffle_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -111,3 +118,198 @@ def first_n_per_key_stream(
     finally:
         q.stop()
     return s2.table(name).orderBy("user_id", "event_id")
+
+
+class TypeCountsProcessor(StatefulProcessor):
+    """Typed-state protocol exercise beyond ValueState: per-user running
+    counts by event_type in a MapState (string key, long value —
+    getValue/containsKey/updateValue), the user's seen event ids in a
+    ListState (appendList + the paged get iterator), and a deleteIfExists
+    of a scratch ValueState at init.  Timer coverage lives in
+    :class:`FirstSeenTimerProcessor` (EventTime mode) — timeMode "none"
+    here, because in ProcessingTime mode `shouldRunAnotherBatch` is
+    always true and `processAllAvailable` never settles (measured: 487
+    empty micro-batches before the watchdog killed it).  Emits cumulative
+    (user_id, event_type, n) rows; counts only grow, so the final answer
+    per key is the MAX across update-mode emissions — which the batch
+    oracle reproduces with a plain COUNT(*)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        scratch = handle.getValueState("scratch", "x long")  # noqa: F841
+        handle.deleteIfExists("scratch")
+        self.counts = handle.getMapState("counts", "event_type string", "n long")
+        self.seen = handle.getListState("seen", "event_id long")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        pdf = pd.concat(list(rows))
+        self.seen.appendList([(int(e),) for e in pdf["event_id"]])
+        n_seen = sum(1 for _ in self.seen.get())
+        assert n_seen > 0
+        out = []
+        for etype, cnt in pdf.groupby("event_type").size().items():
+            prev = self.counts.getValue((etype,)) if self.counts.containsKey((etype,)) else None
+            total = (prev[0] if prev else 0) + int(cnt)
+            self.counts.updateValue((etype,), (total,))
+            out.append((key[0], etype, total))
+        yield pd.DataFrame(out, columns=["user_id", "event_type", "n"])
+
+    def close(self) -> None:
+        pass
+
+
+def type_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Run :class:`TypeCountsProcessor` over the ordered event split and
+    return final per-(user_id, event_type) totals: update-mode emissions
+    are cumulative, so the final total is the MAX emission.  Oracle:
+    ``COUNT(*) GROUP BY user_id, event_type``."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf (the TWS "
+            "state-server protocol); neither the real package nor the "
+            "vendored shim is active here"
+        )
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        late_split_dir,
+    )
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    split = late_split_dir(spark, sf_dir, late_every=None)
+    schema = _ordered_events(spark, sf_dir).schema
+    s2 = stream_session(spark, state_partitions)
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        s2.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(split)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        TypeCountsProcessor(),
+        "user_id long, event_type string, n long",
+        "Update",
+        "none",
+    )
+    name = f"type_counts_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        s2.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("n").alias("n"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+class FirstSeenTimerProcessor(StatefulProcessor):
+    """EVENT-TIME timer coverage for the TWS protocol: on a user's first
+    batch it registers an already-expired event-time timer at
+    ``expiry = user_id`` ms (epoch 1970 — far below any real watermark),
+    plus a far-future timer that it immediately lists (asserting both
+    round-tripped) and deletes — driving RegisterTimer, ListTimers,
+    DeleteTimer and the expiry-timer iterator
+    (TimerRequest.expiryTimerRequest with paging).  The expired timer
+    fires in the first timer phase whose watermark exceeds it (next
+    batch, or the final no-data batch for users first seen in the last
+    file), where :meth:`handleExpiredTimer` emits exactly one
+    (user_id, fired_ms=user_id) row.  EventTime mode terminates — the
+    no-data batch runs only while the watermark advances — unlike
+    ProcessingTime, which re-batches forever under processAllAvailable.
+    Output is one row per user regardless of batch layout, so the oracle
+    is ``SELECT DISTINCT user_id, user_id AS fired_ms FROM events``."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.registered = handle.getValueState("registered", "r long")
+
+    def handleInputRows(self, key, rows, timer_values):
+        for _ in rows:
+            pass  # drain; only first-seen matters
+        if not self.registered.exists():
+            expiry = int(key[0])  # ms since epoch — already in the past
+            far = 1 << 41
+            self.handle.registerTimer(expiry)
+            self.handle.registerTimer(far)
+            timers = list(self.handle.listTimers())
+            assert expiry in timers and far in timers, f"listTimers: {timers}"
+            self.handle.deleteTimer(far)
+            assert far not in list(self.handle.listTimers())
+            self.registered.update((1,))
+        return iter([])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        yield pd.DataFrame(
+            [(int(key[0]), int(expiredTimerInfo.getExpiryTimeInMs()))],
+            columns=["user_id", "fired_ms"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def first_seen_timer_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Run :class:`FirstSeenTimerProcessor` in EventTime mode (30-min
+    watermark, same horizon as the other streaming queries) and return
+    the fired (user_id, fired_ms) rows — exactly one per user."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf (the TWS "
+            "state-server protocol); neither the real package nor the "
+            "vendored shim is active here"
+        )
+    import uuid
+
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        late_split_dir,
+    )
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    split = late_split_dir(spark, sf_dir, late_every=None)
+    schema = _ordered_events(spark, sf_dir).schema
+    s2 = stream_session(spark, state_partitions)
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split)
+        .withWatermark("ts", "30 minutes")
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        FirstSeenTimerProcessor(),
+        "user_id long, fired_ms long",
+        "Update",
+        "EventTime",
+    )
+    name = f"first_seen_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return s2.table(name).orderBy("user_id")

@@ -6,8 +6,9 @@ file paths visible only to the driver — pass silently and die on a real
 cluster.  ``local-cluster[2,2,1024]`` starts two REAL separate executor
 JVMs (same machine, real RPC, real remote block fetch), which is the
 closest this container gets to cluster topology (Spark Connect would be
-closer for the py4j dimension but its Python client needs
-google.protobuf, absent here — the same gate as streaming/stateful_v2).
+closer for the py4j dimension but its Python client needs grpcio plus
+the FULL protobuf runtime — the vendored minimal shim that unlocked the
+TWS seam covers only the StateMessage subset, and grpcio has no shim).
 
 Pinned here: entry() end-to-end, the de-privatized CMS query (the
 round-5 verdict's _jvm fragility — its probe must run without touching

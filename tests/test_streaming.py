@@ -455,10 +455,11 @@ def test_late_drop_actually_drops_and_no_boundary_ties(spark):
 
 def test_first_n_per_key_tws_or_documented_gate(spark):
     """Spark 4 transformWithStateInPandas seam: when the TWS protocol can
-    run (google.protobuf present — real cluster images), the stateful
-    limiter must equal the batch row_number oracle; in this container the
-    gate must raise with the documented environment reason, never crash
-    the stream mid-query."""
+    run (real google.protobuf on cluster images, or the vendored minimal
+    shim here — active since round 7), the stateful limiter must equal
+    the batch row_number oracle; if neither is available the gate must
+    raise with the documented environment reason, never crash the stream
+    mid-query."""
     import pytest as _pytest
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
