@@ -4660,3 +4660,85 @@ def ext_stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.streaming.stateful_v2 import first_seen_timer_stream
 
     return first_seen_timer_stream(spark, sf_dir)
+
+
+def _pagerank_directed_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled DuckDB mirror of operators/graph.py:pagerank_directed —
+    the same scaled-integer recurrence INCLUDING the per-iteration
+    dangling-mass scalar (suppliers have no out-edges in the directed
+    customer→supplier trade graph, so the dangling term is live, not
+    degenerate).  Pure integer arithmetic; // on positives == Spark
+    div."""
+    head = """
+    WITH e AS (
+      SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), od AS (
+      SELECT u, COUNT(*) AS dg FROM e GROUP BY u
+    ), nd AS (
+      SELECT u FROM e UNION SELECT v FROM e
+    ), nn AS (SELECT COUNT(*) AS n FROM nd),
+    r0 AS (
+      SELECT nd.u, CAST(1000000000000 // nn.n AS BIGINT) AS rs FROM nd, nn
+    )"""
+    stages = []
+    for k in range(1, iterations + 1):
+        stages.append(f"""
+    , d{k} AS (
+      SELECT COALESCE(SUM(rs), 0) AS dang
+      FROM r{k-1} WHERE u NOT IN (SELECT u FROM od)
+    ), s{k} AS (
+      SELECT e.v, SUM(r.rs // od.dg) AS sm
+      FROM e JOIN r{k-1} r ON e.u = r.u JOIN od ON od.u = e.u
+      GROUP BY e.v
+    ), r{k} AS (
+      SELECT nd.u,
+             CAST((15 * 1000000000000) // (100 * nn.n)
+                  + (85 * (COALESCE(s{k}.sm, 0) + d{k}.dang // nn.n)) // 100
+                  AS BIGINT) AS rs
+      FROM nd LEFT JOIN s{k} ON s{k}.v = nd.u, d{k}, nn
+    )""")
+    tail = f"""
+    SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           u // 2 AS node_key, rs AS rank_scaled,
+           CAST(rs AS DOUBLE) / 1000000000000 AS rank
+    FROM r{iterations} ORDER BY node_type, node_key
+    """
+    return head + "".join(stages) + tail
+
+
+@declared(
+    "ext_pagerank_directed",
+    oracle=_pagerank_directed_oracle_sql(5),
+    tags=("ext", "graph", "iterative"),
+)
+def ext_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-iteration DIRECTED PageRank with dangling-mass
+    redistribution (operators/graph.py:pagerank_directed) over the
+    customer→supplier trade graph — every supplier is a dangling node
+    (no out-edges), so the correction term carries real mass every
+    iteration instead of being a degenerate zero.  Same scaled-integer
+    trajectory discipline as ext_pagerank; the oracle unrolls the five
+    stages WITH the dangling scalar and the driver hash-compares every
+    rank exactly."""
+    from remote_shuffle_spark.operators.graph import pagerank_directed
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank_directed(edges, iterations=5)
+    return pr.select(
+        F.when(F.pmod("vertex", F.lit(2)) == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        (F.col("vertex") / 2).cast("long").alias("node_key"),
+        "rank_scaled",
+        "rank",
+    ).orderBy("node_type", "node_key")

@@ -267,3 +267,85 @@ def bfs_levels(
             "raise max_iter (graph eccentricity exceeds it)"
         )
     return levels.select(F.col("u").alias("vertex"), "level")
+
+
+def pagerank_directed(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    iterations: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list with dangling-mass
+    redistribution — what a real link graph needs (the undirected
+    :func:`pagerank` symmetrizes edges precisely to dodge dangling
+    nodes; real crawls cannot).  A node with no out-edges (dangling)
+    would leak its mass each step; the standard correction
+    redistributes the summed dangling mass uniformly, here as ONE extra
+    scalar aggregation per iteration:
+
+        r₀ = scale div N
+        Dₜ = Σ_{u dangling} rₜ(u)                 (scalar agg, broadcast)
+        rₜ₊₁(v) = (100-d)·scale div (100·N)
+                  + d·(Σ_{u→v} rₜ(u) div out(u) + Dₜ div N) div 100
+
+    Same scaled-integer fixed-point discipline as :func:`pagerank`
+    (``div`` on positive BIGINTs is identical in Spark and DuckDB;
+    doubles diverged by one ULP) — so the DuckDB oracle unrolls the
+    identical stages including the dangling scalar, and the driver
+    hash-compares every rank.  Mass bound: contributions + dangling
+    share ≤ scale, so 85·(·) stays far below 2⁶³.
+
+    Scale shape: two keyed shuffles per iteration (contribution join +
+    sum) plus one scalar agg whose single row is broadcast — the
+    dangling correction adds NO per-node shuffle.  At 100 TB bucket
+    edges by ``u`` so the per-iteration contribution join is
+    exchange-free (same move as the undirected probe's
+    docs/scale.md row).
+
+    Returns (vertex, rank_scaled BIGINT, rank DOUBLE).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = (
+        e.select("u")
+        .union(e.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e_deg = e.join(outdeg, "u").localCheckpoint(eager=True)
+    dangling = nodes.join(outdeg, "u", "left_anti").localCheckpoint(eager=True)
+    n = nodes.count()
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    r = nodes.select("u", F.lit(scale // n).cast("long").alias("rs"))
+    for _ in range(iterations):
+        dang = dangling.join(r, "u").agg(
+            F.coalesce(F.sum("rs"), F.lit(0)).cast("long").alias("_dang")
+        )
+        contrib = e_deg.join(r, "u").select(
+            F.col("v"), F.expr("rs div _deg").alias("_c")
+        )
+        sums = contrib.groupBy("v").agg(F.sum("_c").alias("_s"))
+        r = (
+            nodes.join(sums, nodes["u"] == sums["v"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "u",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(_s, 0L) + _dang div {n})) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("rs"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r.select(
+        F.col("u").alias("vertex"),
+        F.col("rs").alias("rank_scaled"),
+        (F.col("rs").cast("double") / scale).alias("rank"),
+    )

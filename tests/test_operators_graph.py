@@ -210,3 +210,39 @@ def test_bfs_levels_known_graph(spark):
     assert got == {0: 0, 1: 1, 2: 2, 10: 2, 3: 3}
     with _pytest.raises(RuntimeError, match="converge"):
         bfs_levels(df, 0, max_iter=2)
+
+
+def test_pagerank_directed_dangling_mass(spark):
+    """Directed chain 0→1→2: node 2 dangles.  Hand-check the first
+    iteration's integer trajectory, then pin mass conservation and
+    partition invariance (the dangling scalar must not depend on
+    physical layout)."""
+    from remote_shuffle_spark.operators.graph import pagerank_directed
+
+    edges = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    scale = 10**12
+    one = {
+        r.vertex: r.rank_scaled
+        for r in pagerank_directed(df, iterations=1).collect()
+    }
+    # r0 = scale//3 each; D0 = r0(2); base = 15*scale//300
+    r0 = scale // 3
+    base = (15 * scale) // (100 * 3)
+    share = r0 // 3  # dangling mass split over N=3
+    assert one[0] == base + (85 * share) // 100  # no in-edges
+    assert one[1] == base + (85 * (r0 + share)) // 100  # from 0 + dangling
+    assert one[2] == base + (85 * (r0 + share)) // 100  # from 1 + dangling
+    out = {
+        r.vertex: r.rank_scaled
+        for r in pagerank_directed(df, iterations=5).collect()
+    }
+    total = sum(out.values())
+    assert 0.999 * scale <= total <= scale  # dangling mass NOT leaked
+    again = {
+        r.vertex: r.rank_scaled
+        for r in pagerank_directed(df.repartition(5, "dst"), iterations=5).collect()
+    }
+    assert again == out
+    # sanity vs the undirected variant: directed chain is asymmetric
+    assert out[2] > out[1] > out[0]
