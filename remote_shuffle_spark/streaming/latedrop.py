@@ -42,7 +42,6 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from remote_shuffle_spark.sources.tables import load_table, table_path
@@ -70,13 +69,36 @@ def assign_arrival(
     arithmetic — reproducible by the oracle:
     batch = ((rn - 1) * n_splits) DIV total.
 
+    DISTRIBUTED rank: the global (ts, event_id) rank comes from
+    repartitionByRange on the full sort key + sortWithinPartitions + the
+    two-phase per-partition-offset numbering of
+    :func:`operators.pipeline.with_global_index` — NOT an unpartitioned
+    ``row_number()`` window, which funnels the whole table through one
+    reducer (this function is an exported operator; a 100 TB caller must
+    not inherit a single-task total sort).  The rank — and therefore
+    every split boundary — is bit-identical to the old global window:
+    (ts, event_id) is a total order, and range partitioning on the full
+    key preserves it across partitions (plan pinned single-partition-
+    window-free in tests/test_streaming.py).
+
     NOTE: this runs ``events.count()`` eagerly at plan-build time (the
-    contiguous-split formula needs the total); callers embedding this in
-    a lazy pipeline should be aware it triggers a job."""
+    contiguous-split formula needs the total, and the two-phase index
+    counts partitions anyway); callers embedding this in a lazy pipeline
+    should be aware it triggers jobs."""
+    from remote_shuffle_spark.operators.pipeline import with_global_index
+
     total = events.count()
-    rn = F.row_number().over(W.orderBy("ts", "event_id"))
+    n_rank_parts = max(2, min(32, total // 50_000 + 2))
+    ranked = events.repartitionByRange(
+        n_rank_parts, "ts", "event_id"
+    ).sortWithinPartitions("ts", "event_id")
+    indexed = with_global_index(ranked, out_col="_gidx", order_by=["ts", "event_id"])
     batch = ((F.col("rn") - F.lit(1)) * n_splits / F.lit(total)).cast("int")
-    assigned = events.withColumn("rn", rn).withColumn("batch", batch)
+    assigned = (
+        indexed.withColumn("rn", (F.col("_gidx") + 1).cast("int"))
+        .drop("_gidx")
+        .withColumn("batch", batch)
+    )
     if late_every is None:
         return assigned.withColumn("arrival", F.col("batch"))
     late = (F.col("batch") == 0) & (F.pmod(F.col("event_id"), F.lit(late_every)) == 0)

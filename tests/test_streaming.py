@@ -772,3 +772,31 @@ def test_update_mode_late_rows_merge_into_live_state(spark, tmp_path):
     ]
     # watermark (E + 1ms) is past the window end, yet the late row MERGED
     assert max(ns) == 2
+
+
+def test_assign_arrival_no_single_partition_window(spark):
+    """assign_arrival is an exported operator: its global (ts, event_id)
+    rank must come from the range-partitioned two-phase numbering, not an
+    unpartitioned row_number() window (single-task total sort at scale).
+    Pin the physical plan: any Window node must NOT sit on an Exchange
+    SinglePartition."""
+    from remote_shuffle_spark.plans.explain import physical_plan
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        assign_arrival,
+    )
+
+    df = assign_arrival(_ordered_events(spark, "/root/testdata/sf0.001"))
+    plan = physical_plan(df, mode="simple")
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            below = "\n".join(lines[i : i + 4])
+            assert "SinglePartition" not in below, (
+                f"unpartitioned window reintroduced:\n{below}"
+            )
+    # and the split itself still matches the pinned contiguous formula
+    rows = df.select("event_id", "rn", "batch", "arrival").collect()
+    total = len(rows)
+    for r in rows:
+        assert r.batch == ((r.rn - 1) * 4) // total
