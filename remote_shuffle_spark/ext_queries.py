@@ -4742,3 +4742,49 @@ def ext_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_scaled",
         "rank",
     ).orderBy("node_type", "node_key")
+
+
+@declared(
+    "ext_knn_join_lsh",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(CASE WHEN list_aggregate(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                                           x -> x * x), 'sum') > 0
+                         AND list_aggregate(list_transform(q.qe, x -> x * x), 'sum') > 0
+                        THEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                        ELSE 0.0 END, 6) AS cos_sim
+      FROM embeddings e, q
+    ), ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id, cos_sim
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    tags=("ext", "similarity", "join"),
+)
+def ext_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch LSH k-NN join (operators/similarity.py:knn_join_lsh) at
+    FULL Hamming radius (8 planes, radius 8 → all 256 buckets probed),
+    which degrades to exact search — so the whole shared-scan pipeline
+    (corpus signatures, per-query probe explosion, broadcast bucket
+    equi-join, two-phase top-k) is hash-verified against the same
+    brute-force oracle as ext_knn_join.  At production radii the bucket
+    join prunes the corpus to ~probes/2^planes of its rows per query —
+    the sublinear path the exact operator documents; recall@k at small
+    radii is pinned in tests/test_operators_similarity.py, sublinear
+    candidate scaling in scripts/scale_probe.py."""
+    from remote_shuffle_spark.operators.similarity import knn_join_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3))
+    return knn_join_lsh(
+        emb, "vec_id", "embedding", queries, "vec_id",
+        k=5, dim=64, num_planes=8, hamming_radius=8,
+    ).orderBy("query_id", "rank")

@@ -390,3 +390,106 @@ def knn_join(
             "cos_sim",
         )
     )
+
+
+def knn_join_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries_df: DataFrame,
+    query_id_col: str,
+    *,
+    k: int = 10,
+    dim: int,
+    num_planes: int = 8,
+    hamming_radius: int = 1,
+    round_to: int | None = 6,
+    num_subgroups: int = 64,
+) -> DataFrame:
+    """Batch LSH k-NN join — the SUBLINEAR path next to the exact
+    :func:`knn_join`: many query vectors share ONE bucketed corpus scan
+    instead of per-query probes.
+
+    Plan shape: the corpus gets its ``num_planes``-bit hyperplane
+    signature once (pure expression, no stored matrix); each query
+    explodes into its probe-bucket set (bucket XOR the data-independent
+    Hamming-radius masks, enumerated driver-side) and the bounded
+    (query × probes) table is BROADCAST onto a bucket EQUI-join — so the
+    corpus side is scored only on candidate rows (expected corpus ×
+    probes / 2^planes), not crossJoined.  Each corpus row lives in
+    exactly one bucket and a query's probe buckets are distinct, so no
+    (query, row) pair is scored twice — no dedup stage needed.  Top-k is
+    the same two-phase window as :func:`knn_join` (per-(query, id-hash
+    subgroup), then the tiny final window): candidate sets can still be
+    corpus-sized at full radius, and the skew-free shape costs nothing
+    when they are small.
+
+    ``hamming_radius=num_planes`` probes every bucket and degrades to
+    the exact join — the oracle hook (ext_knn_join_lsh hash-verifies the
+    whole signature → probe → join → two-phase-top-k pipeline against
+    brute force); smaller radii trade recall for a corpus-sublinear
+    scan, with recall@k pinned in tests/test_operators_similarity.py.
+
+    Returns (query_id, rank, id_col, cos_sim), rank 1..k within the
+    probed candidates.
+    """
+    from itertools import combinations
+
+    from remote_shuffle_spark.operators.dedup import _hyperplane_sign_bit
+
+    if not 0 <= hamming_radius <= num_planes:
+        raise ValueError(f"hamming_radius must be in [0, {num_planes}]")
+
+    def bucket_of(vec: F.Column) -> F.Column:
+        b = F.lit(0).cast("long")
+        for p in range(num_planes):
+            b = F.shiftleft(b, 1).bitwiseOR(
+                _hyperplane_sign_bit(vec, p, dim).cast("long")
+            )
+        return b
+
+    masks = [0] + [
+        sum(1 << bit for bit in bits)
+        for r in range(1, hamming_radius + 1)
+        for bits in combinations(range(num_planes), r)
+    ]
+    q = queries_df.select(
+        F.col(query_id_col).alias("_qid"),
+        to_double_array(vec_col).alias("_qvec"),
+    ).select("_qid", "_qvec", bucket_of(F.col("_qvec")).alias("_qb"))
+    probes = q.select(
+        "_qid",
+        "_qvec",
+        F.explode(
+            F.array(*[F.col("_qb").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_bucket"),
+    )
+    data = df.select(F.col(id_col), to_double_array(vec_col).alias("_vec")).select(
+        F.col(id_col), "_vec", bucket_of(F.col("_vec")).alias("_bucket")
+    )
+    cos = cosine_similarity(F.col("_vec"), F.col("_qvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = data.join(F.broadcast(probes), "_bucket").select(
+        F.col("_qid"),
+        F.col(id_col).alias("_id"),
+        cos.alias("cos_sim"),
+        F.pmod(F.xxhash64(id_col), F.lit(num_subgroups)).alias("_sub"),
+    )
+    w1 = W.partitionBy("_qid", "_sub").orderBy(F.col("cos_sim").desc(), F.col("_id"))
+    survivors = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_sub")
+    )
+    w2 = W.partitionBy("_qid").orderBy(F.col("cos_sim").desc(), F.col("_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            "rank",
+            F.col("_id").alias(id_col),
+            "cos_sim",
+        )
+    )

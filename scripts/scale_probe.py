@@ -453,6 +453,24 @@ def main():
             },
         )
     )
+    results.append(
+        probe(
+            f"knn_join_lsh_{int(200_000 * s)}_vecs_q16_r2",
+            lambda: {
+                "rows": similarity.knn_join_lsh(
+                    emb,
+                    "vec_id",
+                    "embedding",
+                    emb.filter(F.col("vec_id") < 16),
+                    "vec_id",
+                    k=10,
+                    dim=64,
+                    num_planes=8,
+                    hamming_radius=2,
+                ).count()
+            },
+        )
+    )
     from remote_shuffle_spark.plans.shuffle_policy import salted_join
 
     results.append(

@@ -254,3 +254,40 @@ def test_knn_join_zero_norm_queries_score_zero(spark):
     ).collect()
     assert all(r.cos_sim == 0.0 for r in out)
     assert [r.vec_id for r in out] == [1, 2]  # id tie-break at equal score
+
+
+def test_knn_join_lsh_recall_and_exactness(spark, sf_smoke):
+    """knn_join_lsh: full radius must EQUAL the exact knn_join
+    (neighbor-for-neighbor); smaller radii trade recall for pruning,
+    pinned loosely (random embeddings have weak locality — these bounds
+    catch a broken probe set, not a tuned index), and recall must be
+    monotone in the radius."""
+    from remote_shuffle_spark.operators.similarity import knn_join, knn_join_lsh
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 6)
+    exact = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in knn_join(emb, "vec_id", "embedding", qs, "vec_id", k=8).collect()
+    }
+    full = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in knn_join_lsh(
+            emb, "vec_id", "embedding", qs, "vec_id",
+            k=8, dim=64, num_planes=8, hamming_radius=8,
+        ).collect()
+    }
+    assert full == exact  # full radius == exact, rank-for-rank
+    exact_pairs = {(q, v) for q, _, v in exact}
+    recalls = []
+    for radius in (1, 2, 3):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in knn_join_lsh(
+                emb, "vec_id", "embedding", qs, "vec_id",
+                k=8, dim=64, num_planes=8, hamming_radius=radius,
+            ).collect()
+        }
+        recalls.append(len(got & exact_pairs) / len(exact_pairs))
+    assert recalls == sorted(recalls)  # monotone in radius
+    assert recalls[1] >= 0.15 and recalls[2] >= 0.3, recalls
