@@ -4788,3 +4788,51 @@ def ext_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", queries, "vec_id",
         k=5, dim=64, num_planes=8, hamming_radius=8,
     ).orderBy("query_id", "rank")
+
+
+@declared(
+    "ext_stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events ORDER BY event_id
+    """,
+    tags=("ext", "streaming", "dedup"),
+)
+def ext_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup — ``dropDuplicatesWithinWatermark``
+    (streaming/dedup.py:streaming_distinct_within_watermark) over the
+    duplicate-pressure split (every 5th event delivered twice within its
+    micro-batch): real duplicates dropped from state in every batch, and
+    state EXPIRES past the watermark instead of growing with every key
+    ever seen — the production shape for month-long dedup streams.
+    Same-event-time duplicates make expiry safe by construction (an
+    expired first copy implies the re-delivery is late, one shared
+    boundary), so the finite-fixture output is exactly batch DISTINCT:
+    every event once."""
+    from remote_shuffle_spark.streaming.dedup import (
+        streaming_distinct_within_watermark,
+    )
+
+    return streaming_distinct_within_watermark(spark, sf_dir)
+
+
+@declared(
+    "ext_stream_tws_initial_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) + COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS total
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("ext", "streaming", "stateful", "tws"),
+)
+def ext_stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS INITIAL-STATE coverage
+    (streaming/stateful_v2.py:SeededCountProcessor): per-user counter
+    seeded from a batch aggregate via ``initialState=`` —
+    handleInitialState runs per key through the dedicated InitState
+    Arrow serializer before the first micro-batch, a worker code path
+    none of the other TWS queries touch.  Final total per user =
+    seed (count of even event_ids) + streamed count, stated directly by
+    the oracle."""
+    from remote_shuffle_spark.streaming.stateful_v2 import seeded_count_stream
+
+    return seeded_count_stream(spark, sf_dir)

@@ -63,3 +63,105 @@ def streaming_distinct(
     finally:
         query.stop()
     return scoped.table(name).orderBy(*keys)
+
+
+def dup_split_dir(
+    spark: SparkSession, sf_dir: str, *, n_splits: int = 4, dup_every: int = 5
+) -> str:
+    """Time-ordered event split WITH IN-BATCH DUPLICATE PRESSURE: file k
+    holds its contiguous (ts, event_id) range plus a second copy of every
+    ``dup_every``-th event of that range — so a streaming dedup operator
+    has real duplicates to drop in every micro-batch (the plain ordered
+    split has none; deduping it proves only the plumbing).  Cached per
+    (source identity, params), same invalidation rule as
+    latedrop.late_split_dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        assign_arrival,
+    )
+
+    src = table_path(sf_dir, "events")
+    real = os.path.realpath(src)
+    st = os.stat(real)
+    key = hashlib.sha1(
+        f"dup|{real}|{n_splits}|{dup_every}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"rss_dupsplit_{key}")
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    assigned = assign_arrival(
+        _ordered_events(spark, sf_dir), n_splits=n_splits, late_every=None
+    )
+    dupes = assigned.filter(F.pmod(F.col("event_id"), F.lit(dup_every)) == 0)
+    with_dupes = assigned.unionAll(dupes)
+    base_mtime = 1_700_000_000
+    for k in range(n_splits):
+        part_dir = os.path.join(tmp, f"_p{k}")
+        with_dupes.filter(F.col("arrival") == k).select(
+            "event_id", "user_id", "event_type", "ts"
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        fname = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(tmp, f"split_{k}.parquet")
+        shutil.move(os.path.join(part_dir, fname), dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (base_mtime + k * 10, base_mtime + k * 10))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def streaming_distinct_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    watermark: str = "30 minutes",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    on event_id over the duplicate-pressure split (every 5th event
+    appears twice in its micro-batch) — the PRODUCTION dedup shape this
+    module's docstring has pointed at since round 3, now executed.
+
+    Unlike ``dropDuplicates`` (state = every key ever seen, grows
+    forever), state here expires once the watermark passes the key's
+    event time + delay, so long-running streams hold only the last
+    (delay)-window of keys — the boundedness is asserted against the
+    plain variant in tests/test_streaming.py.  Semantics stay exact for
+    same-event-time duplicates: a duplicate whose first copy EXPIRED
+    from state is by construction also LATE (same boundary, wm >
+    ts + delay) and is dropped by the watermark filter instead — which
+    is precisely why the API is safe to bound.  Output over the finite
+    fixture therefore equals batch DISTINCT, hash-checked by the
+    oracle."""
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    scoped = stream_session(spark, state_partitions)
+    d = dup_split_dir(spark, sf_dir)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    stream = (
+        scoped.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    name = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    query = (
+        stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return scoped.table(name).orderBy("event_id")

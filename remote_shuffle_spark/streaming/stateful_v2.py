@@ -313,3 +313,98 @@ def first_seen_timer_stream(
     finally:
         q.stop()
     return s2.table(name).orderBy("user_id")
+
+
+class SeededCountProcessor(StatefulProcessor):
+    """INITIAL-STATE coverage for the TWS protocol: per-user event
+    counter whose state is SEEDED from a batch DataFrame before the
+    first micro-batch (``initialState=`` → :meth:`handleInitialState`
+    per key, through the dedicated InitState Arrow serializer — a
+    different worker code path than plain PROCESS_DATA).  Emits
+    cumulative (user_id, total) per batch; totals only grow, so final =
+    MAX emission = seed + stream count, which a batch oracle states
+    directly."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.total = handle.getValueState("total", "n long")
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        self.total.update((int(initialState["seed"].iloc[0]),))
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        n = sum(len(pdf) for pdf in rows)
+        prev = self.total.get()[0] if self.total.exists() else 0
+        self.total.update((prev + n,))
+        yield pd.DataFrame([(int(key[0]), prev + n)], columns=["user_id", "total"])
+
+    def close(self) -> None:
+        pass
+
+
+def seeded_count_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Run :class:`SeededCountProcessor` with initial state = each
+    user's count of EVEN event_ids (a batch aggregate), streaming ALL
+    events — final total per user = even-count + total-count.  Users
+    with no even events exercise the no-initial-state key path; the
+    fixture has no seed-only users, so output keys = streamed keys
+    (matching the oracle's GROUP BY over events)."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf (the TWS "
+            "state-server protocol); neither the real package nor the "
+            "vendored shim is active here"
+        )
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.sources.tables import load_table
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        late_split_dir,
+    )
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    split = late_split_dir(spark, sf_dir, late_every=None)
+    schema = _ordered_events(spark, sf_dir).schema
+    s2 = stream_session(spark, state_partitions)
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    seeds = (
+        load_table(s2, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("seed"))
+        .groupBy("user_id")
+    )
+    stream = (
+        s2.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(split)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        SeededCountProcessor(),
+        "user_id long, total long",
+        "Update",
+        "none",
+        initialState=seeds,
+    )
+    name = f"seeded_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        s2.table(name)
+        .groupBy("user_id")
+        .agg(F.max("total").alias("total"))
+        .orderBy("user_id")
+    )

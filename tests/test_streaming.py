@@ -800,3 +800,52 @@ def test_assign_arrival_no_single_partition_window(spark):
     total = len(rows)
     for r in rows:
         assert r.batch == ((r.rn - 1) * 4) // total
+
+
+def test_dedup_within_watermark_state_is_bounded(spark):
+    """dropDuplicatesWithinWatermark's reason to exist: state expires
+    with the watermark.  Run both variants over the duplicate-pressure
+    split and compare end-of-stream state rows — the bounded variant
+    must hold only the last watermark window of keys, the plain variant
+    every key ever seen."""
+    from remote_shuffle_spark.streaming.dedup import dup_split_dir
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    sf = "/root/testdata/sf0.001"
+    d = dup_split_dir(spark, sf)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+
+    def run(bounded: bool) -> tuple[int, int]:
+        s2 = stream_session(spark, 4)
+        stream = (
+            s2.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .withWatermark("ts", "30 minutes")
+        )
+        stream = (
+            stream.dropDuplicatesWithinWatermark(["event_id"])
+            if bounded
+            else stream.dropDuplicates(["event_id"])
+        )
+        q = (
+            stream.select("event_id")
+            .writeStream.outputMode("append")
+            .format("noop")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progs = [p for p in q.recentProgress if p.get("stateOperators")]
+            state_rows = progs[-1]["stateOperators"][0]["numRowsTotal"]
+            out_rows = sum(p["sink"]["numOutputRows"] for p in progs)
+        finally:
+            q.stop()
+        return state_rows, out_rows
+
+    bounded_state, bounded_out = run(True)
+    plain_state, plain_out = run(False)
+    n = 1000  # sf0.001 events
+    assert bounded_out == plain_out == n  # both dedup exactly
+    assert plain_state == n  # plain: every key ever seen, forever
+    assert bounded_state < n // 2, (bounded_state, plain_state)
