@@ -4836,3 +4836,24 @@ def ext_stream_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.streaming.stateful_v2 import seeded_count_stream
 
     return seeded_count_stream(spark, sf_dir)
+
+
+@declared(
+    "ext_stream_tws_row_api",
+    oracle="""
+    SELECT user_id, MIN(event_id) AS min_event, MAX(event_id) AS max_event
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("ext", "streaming", "stateful", "tws"),
+)
+def ext_stream_tws_row_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-based ``transformWithState``
+    (streaming/stateful_v2.py:RowMinMaxProcessor): the non-pandas twin
+    of the TWS API — Row iterators in, Rows out, through the
+    TransformWithStateInPySparkRow serializer (a distinct worker path
+    from the Arrow-batched pandas variant), multi-field ValueState
+    ("lo long, hi long").  Running per-user min/max event_id; final
+    equals the batch MIN/MAX."""
+    from remote_shuffle_spark.streaming.stateful_v2 import row_minmax_stream
+
+    return row_minmax_stream(spark, sf_dir)

@@ -408,3 +408,94 @@ def seeded_count_stream(
         .agg(F.max("total").alias("total"))
         .orderBy("user_id")
     )
+
+
+class RowMinMaxProcessor(StatefulProcessor):
+    """ROW-based (non-pandas) ``transformWithState`` coverage: the same
+    typed-state protocol driven through the
+    TransformWithStateInPySparkRow serializer — rows arrive as
+    :class:`pyspark.sql.Row` iterators and outputs are Rows, no pandas
+    anywhere (the API for processors whose per-key logic is scalar and
+    doesn't want Arrow batch assembly).  Tracks per-user min/max
+    event_id in one ValueState pair and emits the running values each
+    batch; final = true min/max, stated by the oracle."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.bounds = handle.getValueState("bounds", "lo long, hi long")
+
+    def handleInputRows(self, key, rows, timer_values):
+        from pyspark.sql import Row
+
+        lo = hi = None
+        for r in rows:
+            e = r.event_id
+            lo = e if lo is None or e < lo else lo
+            hi = e if hi is None or e > hi else hi
+        if lo is None:
+            return
+        if self.bounds.exists():
+            plo, phi = self.bounds.get()
+            lo, hi = min(lo, plo), max(hi, phi)
+        self.bounds.update((lo, hi))
+        yield Row(user_id=key[0], min_event=lo, max_event=hi)
+
+    def close(self) -> None:
+        pass
+
+
+def row_minmax_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Run :class:`RowMinMaxProcessor` through the ROW-based
+    transformWithState API; running bounds only widen, so final = MIN of
+    emitted mins / MAX of emitted maxes per user."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithState needs google.protobuf (the TWS "
+            "state-server protocol); neither the real package nor the "
+            "vendored shim is active here"
+        )
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        late_split_dir,
+    )
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    split = late_split_dir(spark, sf_dir, late_every=None)
+    schema = _ordered_events(spark, sf_dir).schema
+    s2 = stream_session(spark, state_partitions)
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        s2.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(split)
+    )
+    out = stream.groupBy("user_id").transformWithState(
+        RowMinMaxProcessor(),
+        "user_id long, min_event long, max_event long",
+        "Update",
+        "none",
+    )
+    name = f"row_mm_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        s2.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.min("min_event").alias("min_event"),
+            F.max("max_event").alias("max_event"),
+        )
+        .orderBy("user_id")
+    )

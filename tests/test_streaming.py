@@ -849,3 +849,91 @@ def test_dedup_within_watermark_state_is_bounded(spark):
     assert bounded_out == plain_out == n  # both dedup exactly
     assert plain_state == n  # plain: every key ever seen, forever
     assert bounded_state < n // 2, (bounded_state, plain_state)
+
+
+def test_tws_value_state_with_ttl_roundtrips_protocol(spark):
+    """TTL state coverage: getValueState(ttlDurationMs=...) sends the
+    TTLConfig submessage through the state-server protocol (the last
+    StateMessage field no other test drives).  TTL is processing-time
+    based, so determinism comes from a horizon far beyond the test
+    (~12 days): semantics equal un-TTL'd state, and per-user totals must
+    match batch counts."""
+    import uuid as _uuid
+
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from remote_shuffle_spark.sources.tables import load_table
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        late_split_dir,
+    )
+    from remote_shuffle_spark.streaming.source import stream_session
+    from remote_shuffle_spark.streaming.stateful_v2 import tws_available
+
+    if not tws_available():
+        _pytest.skip("TWS protocol unavailable (no protobuf and no shim)")
+
+    class TTLCount(StatefulProcessor):
+        def init(self, handle):
+            self.n = handle.getValueState("n", "n long", ttlDurationMs=2**30)
+
+        def handleInputRows(self, key, rows, timer_values):
+            add = sum(len(p) for p in rows)
+            prev = self.n.get()[0] if self.n.exists() else 0
+            self.n.update((prev + add,))
+            yield pd.DataFrame(
+                [(int(key[0]), prev + add)], columns=["user_id", "total"]
+            )
+
+        def close(self):
+            pass
+
+    sf = "/root/testdata/sf0.001"
+    split = late_split_dir(spark, sf, late_every=None)
+    schema = _ordered_events(spark, sf).schema
+    s2 = stream_session(spark, 4)
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        s2.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(split)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        TTLCount(), "user_id long, total long", "Update", "ProcessingTime"
+    )
+    name = f"ttl_{_uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        # ProcessingTime mode never settles under processAllAvailable
+        # (see stateful_v2 docstring) — poll the sink for the expected
+        # row count instead, then stop.
+        import time
+
+        want_users = load_table(spark, sf, "events").select("user_id").distinct().count()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got_users = s2.table(name).select("user_id").distinct().count()
+            if got_users >= want_users and not q.status["isDataAvailable"]:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.total)
+        for r in s2.table(name)
+        .groupBy("user_id")
+        .agg(F.max("total").alias("total"))
+        .collect()
+    }
+    want = {
+        (r.user_id, r.n)
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
