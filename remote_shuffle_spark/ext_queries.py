@@ -4857,3 +4857,59 @@ def ext_stream_tws_row_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.streaming.stateful_v2 import row_minmax_stream
 
     return row_minmax_stream(spark, sf_dir)
+
+
+@declared(
+    "ext_statestore_reader",
+    oracle="""
+    SELECT DISTINCT user_id FROM events ORDER BY user_id
+    """,
+    tags=("ext", "streaming", "ops"),
+)
+def ext_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE state-store read (streaming/state_reader.py) — Spark 4's
+    ``statestore`` + ``state-metadata`` batch sources over a streaming
+    checkpoint: run a checkpointed dedup stream, stop it, read the
+    retained key set back as a DataFrame.  A dropDuplicates stream's
+    state IS the distinct key set, so the offline read hash-checks
+    against batch DISTINCT.  This is the production debugging surface
+    for stuck stateful streams (inspect state without replaying), and
+    the streaming face of the engine's inspect-committed-artifacts
+    discipline (checkpoint manifests, shuffle_policy.py)."""
+    from remote_shuffle_spark.streaming.state_reader import dedup_state_snapshot
+
+    return dedup_state_snapshot(spark, sf_dir)
+
+
+@declared(
+    "ext_audio_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(16 AS INT) AS bits_per_sample,
+           CAST(100 + doc_id % 50 AS INT) AS n_samples,
+           CAST((100 + doc_id % 50) * 1000000 // (8000 * (1 + doc_id % 3))
+                AS BIGINT) AS duration_us
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("ext", "multimodal", "audio"),
+)
+def ext_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO metadata tier (operators/multimodal.py): deterministic
+    spec-valid RIFF/WAVE payloads are generated per doc (synth_wav_bytes
+    — real 16-bit PCM with fmt/data chunks), then parsed BACK by the
+    independent library-free RIFF chunk walker (_decode_wav_header,
+    cross-checked against Python's stdlib `wave` in pytest) through
+    Arrow mapInPandas batches.  Every field is a pure function of
+    doc_id, so the oracle recomputes them directly; duration is integer
+    microseconds (floor-div) because ROUND(double) is not engine-stable.
+    This is the audio face of the multimodal column family next to the
+    PNG/APNG/JPEG image tiers."""
+    from remote_shuffle_spark.operators.multimodal import (
+        attach_wav_payload,
+        audio_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_metadata(attach_wav_payload(docs)).orderBy("doc_id")

@@ -298,3 +298,128 @@ def extract_features_arrow(
     return df.select(id_col, payload_col).mapInArrow(
         feat_batches, "doc_id bigint, features array<double>"
     )
+
+
+_RIFF_MAGIC = b"RIFF"
+
+
+def synth_wav_bytes(doc_id: int) -> bytes:
+    """Spec-valid mono/stereo 16-bit PCM WAV bytes, deterministic in
+    doc_id: sample_rate ∈ {8000, 16000, 24000}, channels ∈ {1, 2},
+    n_samples = 100 + doc_id % 50, samples from a hash recurrence.
+    Layout per the public RIFF/WAVE spec: "RIFF" <size> "WAVE", a
+    "fmt " chunk (format=1 PCM, channels, rate, byte-rate, block-align,
+    bits), then "data" <size> <pcm>."""
+    import struct
+
+    rate = 8000 * (1 + doc_id % 3)
+    channels = 1 + doc_id % 2
+    bits = 16
+    n_samples = 100 + doc_id % 50
+    block_align = channels * bits // 8
+    seed = (doc_id * 2654435761) & 0xFFFFFFFF
+    frames = bytearray()
+    for i in range(n_samples * channels):
+        seed = (seed * 1103515245 + 12345) & 0xFFFFFFFF
+        frames += struct.pack("<h", (seed >> 16) - 32768)
+    data = bytes(frames)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_header(buf: bytes) -> tuple[int, int, int, int]:
+    """Real (library-free) WAV metadata parse: walk RIFF chunks to
+    "fmt " (channels, sample rate, bits) and "data" (n_samples =
+    data_size / block_align) — public RIFF/WAVE spec, little-endian
+    throughout.  Raises ValueError on truncated/non-WAVE payloads —
+    corrupt audio fails loudly, same policy as the PNG/JPEG tiers.
+    Returns (sample_rate, channels, bits_per_sample, n_samples)."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != _RIFF_MAGIC or buf[8:12] != b"WAVE":
+        raise ValueError("corrupt WAV: not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    n_samples = None
+    while pos + 8 <= len(buf):
+        ctype = buf[pos : pos + 4]
+        clen = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        if ctype == b"fmt " and pos + 8 + 16 <= len(buf):
+            fmt = struct.unpack("<HHIIHH", buf[pos + 8 : pos + 24])
+        elif ctype == b"data" and fmt is not None:
+            block_align = fmt[4]
+            if block_align == 0:
+                raise ValueError("corrupt WAV: zero block align")
+            n_samples = clen // block_align
+            break
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or n_samples is None:
+        raise ValueError("corrupt WAV: missing fmt/data chunk")
+    _, channels, rate, _, _, bits = fmt
+    return (rate, channels, bits, n_samples)
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload binary) with deterministic spec-valid WAV bytes —
+    the audio twin of :func:`attach_payload` (fixtures carry no real
+    media; generation and parsing are independent code paths, so the
+    round-trip is a real test of both)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [synth_wav_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} long, payload binary")
+
+
+def audio_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Parse WAV payloads to (id, sample_rate, channels, bits_per_sample,
+    n_samples, duration_us) with the library-free RIFF walker — Arrow
+    record batches through ``mapInPandas``, the same batch shape a real
+    soundfile/librosa tier would use at this seam."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                rate, channels, bits, n = _decode_wav_header(bytes(buf))
+                # integer microseconds: ROUND(double) is not engine-stable
+                # (docs/scale.md round-7 note; same reason pagerank is
+                # integer fixed-point), floor-div on positive ints is
+                rows.append(
+                    (int(i), rate, channels, bits, n, n * 1_000_000 // rate)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "sample_rate",
+                    "channels",
+                    "bits_per_sample",
+                    "n_samples",
+                    "duration_us",
+                ],
+            )
+
+    return df.mapInPandas(
+        parse,
+        f"{id_col} long, sample_rate int, channels int, bits_per_sample int, "
+        "n_samples int, duration_us long",
+    )

@@ -227,3 +227,58 @@ def test_extract_features_arrow_equals_pandas_path(spark, payloads):
         for r in multimodal.extract_features(with_payload, dim=8).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_wav_header_parser_agrees_with_stdlib_wave():
+    """The library-free RIFF walker must report exactly what Python's
+    stdlib `wave` module (independent, spec-complete reader) reports for
+    the same synthesized payloads — the audio tier's ground-truth pin,
+    the role Pillow plays for the image tiers."""
+    import io
+    import wave
+
+    from remote_shuffle_spark.operators.multimodal import (
+        _decode_wav_header,
+        synth_wav_bytes,
+    )
+
+    for doc_id in (0, 1, 2, 3, 7, 49, 107, 9999):
+        buf = synth_wav_bytes(doc_id)
+        rate, channels, bits, n = _decode_wav_header(buf)
+        w = wave.open(io.BytesIO(buf))
+        assert (rate, channels, bits, n) == (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getsampwidth() * 8,
+            w.getnframes(),
+        ), doc_id
+
+
+def test_wav_corrupt_payloads_fail_loudly():
+    import pytest as _pytest
+
+    from remote_shuffle_spark.operators.multimodal import _decode_wav_header
+
+    for bad in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b"not audio at all"):
+        with _pytest.raises(ValueError, match="corrupt WAV"):
+            _decode_wav_header(bad)
+
+
+def test_audio_metadata_roundtrip(spark, sf_smoke):
+    """Generate → parse round-trip through the Arrow batch plumbing:
+    every field equals its closed form in doc_id."""
+    from remote_shuffle_spark.operators.multimodal import (
+        attach_wav_payload,
+        audio_metadata,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    rows = audio_metadata(attach_wav_payload(docs)).collect()
+    assert len(rows) == 50
+    for r in rows:
+        i = r.doc_id
+        assert r.sample_rate == 8000 * (1 + i % 3)
+        assert r.channels == 1 + i % 2
+        assert r.bits_per_sample == 16
+        assert r.n_samples == 100 + i % 50
+        assert r.duration_us == r.n_samples * 1_000_000 // r.sample_rate
