@@ -25,6 +25,14 @@ import sys
 SCRIPT = r"""
 import json, os
 os.environ.setdefault("SPARK_HOME", "/opt/spark")
+# Before the JVM exists: protobuf shim onto PYTHONPATH so the Python
+# workers that REAL executor JVMs spawn can import it (the propagation
+# local-mode can't falsify: driver env -> master -> executor JVM ->
+# worker).  Sessions built through get_session do this implicitly; this
+# script builds its own session, the documented pattern for that case.
+import sys; sys.path.insert(0, "/root/repo")
+from remote_shuffle_spark.vendor import ensure_protobuf
+ensure_protobuf()
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local-cluster[2,2,1024]")
     .appName("cluster_smoke")
@@ -47,6 +55,11 @@ edges = spark.createDataFrame(
 with tempfile.TemporaryDirectory() as td:
     comp = connected_components(edges, checkpoint_dir=os.path.join(td, "cc"))
     out["cc"] = sorted((r.vertex, r.component) for r in comp.collect())
+# TWS across REAL executors: the state server lives in the executor JVM
+# and its Python worker must import the protobuf shim via the inherited
+# PYTHONPATH — the one propagation path local[32] cannot falsify.
+tws = qs["ext_stream_tws_limiter"](spark, sf).collect()
+out["tws_rows"] = len(tws)
 print("RESULT:" + json.dumps(out))
 spark.stop()
 """
@@ -70,3 +83,4 @@ def test_local_cluster_smoke():
     assert got["heavy_hitters_all_within_bound"] is True
     want = [[i, 0] for i in range(7)] + [[10, 10], [11, 10]]
     assert got["cc"] == want
+    assert got["tws_rows"] == 75  # 15 users x first-5 limiter at sf0.001
