@@ -44,7 +44,13 @@ def main() -> None:
 
     from remote_shuffle_spark import EngineConfig, get_session
 
-    spark = get_session(EngineConfig(app_name="remote_shuffle_spark_bench"))
+    # 8g driver: local mode is driver-only, and a 199-query session
+    # accumulates broadcast blocks between periodic GCs — the 1g default
+    # OOM'd a broadcast build ~130 queries in (round 7).  8g is the
+    # documented probe sweet spot (scripts/scale_probe.py).
+    spark = get_session(
+        EngineConfig(app_name="remote_shuffle_spark_bench", driver_memory="8g")
+    )
 
     import __spark_entry__ as entrymod
 

@@ -4913,3 +4913,79 @@ def ext_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_metadata(attach_wav_payload(docs)).orderBy("doc_id")
+
+
+def _zorder_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Cached z-clustered copy of events on (user_id, event_id % 1024)
+    — same cache/invalidate discipline as latedrop.late_split_dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from remote_shuffle_spark.functions.zorder import write_zordered
+    from remote_shuffle_spark.sources.tables import table_path
+
+    src = table_path(sf_dir, "events")
+    real = os.path.realpath(src)
+    st = os.stat(real)
+    key = hashlib.sha1(
+        f"zorder|{real}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"rss_zorder_{key}")
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    tmp = f"{out}.tmp.{_uuid.uuid4().hex[:8]}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.pmod("event_id", F.lit(1024)).alias("bucket")
+    )
+    write_zordered(ev, tmp, "user_id", "bucket", bits=16, num_files=16)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _zorder_oracle_sql() -> str:
+    from remote_shuffle_spark.functions.zorder import z_value_sql
+
+    z = z_value_sql("user_id", "event_id % 1024", bits=16)
+    return f"""
+    SELECT event_id, user_id, event_id % 1024 AS bucket,
+           CAST({z} AS BIGINT) AS z
+    FROM events
+    WHERE user_id BETWEEN 3 AND 7 AND (event_id % 1024) BETWEEN 100 AND 300
+    ORDER BY event_id
+    """
+
+
+@declared(
+    "ext_zorder_layout",
+    oracle=_zorder_oracle_sql(),
+    tags=("ext", "layout", "skipping"),
+)
+def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered layout (functions/zorder.py): events
+    materialized range-partitioned + sorted by the Morton interleave of
+    (user_id, event_id % 1024), then a 2-D box query over the clustered
+    copy — both dimensions pruned by file/row-group min-max stats
+    instead of one (the Delta/Iceberg ZORDER BY technique as pure
+    expression-tree PySpark).  The Morton code is recomputed by the
+    oracle from the identical bit formula (z_value_sql), so the layout
+    round-trip AND the code itself are hash-verified; file-level
+    disjointness and the skipping win are pinned in
+    tests/test_zorder.py + scripts/scale_probe.py."""
+    from remote_shuffle_spark.functions.zorder import z_value
+
+    d = _zorder_events_dir(spark, sf_dir)
+    df = spark.read.parquet(d)
+    return (
+        df.filter(
+            (F.col("user_id").between(3, 7)) & (F.col("bucket").between(100, 300))
+        )
+        .withColumn("z", z_value(F.col("user_id"), F.col("bucket"), bits=16))
+        .select("event_id", "user_id", "bucket", "z")
+        .orderBy("event_id")
+    )

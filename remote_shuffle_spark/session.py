@@ -84,6 +84,12 @@ class EngineConfig:
             "spark.sql.legacy.parquet.nanosAsLong": "true",
             "spark.ui.enabled": "false",
             "spark.ui.showConsoleProgress": "false",
+            # Long-lived drivers (the 199-query bench session, a real
+            # always-on service) accumulate unreferenced broadcast blocks
+            # faster than the default 30-min periodic GC releases them —
+            # observed as a broadcast-build OOM ~130 queries into a bench
+            # run.  5 min keeps driver heap bounded by live broadcasts.
+            "spark.cleaner.periodicGC.interval": "5min",
         }
         if self.driver_memory:
             conf["spark.driver.memory"] = self.driver_memory
