@@ -4989,3 +4989,122 @@ def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "bucket", "z")
         .orderBy("event_id")
     )
+
+
+@declared(
+    "ext_collation",
+    oracle="""
+    SELECT lower(et) AS event_type, COUNT(*) AS n,
+           MIN(user_id) AS min_user
+    FROM (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS et,
+             user_id
+      FROM events
+    ) GROUP BY lower(et) ORDER BY event_type
+    """,
+    tags=("ext", "sql4", "collation"),
+)
+def ext_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS: grouping under UTF8_LCASE merges case
+    variants at the COMPARISON level (no lowercasing of the data) —
+    the fixture upper-cases every even event's type, and the collated
+    GROUP BY must fold 'CLICK' and 'click' into one group.  The output
+    key is lowercased explicitly so the representative string is
+    deterministic; the oracle mirrors with plain lower() grouping.
+    At 100 TB collation beats normalize-then-group when the original
+    casing must survive downstream (no second copy of the column)."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+        "user_id",
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("et"), "UTF8_LCASE").alias("_k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("min_user"),
+        )
+        .select(F.lower(F.col("_k")).alias("event_type"), "n", "min_user")
+        .orderBy("event_type")
+    )
+
+
+@declared(
+    "ext_sql_scripting",
+    oracle="""
+    SELECT 3 AS n_rounds, COUNT(*) AS total_orders,
+           COUNT(DISTINCT o_custkey % 3) AS residues_seen
+    FROM orders
+    """,
+    tags=("ext", "sql4", "scripting"),
+)
+def ext_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN…END, DECLARE, WHILE/SET): a
+    procedural script loops over the three o_custkey residue classes,
+    accumulating per-residue order counts into a session variable, and
+    its final SELECT is the script's result relation.  Procedural SQL
+    runs ON THE DRIVER as control flow around distributed statements —
+    each loop iteration's aggregate is still a full Catalyst plan, so
+    the 100 TB discipline is unchanged (the loop is 3 statements, not
+    3 scans of a collected table)."""
+    import uuid as _uuid
+
+    view = f"orders_script_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    out = spark.sql(f"""
+    BEGIN
+      DECLARE i INT = 0;
+      DECLARE total BIGINT = 0;
+      DECLARE residues BIGINT = 0;
+      WHILE i < 3 DO
+        SET total = total + (SELECT COUNT(*) FROM {view} WHERE o_custkey % 3 = i);
+        SET residues = residues + (SELECT CASE WHEN EXISTS
+          (SELECT 1 FROM {view} WHERE o_custkey % 3 = i) THEN 1 ELSE 0 END);
+        SET i = i + 1;
+      END WHILE;
+      SELECT i AS n_rounds, total AS total_orders, residues AS residues_seen;
+    END
+    """)
+    spark.catalog.dropTempView(view)
+    return out
+
+
+@declared(
+    "ext_parameterized_sql",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    tags=("ext", "sql4", "parameters"),
+)
+def ext_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 4 parameter markers): the TPC-H-Q6
+    revenue shape with :lo/:hi/:qty bound through ``spark.sql(...,
+    args=...)`` — real parameter binding (literal-safe, plan-cacheable),
+    not string interpolation.  Decimal-sum → round → double, the
+    engine's standard float-stability pattern."""
+    import uuid as _uuid
+
+    view = f"lineitem_param_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n
+        FROM {view}
+        WHERE l_discount BETWEEN :lo AND :hi AND l_quantity < :qty
+        """,
+        args={"lo": 0.05, "hi": 0.07, "qty": 24},
+    )
+    spark.catalog.dropTempView(view)
+    return out
