@@ -5027,7 +5027,14 @@ def ext_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.min("user_id").alias("min_user"),
         )
-        .select(F.lower(F.col("_k")).alias("event_type"), "n", "min_user")
+        .select(
+            # collate back to UTF8_BINARY: lower() of a collated column
+            # keeps the collation in the result TYPE, and the driver's
+            # schema compare should see a plain string
+            F.collate(F.lower(F.col("_k")), "UTF8_BINARY").alias("event_type"),
+            "n",
+            "min_user",
+        )
         .orderBy("event_type")
     )
 
