@@ -937,3 +937,86 @@ def test_tws_value_state_with_ttl_roundtrips_protocol(spark):
         .collect()
     }
     assert got == want
+
+
+def test_tws_state_survives_query_restart(spark):
+    """TWS state durability across query RESTARTS — the streaming face
+    of the engine's no-recompute discipline: run the FirstNPerKey
+    limiter over half the input, STOP the query, start a NEW query from
+    the same checkpoint over the rest.  The limiter's per-user count
+    lives in RocksDB behind the checkpoint; if restart lost it, phase 2
+    would re-admit up to n more rows per user and the combined output
+    could not equal the batch row_number oracle."""
+    import shutil
+    import uuid as _uuid
+
+    import pytest as _pytest
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        late_split_dir,
+    )
+    from remote_shuffle_spark.streaming.source import stream_session
+    from remote_shuffle_spark.streaming.stateful_v2 import (
+        FirstNPerKey,
+        tws_available,
+    )
+
+    if not tws_available():
+        _pytest.skip("TWS protocol unavailable (no protobuf and no shim)")
+
+    sf = "/root/testdata/sf0.001"
+    split = late_split_dir(spark, sf, late_every=None)
+    schema = _ordered_events(spark, sf).schema
+    s2 = stream_session(spark, 4)
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    base = os.path.join(tempfile.gettempdir(), f"tws_restart_{_uuid.uuid4().hex[:8]}")
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir)
+    files = sorted(f for f in os.listdir(split) if f.endswith(".parquet"))
+    assert len(files) == 4
+
+    def run_phase(new_files):
+        for f in new_files:
+            shutil.copy2(os.path.join(split, f), os.path.join(in_dir, f))
+        stream = (
+            s2.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            FirstNPerKey(5), "user_id long, event_id long", "Update", "none"
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_phase(files[:2])   # phase 1: first half of the input
+    run_phase(files[2:])   # RESTARTED query, same checkpoint, second half
+
+    got = {
+        (r.user_id, r.event_id) for r in spark.read.parquet(out_dir).collect()
+    }
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    want = {
+        (r.user_id, r.event_id)
+        for r in _ordered_events(spark, sf)
+        .withColumn("rn", rn)
+        .filter("rn <= 5")
+        .collect()
+    }
+    assert got == want
+    shutil.rmtree(base, ignore_errors=True)
