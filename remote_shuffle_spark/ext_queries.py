@@ -4924,14 +4924,14 @@ def _zorder_events_dir(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
     import uuid as _uuid
 
-    from remote_shuffle_spark.functions.zorder import write_zordered
+    from remote_shuffle_spark.plans.zorder import ZDim, write_zordered
     from remote_shuffle_spark.sources.tables import table_path
 
     src = table_path(sf_dir, "events")
     real = os.path.realpath(src)
     st = os.stat(real)
     key = hashlib.sha1(
-        f"zorder|{real}|{st.st_size}|{st.st_mtime_ns}".encode()
+        f"zorder2|{real}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"rss_zorder_{key}")
     if os.path.isdir(out) and os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -4940,7 +4940,15 @@ def _zorder_events_dir(spark: SparkSession, sf_dir: str) -> str:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.pmod("event_id", F.lit(1024)).alias("bucket")
     )
-    write_zordered(ev, tmp, "user_id", "bucket", bits=16, num_files=16)
+    # integer dims with power-of-two bounds: (v-0)/65536*65536 is IEEE-exact,
+    # so bucket id == value and the Morton code is exact integer interleave
+    write_zordered(
+        ev,
+        tmp,
+        [ZDim("user_id", 0, 65536), ZDim("bucket", 0, 65536)],
+        bits=16,
+        num_partitions=16,
+    )
     try:
         os.rename(tmp, out)
     except OSError:
@@ -4949,9 +4957,11 @@ def _zorder_events_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _zorder_oracle_sql() -> str:
-    from remote_shuffle_spark.functions.zorder import z_value_sql
-
-    z = z_value_sql("user_id", "event_id % 1024", bits=16)
+    # the SAME bucket+interleave emitter ext_zorder_key uses, over the
+    # layout's integer dims — one formula, one emitter, no drift
+    z = _zorder_oracle(
+        16, [("user_id", 0.0, 65536.0), ("event_id % 1024", 0.0, 65536.0)]
+    )
     return f"""
     SELECT event_id, user_id, event_id % 1024 AS bucket,
            CAST({z} AS BIGINT) AS z
@@ -4967,7 +4977,7 @@ def _zorder_oracle_sql() -> str:
     tags=("ext", "layout", "skipping"),
 )
 def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-ORDER clustered layout (functions/zorder.py): events
+    """Z-ORDER clustered layout (plans/zorder.py): events
     materialized range-partitioned + sorted by the Morton interleave of
     (user_id, event_id % 1024), then a 2-D box query over the clustered
     copy — both dimensions pruned by file/row-group min-max stats
@@ -4977,15 +4987,19 @@ def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip AND the code itself are hash-verified; file-level
     disjointness and the skipping win are pinned in
     tests/test_zorder.py + scripts/scale_probe.py."""
-    from remote_shuffle_spark.functions.zorder import z_value
+    from remote_shuffle_spark.plans.zorder import zorder_key
 
     d = _zorder_events_dir(spark, sf_dir)
     df = spark.read.parquet(d)
+    z = zorder_key(
+        [(F.col("user_id"), 0.0, 65536.0), (F.col("bucket"), 0.0, 65536.0)],
+        bits=16,
+    )
     return (
         df.filter(
             (F.col("user_id").between(3, 7)) & (F.col("bucket").between(100, 300))
         )
-        .withColumn("z", z_value(F.col("user_id"), F.col("bucket"), bits=16))
+        .withColumn("z", z)
         .select("event_id", "user_id", "bucket", "z")
         .orderBy("event_id")
     )

@@ -475,7 +475,7 @@ def main():
         import shutil
         import tempfile
 
-        from remote_shuffle_spark.functions.zorder import write_zordered
+        from remote_shuffle_spark.plans.zorder import ZDim, write_zordered
 
         n = int(5_000_000 * s)
         base = spark.range(n).select(
@@ -486,7 +486,13 @@ def main():
         )
         d = tempfile.mkdtemp(prefix="rss_zprobe_")
         zdir, rdir = os.path.join(d, "z"), os.path.join(d, "r")
-        write_zordered(base, zdir, "user_id", "bucket", num_files=64)
+        write_zordered(
+            base,
+            zdir,
+            [ZDim("user_id", 0, 65536), ZDim("bucket", 0, 65536)],
+            bits=16,
+            num_partitions=64,
+        )
         base.repartition(64).write.mode("overwrite").parquet(rdir)
         box = "user_id between 100 and 200 and bucket between 100 and 200"
         lo_u, hi_u, lo_b, hi_b = 100, 200, 100, 200
