@@ -432,6 +432,16 @@ def main():
     )
     results.append(
         probe(
+            f"pagerank_directed_{n_edges}_edges",
+            lambda: {
+                # directed: every dst-side node dangles (bipartite src→dst),
+                # so the dangling scalar agg carries real mass per iteration
+                "nodes": graph_ops.pagerank_directed(gedges, iterations=5).count()
+            },
+        )
+    )
+    results.append(
+        probe(
             f"bfs_{n_edges}_edges",
             lambda: {
                 "reached": graph_ops.bfs_levels(gedges, 1).count()
