@@ -5129,3 +5129,67 @@ def ext_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(view)
     return out
+
+
+@declared(
+    "ext_join_size_estimate",
+    oracle="""
+    WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id FROM events WHERE event_type = 'view')
+    SELECT (SELECT COUNT(*) FROM c JOIN v USING (user_id)) AS exact_pairs,
+           TRUE AS est_ge_exact, TRUE AS est_within_eps
+    """,
+    tags=("ext", "sketch", "planning"),
+)
+def ext_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from sketches (Cormode–Muthukrishnan CMS
+    inner product, functions/sketches.py:inner_product): the row count
+    of clicks ⋈ views on user_id is estimated from two mergeable
+    count_min_sketch aggregates (same geometry + seed → row-aligned
+    hash functions) WITHOUT running the join — the shuffle-planning
+    primitive for broadcast-vs-SMJ decisions and join-blowup early
+    warnings at 100 TB (each side's sketch is a few hundred KB built in
+    one narrow agg; the exact join here exists only as the audit).
+    Deterministic guarantee est ≥ exact (collisions only add); overshoot
+    ≤ ε·N_left·N_right at ε = e/width — both emitted as booleans the
+    oracle pins TRUE, next to the exact count it recomputes."""
+    import math
+
+    from remote_shuffle_spark.functions.sketches import CountMinSketchReader
+
+    eps, conf, seed = 0.001, 0.999, 42
+    ev = load_table(spark, sf_dir, "events")
+
+    def sketch_and_count(kind: str):
+        row = (
+            ev.filter(F.col("event_type") == kind)
+            .agg(
+                F.count_min_sketch(
+                    F.col("user_id"), F.lit(eps), F.lit(conf), F.lit(seed)
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        return CountMinSketchReader.from_bytes(bytes(row.s)), row.n
+
+    a, n_a = sketch_and_count("click")
+    b, n_b = sketch_and_count("view")
+    est = a.inner_product(b)
+    exact = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .join(ev.filter(F.col("event_type") == "view").select("user_id"), "user_id")
+        .count()
+    )
+    width_eps = math.e / a.width
+    return spark.createDataFrame(
+        [
+            (
+                exact,
+                bool(est >= exact),
+                bool(est <= exact + width_eps * n_a * n_b),
+            )
+        ],
+        "exact_pairs long, est_ge_exact boolean, est_within_eps boolean",
+    )

@@ -128,3 +128,29 @@ class CountMinSketchReader:
             v = self.table[i][abs(combined) % self.width]
             best = v if best is None else min(best, v)
         return best if best is not None else 0
+
+
+    def inner_product(self, other: "CountMinSketchReader") -> int:
+        """CMS inner-product JOIN-SIZE estimate (Cormode–Muthukrishnan):
+        for two sketches of the key-frequency vectors a, b built with the
+        SAME geometry and seed (row-aligned hash functions),
+
+            est = min_i Σ_j table_a[i][j] · table_b[i][j]
+
+        estimates Σ_k a_k·b_k — the exact row count of the equi-join on
+        that key.  Each row's sum only ADDS colliding-key cross terms, so
+        ``est >= exact`` deterministically; the overshoot is bounded by
+        ε·N_a·N_b (ε = e/width) with probability 1−δ per the published
+        analysis.  This is the shuffle-planning primitive: decide
+        broadcast-vs-SMJ (or predict a pathological join blowup) from two
+        small mergeable sketches (depth x width longs), never running
+        the join."""
+        if (self.depth, self.width) != (other.depth, other.width):
+            raise ValueError(
+                "inner_product needs identical sketch geometry: "
+                f"{(self.depth, self.width)} vs {(other.depth, other.width)}"
+            )
+        return min(
+            sum(a * b for a, b in zip(ra, rb))
+            for ra, rb in zip(self.table, other.table)
+        )

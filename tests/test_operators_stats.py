@@ -186,3 +186,33 @@ def test_cms_python_reader_jvm_parity(spark):
         assert py.total_count == jvm.totalCount()
         for w in probes:
             assert py.estimate_string(w) == jvm.estimateCount(w), (eps, conf, seed, w)
+
+
+def test_cms_inner_product_join_size_bounds(spark):
+    """CMS inner-product join-size estimate: est >= exact always (row
+    sums only add collision cross-terms), and at a deliberately TINY
+    width (eps=0.05 -> w=55, real collisions) the overshoot stays within
+    the published eps*Na*Nb envelope.  Geometry mismatch fails loud."""
+    import math
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.functions.sketches import CountMinSketchReader
+
+    left = spark.range(3000).select((F.col("id") % 97).alias("k"))
+    right = spark.range(2000).select((F.col("id") % 61).alias("k"))
+
+    def sk(df, eps):
+        row = df.agg(
+            F.count_min_sketch(F.col("k"), F.lit(eps), F.lit(0.99), F.lit(7)).alias("s")
+        ).collect()[0]
+        return CountMinSketchReader.from_bytes(bytes(row.s))
+
+    exact = left.join(right, "k").count()
+    a, b = sk(left, 0.05), sk(right, 0.05)
+    est = a.inner_product(b)
+    assert est >= exact
+    assert est <= exact + (math.e / a.width) * 3000 * 2000, (est, exact, a.width)
+    with _pytest.raises(ValueError, match="geometry"):
+        a.inner_product(sk(right, 0.01))
