@@ -88,7 +88,10 @@ def assign_arrival(
     from remote_shuffle_spark.operators.pipeline import with_global_index
 
     total = events.count()
-    n_rank_parts = max(2, min(32, total // 50_000 + 2))
+    # ~500k rows per range partition, uncapped below 4096: a fixed small
+    # cap would quietly re-introduce a (milder) funnel on huge tables;
+    # 4096 bounds the driver's per-partition count array, not the data
+    n_rank_parts = max(2, min(4096, total // 500_000 + 2))
     ranked = events.repartitionByRange(
         n_rank_parts, "ts", "event_id"
     ).sortWithinPartitions("ts", "event_id")
