@@ -91,6 +91,7 @@ class CountMinSketchReader:
     depth: int
     width: int
     table: tuple[tuple[int, ...], ...]
+    hash_a: tuple[int, ...] = ()
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "CountMinSketchReader":
@@ -98,7 +99,10 @@ class CountMinSketchReader:
         if version != 1:
             raise ValueError(f"unsupported CountMinSketch version {version}")
         depth, width = struct.unpack_from(">ii", buf, 12)
-        off = 20 + 8 * depth  # skip hashA (long-item hashing only)
+        # hashA seeds the per-row long-item hash functions; kept so
+        # cross-sketch operations can PROVE row alignment (same seed)
+        hash_a = struct.unpack_from(f">{depth}q", buf, 20)
+        off = 20 + 8 * depth
         expected = off + 8 * depth * width
         if len(buf) != expected:
             raise ValueError(
@@ -109,7 +113,9 @@ class CountMinSketchReader:
             struct.unpack_from(f">{width}q", buf, off + 8 * width * i)
             for i in range(depth)
         )
-        return cls(total_count=total, depth=depth, width=width, table=table)
+        return cls(
+            total_count=total, depth=depth, width=width, table=table, hash_a=hash_a
+        )
 
     def estimate_string(self, item: str) -> int:
         """Exact reproduction of the JVM ``estimateCount`` for a string
@@ -149,6 +155,12 @@ class CountMinSketchReader:
             raise ValueError(
                 "inner_product needs identical sketch geometry: "
                 f"{(self.depth, self.width)} vs {(other.depth, other.width)}"
+            )
+        if self.hash_a != other.hash_a:
+            raise ValueError(
+                "inner_product needs row-ALIGNED hash functions (same seed): "
+                "the sketches' hashA arrays differ, so the estimate would "
+                "carry no est >= exact guarantee"
             )
         return min(
             sum(a * b for a, b in zip(ra, rb))

@@ -457,20 +457,28 @@ def knn_join_lsh(
         F.col(query_id_col).alias("_qid"),
         to_double_array(vec_col).alias("_qvec"),
     ).select("_qid", "_qvec", bucket_of(F.col("_qvec")).alias("_qb"))
+    # TWO broadcasts instead of one: the probe table carries only
+    # (_qid, _bucket) — broadcasting the 64-double vector duplicated per
+    # probe would inflate the broadcast by the probe factor (up to
+    # 2^num_planes at full radius: 10k queries x 256 probes x 512 B
+    # ≈ 1.3 GB); the vectors ship ONCE in a second Q-row broadcast
+    # attached by _qid after the bucket join prunes candidates.
     probes = q.select(
         "_qid",
-        "_qvec",
         F.explode(
             F.array(*[F.col("_qb").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("_bucket"),
     )
+    qvecs = q.select("_qid", "_qvec")
     data = df.select(F.col(id_col), to_double_array(vec_col).alias("_vec")).select(
         F.col(id_col), "_vec", bucket_of(F.col("_vec")).alias("_bucket")
     )
     cos = cosine_similarity(F.col("_vec"), F.col("_qvec"))
     if round_to is not None:
         cos = F.round(cos, round_to)
-    scored = data.join(F.broadcast(probes), "_bucket").select(
+    scored = data.join(F.broadcast(probes), "_bucket").join(
+        F.broadcast(qvecs), "_qid"
+    ).select(
         F.col("_qid"),
         F.col(id_col).alias("_id"),
         cos.alias("cos_sim"),

@@ -53,7 +53,7 @@ class CheckpointIntegrityError(RuntimeError):
     """A checkpoint's on-disk file set no longer matches its commit manifest."""
 
 
-def _local_dir(path: str) -> str:
+def _local_dir(spark: SparkSession, path: str) -> str:
     """Resolve a ``file://``-scheme or scheme-less path to a plain local
     directory.  Manifest I/O is pure-Python ``os``/``open`` so it works
     identically in classic and Spark Connect mode (no ``_jvm``) and, on a
@@ -65,15 +65,29 @@ def _local_dir(path: str) -> str:
     pure-Python process doesn't have; fail loud rather than silently skip
     the integrity manifest — callers on such storage should point
     ``checkpoint_to`` at a mounted path or extend this seam with a
-    cloud-store client."""
-    if path.startswith("file://"):
-        return path[len("file:") :]
+    cloud-store client.  A SCHEME-LESS path is local only when the
+    session's default filesystem is local: if ``fs.defaultFS`` is set to
+    a remote store (the usual cluster config), Spark wrote the parquet
+    THERE and listing the driver's local disk would verify the wrong
+    directory — so that combination fails loud too.  (Caveat: a
+    defaultFS set only in core-site.xml — not as a spark.hadoop.* conf —
+    is invisible without py4j; spell it as spark.hadoop.fs.defaultFS or
+    use explicit file:// paths on such clusters.)"""
     if path.startswith("file:"):
         return path[len("file:") :]
     if "://" in path or (":" in path.split("/", 1)[0] and not os.path.isabs(path)):
         raise NotImplementedError(
             f"checkpoint manifest I/O is local-filesystem-only (got {path!r}); "
             "use a file:// / mounted path, or extend _local_dir for your store"
+        )
+    default_fs = spark.conf.get(
+        "spark.hadoop.fs.defaultFS", spark.conf.get("fs.defaultFS", "file:///")
+    )
+    if not str(default_fs).startswith("file:"):
+        raise NotImplementedError(
+            f"scheme-less checkpoint path {path!r} resolves against "
+            f"fs.defaultFS={default_fs!r}, not the driver-local disk — pass an "
+            "explicit file:// path (or extend _local_dir for your store)"
         )
     return path
 
@@ -94,7 +108,7 @@ def _write_manifest(spark: SparkSession, path: str) -> None:
     empty block."""
     import json
 
-    d = _local_dir(path)
+    d = _local_dir(spark, path)
     files = _list_data_files(d)
     tmp = os.path.join(d, f".{MANIFEST_NAME}.tmp")
     with open(tmp, "w") as fh:
@@ -105,7 +119,7 @@ def _write_manifest(spark: SparkSession, path: str) -> None:
 def _verify_manifest(spark: SparkSession, path: str) -> None:
     import json
 
-    d = _local_dir(path)
+    d = _local_dir(spark, path)
     mfile = os.path.join(d, MANIFEST_NAME)
     if not os.path.exists(mfile):
         return  # not a manifested checkpoint (plain directory) — nothing to assert

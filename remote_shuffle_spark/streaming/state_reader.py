@@ -79,6 +79,16 @@ def dedup_state_snapshot(
         q.processAllAvailable()
     finally:
         q.stop()
-    meta = state_operator_metadata(spark, ckpt).collect()
-    assert len(meta) == 1 and meta[0].operatorName == "dedupe", meta
-    return read_state_keys(spark, ckpt, ["user_id"]).orderBy("user_id")
+    try:
+        meta = state_operator_metadata(spark, ckpt).collect()
+        assert len(meta) == 1 and meta[0].operatorName == "dedupe", meta
+        assert meta[0].numPartitions == (state_partitions or 4), meta
+        # materialize the key set BEFORE removing the checkpoint (the
+        # statestore read is lazy over its files); keys are the state's
+        # distinct user_ids — bounded driver data by construction
+        keys = read_state_keys(spark, ckpt, ["user_id"]).collect()
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)  # no per-run /tmp garbage
+    return spark.createDataFrame(keys, "user_id long").orderBy("user_id")

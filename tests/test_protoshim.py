@@ -20,10 +20,16 @@ ensure_protobuf()
 sm = pytest.importorskip("pyspark.sql.streaming.proto.StateMessage_pb2")
 
 
-def test_shim_is_active_not_real_protobuf():
+def test_shim_activation_matches_environment():
+    """When the real protobuf is installed (cluster images) the shim must
+    NOT load; when it is absent (this container) the shim must.  Either
+    way ensure_protobuf's answer and the imported package must agree."""
     import google.protobuf as gp
 
-    assert "rssmini" in gp.__version__
+    shim_active = "rssmini" in gp.__version__
+    assert ensure_protobuf() == shim_active
+    if not shim_active:
+        pytest.skip("real google.protobuf installed — shim correctly dormant")
 
 
 def test_known_bytes_sethandlestate():
@@ -169,3 +175,14 @@ def test_descriptor_parse_covers_all_messages():
     have = set(sm.DESCRIPTOR.message_types_by_name)
     missing = needed - have
     assert not missing, missing
+
+
+def test_nested_write_to_unset_submessage_fails_loud():
+    """Real protobuf auto-vivifies on nested write; the shim doesn't
+    model attachment, so the fail-loud policy demands the write RAISE
+    instead of silently discarding (reads of unset submessages still
+    return defaults)."""
+    req = sm.StateRequest()
+    assert req.statefulProcessorCall.setHandleState.state == 0  # read ok
+    with pytest.raises(NotImplementedError, match="UNSET submessage"):
+        req.statefulProcessorCall.setHandleState = sm.SetHandleState(state=1)
