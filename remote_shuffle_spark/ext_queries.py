@@ -5193,3 +5193,91 @@ def ext_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "exact_pairs long, est_ge_exact boolean, est_within_eps boolean",
     )
+
+
+@declared(
+    "ext_udtf_polymorphic",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS w
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, w[1] AS w1, w[2] AS w2, w[3] AS w3
+    FROM t ORDER BY doc_id
+    """,
+    tags=("ext", "udtf", "sql4"),
+)
+def ext_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (operators/udf.py:leading_words_udtf_class):
+    the output schema (w1..wN) is computed at plan time by ``analyze``
+    from the constant width argument — Spark 4's dynamic-schema UDTF
+    surface, exercised through SQL LATERAL so Catalyst plans the
+    generator (the fixed-schema UDTF seam is pytest-covered; this one is
+    oracle-checked).  First 3 whitespace-split words per doc, NULL-padded;
+    DuckDB mirrors with string_split_regex."""
+    import uuid as _uuid
+
+    from pyspark.sql.functions import udtf
+
+    from remote_shuffle_spark.operators.udf import leading_words_udtf_class
+
+    name = f"leading_words_{_uuid.uuid4().hex[:8]}"
+    spark.udtf.register(name, udtf(leading_words_udtf_class()))
+    view = f"docs_udtf_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).createOrReplaceTempView(view)
+    out = spark.sql(
+        f"SELECT d.doc_id, u.* FROM {view} d, LATERAL {name}(d.text, 3) u "
+        "ORDER BY d.doc_id"
+    )
+    spark.catalog.dropTempView(view)
+    return out
+
+
+@declared(
+    "ext_stream_available_now",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+    tags=("ext", "streaming", "trigger"),
+)
+def ext_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow drain: the modern batch-over-stream idiom —
+    process EVERYTHING available in rate-limited micro-batches, then
+    stop on its own (no processAllAvailable polling, no always-on
+    query); the standard shape for periodic incremental jobs sharing
+    streaming's exactly-once bookkeeping.  Complete-mode day×type counts
+    over the ordered split; the query TERMINATES via awaitTermination,
+    proving the trigger semantics, and the counts equal the batch
+    GROUP BY."""
+    import uuid as _uuid
+
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        late_split_dir,
+    )
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    split = late_split_dir(spark, sf_dir, late_every=None)
+    schema = _ordered_events(spark, sf_dir).schema
+    s2 = stream_session(spark, 4)
+    stream = (
+        s2.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(split)
+    )
+    agg = stream.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    name = f"avnow_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # AvailableNow stops itself after draining
+    assert not q.isActive, "AvailableNow trigger failed to self-terminate"
+    return s2.table(name).orderBy("day", "event_type")

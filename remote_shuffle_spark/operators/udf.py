@@ -90,3 +90,34 @@ def ngram_udtf_class():
                 yield doc_id, " ".join(toks[i : i + n]), i
 
     return NGrams
+
+
+def leading_words_udtf_class(n_cols: int = 3):
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze``): output schema is
+    computed at PLAN time from the constant width argument — the
+    flagship UDTF capability beyond fixed-schema generators
+    (:func:`ngram_udtf_class`).  ``analyze`` receives the call's
+    arguments (constants carry ``.value``) and returns the
+    ``AnalyzeResult`` schema: here ``w1..wN string`` for width N, so the
+    SAME function registers once and different call sites get different
+    shapes.  ``eval`` pads short texts with NULLs — total function, no
+    row loss."""
+    from pyspark.sql.functions import AnalyzeResult
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    class LeadingWords:
+        @staticmethod
+        def analyze(text, width):
+            n = int(width.value)
+            return AnalyzeResult(
+                schema=StructType(
+                    [StructField(f"w{i+1}", StringType()) for i in range(n)]
+                )
+            )
+
+        def eval(self, text, width):
+            n = int(width)
+            words = str(text).split() if text is not None else []
+            yield tuple(words[i] if i < len(words) else None for i in range(n))
+
+    return LeadingWords
