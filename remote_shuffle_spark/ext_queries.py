@@ -5281,3 +5281,99 @@ def ext_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(120)  # AvailableNow stops itself after draining
     assert not q.isActive, "AvailableNow trigger failed to self-terminate"
     return s2.table(name).orderBy("day", "event_type")
+
+
+@declared(
+    "ext_scalar_subquery_fanout",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM events WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 0 AND 2) AS h0,
+      (SELECT COUNT(*) FROM events WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 3 AND 5) AS h1,
+      (SELECT COUNT(*) FROM events WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 8) AS h2,
+      (SELECT COUNT(*) FROM events WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 9 AND 11) AS h3,
+      (SELECT COUNT(*) FROM events WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 12 AND 14) AS h4,
+      (SELECT COUNT(*) FROM events WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 15 AND 17) AS h5,
+      (SELECT COUNT(*) FROM events WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 18 AND 20) AS h6,
+      (SELECT COUNT(*) FROM events WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 21 AND 23) AS h7
+    """,
+    tags=("ext", "tpcds", "subquery"),
+)
+def ext_scalar_subquery_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88-style SCALAR-SUBQUERY FAN-OUT: one result row built
+    from eight independent scalar aggregates (hour-band counts), the
+    classic dashboard shape whose naive plan runs eight table scans.
+    Expressed via the SQL entry path so Catalyst plans the subqueries as
+    written; at 100 TB you'd rewrite it to ONE conditional-aggregation
+    scan (COUNT(CASE WHEN ...)), which is exactly what the twin query
+    ext_scalar_subquery_fanout's pytest asserts gives identical results
+    — the oracle here pins the eight-subquery form itself."""
+    import uuid as _uuid
+
+    view = f"events_fanout_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    bands = [(0, 2), (3, 5), (6, 8), (9, 11), (12, 14), (15, 17), (18, 20), (21, 23)]
+    selects = ", ".join(
+        f"(SELECT COUNT(*) FROM {view} WHERE hour(ts) BETWEEN {lo} AND {hi}) AS h{i}"
+        for i, (lo, hi) in enumerate(bands)
+    )
+    out = spark.sql(f"SELECT {selects}")
+    spark.catalog.dropTempView(view)
+    return out
+
+
+@declared(
+    "ext_year_over_year_cte",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey,
+             EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT a.o_custkey AS custkey,
+           CAST(a.yr AS INT) AS yr,
+           CAST(ROUND(CAST(a.total AS DECIMAL(18,4)), 2) AS DOUBLE) AS total,
+           CAST(ROUND(CAST(b.total AS DECIMAL(18,4)), 2) AS DOUBLE) AS next_total
+    FROM yearly a JOIN yearly b
+      ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+    WHERE b.total > a.total
+    ORDER BY custkey, yr
+    """,
+    tags=("ext", "tpcds", "cte"),
+)
+def ext_year_over_year_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q4/Q11-style YEAR-OVER-YEAR CTE SELF-JOIN: one yearly
+    aggregate computed once and joined to itself shifted a year,
+    keeping customers whose spend grew.  Structural points: CTE reuse
+    (one aggregation, two consumers), a +1 equi-join on a derived key,
+    and the decimal-sum → round → double float-stability discipline on
+    BOTH emitted totals.  At 100 TB the yearly CTE is the natural
+    checkpoint_to cut — both join sides then read one materialization."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total")
+    )
+    a, b = yearly.alias("a"), yearly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .filter(F.col("b.total") > F.col("a.total"))
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.yr").cast("int").alias("yr"),
+            F.round(F.col("a.total").cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("total"),
+            F.round(F.col("b.total").cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("next_total"),
+        )
+        .orderBy("custkey", "yr")
+    )

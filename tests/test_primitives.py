@@ -171,3 +171,31 @@ def test_salted_join_equals_plain_join(spark):
     plan = salted_join(left, right, "k", salt_buckets=4)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_scalar_subquery_fanout_equals_single_scan(spark):
+    """ext_scalar_subquery_fanout's 100 TB guidance, proven: the eight
+    scalar subqueries (eight scans as written) equal ONE conditional-
+    aggregation scan — the rewrite a production dashboard ships."""
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.ext_queries import ext_scalar_subquery_fanout
+    from remote_shuffle_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    multi = ext_scalar_subquery_fanout(spark, sf).collect()[0].asDict()
+    ev = load_table(spark, sf, "events")
+    bands = [(0, 2), (3, 5), (6, 8), (9, 11), (12, 14), (15, 17), (18, 20), (21, 23)]
+    single = (
+        ev.agg(
+            *[
+                F.count(
+                    F.when(F.hour("ts").between(lo, hi), 1)
+                ).alias(f"h{i}")
+                for i, (lo, hi) in enumerate(bands)
+            ]
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert multi == single and sum(multi.values()) == ev.count()
