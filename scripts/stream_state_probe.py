@@ -125,12 +125,22 @@ def run_join(spark, stream_dir: str, *, delay: str, horizon_minutes: int):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="substring filter: 'join' or 'tws'")
+    args = ap.parse_args()
+
     from remote_shuffle_spark import EngineConfig, get_session
 
     spark = get_session(EngineConfig(app_name="rss_stream_state_probe"))
     spark.sparkContext.setLogLevel("ERROR")
 
     results = {}
+    if args.only and "tws" in args.only and "join" not in args.only:
+        results["tws_cost"] = tws_cost_probe(spark)
+        print(json.dumps(results))
+        return
     # Law 1: held rate + horizon, growing span (volume) — state must stay flat
     for mult, span in (("1x", 600), ("5x", 3000), ("10x", 6000)):
         d = synth_stream_dir(spark, span)
@@ -154,7 +164,98 @@ def main():
     # delay is the dominant state term (delay + horizon window): 2x delay
     # on a 5min+2min window predicts (10+2)/(5+2) ~ 1.7x
     assert 1.3 <= delay_ratio <= 2.5, f"delay scaling off: {delay_ratio}"
+    if not args.only or "tws" in args.only:
+        results["tws_cost"] = tws_cost_probe(spark)
     print(json.dumps(results))
+
+
+
+
+def tws_cost_probe(spark):
+    """Substantiate the TWS cost model stateful_v2.type_counts_stream
+    documents: per-op state-server round-trips make wall time track
+    KEYS × batches, nearly flat in rows-per-key.  Three runs: baseline,
+    4× keys (same rows), 4× rows (same keys)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from remote_shuffle_spark.streaming.source import stream_session
+    from remote_shuffle_spark.streaming.stateful_v2 import tws_available
+
+    if not tws_available():
+        return {"skipped": "no protobuf/shim"}
+
+    class Count(StatefulProcessor):
+        def init(self, handle):
+            self.n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            add = sum(len(p) for p in rows)
+            prev = self.n.get()[0] if self.n.exists() else 0
+            self.n.update((prev + add,))
+            yield pd.DataFrame([(int(key[0]), prev + add)], columns=["k", "n"])
+
+        def close(self):
+            pass
+
+    def synth(n_rows, n_keys):
+        d = os.path.join(
+            tempfile.gettempdir(), f"rss_twsprobe_{n_rows}_{n_keys}_{uuid.uuid4().hex[:6]}"
+        )
+        os.makedirs(d)
+        df = spark.range(n_rows).select(
+            F.pmod(F.xxhash64("id"), F.lit(n_keys)).alias("k"),
+            F.col("id").alias("v"),
+        )
+        per = n_rows // 4
+        for i in range(4):
+            part = os.path.join(d, f"_p{i}")
+            df.filter((F.col("v") >= i * per) & (F.col("v") < (i + 1) * per)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(part)
+            f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+            os.rename(os.path.join(part, f), os.path.join(d, f"s{i}.parquet"))
+            shutil.rmtree(part)
+            os.utime(os.path.join(d, f"s{i}.parquet"), (1_700_000_000 + i, 1_700_000_000 + i))
+        return d
+
+    import time as _t
+
+    out = {}
+    for tag, n_rows, n_keys in (
+        ("warmup", 20_000, 200),  # codegen + Python-worker pool spin-up
+        ("base_200k_rows_2k_keys", 200_000, 2_000),
+        ("keys_x4", 200_000, 8_000),
+        ("rows_x4", 800_000, 2_000),
+    ):
+        d = synth(n_rows, n_keys)
+        s2 = stream_session(spark, 8)
+        s2.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        stream = (
+            s2.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        res = stream.groupBy("k").transformWithStateInPandas(
+            Count(), "k long, n long", "Update", "none"
+        )
+        t0 = _t.perf_counter()
+        q = res.writeStream.outputMode("update").format("noop").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out[tag] = round(_t.perf_counter() - t0, 1)
+        shutil.rmtree(d, ignore_errors=True)
+        print(f"  tws {tag}: {out[tag]}s", file=sys.stderr)
+    out["keys_x4_ratio"] = round(out["keys_x4"] / out["base_200k_rows_2k_keys"], 2)
+    out["rows_x4_ratio"] = round(out["rows_x4"] / out["base_200k_rows_2k_keys"], 2)
+    # the model: key-scaling dominates row-scaling
+    assert out["keys_x4_ratio"] > out["rows_x4_ratio"], out
+    return out
 
 
 if __name__ == "__main__":
