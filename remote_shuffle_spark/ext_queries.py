@@ -5377,3 +5377,26 @@ def ext_year_over_year_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "yr")
     )
+
+
+@declared(
+    "ext_stream_content_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, md5(text) AS digest
+    FROM documents GROUP BY text ORDER BY doc_id
+    """,
+    tags=("ext", "streaming", "dedup", "pipeline"),
+)
+def ext_stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME streaming content dedup
+    (streaming/dedup.py:streaming_content_dedup): documents arrive as
+    time-ordered micro-batches, each text's md5 digest is the dedup key,
+    dropDuplicatesWithinWatermark keeps the FIRST arrival per content
+    and expires digest state past the watermark — the bounded-state
+    shape a training-corpus crawl ingest runs continuously.  Kept set =
+    first doc per distinct text, which the oracle states directly
+    (md5 is computed independently by both engines — a content-digest
+    parity check for free)."""
+    from remote_shuffle_spark.streaming.dedup import streaming_content_dedup
+
+    return streaming_content_dedup(spark, sf_dir)

@@ -165,3 +165,94 @@ def streaming_distinct_within_watermark(
     finally:
         query.stop()
     return scoped.table(name).orderBy("event_id")
+
+
+def doc_split_dir(spark: SparkSession, sf_dir: str, *, n_splits: int = 4) -> str:
+    """Documents as a time-ordered micro-batch stream: contiguous doc_id
+    ranges per file, synthetic event time ts = epoch + doc_id seconds
+    (documents carry no timestamp; a deterministic one makes watermarks
+    usable).  Cached like late_split_dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = table_path(sf_dir, "documents")
+    real = os.path.realpath(src)
+    st = os.stat(real)
+    key = hashlib.sha1(
+        f"docsplit|{real}|{n_splits}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"rss_docsplit_{key}")
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    docs = spark.read.parquet(src).select(
+        "doc_id",
+        "text",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    total = docs.count()
+    per = total // n_splits
+    base_mtime = 1_700_000_000
+    for k in range(n_splits):
+        lo = k * per
+        hi = (k + 1) * per if k < n_splits - 1 else total
+        part_dir = os.path.join(tmp, f"_p{k}")
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(part_dir)
+        fname = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(tmp, f"split_{k}.parquet")
+        shutil.move(os.path.join(part_dir, fname), dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (base_mtime + k * 10, base_mtime + k * 10))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def streaming_content_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    watermark: str = "30 minutes",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """INGEST-TIME content dedup over a document stream: md5 digest of
+    the text as the dedup key, ``dropDuplicatesWithinWatermark`` state —
+    the first thing a training-corpus ingest does to an arriving crawl
+    (content-level exact dedup, not record-key dedup).  State holds
+    16-byte digests, expires with the watermark, and the kept set over
+    the finite fixture is exactly "first doc per distinct text" (the
+    expire-vs-late boundary is shared, so expiry cannot re-admit a
+    duplicate — same argument as streaming_distinct_within_watermark).
+    Returns (doc_id, digest)."""
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    scoped = stream_session(spark, state_partitions)
+    d = doc_split_dir(spark, sf_dir)
+    stream = (
+        scoped.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("digest", F.md5(F.encode("text", "utf-8")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+        .select("doc_id", "digest")
+    )
+    name = f"content_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return scoped.table(name).orderBy("doc_id")
