@@ -5400,3 +5400,52 @@ def ext_stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from remote_shuffle_spark.streaming.dedup import streaming_content_dedup
 
     return streaming_content_dedup(spark, sf_dir)
+
+
+@declared(
+    "ext_xml_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE user_id < 5
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ext", "source", "xml"),
+)
+def ext_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip (Spark 4 built-in ``xml`` format —
+    new next to the parquet/orc/json/csv/text/binaryFile surface in
+    sources/io.py): a deterministic events slice is written as XML
+    (rowTag records) and read back with an EXPLICIT schema (inference
+    would widen types), then aggregated; matching the direct-over-
+    parquet oracle proves the round-trip lost nothing.  XML is the
+    interchange format enterprise feeds still arrive in; the engine
+    reads it with the same declarative scan API as every other source."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    d = os.path.join(tempfile.gettempdir(), f"rss_xml_{_uuid.uuid4().hex[:8]}")
+    slice_df = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .select("event_id", "user_id", "event_type")
+    )
+    slice_df.write.format("xml").option("rootTag", "events").option(
+        "rowTag", "event"
+    ).save(d)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id long, user_id long, event_type string")
+        .load(d)
+    )
+    out = (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
+        .orderBy("event_type")
+    )
+    rows = out.collect()  # materialize before the dir vanishes
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_type string, n long, id_sum long")
