@@ -5449,3 +5449,40 @@ def ext_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "event_type string, n long, id_sum long")
+
+
+@declared(
+    "ext_approx_top_k",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+    )
+    SELECT word, COUNT(*) AS n FROM w WHERE word != ''
+    GROUP BY word ORDER BY n DESC, word
+    """,
+    tags=("ext", "sketch", "sql41"),
+)
+def ext_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``approx_top_k`` (Spark 4.1): frequent-items sketch over
+    the exploded document vocabulary, k and maxItemsTracked both above
+    the vocabulary size so every count is EXACT and the full histogram
+    is oracle-checkable (the same exact-regime hook the KLL/Theta/CMS
+    queries use).  The emitted struct array is exploded and re-sorted by
+    (n DESC, word) so ordering is ours, not the sketch's internal tie
+    order.  At real vocabularies the same one-line agg returns the
+    approximate top-k with the sketch's guarantees — the native
+    alternative to the CMS heavy-hitters pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    topk = words.agg(
+        F.expr("approx_top_k(word, 64, 100000)").alias("tk")
+    )
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("word"), F.col("e.count").alias("n")
+        )
+        .orderBy(F.col("n").desc(), "word")
+    )
