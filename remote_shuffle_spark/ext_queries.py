@@ -5199,7 +5199,11 @@ def ext_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_udtf_polymorphic",
     oracle="""
     WITH t AS (
-      SELECT doc_id, string_split_regex(text, '\\s+') AS w
+      -- mirror Python str.split(): no empty tokens, leading/trailing
+      -- whitespace ignored (edge corpus: '' and whitespace-only docs)
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '') AS w
       FROM documents WHERE doc_id < 200
     )
     SELECT doc_id, w[1] AS w1, w[2] AS w2, w[3] AS w3

@@ -186,3 +186,20 @@ def test_nested_write_to_unset_submessage_fails_loud():
     assert req.statefulProcessorCall.setHandleState.state == 0  # read ok
     with pytest.raises(NotImplementedError, match="UNSET submessage"):
         req.statefulProcessorCall.setHandleState = sm.SetHandleState(state=1)
+
+
+def test_nested_write_to_non_oneof_submessage_vivifies(sm=sm):
+    """pyspark's state client sets TTL via the nested-write idiom
+    (state_call_command.ttl.durationMs = x) — the vivified submessage
+    must ATTACH so the write lands on the wire (the round-7 pre-fix shim
+    handed back an unattached instance and silently dropped the TTL;
+    caught because freezing it made the drop loud)."""
+    cmd = sm.StateCallCommand(stateName="n", schema="n long")
+    cmd.ttl.durationMs = 123456
+    data = cmd.SerializeToString()
+    back = sm.StateCallCommand()
+    back.ParseFromString(data)
+    assert back.ttl.durationMs == 123456
+    # TTLConfig.durationMs field 1 varint inside StateCallCommand.ttl
+    # field 4 LEN: tag 0x22, len 4, tag 0x08, varint 123456
+    assert bytes.fromhex("2204") + bytes([0x08]) in data
