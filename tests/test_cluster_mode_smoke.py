@@ -66,13 +66,22 @@ spark.stop()
 
 
 def test_local_cluster_smoke():
-    res = subprocess.run(
-        [sys.executable, "-c", SCRIPT],
-        capture_output=True,
-        text=True,
-        timeout=420,
-        cwd="/root/repo",
-    )
+    # Two executor JVMs + a TWS stream under a loaded 32-core VM can blow
+    # spawn deadlines; one retry distinguishes load flake from real break
+    # (a genuine regression fails both runs identically).
+    res = None
+    for attempt in range(2):
+        res = subprocess.run(
+            [sys.executable, "-c", SCRIPT],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            cwd="/root/repo",
+        )
+        if res.returncode == 0 and any(
+            ln.startswith("RESULT:") for ln in res.stdout.splitlines()
+        ):
+            break
     assert res.returncode == 0, res.stderr[-3000:]
     line = next(
         ln for ln in res.stdout.splitlines() if ln.startswith("RESULT:")
