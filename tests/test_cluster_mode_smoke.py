@@ -30,7 +30,16 @@ os.environ.setdefault("SPARK_HOME", "/opt/spark")
 # local-mode can't falsify: driver env -> master -> executor JVM ->
 # worker).  Sessions built through get_session do this implicitly; this
 # script builds its own session, the documented pattern for that case.
+# The REPO itself must also be on the worker PYTHONPATH: the TWS
+# processor class pickles with its module path, and executor workers
+# unpickle it by import (driver-only sys.path passed local[32] silently;
+# a real executor raised ModuleNotFoundError - exactly the class of bug
+# this smoke exists to catch.  Deployed clusters pip-install the
+# package; tests propagate the checkout).
 import sys; sys.path.insert(0, "/root/repo")
+_pp = os.environ.get("PYTHONPATH", "")
+if "/root/repo" not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = "/root/repo" + (os.pathsep + _pp if _pp else "")
 from remote_shuffle_spark.vendor import ensure_protobuf
 ensure_protobuf()
 from pyspark.sql import SparkSession
@@ -82,6 +91,8 @@ def test_local_cluster_smoke():
             ln.startswith("RESULT:") for ln in res.stdout.splitlines()
         ):
             break
+        with open(f"/tmp/cluster_smoke_fail_{attempt}.log", "w") as fh:
+            fh.write(f"rc={res.returncode}\n--- STDOUT\n{res.stdout[-8000:]}\n--- STDERR\n{res.stderr[-12000:]}")
     assert res.returncode == 0, res.stderr[-3000:]
     line = next(
         ln for ln in res.stdout.splitlines() if ln.startswith("RESULT:")
