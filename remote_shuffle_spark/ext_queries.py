@@ -5282,8 +5282,12 @@ def ext_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)  # AvailableNow stops itself after draining
-    assert not q.isActive, "AvailableNow trigger failed to self-terminate"
+    try:
+        q.awaitTermination(120)  # AvailableNow stops itself after draining
+        assert not q.isActive, "AvailableNow trigger failed to self-terminate"
+    finally:
+        if q.isActive:  # failure path: never leak a live query into the session
+            q.stop()
     return s2.table(name).orderBy("day", "event_type")
 
 
@@ -5395,12 +5399,16 @@ def ext_stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INGEST-TIME streaming content dedup
     (streaming/dedup.py:streaming_content_dedup): documents arrive as
     time-ordered micro-batches, each text's md5 digest is the dedup key,
-    dropDuplicatesWithinWatermark keeps the FIRST arrival per content
-    and expires digest state past the watermark — the bounded-state
-    shape a training-corpus crawl ingest runs continuously.  Kept set =
-    first doc per distinct text, which the oracle states directly
-    (md5 is computed independently by both engines — a content-digest
-    parity check for free)."""
+    dropDuplicatesWithinWatermark keeps the FIRST arrival per content,
+    with digest state bounded by the watermark horizon — the shape a
+    training-corpus crawl ingest runs continuously.  The horizon is set
+    beyond the fixture span so "first doc per distinct text" is exact:
+    dup pairs here carry DIFFERENT event times, so a short horizon would
+    re-admit a dup whose original expired (round-7 review caught the
+    30-minute default passing on fixture luck); production tunes it to
+    the re-crawl window it wants to dedup across.  md5 is computed
+    independently by both engines — a content-digest parity check for
+    free."""
     from remote_shuffle_spark.streaming.dedup import streaming_content_dedup
 
     return streaming_content_dedup(spark, sf_dir)

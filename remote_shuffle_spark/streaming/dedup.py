@@ -99,19 +99,19 @@ def dup_split_dir(
     assigned = assign_arrival(
         _ordered_events(spark, sf_dir), n_splits=n_splits, late_every=None
     )
+    from remote_shuffle_spark.streaming.splitutil import materialize_split_files
+
     dupes = assigned.filter(F.pmod(F.col("event_id"), F.lit(dup_every)) == 0)
     with_dupes = assigned.unionAll(dupes)
-    base_mtime = 1_700_000_000
-    for k in range(n_splits):
-        part_dir = os.path.join(tmp, f"_p{k}")
-        with_dupes.filter(F.col("arrival") == k).select(
-            "event_id", "user_id", "event_type", "ts"
-        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
-        fname = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
-        dst = os.path.join(tmp, f"split_{k}.parquet")
-        shutil.move(os.path.join(part_dir, fname), dst)
-        shutil.rmtree(part_dir)
-        os.utime(dst, (base_mtime + k * 10, base_mtime + k * 10))
+    materialize_split_files(
+        [
+            with_dupes.filter(F.col("arrival") == k).select(
+                "event_id", "user_id", "event_type", "ts"
+            )
+            for k in range(n_splits)
+        ],
+        tmp,
+    )
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
     try:
         os.rename(tmp, out)
@@ -195,21 +195,22 @@ def doc_split_dir(spark: SparkSession, sf_dir: str, *, n_splits: int = 4) -> str
             F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
         ).alias("ts"),
     )
-    total = docs.count()
-    per = total // n_splits
-    base_mtime = 1_700_000_000
+    # boundaries from the ACTUAL doc_id range, not the row count — a
+    # regenerated fixture with 1-based or gapped ids must not lose rows
+    # (range-partitioning by value only misbalances on gaps, never drops)
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    span = int(bounds.hi) - int(bounds.lo) + 1
+    from remote_shuffle_spark.streaming.splitutil import materialize_split_files
+
+    per = max(1, span // n_splits)
+    frames = []
     for k in range(n_splits):
-        lo = k * per
-        hi = (k + 1) * per if k < n_splits - 1 else total
-        part_dir = os.path.join(tmp, f"_p{k}")
-        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
-            1
-        ).write.mode("overwrite").parquet(part_dir)
-        fname = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
-        dst = os.path.join(tmp, f"split_{k}.parquet")
-        shutil.move(os.path.join(part_dir, fname), dst)
-        shutil.rmtree(part_dir)
-        os.utime(dst, (base_mtime + k * 10, base_mtime + k * 10))
+        lo = int(bounds.lo) + k * per
+        hi = int(bounds.lo) + (k + 1) * per if k < n_splits - 1 else int(bounds.hi) + 1
+        frames.append(docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)))
+    materialize_split_files(frames, tmp)
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
     try:
         os.rename(tmp, out)
@@ -222,18 +223,26 @@ def streaming_content_dedup(
     spark: SparkSession,
     sf_dir: str,
     *,
-    watermark: str = "30 minutes",
+    watermark: str = "30 days",
     state_partitions: int | None = 8,
 ) -> DataFrame:
     """INGEST-TIME content dedup over a document stream: md5 digest of
     the text as the dedup key, ``dropDuplicatesWithinWatermark`` state —
     the first thing a training-corpus ingest does to an arriving crawl
-    (content-level exact dedup, not record-key dedup).  State holds
-    16-byte digests, expires with the watermark, and the kept set over
-    the finite fixture is exactly "first doc per distinct text" (the
-    expire-vs-late boundary is shared, so expiry cannot re-admit a
-    duplicate — same argument as streaming_distinct_within_watermark).
-    Returns (doc_id, digest)."""
+    (content-level exact dedup, not record-key dedup).
+
+    WATERMARK CHOICE: duplicate pairs here have DIFFERENT event times
+    (ts tracks arrival position), so unlike
+    :func:`streaming_distinct_within_watermark` (same-timestamp dups,
+    shared expire/late boundary) a horizon shorter than the stream span
+    re-admits a dup whose original expired — the "first per content"
+    oracle is only exact when the watermark covers the fixture span
+    (review round 7 caught the 30-minute default passing on FIXTURE LUCK:
+    every planted dup pair happened to sit inside the live window).  The
+    30-day default makes the oracle sound for any plausible fixture;
+    production tunes it to the re-crawl window it actually wants to
+    dedup across — accepting re-admission past it is the POINT of the
+    bounded-state API.  Returns (doc_id, digest)."""
     from remote_shuffle_spark.streaming.source import stream_session
 
     scoped = stream_session(spark, state_partitions)

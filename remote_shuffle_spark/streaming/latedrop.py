@@ -130,21 +130,21 @@ def late_split_dir(
         return out
     tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
+    from remote_shuffle_spark.streaming.splitutil import materialize_split_files
+
     assigned = assign_arrival(
         _ordered_events(spark, sf_dir), n_splits=n_splits, late_every=late_every
     )
-    base_mtime = 1_700_000_000
     n_files = n_splits if late_every is None else n_splits + 1
-    for k in range(n_files):
-        part_dir = os.path.join(tmp, f"_p{k}")
-        assigned.filter(F.col("arrival") == k).select(
-            "event_id", "user_id", "event_type", "ts"
-        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
-        fname = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
-        dst = os.path.join(tmp, f"split_{k}.parquet")
-        shutil.move(os.path.join(part_dir, fname), dst)
-        shutil.rmtree(part_dir)
-        os.utime(dst, (base_mtime + k * 10, base_mtime + k * 10))
+    materialize_split_files(
+        [
+            assigned.filter(F.col("arrival") == k).select(
+                "event_id", "user_id", "event_type", "ts"
+            )
+            for k in range(n_files)
+        ],
+        tmp,
+    )
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
     try:
         os.rename(tmp, out)

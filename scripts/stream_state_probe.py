@@ -59,19 +59,23 @@ def synth_stream_dir(spark, span_s: int) -> str:
             "event_type"
         ),
     )
+    from remote_shuffle_spark.streaming.splitutil import materialize_split_files
+
     per_file = total // N_FILES
-    base_mtime = 1_700_000_000
-    for k in range(N_FILES):
-        part = os.path.join(out, f"_p{k}")
-        df.filter(
-            (F.col("event_id") >= k * per_file)
-            & (F.col("event_id") < (k + 1) * per_file if k < N_FILES - 1 else F.lit(True))
-        ).coalesce(1).write.mode("overwrite").parquet(part)
-        fname = next(f for f in os.listdir(part) if f.endswith(".parquet"))
-        dst = os.path.join(out, f"split_{k}.parquet")
-        shutil.move(os.path.join(part, fname), dst)
-        shutil.rmtree(part)
-        os.utime(dst, (base_mtime + k * 10, base_mtime + k * 10))
+    materialize_split_files(
+        [
+            df.filter(
+                (F.col("event_id") >= k * per_file)
+                & (
+                    F.col("event_id") < (k + 1) * per_file
+                    if k < N_FILES - 1
+                    else F.lit(True)
+                )
+            )
+            for k in range(N_FILES)
+        ],
+        out,
+    )
     return out
 
 
@@ -207,16 +211,16 @@ def tws_cost_probe(spark):
             F.pmod(F.xxhash64("id"), F.lit(n_keys)).alias("k"),
             F.col("id").alias("v"),
         )
+        from remote_shuffle_spark.streaming.splitutil import materialize_split_files
+
         per = n_rows // 4
-        for i in range(4):
-            part = os.path.join(d, f"_p{i}")
-            df.filter((F.col("v") >= i * per) & (F.col("v") < (i + 1) * per)).coalesce(
-                1
-            ).write.mode("overwrite").parquet(part)
-            f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
-            os.rename(os.path.join(part, f), os.path.join(d, f"s{i}.parquet"))
-            shutil.rmtree(part)
-            os.utime(os.path.join(d, f"s{i}.parquet"), (1_700_000_000 + i, 1_700_000_000 + i))
+        materialize_split_files(
+            [
+                df.filter((F.col("v") >= i * per) & (F.col("v") < (i + 1) * per))
+                for i in range(4)
+            ],
+            d,
+        )
         return d
 
     import time as _t

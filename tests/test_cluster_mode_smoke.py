@@ -94,9 +94,12 @@ def test_local_cluster_smoke():
         with open(f"/tmp/cluster_smoke_fail_{attempt}.log", "w") as fh:
             fh.write(f"rc={res.returncode}\n--- STDOUT\n{res.stdout[-8000:]}\n--- STDERR\n{res.stderr[-12000:]}")
     assert res.returncode == 0, res.stderr[-3000:]
-    line = next(
-        ln for ln in res.stdout.splitlines() if ln.startswith("RESULT:")
+    result_lines = [ln for ln in res.stdout.splitlines() if ln.startswith("RESULT:")]
+    assert result_lines, (
+        "subprocess exited 0 without a RESULT line; see "
+        "/tmp/cluster_smoke_fail_*.log -- stderr tail: " + res.stderr[-2000:]
     )
+    line = result_lines[0]
     got = json.loads(line.removeprefix("RESULT:"))
     assert got["entry_rows"] > 0
     assert got["heavy_hitters_rows"] == 10

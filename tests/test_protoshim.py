@@ -191,9 +191,9 @@ def test_nested_write_to_unset_submessage_fails_loud():
 def test_nested_write_to_non_oneof_submessage_vivifies(sm=sm):
     """pyspark's state client sets TTL via the nested-write idiom
     (state_call_command.ttl.durationMs = x) — the vivified submessage
-    must ATTACH so the write lands on the wire (the round-7 pre-fix shim
-    handed back an unattached instance and silently dropped the TTL;
-    caught because freezing it made the drop loud)."""
+    must ATTACH ON WRITE so the config lands on the wire (the round-7
+    pre-fix shim handed back an unattached instance and silently dropped
+    the TTL; caught because freezing it made the drop loud)."""
     cmd = sm.StateCallCommand(stateName="n", schema="n long")
     cmd.ttl.durationMs = 123456
     data = cmd.SerializeToString()
@@ -203,3 +203,33 @@ def test_nested_write_to_non_oneof_submessage_vivifies(sm=sm):
     # TTLConfig.durationMs field 1 varint inside StateCallCommand.ttl
     # field 4 LEN: tag 0x22, len 4, tag 0x08, varint 123456
     assert bytes.fromhex("2204") + bytes([0x08]) in data
+
+
+def test_pure_read_does_not_set_presence():
+    """Lazy attach: READING an unset submessage must not flip presence,
+    equality, or the wire (real protobuf never attaches on read — an
+    accidental hasTtl=true/durationMs=0 would be instantly-expiring
+    state, the review-confirmed hazard of attach-on-read)."""
+    cmd = sm.StateCallCommand(stateName="n")
+    _ = cmd.ttl.durationMs  # pure read through the vivified default
+    assert not cmd.HasField("ttl")
+    assert cmd.SerializeToString() == sm.StateCallCommand(stateName="n").SerializeToString()
+
+
+def test_deep_chain_through_frozen_oneof_fails_loud():
+    """Review-confirmed hole, now closed: a write chained through an
+    UNSET ONEOF member must raise at the write, not vanish — every child
+    reached through a frozen parent is itself frozen."""
+    req = sm.StateRequest()
+    with pytest.raises(NotImplementedError, match="UNSET submessage"):
+        req.statefulProcessorCall.getValueState.ttl.durationMs = 5555
+    assert req.SerializeToString() == b""
+
+
+def test_multi_field_nested_writes_accumulate():
+    cmd = sm.StateCallCommand()
+    cmd.ttl.durationMs = 7
+    cmd.stateName = "x"
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.ttl.durationMs == 7 and back.stateName == "x"
