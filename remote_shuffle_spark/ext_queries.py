@@ -4617,6 +4617,36 @@ def ext_stream_tws_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_stream_tws_available_now",
+    oracle="""
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    ORDER BY user_id, event_id
+    """,
+    tags=("ext", "streaming", "stateful", "tws", "trigger"),
+)
+def ext_stream_tws_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS under ``Trigger.AvailableNow``
+    (streaming/stateful_v2.py:first_n_available_now_stream): the same
+    FirstNPerKey typed-state processor driven by the self-terminating
+    drain trigger instead of processAllAvailable — proving the TWS
+    family doesn't depend on the always-on polling idiom (the documented
+    harness limitation around ProcessingTime timers) and pinning the
+    production shape for periodic incremental stateful jobs.  n=3 so
+    results can't shadow ext_stream_tws_limiter's n=5."""
+    from remote_shuffle_spark.streaming.stateful_v2 import (
+        first_n_available_now_stream,
+    )
+
+    return first_n_available_now_stream(spark, sf_dir, n=3)
+
+
+@declared(
     "ext_stream_tws_type_counts",
     oracle="""
     SELECT user_id, event_type, COUNT(*) AS n

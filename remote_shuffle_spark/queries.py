@@ -62,9 +62,11 @@ def declared(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # After each round's gate runs, refresh this dict
 # (scripts/update_driver_verified.py prints the literal).
 DRIVER_VERIFIED_ROUND: dict[str, int] = {
-    "ext_asof_join": 3,
+    "ext_approx_top_k": 7,
+    "ext_asof_join": 7,
     "ext_asof_join_forward": 5,
     "ext_asof_join_nearest": 5,
+    "ext_audio_metadata": 7,
     "ext_bfs_levels": 6,
     "ext_bigram_counts": 4,
     "ext_bigram_lm_quality": 4,
@@ -74,24 +76,25 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_bpe_tokens": 3,
     "ext_bucketed_join": 6,
     "ext_chi_square": 4,
-    "ext_chunk_sequences": 3,
+    "ext_chunk_sequences": 7,
+    "ext_collation": 7,
     "ext_compaction": 4,
     "ext_corpus_prep_pipeline": 5,
     "ext_corr_matrix": 4,
-    "ext_dataset_mixture": 3,
+    "ext_dataset_mixture": 7,
     "ext_decontaminate": 4,
-    "ext_dedup_exact": 3,
+    "ext_dedup_exact": 7,
     "ext_dedup_groups": 4,
-    "ext_dedup_incremental": 3,
+    "ext_dedup_incremental": 7,
     "ext_dedup_minhash": 4,
-    "ext_dedup_prefix_blocks": 3,
+    "ext_dedup_prefix_blocks": 7,
     "ext_dedup_simhash": 4,
-    "ext_doc_embedding_join": 3,
+    "ext_doc_embedding_join": 7,
     "ext_doc_histogram": 3,
     "ext_embedding_neardup": 4,
     "ext_event_debounce": 4,
     "ext_event_runs": 4,
-    "ext_fingerprint": 3,
+    "ext_fingerprint": 7,
     "ext_funnel": 4,
     "ext_fuzzy_join": 4,
     "ext_fuzzy_join_segments": 6,
@@ -105,44 +108,54 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_incremental_agg": 4,
     "ext_interval_overlap_join": 5,
     "ext_inverted_index": 4,
+    "ext_join_size_estimate": 7,
     "ext_kfold_split": 4,
     "ext_kll_quantiles": 6,
     "ext_kll_rolling_quantile": 6,
     "ext_kmeans_cells": 4,
     "ext_knn_join": 6,
+    "ext_knn_join_lsh": 7,
     "ext_label_centroids": 3,
     "ext_label_entropy": 4,
-    "ext_lang_id": 3,
-    "ext_multimodal_decode": 3,
+    "ext_lang_id": 7,
+    "ext_multimodal_decode": 7,
     "ext_multimodal_features": 3,
     "ext_multimodal_frames": 3,
-    "ext_ngram_jaccard": 3,
+    "ext_ngram_jaccard": 7,
     "ext_pack_greedy": 4,
     "ext_pagerank": 6,
+    "ext_pagerank_directed": 7,
+    "ext_parameterized_sql": 7,
     "ext_per_key_sample": 4,
     "ext_pii_scrub": 3,
     "ext_pmi_collocations": 4,
     "ext_python_datasource": 6,
     "ext_quality_features": 3,
     "ext_quantile_bins": 4,
-    "ext_range_join": 3,
+    "ext_range_join": 7,
     "ext_recursive_cte": 6,
-    "ext_repetition": 3,
+    "ext_repetition": 7,
     "ext_rolling_time_window": 4,
     "ext_salted_agg": 3,
     "ext_salted_join": 5,
+    "ext_scalar_subquery_fanout": 7,
     "ext_scd2": 3,
     "ext_semantic_dedup": 4,
     "ext_session_window_native": 6,
-    "ext_sessionize": 3,
+    "ext_sessionize": 7,
     "ext_similarity_ivf": 4,
     "ext_similarity_lsh": 5,
-    "ext_similarity_topk": 3,
+    "ext_similarity_topk": 7,
     "ext_skew_report": 4,
     "ext_snapshot_diff": 4,
+    "ext_sql_scripting": 7,
+    "ext_statestore_reader": 7,
     "ext_stratified_sample": 4,
+    "ext_stream_available_now": 7,
     "ext_stream_cdc_upsert": 4,
-    "ext_stream_dedup": 3,
+    "ext_stream_content_dedup": 7,
+    "ext_stream_dedup": 7,
+    "ext_stream_dedup_within_watermark": 7,
     "ext_stream_enrich": 4,
     "ext_stream_full_outer_join": 6,
     "ext_stream_hopping_window": 6,
@@ -150,23 +163,27 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_stream_outer_join": 6,
     "ext_stream_python_datasource": 6,
     "ext_stream_session_window": 6,
-    "ext_stream_sessionize": 3,
+    "ext_stream_sessionize": 7,
     "ext_stream_stream_join": 4,
-    "ext_stream_window": 3,
+    "ext_stream_window": 7,
     "ext_stream_window_filesink": 4,
-    "ext_text_quality": 3,
-    "ext_text_stats": 3,
-    "ext_tf_idf": 3,
+    "ext_text_quality": 7,
+    "ext_text_stats": 7,
+    "ext_tf_idf": 7,
     "ext_theta_distinct": 6,
     "ext_theta_set_algebra": 6,
     "ext_train_split": 4,
-    "ext_upsert": 3,
+    "ext_udtf_polymorphic": 7,
+    "ext_upsert": 7,
     "ext_variant_json": 6,
-    "ext_vector_normalize": 3,
-    "ext_vocab": 3,
+    "ext_vector_normalize": 7,
+    "ext_vocab": 7,
     "ext_weighted_sample": 4,
     "ext_window_zscore": 4,
+    "ext_xml_roundtrip": 7,
+    "ext_year_over_year_cte": 7,
     "ext_zorder_key": 4,
+    "ext_zorder_layout": 7,
     "q01_scan_filter_agg": 5,
     "q02_repartition": 5,
     "q03_repartition_empty": 5,
@@ -224,10 +241,10 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q55_unpivot": 6,
     "q56_multi_distinct": 6,
     "q57_null_safe_join": 6,
-    "q58_ignore_nulls_window": 3,
-    "q59_keep_latest": 3,
-    "q60_sql_entry": 3,
-    "q61_lateral_join": 3,
+    "q58_ignore_nulls_window": 7,
+    "q59_keep_latest": 7,
+    "q60_sql_entry": 7,
+    "q61_lateral_join": 7,
     "q62_order_priority_exists": 4,
     "q63_conditional_priority_agg": 4,
     "q64_customer_order_histogram": 4,
@@ -252,21 +269,34 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q83_promotable_parts": 5,
 }
 
+# Names whose LATEST external gate check was NOT fully green (err or any
+# mismatch): these outrank merely-stale rows in the gate window below,
+# regardless of an older green round.  Refreshed by the same helper.
+DRIVER_LATEST_FAILED: frozenset[str] = frozenset({
+    "ext_stream_tws_initial_state",
+    "ext_stream_tws_limiter",
+    "ext_stream_tws_row_api",
+    "ext_stream_tws_timers",
+    "ext_stream_tws_type_counts",
+})
+
 # Derived flat set (kept for tests / external callers).
 DRIVER_VERIFIED: frozenset[str] = frozenset(DRIVER_VERIFIED_ROUND)
 
 
 def _ordered_names() -> list[str]:
-    """Registry names ordered oldest-verified-round-first: never-verified
-    queries (round 0, oracled before rows-only) lead, then rows whose last
-    external gate check is stalest.  Keeps the driver's 50-slot correctness
-    window pointed at the queries that most need a (re-)check."""
+    """Registry names ordered oldest-verified-round-first: rows whose
+    LATEST gate check failed lead outright (rank -1 — a known-red row must
+    re-enter the window whatever its old green round says), then
+    never-verified queries (round 0, oracled before rows-only), then rows
+    whose last external gate check is stalest.  Keeps the driver's 50-slot
+    correctness window pointed at the queries that most need a (re-)check."""
     names = list(REGISTRY)
     idx = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
         key=lambda n: (
-            DRIVER_VERIFIED_ROUND.get(n, 0),
+            -1 if n in DRIVER_LATEST_FAILED else DRIVER_VERIFIED_ROUND.get(n, 0),
             REGISTRY[n].oracle is None,
             idx[n],
         ),

@@ -127,6 +127,18 @@ class EngineConfig:
         # checkpoint_to between pipeline phases)
         cfg.extra.setdefault("spark.decommission.enabled", "true")
         cfg.extra.setdefault("spark.storage.decommission.shuffleBlocks.enabled", "true")
+        # Stateful streaming at scale: TWS wall-clock scales with
+        # keys x batches (measured — scripts/stream_state_probe.py: 4x keys
+        # -> 1.65-1.84x wall, 4x rows -> ~1.0x), and a snapshot-per-batch
+        # RocksDB checkpoint uploads the FULL keyed state every micro-batch.
+        # Changelog checkpointing uploads only the per-batch delta, turning
+        # checkpoint cost from O(total keys) into O(keys touched this
+        # batch) — mandatory at 10^9-key state.  Harmless for batch jobs
+        # (only read by stateful streaming queries).
+        cfg.extra.setdefault(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         return cfg
 
 

@@ -18,6 +18,21 @@ identically on the real runtime.
 real package nor the shim path is active (e.g. this module imported
 without get_session).  The applyInPandasWithState path
 (streaming/sessionize.py) remains the independent stateful operator.
+
+SCALE COST MODEL (measured, scripts/stream_state_probe.py): TWS wall-clock
+is ~ keys x batches x state-ops-per-key — each typed-state op is one
+Python<->JVM state-server round trip (~0.25 ms here), so the surface is
+LATENCY-bound in keys, flat in row volume (4x keys -> 1.65-1.84x wall; 4x
+rows -> ~1.0x; state rows exactly flat at 10x volume).  The inverse guard
+for a 100 TB deployment: a job with ~10^9 live keys must (a) feed
+``initialState`` ALREADY partitioned by the grouping key (a
+``.repartition(key)`` before ``groupBy`` avoids a second full shuffle of
+the seed), (b) run RocksDB with CHANGELOG checkpointing so per-batch
+checkpoint cost is O(keys touched), not O(total keys) —
+``EngineConfig.for_cluster`` sets
+``spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled``
+— and (c) batch its per-key state access (one MapState op per key-batch,
+never per row), or the state-server round trips dominate the stream.
 """
 
 from __future__ import annotations
@@ -117,6 +132,67 @@ def first_n_per_key_stream(
         q.processAllAvailable()
     finally:
         q.stop()
+    return s2.table(name).orderBy("user_id", "event_id")
+
+
+def first_n_available_now_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n: int = 3,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Run :class:`FirstNPerKey` under ``Trigger.AvailableNow`` — the
+    self-terminating rate-limited drain — instead of the always-on
+    ``processAllAvailable`` polling loop.  This decouples the TWS family
+    from processAllAvailable semantics (the documented reason
+    ProcessingTime timers can't be exercised in this harness: under
+    processAllAvailable they re-batch forever; AvailableNow is the
+    production idiom for periodic incremental TWS jobs and STOPS on its
+    own after draining the source).  Same ordered-split contract and the
+    same row_number batch oracle as the limiter, with a different n so
+    the two queries can't shadow each other's results."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf (the TWS "
+            "state-server protocol); neither the real package nor the "
+            "vendored shim is active here"
+        )
+    import uuid
+
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        late_split_dir,
+    )
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    split = late_split_dir(spark, sf_dir, late_every=None)
+    schema = _ordered_events(spark, sf_dir).schema
+    s2 = stream_session(spark, state_partitions)
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        s2.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(split)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        FirstNPerKey(n), "user_id long, event_id long", "Update", "none"
+    )
+    name = f"first_n_avnow_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)  # AvailableNow stops itself after draining
+        assert not q.isActive, "AvailableNow trigger failed to self-terminate"
+    finally:
+        if q.isActive:  # failure path: never leak a live query into the session
+            q.stop()
     return s2.table(name).orderBy("user_id", "event_id")
 
 

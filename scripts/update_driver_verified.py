@@ -20,16 +20,37 @@ import re
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def verified_rounds() -> dict[str, int]:
-    """name -> latest round number with a fully-green gate row."""
-    rounds: dict[str, int] = {}
+def _gate_rows() -> tuple[dict[str, int], dict[str, int], dict[str, int]]:
+    """(latest green round, latest checked round, latest FAILED round) per name."""
+    green: dict[str, int] = {}
+    checked: dict[str, int] = {}
+    failed: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         for name, row in json.load(open(path)).items():
-            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
-                rounds[name] = max(rounds.get(name, 0), rnd)
-    return rounds
+            checked[name] = max(checked.get(name, 0), rnd)
+            ok = row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+            if ok:
+                green[name] = max(green.get(name, 0), rnd)
+            else:
+                failed[name] = max(failed.get(name, 0), rnd)
+    return green, checked, failed
+
+
+def verified_rounds() -> dict[str, int]:
+    """name -> latest round number with a fully-green gate row."""
+    return _gate_rows()[0]
+
+
+def latest_failed_names() -> list[str]:
+    """Names whose MOST RECENT gate check was not fully green (err or any
+    mismatch) — these must outrank merely-stale rows for the next gate
+    window, whatever their old green round says."""
+    green, checked, failed = _gate_rows()
+    return sorted(
+        n for n, f in failed.items() if f == checked[n] and green.get(n, 0) < f
+    )
 
 
 def verified_names() -> list[str]:
@@ -43,3 +64,10 @@ if __name__ == "__main__":
     for n in sorted(rounds):
         print(f'    "{n}": {rounds[n]},')
     print("}")
+    print()
+    bad = latest_failed_names()
+    print(f"# {len(bad)} names whose LATEST gate check failed — forced to the window head")
+    print("DRIVER_LATEST_FAILED: frozenset[str] = frozenset({")
+    for n in bad:
+        print(f'    "{n}",')
+    print("})")

@@ -28,8 +28,13 @@ import __spark_entry__ as e
 out = {"entry_rows": len(e.entry(spark).collect())}
 qs = e.queries()
 sf = "/root/testdata/sf0.001"
+# ext_stream_tws_limiter is the round-7 regression: the TWS state protocol
+# needs the protobuf shim on the WORKER path, and this vanilla session
+# froze its JVM env before the package was imported — the query only works
+# if ensure_protobuf() patches the live SparkContext.environment.
 for name in ["q07_groupbykey_collect", "q16_null_keys", "q23_json_scalar",
-             "q24_date_parts", "ext_asof_join", "ext_stream_window"]:
+             "q24_date_parts", "ext_asof_join", "ext_stream_window",
+             "ext_stream_tws_limiter"]:
     df = qs[name](spark, sf)
     out[name] = df.count()
 print(json.dumps(out))
@@ -53,7 +58,8 @@ def test_vanilla_session_runs_sensitive_queries(spark, sf_smoke):
 
     qs = e.queries()
     for name in ["q07_groupbykey_collect", "q16_null_keys", "q23_json_scalar",
-                 "q24_date_parts", "ext_asof_join", "ext_stream_window"]:
+                 "q24_date_parts", "ext_asof_join", "ext_stream_window",
+                 "ext_stream_tws_limiter"]:
         assert got[name] == qs[name](spark, sf_smoke).count(), name
 
 
@@ -121,12 +127,21 @@ def test_stalest_queries_occupy_gate_slots():
     with the OLDEST last-green round — no query outside the window may be
     staler than one inside it."""
     import __spark_entry__ as entrymod
-    from remote_shuffle_spark.queries import DRIVER_VERIFIED_ROUND, REGISTRY
+    from remote_shuffle_spark.queries import (
+        DRIVER_LATEST_FAILED,
+        DRIVER_VERIFIED_ROUND,
+        REGISTRY,
+    )
 
     names = list(entrymod.queries())
     first50, rest = names[:50], names[50:]
-    rnd = lambda n: DRIVER_VERIFIED_ROUND.get(n, 0)
-    unverified = [n for n in REGISTRY if rnd(n) == 0]
+    # effective rank: latest-check-FAILED rows outrank everything (-1)
+    rnd = lambda n: (
+        -1 if n in DRIVER_LATEST_FAILED else DRIVER_VERIFIED_ROUND.get(n, 0)
+    )
+    # every known-red row must sit in the gate window
+    assert all(n in set(first50) for n in DRIVER_LATEST_FAILED if n in REGISTRY)
+    unverified = [n for n in REGISTRY if rnd(n) <= 0]
     missing = [n for n in unverified if n not in set(first50)]
     assert len(unverified) <= 50, (
         f"{len(unverified)} unverified queries cannot all fit the 50-slot "
@@ -139,3 +154,20 @@ def test_stalest_queries_occupy_gate_slots():
         )
     # and the ordering itself is deterministic across import orders
     assert names == list(entrymod.queries())
+
+
+def test_for_cluster_sets_scale_confs():
+    """The cluster preset must carry the knobs that change at 1000
+    executors: AQE advisory size, decommission resilience, and RocksDB
+    CHANGELOG checkpointing (per-batch delta upload instead of full-state
+    snapshots — the TWS cost-model guard, stateful_v2.py docstring)."""
+    from remote_shuffle_spark import EngineConfig
+
+    conf = EngineConfig.for_cluster(total_cores=4000).to_conf()
+    assert conf["spark.sql.shuffle.partitions"] == "10000"
+    assert (
+        conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"]
+        == "true"
+    )
+    assert conf["spark.decommission.enabled"] == "true"
+    assert conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == "128m"

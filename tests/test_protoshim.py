@@ -233,3 +233,111 @@ def test_multi_field_nested_writes_accumulate():
     back = sm.StateCallCommand()
     back.ParseFromString(cmd.SerializeToString())
     assert back.ttl.durationMs == 7 and back.stateName == "x"
+
+
+# ---- enumerated full-descriptor coverage (round-8 verdict item 5) ----------
+# The shim serves a SUBSET of protobuf; today's five processors touch only
+# part of StateMessage's message inventory.  These tests walk EVERY message
+# type and EVERY field the generated module declares, so a pyspark minor
+# bump that adds a field outside the subset (sint/fixed/map/packed) or a new
+# RPC message fails HERE, loudly, not in a worker crash mid-stream.
+
+from remote_shuffle_spark.vendor.protoshim.google.protobuf import _mini
+
+
+def _sample(fs, depth=2):
+    """A non-default sample value for a FieldSpec (presence matters in
+    proto3: defaults don't round-trip).  Distinct per field number so a
+    cross-wired tag would be caught by the equality check."""
+    t, n = fs.type, fs.number
+    if t in (_mini.TYPE_INT64, _mini.TYPE_INT32):
+        return -(n * 7 + 3)  # negative: exercises the 10-byte varint
+    if t in (_mini.TYPE_UINT64, _mini.TYPE_UINT32):
+        return n * 7 + 3
+    if t == _mini.TYPE_BOOL:
+        return True
+    if t == _mini.TYPE_ENUM:
+        return 1
+    if t == _mini.TYPE_STRING:
+        return f"s{n}☃"
+    if t == _mini.TYPE_BYTES:
+        return bytes([n & 0xFF, 0, 0xFF])
+    if t == _mini.TYPE_DOUBLE:
+        return n + 0.5
+    if t == _mini.TYPE_FLOAT:
+        return n + 0.5  # exactly representable in binary32
+    if t == _mini.TYPE_MESSAGE:
+        return _full_instance(fs.msg_cls, depth - 1) if depth else fs.msg_cls()
+    raise AssertionError(f"field type {t} outside the shim subset: {fs.name}")
+
+
+def _full_instance(cls, depth=2):
+    """Instance with every NON-ONEOF field set (oneofs are exercised
+    member-by-member in the oneof test; setting them all here would just
+    test last-set-wins again)."""
+    kwargs = {}
+    for fs in cls.DESCRIPTOR.fields:
+        if fs.oneof_index is not None and not fs.proto3_optional:
+            continue
+        v = _sample(fs, depth)
+        kwargs[fs.name] = [v, _sample(fs, depth)] if fs.repeated else v
+    return cls(**kwargs)
+
+
+def _all_message_classes():
+    return [getattr(sm, name) for name in sorted(sm.DESCRIPTOR.message_types_by_name)]
+
+
+def test_every_declared_message_roundtrips_fully_populated():
+    checked = 0
+    for cls in _all_message_classes():
+        msg = _full_instance(cls)
+        back = cls()
+        back.ParseFromString(msg.SerializeToString())
+        assert back == msg, cls.__name__
+        # and a second serialize is byte-stable (canonical ordering)
+        assert back.SerializeToString() == msg.SerializeToString(), cls.__name__
+        checked += 1
+    assert checked >= 45  # StateMessage declares ~46 messages today
+
+
+def test_every_oneof_member_roundtrips_alone():
+    hit = 0
+    for cls in _all_message_classes():
+        desc = cls.DESCRIPTOR
+        for fs in desc.fields:
+            if fs.oneof_index is None or fs.proto3_optional:
+                continue
+            msg = cls(**{fs.name: _sample(fs)})
+            back = cls()
+            back.ParseFromString(msg.SerializeToString())
+            assert back.WhichOneof(desc.oneofs[fs.oneof_index]) == fs.name
+            assert getattr(back, fs.name) == getattr(msg, fs.name), (
+                cls.__name__, fs.name)
+            hit += 1
+    assert hit >= 40  # StateRequest/StatefulProcessorCall/... oneof members
+
+
+def test_every_field_type_in_module_is_inside_the_subset():
+    """The loud guard: if a pyspark upgrade regenerates StateMessage_pb2
+    with any field type the shim can't serialize (sint*, fixed*, groups,
+    maps arrive as a repeated message of a *MapEntry nested type — which
+    _parse_message flattens, so its key/value fields land here too), this
+    enumerates the offender by name instead of crashing a worker."""
+    supported = _mini._VARINT_TYPES | _mini._LEN_TYPES | {
+        _mini.TYPE_DOUBLE, _mini.TYPE_FLOAT}
+    offenders = [
+        (cls.__name__, fs.name, fs.type)
+        for cls in _all_message_classes()
+        for fs in cls.DESCRIPTOR.fields
+        if fs.type not in supported
+    ]
+    assert not offenders, offenders
+    # message-typed fields must all have a resolved runtime class
+    unresolved = [
+        (cls.__name__, fs.name)
+        for cls in _all_message_classes()
+        for fs in cls.DESCRIPTOR.fields
+        if fs.type == _mini.TYPE_MESSAGE and fs.msg_cls is None
+    ]
+    assert not unresolved, unresolved
