@@ -5528,3 +5528,181 @@ def ext_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "word")
     )
+
+
+@declared(
+    "ext_dedup_paragraph",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+    ), seg AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(tk[i*20+1 : i*20+20], ' ') AS segment
+      FROM toks, UNNEST(range(CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS r(i)
+    ), marked AS (
+      SELECT doc_id,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY segment ORDER BY doc_id, seg_idx) = 1
+                  THEN 1 ELSE 0 END AS kept
+      FROM seg
+    )
+    SELECT doc_id, COUNT(*) AS n_segments,
+           CAST(SUM(kept) AS BIGINT) AS kept_segments
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("ext", "dedup"),
+)
+def ext_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document segment-level dedup, Falcon/RefinedWeb style
+    (operators/dedup.py:segment_dedup_stats): each document is split into
+    consecutive 20-token segments and only each segment's corpus-wide
+    FIRST occurrence (by doc_id, seg_idx) is kept — repeated boilerplate
+    is removed from documents instead of dropping whole documents.  The
+    Spark side shuffles only (xxhash64(segment), doc_id, seg_idx) — never
+    the text — and keep-first is a map-side-combinable min(struct)
+    aggregate; the oracle replays the same windows over the raw segments,
+    so a hash collision would surface as a mismatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.segment_dedup_stats(docs, "doc_id", "text", seg_len=20).orderBy(
+        "doc_id"
+    )
+
+
+@declared(
+    "ext_quality_classifier",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             len(list_distinct(tk)) AS n_distinct,
+             len(list_filter(tk, t -> t IN ('the','and','of','to','is'))) AS stop_count
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents)
+    ), s AS (
+      SELECT CAST(3*n_tokens + 10*n_distinct + 25*stop_count AS BIGINT) AS score
+      FROM f
+    )
+    SELECT score // 200 AS quality_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           MIN(score) AS min_score,
+           MAX(score) AS max_score
+    FROM s GROUP BY 1 ORDER BY quality_bucket
+    """,
+    tags=("ext", "text", "quality"),
+)
+def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide quality-tier routing
+    (operators/text.py:quality_classifier): a fixed INTEGER-weight linear
+    classifier over exact token counts (length, vocabulary richness,
+    stopword presence), bucketed into tiers by integer division — the
+    keep/review/drop scoring stage of a training-data pipeline, exact
+    arithmetic end-to-end so tiering is bit-reproducible (a float-weight
+    sigmoid is monotone in this score, so tiers classify identically).
+    Narrow + codegen'd per doc; one groupBy(bucket) shuffle for the tier
+    report."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_classifier(docs, "doc_id", "text", bucket_width=200)
+    return (
+        scored.groupBy("quality_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("quality_score").alias("sum_score"),
+            F.min("quality_score").alias("min_score"),
+            F.max("quality_score").alias("max_score"),
+        )
+        .orderBy("quality_bucket")
+    )
+
+
+@declared(
+    "ext_quantized_recall",
+    oracle="""
+    WITH probes AS (
+      SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT p.pid, e.vec_id AS id,
+        CAST(list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 127) AS BIGINT)
+             * CAST(floor(CAST(p.pv[i] AS DOUBLE) * 127) AS BIGINT))) AS BIGINT) AS dc,
+        CAST(list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+             * CAST(floor(CAST(p.pv[i] AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT) AS dfine
+      FROM embeddings e, probes p WHERE e.vec_id <> p.pid
+    ), topc AS (
+      SELECT pid, id FROM (
+        SELECT pid, id, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dc DESC, id) AS rn
+        FROM scored) WHERE rn <= 10
+    ), topf AS (
+      SELECT pid, id FROM (
+        SELECT pid, id, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dfine DESC, id) AS rn
+        FROM scored) WHERE rn <= 10
+    ), h AS (
+      SELECT topc.pid, COUNT(*) AS hits
+      FROM topc JOIN topf ON topc.pid = topf.pid AND topc.id = topf.id
+      GROUP BY topc.pid
+    )
+    SELECT p.pid AS probe_id,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall_at_k
+    FROM probes p LEFT JOIN h ON h.pid = p.pid
+    ORDER BY probe_id
+    """,
+    tags=("ext", "similarity", "quantization"),
+)
+def ext_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantization recall evaluation
+    (operators/similarity.py:quantization_recall_at_k): per probe vector,
+    recall@10 of the coarse (floor(v*127), int8-storage) dot-product
+    ranking against the fine (floor(v*2^20), beyond-float32-precision)
+    reference ranking — the measurement that gates a quantized ANN index
+    rollout.  Integer dot products end-to-end, so both rankings are
+    bit-reproducible across engines regardless of float summation order;
+    top-k is the knn_join two-phase window (no corpus-sized reducer)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return similarity.quantization_recall_at_k(
+        emb, "vec_id", "embedding", probes, "vec_id", k=10
+    )
+
+
+@declared(
+    "ext_triangle_count",
+    oracle="""
+    WITH os AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.sk AS lo, b.sk AS hi
+      FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+    ), w AS (
+      SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+      FROM e ab JOIN e bc ON ab.hi = bc.lo
+    ), t AS (
+      SELECT COUNT(*) AS n_triangles FROM w JOIN e ac ON w.a = ac.lo AND w.c = ac.hi
+    ), v AS (
+      SELECT COUNT(*) AS n_vertices FROM (SELECT lo FROM e UNION SELECT hi FROM e)
+    ), ne AS (SELECT COUNT(*) AS n_edges FROM e)
+    SELECT v.n_vertices, ne.n_edges, t.n_triangles FROM v, ne, t
+    """,
+    tags=("ext", "graph"),
+)
+def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py:triangle_count) over the
+    supplier CO-SUPPLY graph: suppliers are adjacent iff they ship line
+    items in the same order.  Edges canonicalized to (lo < hi) distinct;
+    triangles counted once each as closed ordered wedges (a<b<c) via two
+    hash-joins — no per-vertex neighbor-pair enumeration, no driver-side
+    adjacency.  At 100 TB orient by (degree, id) instead of raw id (the
+    heavy-hitter wedge bound); the query uses id-orientation because it
+    is exactly SQL-mirrorable."""
+    from remote_shuffle_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    edges = (
+        pairs.alias("a")
+        .join(pairs.alias("b"), "ok")
+        .filter(F.col("a.sk") < F.col("b.sk"))
+        .select(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
+    )
+    return triangle_count(edges, "src", "dst")

@@ -567,3 +567,64 @@ def semantic_dedup(
         .withColumnRenamed("doc", id_col)
     )
     return assigned.join(dropped, id_col, "left_anti")
+
+
+def segment_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seg_len: int = 20,
+) -> DataFrame:
+    """Sub-document (paragraph-granularity) exact dedup, Falcon/RefinedWeb
+    style: split each document into consecutive ``seg_len``-token segments
+    and keep only each segment's FIRST occurrence corpus-wide (global
+    order = (doc_id, seg_idx)); later repeats are removed from their
+    documents rather than dropping the whole document.  The fixture corpus
+    has no newline structure, so fixed token windows stand in for
+    paragraphs — on real data pass the paragraph splitter's output through
+    the same keep-first shuffle.
+
+    Returns per-document (id, n_segments, kept_segments).
+
+    Scale: one shuffle keyed by xxhash64(segment) carrying only
+    (hash, id, seg_idx) — 24 bytes/segment, never the text; the keeper per
+    segment is a min(struct) aggregate (map-side combinable), then one
+    hash-keyed join back.  No windows over the corpus, no all-pairs.
+    """
+    from remote_shuffle_spark.functions.hashing import tokens
+
+    L = int(seg_len)
+    toks = df.select(
+        F.col(id_col).alias("_sd_id"), tokens(text_col).alias("_sd_toks")
+    )
+    segs = toks.select(
+        "_sd_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("_sd_toks") / F.lit(L)).cast("int") - 1,
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_sd_toks"), i * L + 1, L)
+                ),
+            )
+        ).alias("seg_idx", "segment"),
+    ).select(
+        "_sd_id", "seg_idx", F.xxhash64("segment").alias("seg_hash")
+    )
+    keepers = segs.groupBy("seg_hash").agg(
+        F.min(F.struct("_sd_id", "seg_idx")).alias("first")
+    )
+    marked = segs.join(keepers, "seg_hash").select(
+        "_sd_id",
+        (
+            (F.col("first._sd_id") == F.col("_sd_id"))
+            & (F.col("first.seg_idx") == F.col("seg_idx"))
+        ).cast("long").alias("kept"),
+    )
+    return marked.groupBy("_sd_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("kept").alias("kept_segments"),
+    ).select(F.col("_sd_id").alias(id_col), "n_segments", "kept_segments")

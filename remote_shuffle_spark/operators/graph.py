@@ -349,3 +349,50 @@ def pagerank_directed(
         F.col("rs").alias("rank_scaled"),
         (F.col("rs").cast("double") / scale).alias("rank"),
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over an UNDIRECTED graph given as (src, dst)
+    pairs (either orientation, self-loops and duplicates tolerated).
+
+    Algorithm: canonicalize each edge to (lo, hi) with lo < hi and
+    distinct — so every undirected edge appears exactly once — then count
+    ordered wedges (a<b<c: edges (a,b) and (b,c)) that close with edge
+    (a,c).  Each triangle a<b<c is counted exactly once.
+
+    Scale: two hash-joins over the oriented edge list — no enumeration of
+    neighbor pairs per vertex, so the plan's cost is bounded by the JOIN
+    output (the wedge count), not degree^2 blowup on the driver.  The
+    id-orientation used here is the SQL-mirrorable choice; at 100 TB with
+    power-law degrees, orient by (degree, id) instead — pointing edges
+    from low- to high-degree vertices bounds every vertex's out-degree by
+    O(sqrt(m)) and with it the wedge count (the classic heavy-hitter fix;
+    same two joins afterwards).  AQE skew-join splitting covers moderate
+    skew in either orientation.
+
+    Returns one row: (n_vertices, n_edges, n_triangles).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    wedges = e.alias("ab").join(
+        e.alias("bc"), F.col("ab.hi") == F.col("bc.lo")
+    ).select(
+        F.col("ab.lo").alias("a"), F.col("ab.hi").alias("b"), F.col("bc.hi").alias("c")
+    )
+    closed = wedges.join(
+        e.alias("ac"),
+        (F.col("a") == F.col("ac.lo")) & (F.col("c") == F.col("ac.hi")),
+    )
+    verts = e.select(F.col("lo").alias("v")).union(e.select("hi")).distinct()
+    return (
+        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(verts.agg(F.count(F.lit(1)).alias("n_vertices"))))
+        .select("n_vertices", "n_edges", "n_triangles")
+    )

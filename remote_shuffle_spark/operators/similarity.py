@@ -501,3 +501,101 @@ def knn_join_lsh(
             "cos_sim",
         )
     )
+
+
+def quantization_recall_at_k(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probes_df: DataFrame,
+    probe_id_col: str,
+    *,
+    k: int = 10,
+    coarse_scale: int = 127,
+    fine_scale: int = 1 << 20,
+    num_subgroups: int = 64,
+) -> DataFrame:
+    """Embedding-quantization quality evaluation: per probe, recall@k of
+    the COARSE-quantized (int8-style, ``floor(v * coarse_scale)``) dot-
+    product ranking against the FINE-quantized reference ranking
+    (``fine_scale`` defaults to 2^20 — beyond float32 mantissa precision
+    for unit-scale embeddings, i.e. the exact ranking).  This is the
+    measurement that gates an int8 ANN index rollout in an embedding
+    pipeline: how much ranking quality does 8-bit storage give up.
+
+    Everything is INTEGER arithmetic end-to-end — both rankings order by
+    exact integer dot products with id tie-breaks — so the result is
+    bit-reproducible across engines regardless of float summation order
+    (the reason the reference ranking is fine-QUANTIZED rather than raw
+    float).  Returns (probe_id, hits, recall_at_k) per probe.
+
+    Scale shape: probes broadcast; the corpus stays narrow through
+    scoring; both top-ks use the same two-phase (probe, id-hash subgroup)
+    window as :func:`knn_join`, so no reducer sorts a corpus-sized slice.
+    A full-corpus evaluation pass is a diagnostic; at 100 TB run it over
+    a sampled corpus slice (the measurement, a recall ratio, is stable
+    under sampling).
+    """
+    q = F.broadcast(
+        probes_df.select(
+            F.col(probe_id_col).alias("_pid"),
+            to_double_array(vec_col).alias("_pvec"),
+        )
+    )
+
+    def _qdot(scale: int):
+        return F.aggregate(
+            F.zip_with(
+                to_double_array(vec_col),
+                F.col("_pvec"),
+                lambda a, b: F.floor(a * scale).cast("long")
+                * F.floor(b * scale).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        df.crossJoin(q)
+        .filter(F.col(id_col) != F.col("_pid"))
+        .select(
+            "_pid",
+            F.col(id_col).alias("_id"),
+            _qdot(coarse_scale).alias("_dc"),
+            _qdot(fine_scale).alias("_df"),
+            F.pmod(F.xxhash64(id_col), F.lit(num_subgroups)).alias("_sub"),
+        )
+    )
+
+    def _topk(dot_col: str) -> DataFrame:
+        w1 = W.partitionBy("_pid", "_sub").orderBy(F.col(dot_col).desc(), "_id")
+        survivors = (
+            scored.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        w2 = W.partitionBy("_pid").orderBy(F.col(dot_col).desc(), "_id")
+        return (
+            survivors.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k)
+            .select("_pid", "_id")
+        )
+
+    hits = (
+        _topk("_dc")
+        .join(_topk("_df"), ["_pid", "_id"])
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        q.select("_pid")
+        .join(hits, "_pid", "left")
+        .select(
+            F.col("_pid").alias("probe_id"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(k))
+            .cast("double")
+            .alias("recall_at_k"),
+        )
+        .orderBy("probe_id")
+    )

@@ -502,3 +502,60 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_n)
     )
+
+
+# Integer weights for the linear quality classifier below.  Fixed, public,
+# and deliberately INTEGER: the score is exact arithmetic over exact token
+# counts, so classification is bit-reproducible across engines (a
+# float-weight logistic model would hash-diverge on ties; the sigmoid is
+# monotone, so bucketing the linear score classifies identically anyway).
+QUALITY_CLASSIFIER_WEIGHTS = {
+    "n_tokens": 3,        # longer docs score higher...
+    "n_distinct": 10,     # ...but vocabulary richness dominates raw length
+    "stop_count": 25,     # natural-language prose carries stopwords
+}
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bucket_width: int = 200,
+) -> DataFrame:
+    """Fixed-weight linear document-quality classifier — the scoring stage
+    a training-data pipeline runs corpus-wide to route documents into
+    keep/review/drop tiers.  Features are exact integer counts over
+    normalized whitespace tokens (count, distinct count, stopword count);
+    score = the integer dot product with :data:`QUALITY_CLASSIFIER_WEIGHTS`;
+    tier = score // bucket_width.
+
+    Purely narrow (no shuffle until the caller aggregates) and whole-stage
+    codegen'd — no UDF.  Returns (id, n_tokens, n_distinct, stop_count,
+    quality_score, quality_bucket).
+    """
+    from remote_shuffle_spark.functions.hashing import tokens
+
+    w = QUALITY_CLASSIFIER_WEIGHTS
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_qc_toks"))
+    feats = toks.select(
+        id_col,
+        F.size("_qc_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_qc_toks")).alias("n_distinct"),
+        F.size(
+            F.filter("_qc_toks", lambda t: t.isin(*LANG_MARKERS["en"]))
+        ).alias("stop_count"),
+    )
+    score = (
+        F.col("n_tokens") * w["n_tokens"]
+        + F.col("n_distinct") * w["n_distinct"]
+        + F.col("stop_count") * w["stop_count"]
+    ).cast("long")
+    return feats.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        "stop_count",
+        score.alias("quality_score"),
+        F.floor(score / F.lit(bucket_width)).cast("long").alias("quality_bucket"),
+    )

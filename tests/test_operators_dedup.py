@@ -208,3 +208,33 @@ def test_semantic_dedup_cell_size_guard(spark):
         df, "vec_id", "embedding", threshold=0.95, num_cells=3, max_cell_size=1
     )
     assert kept.count() == df.count()
+
+
+def test_segment_dedup_keeps_first_occurrence_globally(spark):
+    """Planted repeat: doc 2 repeats doc 1's first 3-token segment; the
+    keeper must be the (doc_id, seg_idx)-minimal occurrence."""
+    from remote_shuffle_spark.operators.dedup import segment_dedup_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),         # segments: "a b c", "d e f"
+            (2, "a b c x y z"),         # repeats doc 1's seg 0
+            (3, "x y z a b c"),         # repeats doc 2's seg 1 AND doc 1's seg 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_segments, r.kept_segments)
+        for r in segment_dedup_stats(df, "doc_id", "text", seg_len=3).collect()
+    }
+    assert rows == {1: (2, 2), 2: (2, 1), 3: (2, 0)}
+
+
+def test_segment_dedup_partial_tail_segment(spark):
+    from remote_shuffle_spark.operators.dedup import segment_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )  # seg_len=3 -> "a b c" + tail "d"
+    (row,) = segment_dedup_stats(df, "doc_id", "text", seg_len=3).collect()
+    assert (row.n_segments, row.kept_segments) == (2, 2)

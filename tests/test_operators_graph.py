@@ -246,3 +246,23 @@ def test_pagerank_directed_dangling_mass(spark):
     assert again == out
     # sanity vs the undirected variant: directed chain is asymmetric
     assert out[2] > out[1] > out[0]
+
+
+def test_triangle_count_k4_with_noise_edges(spark):
+    """K4 has exactly 4 triangles; duplicates, reversed orientations and
+    self-loops must not change the count."""
+    from remote_shuffle_spark.operators.graph import triangle_count
+
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    noisy = edges + [(2, 1), (3, 3), (4, 3)] + edges[:2]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    (row,) = triangle_count(df).collect()
+    assert (row.n_vertices, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
+def test_triangle_count_path_graph_has_none(spark):
+    from remote_shuffle_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    (row,) = triangle_count(df).collect()
+    assert (row.n_vertices, row.n_edges, row.n_triangles) == (4, 3, 0)

@@ -291,3 +291,39 @@ def test_knn_join_lsh_recall_and_exactness(spark, sf_smoke):
         recalls.append(len(got & exact_pairs) / len(exact_pairs))
     assert recalls == sorted(recalls)  # monotone in radius
     assert recalls[1] >= 0.15 and recalls[2] >= 0.3, recalls
+
+
+def test_quantized_recall_perfect_when_scales_agree(spark):
+    """Well-separated vectors: coarse and fine rankings agree -> recall 1."""
+    from remote_shuffle_spark.operators.similarity import quantization_recall_at_k
+
+    rows = [(i, [1.0 * (i == j) for j in range(4)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter("vec_id < 2")
+    got = quantization_recall_at_k(
+        df, "vec_id", "embedding", probes, "vec_id", k=3
+    ).collect()
+    assert [r.probe_id for r in got] == [0, 1]
+    assert all(r.hits == 3 and r.recall_at_k == 1.0 for r in got)
+
+
+def test_quantized_recall_detects_coarse_rank_flip(spark):
+    """Two corpus vectors that the fine scale separates but the coarse
+    scale collapses (0.004 vs 0.002 -> both floor to 0 at x127): the
+    coarse ranking falls back to the id tie-break, picking the WRONG
+    vector, so recall@1 for the probe must be 0."""
+    from remote_shuffle_spark.operators.similarity import quantization_recall_at_k
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),       # probe
+            (1, [0.002, 0.0]),     # coarse: floor-ties with 2, wins by id
+            (2, [0.004, 0.0]),     # fine winner
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    probes = df.filter("vec_id = 0")
+    (row,) = quantization_recall_at_k(
+        df, "vec_id", "embedding", probes, "vec_id", k=1
+    ).collect()
+    assert (row.probe_id, row.hits, row.recall_at_k) == (0, 0, 0.0)

@@ -214,3 +214,16 @@ def test_bigram_lm_scores_python_oracle(spark):
         )
         assert got[i].n_bigrams == len(pairs)
         assert abs(got[i].avg_neg_logprob - total / len(pairs)) < 1e-9
+
+
+def test_quality_classifier_exact_integer_score(spark):
+    from remote_shuffle_spark.operators.text import quality_classifier
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat")], "doc_id long, text string"
+    )
+    (row,) = quality_classifier(df, "doc_id", "text", bucket_width=10).collect()
+    # tokens: the cat and the hat -> n=5, distinct=4, stopwords: the,and,the -> 3
+    assert (row.n_tokens, row.n_distinct, row.stop_count) == (5, 4, 3)
+    assert row.quality_score == 3 * 5 + 10 * 4 + 25 * 3  # = 130
+    assert row.quality_bucket == 13
