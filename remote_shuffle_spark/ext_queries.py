@@ -4692,6 +4692,30 @@ def ext_stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_seen_timer_stream(spark, sf_dir)
 
 
+@declared(
+    "ext_stream_tws_ttl",
+    oracle="""
+    SELECT user_id, COUNT(*) AS total
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("ext", "streaming", "stateful", "tws"),
+)
+def ext_stream_tws_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL'd ValueState + ProcessingTime mode under the gate
+    (streaming/stateful_v2.py:TTLCountProcessor): per-user counter whose
+    state carries ``ttlDurationMs`` — the TTLConfig protocol field the
+    round-7 shim review caught being silently dropped (now byte-pinned).
+    TTL is processing-time based, so the mode is ProcessingTime — which
+    never settles under processAllAvailable or AvailableNow (both
+    measured), so the runner polls until every key's totals equal the
+    source and no data is pending, then stops.  Determinism: the TTL
+    horizon is parked ~12 days out, making semantics ≡ plain counting —
+    the COUNT(*) oracle."""
+    from remote_shuffle_spark.streaming.stateful_v2 import ttl_count_stream
+
+    return ttl_count_stream(spark, sf_dir)
+
+
 def _pagerank_directed_oracle_sql(iterations: int = 5) -> str:
     """Unrolled DuckDB mirror of operators/graph.py:pagerank_directed —
     the same scaled-integer recurrence INCLUDING the per-iteration

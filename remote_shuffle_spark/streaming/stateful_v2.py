@@ -591,3 +591,120 @@ def row_minmax_stream(
         )
         .orderBy("user_id")
     )
+
+
+class TTLCountProcessor(StatefulProcessor):
+    """TTL'd ValueState coverage for the gate: per-user event counter
+    whose state carries ``ttlDurationMs`` — the TTLConfig submessage of
+    the state protocol (the field whose silent drop the round-7 shim
+    review caught; pinned byte-level in tests/test_protoshim.py).  TTL is
+    PROCESSING-time based, so the query must run in ProcessingTime mode;
+    determinism comes from a TTL horizon (~12 days) far beyond any run,
+    making semantics ≡ un-TTL'd counting — the batch COUNT(*) oracle."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.n = handle.getValueState("n", "n long", ttlDurationMs=2**30)
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        add = sum(len(p) for p in rows)
+        prev = self.n.get()[0] if self.n.exists() else 0
+        self.n.update((prev + add,))
+        yield pd.DataFrame([(int(key[0]), prev + add)], columns=["user_id", "total"])
+
+    def close(self) -> None:
+        pass
+
+
+def ttl_count_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    state_partitions: int | None = 8,
+    settle_seconds: float = 240.0,
+) -> DataFrame:
+    """Run :class:`TTLCountProcessor` in ProcessingTime mode.  In this
+    mode `shouldRunAnotherBatch` is always true, so
+    ``processAllAvailable`` never returns (measured: 487 empty batches —
+    module docstring) and ``Trigger.AvailableNow`` does not terminate
+    either (measured r8: still active after 120 s with all data long
+    drained).  The bounded-drain idiom for ProcessingTime is therefore
+    POLL-THEN-STOP: wait until every expected key has emitted and the
+    source reports no pending data, then stop the query — the only
+    processing-time-dependent thing in the output is the TTL horizon,
+    parked ~12 days out, so the drained totals are deterministic."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf (the TWS "
+            "state-server protocol); neither the real package nor the "
+            "vendored shim is active here"
+        )
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.sources.tables import load_table
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        late_split_dir,
+    )
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    split = late_split_dir(spark, sf_dir, late_every=None)
+    schema = _ordered_events(spark, sf_dir).schema
+    s2 = stream_session(spark, state_partitions)
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want_users = want.count()
+    want_rows = want.agg(F.sum("n")).collect()[0][0]
+    stream = (
+        s2.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(split)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        TTLCountProcessor(),
+        "user_id long, total long",
+        "Update",
+        "ProcessingTime",
+    )
+    name = f"ttl_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        deadline = time.time() + settle_seconds
+        while time.time() < deadline:
+            done = (
+                s2.table(name)
+                .groupBy("user_id")
+                .agg(F.max("total").alias("t"))
+                .agg(
+                    F.count(F.lit(1)).alias("u"), F.sum("t").alias("r")
+                )
+                .collect()[0]
+            )
+            if (
+                done.u == want_users
+                and done.r == want_rows
+                and not q.status["isDataAvailable"]
+            ):
+                break
+            time.sleep(1.0)
+        else:
+            raise TimeoutError(
+                f"TWS ProcessingTime stream did not settle in {settle_seconds}s"
+            )
+    finally:
+        q.stop()
+    return (
+        s2.table(name)
+        .groupBy("user_id")
+        .agg(F.max("total").alias("total"))
+        .orderBy("user_id")
+    )

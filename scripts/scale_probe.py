@@ -568,6 +568,55 @@ def main():
             },
         )
     )
+    # round-8 additions: segment dedup (hash-keyed shuffle of 24-byte
+    # rows), triangle counting (wedge-join growth is the open scale
+    # question), quantized recall (two integer dots per pair, two-phase
+    # top-k fan-in)
+    results.append(
+        probe(
+            f"segment_dedup_{int(200_000 * s)}_docs",
+            lambda: {
+                "dropped": dedup.segment_dedup_stats(docs, "doc_id", "text")
+                .agg(
+                    (F.sum("n_segments") - F.sum("kept_segments")).alias("d")
+                )
+                .collect()[0].d
+            },
+        )
+    )
+    # co-occurrence graph: ~n_edges pairs over sqrt-scaled vertex set
+    # (mean degree grows with scale — wedge count is the stress, as in a
+    # power-law tail)
+    tri_edges = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id"), F.lit(int(2_000 * s))).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(int(2_000 * s))).alias("dst"),
+    )
+    results.append(
+        probe(
+            f"triangle_count_{n_edges}_edges",
+            lambda: {
+                "triangles": graph_ops.triangle_count(tri_edges)
+                .collect()[0].n_triangles
+            },
+        )
+    )
+    results.append(
+        probe(
+            f"quantized_recall_{n_vec}_vecs_q16",
+            lambda: {
+                "mean_hits": similarity.quantization_recall_at_k(
+                    emb,
+                    "vec_id",
+                    "embedding",
+                    emb.filter(F.col("vec_id") < 16),
+                    "vec_id",
+                    k=10,
+                )
+                .agg(F.sum("hits").alias("h"))
+                .collect()[0].h
+            },
+        )
+    )
     print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
 
 
