@@ -5730,3 +5730,220 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
     )
     return triangle_count(edges, "src", "dst")
+
+
+@declared(
+    "ext_sql_pipe",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("ext", "sql"),
+)
+def ext_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators — FROM ... |> WHERE ...
+    |> AGGREGATE ... GROUP BY ... |> ORDER BY): the linear query-building
+    SQL dialect.  Semantics identical to the nested ANSI form the oracle
+    states; the pipe form is the surface being pinned."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rss_pipe_orders")
+    return spark.sql(
+        """
+        FROM rss_pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n,
+                     MIN(o_orderkey) AS min_key,
+                     MAX(o_orderkey) AS max_key
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@declared(
+    "ext_apply_in_arrow",
+    oracle="""
+    SELECT lang, doc_id, n_chars, rk FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 3 ORDER BY lang, rk
+    """,
+    tags=("ext", "udf", "arrow"),
+)
+def ext_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInArrow`` (Spark 4's zero-pandas grouped-map API:
+    the group arrives as ONE pyarrow.Table, no pandas conversion) — used
+    TWICE in the scale-correct two-phase top-k shape: per-(lang, 16-way
+    id-hash sub-bucket) local top-3 first, then a final top-3 per lang
+    over the <= 48 survivors.  No group ever materializes more than its
+    sub-bucket — the same reducer-bound discipline as knn_join — so the
+    shape survives a lang whose documents are terabytes, which a naive
+    one-phase groupBy(lang).applyInArrow would OOM on."""
+    import pyarrow as pa
+
+    def _topk(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        return tbl.take(idx[:3]).select(["lang", "doc_id", "n_chars"])
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars", F.pmod(F.xxhash64("doc_id"), F.lit(16)).alias("_b")
+    )
+    schema = "lang string, doc_id long, n_chars long"
+    from pyspark.sql import Window as W
+
+    local = docs.groupBy("lang", "_b").applyInArrow(
+        lambda t: _topk(t), schema=schema
+    )
+    final = local.groupBy("lang").applyInArrow(lambda t: _topk(t), schema=schema)
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        final.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("lang", "rk")
+    )
+
+
+@declared(
+    "ext_udtf_table_arg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events
+    )
+    SELECT user_id, MAX(cnt) AS n,
+           MAX(CASE WHEN rn = 1 THEN event_id END) AS first_event,
+           MAX(CASE WHEN rn = cnt THEN event_id END) AS last_event
+    FROM o GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("ext", "udf", "udtf"),
+)
+def ext_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument (Spark 4: ``f(TABLE(t)
+    PARTITION BY k ORDER BY ...)``): the engine shuffles the table by the
+    PARTITION BY key and streams each partition through one UDTF instance
+    in ORDER BY order — per-key sequential logic (first/last/count here)
+    without a window function.  Exercises the partitioned-table-argument
+    planner path; ORDER BY (ts, event_id) makes first/last deterministic
+    and the oracle states them with windows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id long, n bigint, first_event long, last_event long")
+    class PerUserSpan:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.first = None
+            self.last = None
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            if self.first is None:
+                self.first = row["event_id"]
+            self.last = row["event_id"]
+
+        def terminate(self):
+            if self.uid is not None:
+                yield (self.uid, self.n, self.first, self.last)
+
+    spark.udtf.register("rss_per_user_span", PerUserSpan)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("rss_udtf_events")
+    return spark.sql(
+        """
+        SELECT * FROM rss_per_user_span(
+          TABLE(rss_udtf_events) PARTITION BY user_id ORDER BY (ts, event_id)
+        ) ORDER BY user_id
+        """
+    )
+
+
+@declared(
+    "ext_try_arithmetic",
+    oracle="""
+    SELECT
+      COUNT(*) FILTER (WHERE l_quantity = 25) AS div_nulls,
+      COUNT(*) FILTER (WHERE l_orderkey > 7) AS add_nulls,
+      MIN(CASE WHEN l_quantity <> 25
+               THEN CAST(l_orderkey AS DOUBLE) / CAST(l_quantity - 25 AS DOUBLE)
+          END) AS min_ratio,
+      MAX(CASE WHEN l_quantity <> 25
+               THEN CAST(l_orderkey AS DOUBLE) / CAST(l_quantity - 25 AS DOUBLE)
+          END) AS max_ratio,
+      MAX(CASE WHEN l_orderkey <= 7
+               THEN 9223372036854775800 + l_orderkey END) AS max_near_overflow
+    FROM lineitem
+    """,
+    tags=("ext", "functions"),
+)
+def ext_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` arithmetic (Spark 4 NULL-on-error family):
+    try_divide NULLs on the planted zero denominator (quantity 25),
+    try_add NULLs on real bigint overflow (9223372036854775800 + key > 7
+    overflows int64) — the idiom that lets ANSI mode stay on corpus-wide
+    without one bad row killing a 100 TB job.  The oracle states the same
+    NULL surface with explicit CASE guards; MIN/MAX of the double ratios
+    are order-independent, so no float-summation hazard."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(
+        F.col("l_orderkey").cast("double"),
+        (F.col("l_quantity") - 25).cast("double"),
+    )
+    near = F.try_add(F.lit(9223372036854775800), F.col("l_orderkey"))
+    return li.select(ratio.alias("r"), near.alias("a")).agg(
+        F.count(F.when(F.col("r").isNull(), 1)).alias("div_nulls"),
+        F.count(F.when(F.col("a").isNull(), 1)).alias("add_nulls"),
+        F.min("r").alias("min_ratio"),
+        F.max("r").alias("max_ratio"),
+        F.max("a").alias("max_near_overflow"),
+    )
+
+
+@declared(
+    "ext_join_strategy_hints",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_custkey, COUNT(*) AS n
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT 'merge' AS strategy, COUNT(*) AS n_cust, CAST(SUM(n) AS BIGINT) AS n_orders FROM j
+    UNION ALL
+    SELECT 'hash' AS strategy, COUNT(*) AS n_cust, CAST(SUM(n) AS BIGINT) AS n_orders FROM j
+    ORDER BY strategy
+    """,
+    tags=("ext", "plans", "joins"),
+)
+def ext_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINTS (SHUFFLE_MERGE / SHUFFLE_HASH): the same
+    customer-orders join forced down both physical paths via DataFrame
+    hints, proving hint plumbing reaches the planner (the plan assertion
+    lives in tests/test_plans.py) and that strategy choice never changes
+    results — both rows must agree with the single-join oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def agg(hint: str, label: str) -> DataFrame:
+        j = cust.hint(hint).join(
+            orders, F.col("o_custkey") == F.col("c_custkey")
+        )
+        per = j.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n"))
+        return per.agg(
+            F.lit(label).alias("strategy"),
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("n").alias("n_orders"),
+        )
+
+    return agg("shuffle_merge", "merge").unionAll(agg("shuffle_hash", "hash")).orderBy(
+        "strategy"
+    )

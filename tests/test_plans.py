@@ -457,3 +457,19 @@ def test_knn_join_plan_broadcast_queries_two_phase_topk(spark, sf_smoke):
     # partitions to a reducer
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan  # scoring never shuffles the corpus
+
+
+def test_join_hints_reach_the_planner(spark, sf_smoke):
+    """SHUFFLE_MERGE / SHUFFLE_HASH hints must actually pick the physical
+    strategy (ext_join_strategy_hints proves result-equality; this proves
+    the hints aren't silently ignored)."""
+    from remote_shuffle_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_smoke, "customer")
+    orders = load_table(spark, sf_smoke, "orders")
+    cond = F.col("o_custkey") == F.col("c_custkey")
+    merge_plan = cust.hint("shuffle_merge").join(orders, cond)._jdf.queryExecution().executedPlan().toString()
+    hash_plan = cust.hint("shuffle_hash").join(orders, cond)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in merge_plan, merge_plan[:500]
+    assert "ShuffledHashJoin" in hash_plan, hash_plan[:500]
