@@ -584,12 +584,14 @@ def main():
             },
         )
     )
-    # co-occurrence graph: ~n_edges pairs over sqrt-scaled vertex set
-    # (mean degree grows with scale — wedge count is the stress, as in a
-    # power-law tail)
+    # bounded-degree co-occurrence graph (mean degree ~10 at every scale):
+    # probes EDGE-linear growth of the wedge joins.  Degree is the knob
+    # that must stay bounded for triangle counting to scale — a densifying
+    # graph is Θ(m^1.5) regardless of engine (see triangle_count docstring
+    # and the sliced ext_triangle_count demo).
     tri_edges = spark.range(n_edges).select(
-        F.pmod(F.xxhash64("id"), F.lit(int(2_000 * s))).alias("src"),
-        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(int(2_000 * s))).alias("dst"),
+        F.pmod(F.xxhash64("id"), F.lit(int(200_000 * s))).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(int(200_000 * s))).alias("dst"),
     )
     results.append(
         probe(
