@@ -5956,3 +5956,66 @@ def ext_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg("shuffle_merge", "merge").unionAll(agg("shuffle_hash", "hash")).orderBy(
         "strategy"
     )
+
+
+def _bpe_train_oracle_sql(num_merges: int = 3) -> str:
+    """Unrolled DuckDB mirror of operators/text.py:bpe_train — per round:
+    the same weighted adjacent-pair count over the vocabulary, the same
+    (pc DESC, a DESC, b DESC) argmax, and the IDENTICAL greedy merge fold
+    (list_reduce over the '|'-delimited symbol string — byte-for-byte the
+    algebra of _bpe_merge_fold, including left-first resolution of
+    overlapping same-symbol runs)."""
+    head = f"""
+    WITH r0 AS (
+      SELECT array_to_string(string_split(word, ''), '|') AS repr,
+             COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents)
+      GROUP BY 1
+    )"""
+    stages = []
+    for k in range(1, num_merges + 1):
+        stages.append(f"""
+    , p{k} AS (
+      SELECT sym[i] AS a, sym[i+1] AS b, SUM(cnt) AS pc
+      FROM (SELECT string_split(repr, '|') AS sym, cnt FROM r{k-1}),
+           UNNEST(generate_series(1, len(sym) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ), b{k} AS (
+      SELECT a, b, pc FROM p{k} ORDER BY pc DESC, a DESC, b DESC LIMIT 1
+    ), r{k} AS (
+      SELECT list_reduce(string_split(r.repr, '|'), (acc, x) -> CASE
+               WHEN x = b.b AND (acc = b.a OR ends_with(acc, '|' || b.a))
+               THEN left(acc, length(acc) - length(b.a)) || b.a || b.b
+               ELSE acc || '|' || x END) AS repr, r.cnt
+      FROM r{k-1} r, b{k} b
+    ), s{k} AS (
+      SELECT SUM(len(string_split(repr, '|')) * cnt) AS total FROM r{k}
+    )""")
+    selects = [
+        f"""SELECT {k} AS round, b{k}.a AS pair_a, b{k}.b AS pair_b,
+               CAST(b{k}.pc AS BIGINT) AS pair_count,
+               CAST(s{k}.total AS BIGINT) AS corpus_symbols_after
+        FROM b{k}, s{k}"""
+        for k in range(1, num_merges + 1)
+    ]
+    return head + "".join(stages) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+
+
+@declared(
+    "ext_bpe_train",
+    oracle=_bpe_train_oracle_sql(3),
+    tags=("ext", "text", "tokenizer", "iterative"),
+)
+def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer-merge training
+    (operators/text.py:bpe_train): 3 rounds of (weighted adjacent-pair
+    count over the word VOCABULARY -> global argmax -> corpus-wide greedy
+    merge), the tokenizer-building stage of a training-data pipeline.
+    The working set after the first aggregation is the vocabulary, never
+    the corpus; each round is one combinable shuffle + a one-row collect
+    + a narrow fold — the pagerank-style iteration floor, priced.  The
+    oracle unrolls the identical three rounds (same argmax tie-break,
+    same list_reduce merge algebra), so the driver hash-compares every
+    learned merge and the post-merge corpus symbol totals exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train(docs, "doc_id", "text", num_merges=3).orderBy("round")

@@ -559,3 +559,104 @@ def quality_classifier(
         score.alias("quality_score"),
         F.floor(score / F.lit(bucket_width)).cast("long").alias("quality_bucket"),
     )
+
+
+def _bpe_merge_fold(symbols: Column, a: str, b: str) -> Column:
+    """Apply ONE BPE merge (a, b) -> a+b to a symbol array, canonical
+    greedy left-to-right non-overlapping, returning the new '|'-delimited
+    symbol string.  Expressed as a fold so the same algebra runs
+    identically as DuckDB's list_reduce in the oracle: the accumulator is
+    the delimited string; a merge fires iff the incoming symbol is ``b``
+    and the accumulator's LAST symbol is exactly ``a`` (suffix '|'+a, or
+    the whole accumulator on the first symbol).  Overlapping runs resolve
+    left-first automatically: after a merge the last symbol is ``a+b``,
+    which can never equal ``a`` again."""
+    return F.aggregate(
+        symbols,
+        F.lit(""),
+        lambda acc, x: F.when(acc == "", x)
+        .when(
+            (x == b) & ((acc == a) | acc.endswith("|" + a)),
+            F.concat(
+                F.substring(acc, F.lit(1), F.length(acc) - len(a)), F.lit(a + b)
+            ),
+        )
+        .otherwise(F.concat(acc, F.lit("|"), x)),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_merges: int = 3,
+) -> DataFrame:
+    """Distributed byte-pair-encoding MERGE TRAINING — the tokenizer-
+    building stage of a training-data pipeline: learn the ``num_merges``
+    most frequent adjacent symbol pairs over the corpus and apply each
+    merge corpus-wide before counting the next.
+
+    Scale shape: the working set after the first aggregation is the WORD
+    VOCABULARY (word, count) — ~10^7-10^8 rows at 100 TB, never the
+    corpus — and every merge round is one combinable pair-count shuffle
+    over the vocabulary + a one-row argmax collect + a narrow fold
+    (rewriting symbol strings in place).  This is exactly how production
+    distributed BPE trainers decompose; rounds are inherently sequential
+    (round k's counts depend on round k-1's merge), so cost = num_merges
+    x one-vocabulary-aggregation, priced like the pagerank iteration
+    floor.  Ties on pair count break to the lexicographically LARGEST
+    (a, b) — any fixed rule works, this one is a single max(struct).
+
+    Returns one row per merge round: (round, pair_a, pair_b, pair_count,
+    corpus_symbols_after) where the last column is the corpus-weighted
+    symbol total after applying that round's merge (monotonically
+    decreasing by pair_count each round).
+    """
+    from remote_shuffle_spark.functions.hashing import tokens
+
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.array_join(F.split("word", ""), "|").alias("repr"), "cnt"
+        )
+    )
+    cur = vocab.localCheckpoint(eager=True)
+    out_rows = []
+    for rnd in range(1, num_merges + 1):
+        sym = F.split("repr", r"\|")
+        pairs = (
+            cur.select(sym.alias("s"), "cnt")
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("s"), i).alias("a"),
+                            F.element_at(F.col("s"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        best = pairs.agg(F.max(F.struct("pc", "a", "b")).alias("m")).collect()[0].m
+        a, b, pc = best.a, best.b, int(best.pc)
+        cur = cur.select(
+            _bpe_merge_fold(F.split("repr", r"\|"), a, b).alias("repr"), "cnt"
+        ).localCheckpoint(eager=True)
+        total = cur.select(
+            F.sum(F.size(F.split("repr", r"\|")) * F.col("cnt")).alias("t")
+        ).collect()[0].t
+        out_rows.append((rnd, a, b, pc, int(total)))
+    return spark.createDataFrame(
+        out_rows,
+        "round int, pair_a string, pair_b string, pair_count bigint, "
+        "corpus_symbols_after bigint",
+    )

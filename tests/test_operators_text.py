@@ -227,3 +227,30 @@ def test_quality_classifier_exact_integer_score(spark):
     assert (row.n_tokens, row.n_distinct, row.stop_count) == (5, 4, 3)
     assert row.quality_score == 3 * 5 + 10 * 4 + 25 * 3  # = 130
     assert row.quality_bucket == 13
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    from remote_shuffle_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "abc")], "doc_id long, text string"
+    )
+    rows = bpe_train(df, "doc_id", "text", num_merges=2).orderBy("round").collect()
+    # vocab: ab x3 (a|b), abc x1 (a|b|c)
+    # round 1: pair (a,b) weight 4 wins; totals: ab=1 sym x3 + ab|c=2 x1 = 5
+    assert (rows[0].pair_a, rows[0].pair_b, rows[0].pair_count) == ("a", "b", 4)
+    assert rows[0].corpus_symbols_after == 5
+    # round 2: only pair left is (ab, c) weight 1; totals: 3 + 1 = 4
+    assert (rows[1].pair_a, rows[1].pair_b, rows[1].pair_count) == ("ab", "c", 1)
+    assert rows[1].corpus_symbols_after == 4
+
+
+def test_bpe_merge_fold_overlapping_run_is_left_greedy(spark):
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.text import _bpe_merge_fold
+
+    got = spark.range(1).select(
+        _bpe_merge_fold(F.split(F.lit("g|g|g|g|g"), r"\|"), "g", "g").alias("m")
+    ).collect()[0].m
+    assert got == "gg|gg|g"
