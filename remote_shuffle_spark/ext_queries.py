@@ -6019,3 +6019,34 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned merge and the post-merge corpus symbol totals exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_train(docs, "doc_id", "text", num_merges=3).orderBy("round")
+
+
+@declared(
+    "ext_mixture_temperature",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS weight_scaled
+      FROM c
+    )
+    SELECT source, n_docs, weight_scaled,
+           CAST(weight_scaled AS DOUBLE) / SUM(weight_scaled) OVER () AS share
+    FROM w ORDER BY source
+    """,
+    tags=("ext", "pipeline", "mixture"),
+)
+def ext_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (T=2, weight ∝ sqrt(n)) multi-source sampling
+    plan (operators/pipeline.py:temperature_mixture) — the multilingual /
+    multi-corpus mixing rule that upweights small sources.  Exactness
+    discipline: sqrt is IEEE correctly rounded (pow is not — the reason
+    the operator is sqrt-specific), weights floor to scaled integers, the
+    share denominator is an INTEGER sum and the share one exact-integer
+    division — no float summation anywhere, so the driver hash-compares
+    shares exactly."""
+    from remote_shuffle_spark.operators.pipeline import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(docs, "source")

@@ -513,3 +513,43 @@ def weighted_sample_k(
         .limit(k)
         .drop("_aes_key")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-weighted multi-source sampling plan (the multilingual /
+    multi-corpus mixing rule: sampling weight ∝ n^(1/T) with T=2, i.e.
+    sqrt(n) — upweights small sources relative to proportional sampling
+    without letting any source dominate).
+
+    Determinism discipline: sqrt is IEEE-754 CORRECTLY ROUNDED (unlike
+    pow), so ``floor(sqrt(n) * scale)`` is bit-identical on any engine;
+    the share denominator is then an INTEGER sum — no float-summation
+    order anywhere — and the final share is one exact-integer division.
+    Returns per source: (source, n_docs, weight_scaled, share).
+
+    One combinable count shuffle; the share window runs over the
+    source-cardinality frame (a handful of rows at any corpus size).
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = counts.withColumn(
+        "weight_scaled",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * scale).cast("long"),
+    )
+    return w.select(
+        "source",
+        "n_docs",
+        "weight_scaled",
+        (
+            F.col("weight_scaled")
+            / F.sum("weight_scaled").over(W.partitionBy())
+        ).alias("share"),
+    ).orderBy("source")

@@ -619,6 +619,25 @@ def main():
             },
         )
     )
+    # BPE training is VOCAB-bounded: wall should stay ~flat as the corpus
+    # grows at fixed vocabulary (the first aggregation collapses to
+    # (word, count)); this probe is the assertion behind the operator's
+    # scale claim.
+    from remote_shuffle_spark.operators.text import bpe_train
+
+    results.append(
+        probe(
+            f"bpe_train_{int(200_000 * s)}_docs_3merges",
+            lambda: {
+                "merges": [
+                    (r.pair_a, r.pair_b)
+                    for r in bpe_train(docs, "doc_id", "text", num_merges=3)
+                    .orderBy("round")
+                    .collect()
+                ]
+            },
+        )
+    )
     print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
 
 

@@ -249,3 +249,18 @@ def test_weighted_sample_k_nonpositive_weights_dropped(spark):
     df = spark.createDataFrame([(1, 0), (2, -5), (3, 7)], ["id", "w"])
     got = [r.id for r in P.weighted_sample_k(df, k=3, weight_col="w", id_col="id").collect()]
     assert got == [3]
+
+
+def test_temperature_mixture_sqrt_weights(spark):
+    """sqrt-temperature upweights the small source: with counts 100 and
+    400, proportional shares are .2/.8 but sqrt shares are 10/30 =
+    1/3 and 2/3; weights are exact scaled integers."""
+    from remote_shuffle_spark.operators.pipeline import temperature_mixture
+
+    rows = [(i, "small" if i < 100 else "big") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r.source: r for r in temperature_mixture(df, "source").collect()}
+    assert got["small"].weight_scaled == 10_000_000
+    assert got["big"].weight_scaled == 20_000_000
+    assert abs(got["small"].share - 1 / 3) < 1e-12
+    assert abs(got["big"].share - 2 / 3) < 1e-12
