@@ -6050,3 +6050,46 @@ def ext_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_mixture(docs, "source")
+
+
+@declared(
+    "ext_winnowing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(CASE WHEN len(tk) >= 4
+                      THEN array_to_string(tk[i : i + 3], ' ')
+                      ELSE array_to_string(tk, ' ') END) AS h
+      FROM toks,
+           UNNEST(generate_series(1, greatest(len(tk) - 3, 1))) AS g(i)
+    ), framed AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_shingles
+      FROM sh
+    )
+    SELECT doc_id, MAX(n_shingles) AS n_shingles,
+           COUNT(DISTINCT wmin) AS n_fingerprints
+    FROM framed
+    WHERE pos <= n_shingles - 5 OR pos = 0
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("ext", "text", "fingerprint"),
+)
+def ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints — the MOSS algorithm
+    (operators/text.py:winnowing_fingerprints): md5 every 4-word shingle,
+    slide a 5-frame window over positions, keep each full frame's MINIMUM
+    hash as a fingerprint.  Two documents sharing >= 8 consecutive words
+    are guaranteed a common fingerprint regardless of where the overlap
+    sits.  md5 minima compare as equal-length hex strings, so selection
+    is bit-identical across engines and the oracle replays the exact
+    windows.  One narrow explode + per-document windows (a partition is
+    one document's shingles, never the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(docs, "doc_id", "text", k=4, window=5).orderBy(
+        "doc_id"
+    )

@@ -660,3 +660,70 @@ def bpe_train(
         "round int, pair_a string, pair_b string, pair_count bigint, "
         "corpus_symbols_after bigint",
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    k-word shingle, slide a ``window``-wide frame over shingle positions,
+    select each frame's MINIMUM hash, and keep the distinct selected
+    hashes as the document's fingerprint set.  Guarantee: two documents
+    sharing a run of >= k + window - 1 common words share at least one
+    fingerprint — the local-minima selection makes the sketch robust to
+    WHERE the overlap sits, unlike fixed-stride sampling.
+
+    Only FULL frames select (canonical winnowing); documents with fewer
+    than ``window`` shingles contribute their global minimum (frame 1).
+    The hash is md5 and minima compare as hex strings (equal-length hex:
+    lexicographic == numeric), so selection is bit-identical on any
+    engine — the reason this uses md5 rather than the engine-local
+    xxhash64 the dedup family uses.
+
+    Scale: one narrow explode (rows = corpus shingle count), one per-doc
+    window (partitioned by doc — each partition is ONE document's
+    shingles, never the corpus), one distinct aggregate.  Returns
+    (id, n_shingles, n_fingerprints) per document.
+    """
+    from pyspark.sql import Window as W
+
+    from remote_shuffle_spark.functions.hashing import (
+        tokens,
+        word_shingles_from_tokens,
+    )
+
+    toks = df.select(F.col(id_col).alias("_wf_id"), tokens(text_col).alias("_wf_toks"))
+    sh = toks.select(
+        "_wf_id",
+        F.posexplode(word_shingles_from_tokens(F.col("_wf_toks"), k)).alias(
+            "pos", "shingle"
+        ),
+    ).select("_wf_id", "pos", F.md5("shingle").alias("h"))
+    w_frame = (
+        W.partitionBy("_wf_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    n_sh = W.partitionBy("_wf_id")
+    framed = sh.select(
+        "_wf_id",
+        "pos",
+        F.min("h").over(w_frame).alias("wmin"),
+        F.count(F.lit(1)).over(n_sh).alias("n_shingles"),
+    )
+    full = framed.filter(
+        (F.col("pos") <= F.col("n_shingles") - window) | (F.col("pos") == 0)
+    )
+    return (
+        full.groupBy("_wf_id")
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.countDistinct("wmin").alias("n_fingerprints"),
+        )
+        .select(F.col("_wf_id").alias(id_col), "n_shingles", "n_fingerprints")
+    )

@@ -254,3 +254,43 @@ def test_bpe_merge_fold_overlapping_run_is_left_greedy(spark):
         _bpe_merge_fold(F.split(F.lit("g|g|g|g|g"), r"\|"), "g", "g").alias("m")
     ).collect()[0].m
     assert got == "gg|gg|g"
+
+
+def test_winnowing_shared_run_guarantees_common_fingerprint(spark):
+    """The winnowing guarantee: docs sharing >= k + window - 1 = 8
+    consecutive words share a fingerprint (verified by intersecting the
+    selected-hash sets); a short doc yields exactly one fingerprint."""
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six seven eight nine ten"),
+            (2, f"{shared} completely different tail words here now okay yes"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in winnowing_fingerprints(df, "doc_id", "text").collect()}
+    assert out[3].n_fingerprints == 1  # < window shingles -> global min only
+    # recompute the selected SETS to assert the shared-fingerprint guarantee
+    from remote_shuffle_spark.functions.hashing import tokens, word_shingles_from_tokens
+    from pyspark.sql import Window as W
+
+    toks = df.select("doc_id", tokens("text").alias("t"))
+    sh = toks.select(
+        "doc_id", F.posexplode(word_shingles_from_tokens(F.col("t"), 4)).alias("pos", "s")
+    ).select("doc_id", "pos", F.md5("s").alias("h"))
+    wf = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.currentRow, 4)
+    np_ = W.partitionBy("doc_id")
+    sel = (
+        sh.select("doc_id", "pos", F.min("h").over(wf).alias("m"),
+                  F.count(F.lit(1)).over(np_).alias("ns"))
+        .filter((F.col("pos") <= F.col("ns") - 5) | (F.col("pos") == 0))
+        .select("doc_id", "m").distinct()
+    )
+    s1 = {r.m for r in sel.filter("doc_id = 1").collect()}
+    s2 = {r.m for r in sel.filter("doc_id = 2").collect()}
+    assert s1 & s2, "8-word shared run must yield a common fingerprint"
