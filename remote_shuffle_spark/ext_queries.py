@@ -6093,3 +6093,45 @@ def ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnowing_fingerprints(docs, "doc_id", "text", k=4, window=5).orderBy(
         "doc_id"
     )
+
+
+@declared(
+    "ext_cohort_retention",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ), c AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM daily GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT d.user_id) AS n_users
+    FROM daily d JOIN c ON d.user_id = c.user_id
+    GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+    """,
+    tags=("ext", "analytics"),
+)
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the classic product-analytics rollup:
+    users grouped by FIRST-active day (cohort), counted on each later
+    active day as (cohort_day, day_offset, n_users).  Shape: one distinct
+    over (user, day) — corpus collapses to user×day — one min-agg for
+    cohorts, one user-keyed hash join back, one grouped count-distinct.
+    Every shuffle is keyed on user or (cohort, offset); nothing touches
+    raw event volume after the first projection, so the plan is bounded
+    by active-user-days at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    daily = ev.distinct()
+    cohort = daily.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        daily.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
