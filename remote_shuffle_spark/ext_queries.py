@@ -6135,3 +6135,40 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@declared(
+    "ext_video_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                ELSE 90000 END AS INT) AS timescale,
+           CAST(1200 + doc_id % 400 AS INT) AS duration_units,
+           CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+           CAST(32 + doc_id % 64 AS INT) AS mdat_bytes,
+           CAST((1200 + doc_id % 400) * 1000000 //
+                (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                 ELSE 90000 END) AS BIGINT) AS duration_us
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("ext", "multimodal", "video"),
+)
+def ext_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO metadata tier (operators/multimodal.py): deterministic
+    spec-valid ISO-BMFF/MP4 payloads per doc (synth_mp4_bytes — real
+    ftyp/moov/mvhd/trak/mdat box layout per ISO/IEC 14496-12) parsed
+    BACK by the independent library-free box walker (_decode_mp4_boxes:
+    BE sizes, 64-bit largesize, container recursion, fail-loud on
+    truncation) through Arrow mapInPandas batches.  Every field is a
+    pure function of doc_id, so the oracle recomputes them; integer
+    microsecond durations (floor-div) for engine stability.  Completes
+    the multimodal column family: PNG/APNG/JPEG images, WAV audio, MP4
+    video — all real parsers at the tier a library decoder would slot
+    into."""
+    from remote_shuffle_spark.operators.multimodal import (
+        attach_mp4_payload,
+        video_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_metadata(attach_mp4_payload(docs)).orderBy("doc_id")

@@ -423,3 +423,173 @@ def audio_metadata(
         f"{id_col} long, sample_rate int, channels int, bits_per_sample int, "
         "n_samples int, duration_us long",
     )
+
+
+def synth_mp4_bytes(doc_id: int) -> bytes:
+    """Spec-valid minimal MP4 (ISO base media file format) bytes,
+    deterministic in doc_id: an `ftyp` box, a `moov` container holding an
+    `mvhd` (version 0: timescale ∈ {600, 1000, 90000}, duration units =
+    1200 + doc_id % 400) and 1 + doc_id % 2 `trak` containers each with a
+    minimal v0 `tkhd`, then an `mdat` with 32 + doc_id % 64 hash-derived
+    payload bytes.  Box layout per the public ISO/IEC 14496-12 spec:
+    every box = 4-byte BIG-endian size (incl. header) + 4-byte type."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    timescale = (600, 1000, 90000)[doc_id % 3]
+    duration = 1200 + doc_id % 400
+    n_tracks = 1 + doc_id % 2
+    mvhd = (
+        b"\x00\x00\x00\x00"                      # version 0 + flags
+        + struct.pack(">II", 0, 0)               # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">i", 0x00010000)          # rate 1.0
+        + struct.pack(">h", 0x0100)              # volume 1.0
+        + b"\x00" * 10                           # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24                           # pre_defined
+        + struct.pack(">I", n_tracks + 1)        # next_track_ID
+    )
+    traks = b""
+    for t in range(n_tracks):
+        tkhd = (
+            b"\x00\x00\x00\x07"                  # version 0, flags enabled
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", t + 1)           # track_ID
+            + b"\x00" * 4                        # reserved
+            + struct.pack(">I", duration)
+            + b"\x00" * 8                        # reserved
+            + struct.pack(">hhhh", 0, 0, 0, 0)   # layer/group/volume/reserved
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", 640 << 16, 360 << 16)  # width/height 16.16
+        )
+        traks += box(b"trak", box(b"tkhd", tkhd))
+    n_payload = 32 + doc_id % 64
+    seed = (doc_id * 2246822519) & 0xFFFFFFFF
+    payload = bytearray()
+    for _ in range(n_payload):
+        seed = (seed * 1103515245 + 12345) & 0xFFFFFFFF
+        payload.append(seed >> 24)
+    return (
+        box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+        + box(b"moov", box(b"mvhd", mvhd) + traks)
+        + box(b"mdat", bytes(payload))
+    )
+
+
+def _decode_mp4_boxes(buf: bytes) -> tuple[int, int, int, int]:
+    """Real (library-free) ISO-BMFF box walk: top-level boxes by 4-byte
+    BE size + fourcc (64-bit `size==1` largesize supported per spec),
+    recursion into `moov` for the `mvhd` (timescale, duration) and the
+    `trak` count, `mdat` payload size collected at top level.  Raises
+    ValueError on truncated boxes or a missing ftyp/moov — corrupt video
+    fails loudly, same policy as the PNG/JPEG/WAV tiers.  Returns
+    (timescale, duration_units, n_tracks, mdat_bytes)."""
+    import struct
+
+    def walk(data: bytes, lo: int, hi: int):
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("corrupt MP4: truncated box header")
+            size = int.from_bytes(data[pos : pos + 4], "big")
+            btype = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if body + 8 > hi:
+                    raise ValueError("corrupt MP4: truncated largesize")
+                size = int.from_bytes(data[body : body + 8], "big")
+                body += 8
+            elif size == 0:  # box extends to end of enclosing container
+                size = hi - pos
+            if size < body - pos or pos + size > hi:
+                raise ValueError("corrupt MP4: box overruns container")
+            yield btype, body, pos + size
+            pos += size
+
+    have_ftyp = False
+    timescale = duration = None
+    n_tracks = 0
+    mdat_bytes = 0
+    for btype, body, end in walk(buf, 0, len(buf)):
+        if btype == b"ftyp":
+            have_ftyp = True
+        elif btype == b"mdat":
+            mdat_bytes += end - body
+        elif btype == b"moov":
+            for ctype, cbody, cend in walk(buf, body, end):
+                if ctype == b"mvhd":
+                    version = buf[cbody]
+                    if version == 1:  # 64-bit times per spec
+                        timescale = int.from_bytes(buf[cbody + 20 : cbody + 24], "big")
+                        duration = int.from_bytes(buf[cbody + 24 : cbody + 32], "big")
+                    else:
+                        timescale, duration = struct.unpack(
+                            ">II", buf[cbody + 12 : cbody + 20]
+                        )
+                elif ctype == b"trak":
+                    n_tracks += 1
+    if not have_ftyp or timescale is None:
+        raise ValueError("corrupt MP4: missing ftyp/moov/mvhd")
+    if timescale == 0:
+        raise ValueError("corrupt MP4: zero timescale")
+    return (timescale, duration, n_tracks, mdat_bytes)
+
+
+def attach_mp4_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload binary) with deterministic spec-valid MP4 bytes —
+    the video twin of :func:`attach_wav_payload`; generation and parsing
+    are independent code paths, so the round-trip tests both."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [synth_mp4_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} long, payload binary")
+
+
+def video_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Parse MP4 payloads to (id, timescale, duration_units, n_tracks,
+    mdat_bytes, duration_us) with the library-free box walker — Arrow
+    batches through ``mapInPandas``, the batch shape a real
+    ffmpeg/pyav tier would use at this seam.  Integer microseconds
+    (floor-div), same engine-stability rule as the audio tier."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                ts, dur, trk, mdat = _decode_mp4_boxes(bytes(buf))
+                rows.append((int(i), ts, dur, trk, mdat, dur * 1_000_000 // ts))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "timescale",
+                    "duration_units",
+                    "n_tracks",
+                    "mdat_bytes",
+                    "duration_us",
+                ],
+            )
+
+    return df.mapInPandas(
+        parse,
+        f"{id_col} long, timescale int, duration_units int, n_tracks int, "
+        "mdat_bytes int, duration_us long",
+    )

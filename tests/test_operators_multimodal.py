@@ -282,3 +282,62 @@ def test_audio_metadata_roundtrip(spark, sf_smoke):
         assert r.bits_per_sample == 16
         assert r.n_samples == 100 + i % 50
         assert r.duration_us == r.n_samples * 1_000_000 // r.sample_rate
+
+
+def test_mp4_roundtrip_and_closed_form():
+    from remote_shuffle_spark.operators.multimodal import (
+        _decode_mp4_boxes,
+        synth_mp4_bytes,
+    )
+
+    for i in (0, 1, 2, 7, 123, 399, 4096):
+        ts, dur, trk, mdat = _decode_mp4_boxes(synth_mp4_bytes(i))
+        assert ts == (600, 1000, 90000)[i % 3]
+        assert dur == 1200 + i % 400
+        assert trk == 1 + i % 2
+        assert mdat == 32 + i % 64
+
+
+def test_mp4_largesize_and_to_end_boxes():
+    """Spec paths the synth never emits: size==1 (64-bit largesize) and
+    size==0 (box extends to end of container) must both parse."""
+    import struct
+
+    from remote_shuffle_spark.operators.multimodal import (
+        _decode_mp4_boxes,
+        synth_mp4_bytes,
+    )
+
+    base = synth_mp4_bytes(5)
+    # re-wrap the mdat payload as a largesize box + a size==0 free box
+    payload = b"\xab" * 10
+    large_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 10) + payload
+    tail_free = struct.pack(">I", 0) + b"free" + b"\x00" * 4
+    # strip original mdat (last box) and append the exotic ones
+    size_last = int.from_bytes(base[-(40 + 8) :][:4], "big")  # not reliable; rebuild
+    # rebuild: take everything before the final mdat box
+    # find final mdat offset by walking top-level boxes
+    pos, cut = 0, None
+    while pos < len(base):
+        size = int.from_bytes(base[pos : pos + 4], "big")
+        if base[pos + 4 : pos + 8] == b"mdat":
+            cut = pos
+        pos += size
+    doctored = base[:cut] + large_mdat + tail_free
+    ts, dur, trk, mdat = _decode_mp4_boxes(doctored)
+    assert (ts, dur, trk) == (90000, 1205, 2)
+    assert mdat == 10
+
+
+def test_mp4_corrupt_fails_loud():
+    import pytest
+
+    from remote_shuffle_spark.operators.multimodal import (
+        _decode_mp4_boxes,
+        synth_mp4_bytes,
+    )
+
+    with pytest.raises(ValueError):
+        _decode_mp4_boxes(b"\x00\x00\x00\x08junk")
+    with pytest.raises(ValueError):
+        _decode_mp4_boxes(synth_mp4_bytes(3)[:-5])  # truncated mdat
