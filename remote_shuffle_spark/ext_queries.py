@@ -6172,3 +6172,58 @@ def ext_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return video_metadata(attach_mp4_payload(docs)).orderBy("doc_id")
+
+
+@declared(
+    "ext_rollup_topk",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                  AS INT) AS lvl,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    )
+    SELECT o_orderpriority, o_orderstatus, lvl, cnt, sum_price, rk FROM (
+      SELECT *, RANK() OVER (PARTITION BY lvl, o_orderpriority
+                             ORDER BY sum_price DESC,
+                                      o_orderstatus NULLS FIRST) AS rk
+      FROM a
+    ) WHERE rk <= 2
+    ORDER BY lvl, o_orderpriority NULLS FIRST, rk, o_orderstatus NULLS FIRST
+    """,
+    tags=("ext", "agg", "rollup", "window"),
+)
+def ext_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67-style ROLLUP + windowed top-k: aggregate with a
+    two-level rollup, then RANK within each (grouping level, priority)
+    slice and keep the top 2 — the hierarchy-report shape where partial
+    aggregation, grouping_id discrimination, and a window over the
+    (small) aggregate compose.  The window's partition is the aggregate
+    table, never the fact table; decimal-exact sums cast once to double
+    (the q06 discipline) so ranking keys are engine-identical."""
+    from pyspark.sql import Window as W
+
+    from remote_shuffle_spark.queries import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("int").alias("lvl"),
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice", "sum_price"),
+    )
+    w = W.partitionBy("lvl", "o_orderpriority").orderBy(
+        F.col("sum_price").desc(), F.col("o_orderstatus").asc_nulls_first()
+    )
+    return (
+        a.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_orderpriority", "o_orderstatus", "lvl", "cnt", "sum_price", "rk")
+        .orderBy(
+            "lvl",
+            F.col("o_orderpriority").asc_nulls_first(),
+            "rk",
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
