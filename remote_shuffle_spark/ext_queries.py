@@ -6227,3 +6227,59 @@ def ext_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").asc_nulls_first(),
         )
     )
+
+
+@declared(
+    "ext_python_datasource_write",
+    oracle="""
+    WITH synth AS (
+      SELECT i AS id,
+             (i * 2654435761) % 999983 % 500 AS user_id,
+             i % 30 AS day,
+             (i * i) % 9973 AS metric
+      FROM generate_series(0, 19999) AS t(i)
+    )
+    SELECT CAST(day AS INT) AS day, COUNT(*) AS n,
+           CAST(SUM(metric) AS BIGINT) AS sum_metric
+    FROM synth GROUP BY day ORDER BY day
+    """,
+    tags=("ext", "sources", "python-datasource"),
+)
+def ext_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource WRITE path (Spark 4 — the PythonDataSourceWriter
+    planner path next to the r6 read paths): 20k synth rows flow through
+    ``df.write.format("rss_synth")`` into a JSON-lines sink whose commit
+    protocol is real — tasks stage part files and return commit messages,
+    the driver's commit() renames them in and stamps a _SUCCESS MANIFEST,
+    and the read-back goes through the manifest only (sources/
+    python_source.py: the engine-level tmp+rename+manifest discipline of
+    checkpoint_to, parity with the reference's writeIndexFileAndCommit —
+    RemoteShuffleUtils.scala).  Round-trip aggregate ≡ the
+    generate_series regeneration oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from remote_shuffle_spark.sources.python_source import (
+        committed_files,
+        register_synth_source,
+    )
+
+    register_synth_source(spark)
+    src = (
+        spark.read.format("rss_synth")
+        .option("n", "20000")
+        .option("parts", "8")
+        .load()
+    )
+    key = hashlib.sha1(f"pds_write|{sf_dir}|20000".encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"rss_pds_sink_{key}")
+    src.write.format("rss_synth").mode("overwrite").option("path", out).save()
+    back = spark.read.schema("id long, user_id long, day int, metric long").json(
+        committed_files(out)
+    )
+    return (
+        back.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("metric").alias("sum_metric"))
+        .orderBy("day")
+    )

@@ -67,6 +67,9 @@ class SynthTelemetrySource(DataSource):
     def simpleStreamReader(self, schema):
         return _SynthStreamReader(self.options)
 
+    def writer(self, schema, overwrite):
+        return _SynthSinkWriter(self.options, overwrite)
+
 
 def register_synth_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
@@ -108,3 +111,93 @@ class _SynthStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start, end):
         return self._rows(start["pos"], end["pos"])
+
+
+# --------------------------------------------------------------- write path
+#
+# The WRITER half of the Python DataSource API (a separate planner path —
+# PythonDataSourceWriter — from the readers above), implementing the same
+# tmp+rename+manifest commit discipline as the engine's checkpoint_to /
+# the reference's writeIndexFileAndCommit (RemoteShuffleUtils.scala): tasks
+# write to a STAGING directory and return commit messages; only the
+# driver-side commit() moves files into the target and stamps _SUCCESS, so
+# a failed/speculative task can never leave half-written files visible,
+# and abort() removes every staged file named by the surviving messages.
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _SinkCommitMessage(WriterCommitMessage):
+    def __init__(self, staged_file: str, rows: int):
+        self.staged_file = staged_file
+        self.rows = rows
+
+
+class _SynthSinkWriter(DataSourceWriter):
+    """JSON-lines sink with atomic visibility: write(iterator) runs per
+    task and stages one part file; commit(messages) (driver) renames the
+    staged files into the target and writes a _SUCCESS manifest listing
+    exactly the committed parts (readers select manifest files ONLY, so
+    orphans from dead tasks are invisible even before cleanup)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rss_synth writer requires .option('path', ...)")
+        self.overwrite = bool(overwrite)
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _SinkCommitMessage(fname, n)
+
+    def commit(self, messages):
+        import json
+        import os
+        import shutil
+
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        final = []
+        for m in messages:
+            if m is None:
+                continue
+            dst = os.path.join(self.path, os.path.basename(m.staged_file))
+            shutil.move(m.staged_file, dst)
+            final.append({"file": os.path.basename(dst), "rows": m.rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"parts": final}, f)
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        for m in messages or []:
+            if m is not None and os.path.exists(m.staged_file):
+                os.remove(m.staged_file)
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+def committed_files(path: str) -> list[str]:
+    """The manifest-visible part files of an rss_synth sink directory —
+    readers must go through this (orphaned parts are invisible)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_SUCCESS")) as f:
+        manifest = json.load(f)
+    return [os.path.join(path, p["file"]) for p in manifest["parts"]]

@@ -84,3 +84,48 @@ def test_python_datasource_partitioned_and_deterministic(spark):
     assert (row.user_id, row.day, row.metric) == (
         (1234 * 2654435761) % 999983 % 500, 1234 % 30, (1234 * 1234) % 9973
     )
+
+
+def test_python_datasource_writer_commit_protocol(spark, tmp_path):
+    """The rss_synth sink's atomic-visibility contract: readers see ONLY
+    manifest-listed parts (orphaned task files invisible), overwrite
+    clears prior parts, and abort removes staged files."""
+    import json
+    import os
+
+    from remote_shuffle_spark.sources.python_source import (
+        _SinkCommitMessage,
+        _SynthSinkWriter,
+        committed_files,
+        register_synth_source,
+    )
+
+    register_synth_source(spark)
+    out = str(tmp_path / "sink")
+    src = spark.read.format("rss_synth").option("n", "1000").option("parts", "4").load()
+    src.write.format("rss_synth").mode("overwrite").option("path", out).save()
+    files1 = committed_files(out)
+    assert files1 and all(os.path.exists(f) for f in files1)
+    # plant an orphan part (a dead speculative task's leftover)
+    orphan = os.path.join(out, "part-orphan.jsonl")
+    with open(orphan, "w") as f:
+        f.write(json.dumps({"id": 10**9, "user_id": 0, "day": 0, "metric": 0}) + "\n")
+    assert orphan not in committed_files(out)
+    back = spark.read.schema("id long, user_id long, day int, metric long").json(
+        committed_files(out)
+    )
+    assert back.count() == 1000 and back.agg({"id": "max"}).collect()[0][0] < 10**9
+    # overwrite clears EVERY old .jsonl, including the orphan
+    src.limit(10).write.format("rss_synth").mode("overwrite").option("path", out).save()
+    assert not os.path.exists(orphan)
+    assert sum(1 for f in os.listdir(out) if f.endswith(".jsonl")) == len(
+        committed_files(out)
+    )
+    # abort removes staged files and the staging dir
+    w = _SynthSinkWriter({"path": out}, overwrite=False)
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    staged = os.path.join(staging, "part-x.jsonl")
+    open(staged, "w").write("{}\n")
+    w.abort([_SinkCommitMessage(staged, 1)])
+    assert not os.path.exists(staged) and not os.path.exists(staging)
