@@ -6283,3 +6283,145 @@ def ext_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("metric").alias("sum_metric"))
         .orderBy("day")
     )
+
+
+@declared(
+    "ext_metadata_columns",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           CAST(0 AS BIGINT) AS min_ri,
+           CAST(COUNT(*) - 1 AS BIGINT) AS max_ri,
+           COUNT(*) AS distinct_ri
+    FROM orders
+    """,
+    tags=("ext", "sources", "metadata"),
+)
+def ext_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-METADATA columns on parquet scans (`_metadata.file_name`,
+    `_metadata.row_index`) — the lineage/debugging surface a 100 TB
+    pipeline uses to trace a bad row back to its source file and physical
+    position without writing either into the data.  The query proves
+    row_index is a dense 0..n-1 permutation per file (count == distinct
+    == max+1) and file attribution is exact; the oracle states the
+    closed form (single-file fixture tables)."""
+    from remote_shuffle_spark.sources.tables import table_path
+
+    df = spark.read.parquet(table_path(sf_dir, "orders"))
+    return (
+        df.groupBy(F.col("_metadata.file_name").alias("file_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_metadata.row_index").alias("min_ri"),
+            F.max("_metadata.row_index").alias("max_ri"),
+            F.countDistinct("_metadata.row_index").alias("distinct_ri"),
+        )
+        .orderBy("file_name")
+    )
+
+
+@declared(
+    "ext_sql_identifier",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("ext", "sql"),
+)
+def ext_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``IDENTIFIER(:param)`` clause (Spark 4): table AND column
+    names supplied as named parameters instead of string-spliced SQL —
+    the injection-safe templating surface for multi-tenant query
+    services.  Semantics equal the literal query the oracle states."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rss_ident_orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS o_orderpriority, COUNT(*) AS n
+        FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:col)
+        ORDER BY IDENTIFIER(:col)
+        """,
+        args={"tbl": "rss_ident_orders", "col": "o_orderpriority"},
+    )
+
+
+@declared(
+    "ext_stream_incremental_runs",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("ext", "streaming", "trigger", "checkpoint"),
+)
+def ext_stream_incremental_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERIODIC INCREMENTAL JOB pattern end-to-end: TWO separate
+    ``Trigger.AvailableNow`` runs over a GROWING source directory sharing
+    one checkpoint — run 1 drains the first half of the event files into
+    a parquet sink and stops; more files land; run 2 starts from the same
+    checkpoint and appends ONLY the new files (the file-source WAL makes
+    reprocessing impossible, the sink's transaction log makes the append
+    exactly-once).  Read-back totals must equal the one-shot batch
+    aggregate — proving the chain (source offsets -> checkpoint ->
+    self-terminating trigger -> file-sink commit) composes across job
+    RESTARTS, which is how a daily 100 TB ingest actually runs.
+    Fixture is PROCESS-LOCAL (unlike latedrop's tmp+rename cache): the
+    file sink's _spark_metadata log records absolute part paths, so a
+    renamed sink directory reads as empty — the log is the source of
+    truth, which is exactly the exactly-once property under test."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        late_split_dir,
+    )
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    split = late_split_dir(spark, sf_dir, late_every=None)
+    files = sorted(
+        f for f in os.listdir(split) if f.endswith(".parquet")
+    )
+    key = hashlib.sha1(f"incr|{split}|{os.getpid()}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"rss_incr_{key}")
+    schema = _ordered_events(spark, sf_dir).schema
+    s2 = stream_session(spark, 4)
+
+    def run_available_now(src_dir: str, sink: str, ckpt: str) -> None:
+        stream = (
+            s2.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .select("user_id", "event_id")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+            assert not q.isActive, "AvailableNow failed to self-terminate"
+        finally:
+            if q.isActive:
+                q.stop()
+
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        shutil.rmtree(base, ignore_errors=True)  # stale partial from a crash
+        src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+        os.makedirs(src)
+        half = max(1, len(files) // 2)
+        for f in files[:half]:
+            shutil.copy2(os.path.join(split, f), os.path.join(src, f))
+        run_available_now(src, sink, ckpt)  # run 1: first half only
+        for f in files[half:]:
+            shutil.copy2(os.path.join(split, f), os.path.join(src, f))
+        run_available_now(src, sink, ckpt)  # run 2: same checkpoint, new files
+        open(os.path.join(base, "_DONE"), "w").close()
+    return (
+        spark.read.parquet(os.path.join(base, "sink"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id")
+    )
