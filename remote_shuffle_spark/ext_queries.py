@@ -6425,3 +6425,117 @@ def ext_stream_incremental_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("user_id")
     )
+
+
+@declared(
+    "ext_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split({_NORM}, ' ')) AS n_tok FROM documents
+    )
+    SELECT doc_id, i AS chunk_idx,
+           CAST(i * 80 AS BIGINT) AS start_tok,
+           CAST(least(i * 80 + 100, n_tok) - i * 80 AS BIGINT) AS chunk_len
+    FROM toks,
+         UNNEST(range(CAST(
+           CASE WHEN n_tok <= 100 THEN 1
+                ELSE ceil((n_tok - 100) / 80.0) + 1 END AS BIGINT))) AS g(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("ext", "pipeline", "rag"),
+)
+def ext_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking WITH OVERLAP — the RAG-ingest sibling of
+    the budget-packing chunkers: 100-token windows at stride 80 (20-token
+    overlap keeps cross-boundary context retrievable), last window
+    clipped, short docs yield one whole-doc chunk.  Chunk boundaries are
+    pure per-row arithmetic (narrow, codegen'd, no shuffle at all) —
+    chunk_count = ceil((n-100)/80)+1 for n>100 — and the oracle restates
+    the closed form.  Emitting the text slices is the same `slice` call
+    the paragraph-dedup operator materializes; this query pins the
+    boundary math that makes those slices reproducible."""
+    from remote_shuffle_spark.functions.hashing import tokens
+
+    W_, S_ = 100, 80
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tok")
+    )
+    n_chunks = F.when(F.col("n_tok") <= W_, F.lit(1)).otherwise(
+        F.ceil((F.col("n_tok") - W_) / F.lit(float(S_))).cast("int") + 1
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "n_tok",
+            F.posexplode(
+                F.transform(F.sequence(F.lit(1), n_chunks), lambda i: i)
+            ).alias("chunk_idx", "_one"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * S_).cast("long").alias("start_tok"),
+            (
+                F.least(F.col("chunk_idx") * S_ + W_, F.col("n_tok"))
+                - F.col("chunk_idx") * S_
+            ).cast("long").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@declared(
+    "ext_cumulative_crossover",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+    ), cum AS (
+      SELECT day, event_type,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY day) AS c
+      FROM daily
+    ), clicks AS (SELECT day, c AS click_cum FROM cum WHERE event_type = 'click'),
+       views  AS (SELECT day, c AS view_cum  FROM cum WHERE event_type = 'view')
+    SELECT strftime(COALESCE(clicks.day, views.day), '%Y-%m-%d') AS day,
+           CAST(COALESCE(click_cum, 0) AS BIGINT) AS click_cum,
+           CAST(COALESCE(view_cum, 0) AS BIGINT) AS view_cum,
+           COALESCE(click_cum, 0) > COALESCE(view_cum, 0) AS clicks_ahead
+    FROM clicks FULL OUTER JOIN views ON clicks.day = views.day
+    ORDER BY day
+    """,
+    tags=("ext", "analytics", "window"),
+)
+def ext_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51-style cumulative crossover: two per-series running
+    totals (window over the DAILY aggregate, never the fact table),
+    FULL OUTER joined on day with coalesced keys, flagging days where
+    one series' cumulative total leads the other — the
+    web-vs-store-sales shape.  Windows partition by series over ~30
+    aggregate rows; the only fact-table work is one combinable daily
+    count."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cum = daily.withColumn(
+        "c", F.sum("n").over(W.partitionBy("event_type").orderBy("day"))
+    )
+    clicks = cum.filter("event_type = 'click'").select(
+        "day", F.col("c").alias("click_cum")
+    )
+    views = cum.filter("event_type = 'view'").select(
+        F.col("day").alias("vday"), F.col("c").alias("view_cum")
+    )
+    j = clicks.join(views, F.col("day") == F.col("vday"), "full_outer")
+    return j.select(
+        F.date_format(F.coalesce("day", "vday"), "yyyy-MM-dd").alias("day"),
+        F.coalesce("click_cum", F.lit(0)).alias("click_cum"),
+        F.coalesce("view_cum", F.lit(0)).alias("view_cum"),
+        (F.coalesce("click_cum", F.lit(0)) > F.coalesce("view_cum", F.lit(0))).alias(
+            "clicks_ahead"
+        ),
+    ).orderBy("day")
