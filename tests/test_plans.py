@@ -473,3 +473,66 @@ def test_join_hints_reach_the_planner(spark, sf_smoke):
     hash_plan = cust.hint("shuffle_hash").join(orders, cond)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in merge_plan, merge_plan[:500]
     assert "ShuffledHashJoin" in hash_plan, hash_plan[:500]
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quality_classifier_prunes_scan_columns(spark, sf_smoke):
+    """The classifier reads (doc_id, text) — the scan must not drag
+    lang/source/n_chars along."""
+    from remote_shuffle_spark.operators.text import quality_classifier
+    from remote_shuffle_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = _plan(quality_classifier(docs, "doc_id", "text"))
+    readschema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in readschema and "doc_id" in readschema
+    assert "lang" not in readschema and "n_chars" not in readschema
+
+
+def test_segment_dedup_shuffles_hash_not_text(spark, sf_smoke):
+    """The keep-first shuffle must be keyed on the 8-byte seg_hash; the
+    segment STRING must never cross an exchange."""
+    from remote_shuffle_spark.operators.dedup import segment_dedup_stats
+    from remote_shuffle_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = _plan(segment_dedup_stats(docs, "doc_id", "text"))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges, plan[:800]
+    assert any("seg_hash" in l for l in exchanges)
+    assert not any("segment#" in l for l in exchanges), exchanges
+
+
+def test_triangle_count_plans_no_cartesian(spark):
+    """Wedge closure must be two equi-joins — a cartesian/nested-loop
+    plan would be the quadratic blowup the operator exists to avoid."""
+    from remote_shuffle_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 30) for b in range(1, 30) if a < b],
+        "src long, dst long",
+    )
+    plan = _plan(triangle_count(edges))
+    assert "CartesianProduct" not in plan
+    # the two wedge joins must be equi-joins (the single-row stat
+    # attaches at the top are broadcast crossJoins by construction and
+    # carry one row each — those are fine)
+    equi = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert equi >= 2, plan[:800]
+
+
+def test_chunk_overlap_is_narrow_until_sort(spark, sf_smoke):
+    """Chunk boundary math is pure per-row arithmetic: the only exchange
+    in the plan is the final presentation sort's range partitioning."""
+    import __spark_entry__ as e
+
+    df = e.queries()["ext_chunk_overlap"](spark, sf_smoke)
+    plan = _plan(df)
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("rangepartitioning" in l for l in exchanges), exchanges
