@@ -253,3 +253,48 @@ def test_fuzzy_segments_property_full_recall(spark, texts, d):
         if _lev_py(a, b) <= d
     }
     assert got == want
+
+
+@SLOW
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["a", "b", "ab", "ba", "c"]), min_size=1, max_size=12
+            ),
+            st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("ab", "c")]),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_merge_fold_matches_reference_greedy(spark, cases):
+    """_bpe_merge_fold (the Spark/DuckDB shared string algebra) must
+    equal canonical greedy left-to-right non-overlapping merging for any
+    symbol sequence, including overlapping same-symbol runs."""
+    from remote_shuffle_spark.operators.text import _bpe_merge_fold
+
+    def reference(seq, a, b):
+        out = []
+        i = 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    for symbols, (a, b) in cases:
+        got = (
+            spark.range(1)
+            .select(
+                _bpe_merge_fold(
+                    F.split(F.lit("|".join(symbols)), r"\|"), a, b
+                ).alias("m")
+            )
+            .collect()[0]
+            .m
+        )
+        assert got.split("|") == reference(symbols, a, b), (symbols, (a, b), got)

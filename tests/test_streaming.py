@@ -1020,3 +1020,96 @@ def test_tws_state_survives_query_restart(spark):
     }
     assert got == want
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_tws_list_and_map_state_with_ttl(spark):
+    """TTL on the OTHER typed-state families: getListState/getMapState
+    both take ttlDurationMs and send the same TTLConfig submessage the
+    ValueState test pins — far horizon, so semantics equal un-TTL'd
+    state and per-user (n_ids, n_types) must match batch truth."""
+    import uuid as _uuid
+
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from remote_shuffle_spark.sources.tables import load_table
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        late_split_dir,
+    )
+    from remote_shuffle_spark.streaming.source import stream_session
+    from remote_shuffle_spark.streaming.stateful_v2 import tws_available
+
+    if not tws_available():
+        _pytest.skip("TWS protocol unavailable (no protobuf and no shim)")
+
+    class TTLListMap(StatefulProcessor):
+        def init(self, handle):
+            self.ids = handle.getListState("ids", "event_id long", ttlDurationMs=2**30)
+            self.types = handle.getMapState(
+                "types", "t string", "one long", ttlDurationMs=2**30
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            pdf = pd.concat(list(rows))
+            self.ids.appendList([(int(e),) for e in pdf["event_id"]])
+            for t in pdf["event_type"].unique():
+                self.types.updateValue((t,), (1,))
+            n_ids = sum(1 for _ in self.ids.get())
+            n_types = sum(1 for _ in self.types.keys())
+            yield pd.DataFrame(
+                [(int(key[0]), n_ids, n_types)],
+                columns=["user_id", "n_ids", "n_types"],
+            )
+
+        def close(self):
+            pass
+
+    sf = "/root/testdata/sf0.001"
+    split = late_split_dir(spark, sf, late_every=None)
+    schema = _ordered_events(spark, sf).schema
+    s2 = stream_session(spark, 4)
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        s2.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(split)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        TTLListMap(), "user_id long, n_ids long, n_types long", "Update",
+        "ProcessingTime",
+    )
+    name = f"ttl_lm_{_uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        import time
+
+        want = {
+            (r.user_id, r.n, r.t)
+            for r in load_table(spark, sf, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("event_type").alias("t"),
+            )
+            .collect()
+        }
+        deadline = time.time() + 120
+        got = set()
+        while time.time() < deadline:
+            got = {
+                (r.user_id, r.n_ids, r.n_types)
+                for r in s2.table(name)
+                .groupBy("user_id")
+                .agg(F.max("n_ids").alias("n_ids"), F.max("n_types").alias("n_types"))
+                .collect()
+            }
+            if got == want and not q.status["isDataAvailable"]:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert got == want
