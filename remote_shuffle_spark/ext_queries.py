@@ -6539,3 +6539,79 @@ def ext_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clicks_ahead"
         ),
     ).orderBy("day")
+
+
+@declared(
+    "ext_session_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ), l AS (
+      SELECT user_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM e
+    ), f AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN prev IS NULL
+                       OR date_diff('microsecond', prev, ts) > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM l
+    ), s AS (
+      SELECT user_id, ts, event_type,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+      FROM f
+    ), g AS (
+      SELECT user_id, session_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) AS last_click
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE first_view IS NOT NULL
+                                   AND last_click > first_view) AS BIGINT)
+             AS n_converted
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("ext", "analytics", "window", "composition"),
+)
+def ext_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator COMPOSITION: in-session conversion — sessionize (30-min
+    gap: lag -> flag -> cumulative sum, the ext_sessionize algebra) then
+    a view->click funnel WITHIN each session (a session converts iff a
+    click strictly follows its first view).  The whole pipeline reuses
+    ONE exchange on user_id: both session windows and the per-session
+    aggregate group on (user, session) — Catalyst plans a single
+    partitioning, which is the point of keying every stage identically
+    at 100 TB."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag("ts").over(w)
+    ns = (
+        prev.isNull()
+        | (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+            > gap_us
+        )
+    ).cast("long")
+    s = ev.withColumn("session_id", F.sum(ns).over(w))
+    g = s.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("last_click"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                (
+                    F.col("first_view").isNotNull()
+                    & (F.col("last_click") > F.col("first_view"))
+                ).cast("long")
+            ).alias("n_converted"),
+        )
+        .orderBy("user_id")
+    )
