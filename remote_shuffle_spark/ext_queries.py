@@ -6606,11 +6606,16 @@ def ext_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
+            # when/otherwise, NOT a bare cast: with a view but no click
+            # the comparison is NULL and `true AND NULL` is NULL — a cast
+            # would feed SUM nothing for all-null users (edge-fixture
+            # caught: Spark NULL vs the oracle's COUNT FILTER 0)
             F.sum(
-                (
+                F.when(
                     F.col("first_view").isNotNull()
-                    & (F.col("last_click") > F.col("first_view"))
-                ).cast("long")
+                    & (F.col("last_click") > F.col("first_view")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
             ).alias("n_converted"),
         )
         .orderBy("user_id")
