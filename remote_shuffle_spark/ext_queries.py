@@ -5882,15 +5882,16 @@ def ext_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       COUNT(*) FILTER (WHERE l_quantity = 25) AS div_nulls,
-      COUNT(*) FILTER (WHERE l_orderkey > 7) AS add_nulls,
+      COUNT(*) FILTER (WHERE l_orderkey % 1009 = 0) AS add_nulls,
       MIN(CASE WHEN l_quantity <> 25
                THEN CAST(l_orderkey AS DOUBLE) / CAST(l_quantity - 25 AS DOUBLE)
           END) AS min_ratio,
       MAX(CASE WHEN l_quantity <> 25
                THEN CAST(l_orderkey AS DOUBLE) / CAST(l_quantity - 25 AS DOUBLE)
           END) AS max_ratio,
-      MAX(CASE WHEN l_orderkey <= 7
-               THEN 9223372036854775800 + l_orderkey END) AS max_near_overflow
+      CAST(MAX(CASE WHEN l_orderkey % 1009 <> 0
+               THEN 9223372036854775806 + (l_orderkey % 2) END) AS BIGINT)
+        AS max_near_overflow
     FROM lineitem
     """,
     tags=("ext", "functions"),
@@ -5898,17 +5899,30 @@ def ext_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe ``try_*`` arithmetic (Spark 4 NULL-on-error family):
     try_divide NULLs on the planted zero denominator (quantity 25),
-    try_add NULLs on real bigint overflow (9223372036854775800 + key > 7
-    overflows int64) — the idiom that lets ANSI mode stay on corpus-wide
-    without one bad row killing a 100 TB job.  The oracle states the same
-    NULL surface with explicit CASE guards; MIN/MAX of the double ratios
-    are order-independent, so no float-summation hazard."""
+    try_add NULLs on REAL int64 overflow planted on ~0.1% of rows
+    (key % 1009 == 0 adds 2 to MAX-1) — the idiom that lets ANSI mode
+    stay on corpus-wide without one bad row killing a 100 TB job.
+
+    COST MODEL (measured): Spark's TryEval catches a thrown JVM
+    ArithmeticException per FAILING row (~15 µs each) — a predicate
+    where most of the corpus overflows cost 10.7 s at sf0.1 vs ~0.5 s
+    with rare overflow.  try_* prices as: normal rows free (codegen'd
+    Math.addExact), error rows pay an exception — exactly right for
+    dirty-data guards, exactly wrong as a systematic-overflow carrier
+    (use wider types or decimals for that).  The oracle states the same
+    NULL surface with explicit CASE guards; MIN/MAX only (no float
+    summation)."""
     li = load_table(spark, sf_dir, "lineitem")
     ratio = F.try_divide(
         F.col("l_orderkey").cast("double"),
         (F.col("l_quantity") - 25).cast("double"),
     )
-    near = F.try_add(F.lit(9223372036854775800), F.col("l_orderkey"))
+    near = F.try_add(
+        F.lit(9223372036854775806),
+        F.when(F.pmod("l_orderkey", F.lit(1009)) == 0, F.lit(2)).otherwise(
+            F.pmod("l_orderkey", F.lit(2))
+        ),
+    )
     return li.select(ratio.alias("r"), near.alias("a")).agg(
         F.count(F.when(F.col("r").isNull(), 1)).alias("div_nulls"),
         F.count(F.when(F.col("a").isNull(), 1)).alias("add_nulls"),
