@@ -6634,3 +6634,77 @@ def ext_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _label_prop_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled DuckDB mirror of operators/graph.py:label_propagation —
+    per iteration: neighbor-label counts, then argmax with (count DESC,
+    label ASC) — the same (−count, label) min-struct rule the engine
+    applies."""
+    head = """
+    WITH os AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    ), und AS (
+      SELECT DISTINCT a.sk AS a, b.sk AS b
+      FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+    ), e AS (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ), l0 AS (
+      SELECT DISTINCT a AS v, a AS label FROM e
+    )"""
+    stages = []
+    for k in range(1, iterations + 1):
+        stages.append(f"""
+    , c{k} AS (
+      SELECT e.a AS v, l.label, COUNT(*) AS c
+      FROM e JOIN l{k-1} l ON e.b = l.v GROUP BY 1, 2
+    ), l{k} AS (
+      SELECT v, label FROM (
+        SELECT v, label,
+               ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    )""")
+    tail = f"""
+    SELECT label AS community, COUNT(*) AS n_members
+    FROM l{iterations} GROUP BY label ORDER BY community
+    """
+    return head + "".join(stages) + tail
+
+
+@declared(
+    "ext_label_propagation",
+    oracle=_label_prop_oracle_sql(3),
+    tags=("ext", "graph", "iterative"),
+)
+def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation
+    (operators/graph.py:label_propagation) over the sliced supplier
+    co-supply graph — 3 deterministic iterations (most-frequent neighbor
+    label, ties to the smallest), then community sizes.  The oracle
+    unrolls the identical three rounds, so the driver hash-compares the
+    full community assignment trajectory.  Per iteration: one edge-keyed
+    hash join + combinable count + min-struct argmax — the pagerank
+    iteration discipline (durable localCheckpoint per frontier)."""
+    from remote_shuffle_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    pairs = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    edges = (
+        pairs.alias("a")
+        .join(pairs.alias("b"), "ok")
+        .filter(F.col("a.sk") < F.col("b.sk"))
+        .select(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
+    )
+    labels = label_propagation(edges, iterations=3)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("community")
+    )

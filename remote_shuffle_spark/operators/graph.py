@@ -396,3 +396,48 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .crossJoin(F.broadcast(verts.agg(F.count(F.lit(1)).alias("n_vertices"))))
         .select("n_vertices", "n_edges", "n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """SYNCHRONOUS label propagation over an undirected graph: every
+    vertex starts labeled with its own id; each iteration relabels every
+    vertex with its neighbors' most frequent round-(t-1) label, ties to
+    the SMALLEST label — both rules fixed so the trajectory is fully
+    deterministic (asynchronous/random-order LP, the usual presentation,
+    is not reproducible across engines; synchronous-min is the standard
+    determinization).  Returns (vertex, label) after ``iterations``.
+
+    Scale: per iteration one hash-join of the (vertex, label) frame onto
+    the edge list + one combinable count + one min(struct) argmax — all
+    keyed shuffles, nothing quadratic; the frontier frame is
+    localCheckpoint'ed per round (same durable-iteration discipline as
+    :func:`pagerank`, see checkpoint notes there).  Iterations are a
+    floor, like pagerank's — price is iterations x one edge-join.
+    """
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(lo.alias("a"), hi.alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        e.select(F.col("a").alias("v")).distinct().select("v", F.col("v").alias("label"))
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        nbr = e.join(labels, e["b"] == labels["v"]).select(
+            e["a"].alias("u"), "label"
+        )
+        counts = nbr.groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("u")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("m"))
+            .select(F.col("u").alias("v"), F.col("m.label").alias("label"))
+        ).localCheckpoint(eager=True)
+    return labels

@@ -266,3 +266,30 @@ def test_triangle_count_path_graph_has_none(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     (row,) = triangle_count(df).collect()
     assert (row.n_vertices, row.n_edges, row.n_triangles) == (4, 3, 0)
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    """Two triangles joined by one bridge edge: after 3 synchronous
+    min-tie iterations each triangle collapses onto its minimum vertex
+    id (the bridge is outvoted by the in-clique majority)."""
+    from remote_shuffle_spark.operators.graph import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    df = spark.createDataFrame(tri1 + tri2 + bridge, "src long, dst long")
+    got = {r.v: r.label for r in label_propagation(df, iterations=3).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]
+
+
+def test_label_propagation_is_synchronous_and_min_tied(spark):
+    """A path a-b-c: b's neighbors are {a, c} (tie) -> min label wins;
+    synchronous update means round-1 labels derive only from round-0."""
+    from remote_shuffle_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(5, 7), (7, 9)], "src long, dst long")
+    got = {r.v: r.label for r in label_propagation(df, iterations=1).collect()}
+    # round 1 from initial labels: 5 sees {7}; 7 sees {5,9} tie -> 5; 9 sees {7}
+    assert got == {5: 7, 7: 5, 9: 7}
