@@ -6708,3 +6708,67 @@ def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("community")
     )
+
+
+@declared(
+    "ext_market_basket",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+    item AS (SELECT pk, COUNT(*) AS cnt FROM op GROUP BY pk),
+    pair AS (
+      SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS both_cnt
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT pa, pb, both_cnt,
+           CAST(n.n_orders * pair.both_cnt AS DOUBLE)
+             / (ia.cnt * ib.cnt) AS lift
+    FROM pair, n
+    JOIN item ia ON ia.pk = pair.pa
+    JOIN item ib ON ib.pk = pair.pb
+    ORDER BY lift DESC, pa, pb LIMIT 20
+    """,
+    tags=("ext", "analytics", "cooccurrence"),
+)
+def ext_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-ordered in the same order,
+    min-support 3, ranked by LIFT = N·c(a,b) / (c(a)·c(b)).  Shape: one
+    distinct projection, a self-join keyed on order id (pairs bounded by
+    per-order basket size, not corpus — the same within-group quadratic
+    bound as the fuzzy blockers), two broadcast-size item-count joins.
+    Lift is one double division of exact integers, so ranking keys are
+    engine-identical; ties break on the pair ids."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_orders = op.select("ok").distinct().count()
+    item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+    pair = (
+        op.alias("a")
+        .join(op.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        .filter(F.col("both_cnt") >= 3)
+    )
+    ia = item.select(F.col("pk").alias("pa"), F.col("cnt").alias("ca"))
+    ib = item.select(F.col("pk").alias("pb"), F.col("cnt").alias("cb"))
+    return (
+        pair.join(ia, "pa")
+        .join(ib, "pb")
+        .select(
+            "pa",
+            "pb",
+            "both_cnt",
+            (
+                (F.lit(n_orders) * F.col("both_cnt")).cast("double")
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(20)
+    )

@@ -604,6 +604,17 @@ def main():
     )
     results.append(
         probe(
+            f"label_propagation_{n_edges}_edges_3it",
+            lambda: {
+                "communities": graph_ops.label_propagation(tri_edges, iterations=3)
+                .select("label")
+                .distinct()
+                .count()
+            },
+        )
+    )
+    results.append(
+        probe(
             f"quantized_recall_{n_vec}_vecs_q16",
             lambda: {
                 "mean_hits": similarity.quantization_recall_at_k(
