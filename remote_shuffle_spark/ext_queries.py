@@ -6772,3 +6772,35 @@ def ext_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "pa", "pb")
         .limit(20)
     )
+
+
+@declared(
+    "ext_pandas_udaf",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(median(event_id) AS DOUBLE) AS med_event
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ext", "udf", "udaf"),
+)
+def ext_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (operators/udf.py:median_udaf) — the UDAF
+    face of the pandas UDF API (whole-group Arrow reduction inside
+    ``groupBy().agg``).  Spark refuses to MIX group-agg pandas UDFs with
+    JVM aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT — a real API
+    constraint this query documents), so the built-in COUNT runs as its
+    own aggregate and joins back on the 3-row key set.  Median because
+    it is order-independent — the reason a sum-of-floats UDAF could
+    never be oracled — and the reference's Aggregator[K,V,C] seam
+    (SURVEY §2.3 UDF row) maps to exactly this split."""
+    ev = load_table(spark, sf_dir, "events")
+    from remote_shuffle_spark.operators.udf import median_udaf
+
+    med = median_udaf()
+    meds = ev.groupBy("event_type").agg(med(F.col("event_id")).alias("med_event"))
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.join(meds, "event_type")
+        .select("event_type", "n", "med_event")
+        .orderBy("event_type")
+    )

@@ -121,3 +121,21 @@ def leading_words_udtf_class(n_cols: int = 3):
             yield tuple(words[i] if i < len(words) else None for i in range(n))
 
     return LeadingWords
+
+
+def median_udaf():
+    """GROUPED_AGG pandas UDF (the pandas-UDAF surface: a whole-group
+    Series in, one scalar out, usable inside ``groupBy().agg`` next to
+    built-ins).  Median is the deterministic choice for a float-returning
+    UDAF: it is a function of the value SET (sort-based), immune to the
+    accumulation-order nondeterminism that makes sum/mean-style float
+    UDAFs hash-unstable across engines; the even-count midpoint (a+b)/2
+    is exact for int inputs below 2^52."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(np.median(v))
+
+    return _median
