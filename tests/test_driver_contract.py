@@ -34,7 +34,8 @@ sf = "/root/testdata/sf0.001"
 # if ensure_protobuf() patches the live SparkContext.environment.
 for name in ["q07_groupbykey_collect", "q16_null_keys", "q23_json_scalar",
              "q24_date_parts", "ext_asof_join", "ext_stream_window",
-             "ext_stream_tws_limiter"]:
+             "ext_stream_tws_limiter", "ext_python_datasource_write",
+             "ext_cohort_retention"]:
     df = qs[name](spark, sf)
     out[name] = df.count()
 print(json.dumps(out))
@@ -59,7 +60,8 @@ def test_vanilla_session_runs_sensitive_queries(spark, sf_smoke):
     qs = e.queries()
     for name in ["q07_groupbykey_collect", "q16_null_keys", "q23_json_scalar",
                  "q24_date_parts", "ext_asof_join", "ext_stream_window",
-                 "ext_stream_tws_limiter"]:
+                 "ext_stream_tws_limiter", "ext_python_datasource_write",
+                 "ext_cohort_retention"]:
         assert got[name] == qs[name](spark, sf_smoke).count(), name
 
 
