@@ -138,7 +138,20 @@ class _SynthSinkWriter(DataSourceWriter):
     task and stages one part file; commit(messages) (driver) renames the
     staged files into the target and writes a _SUCCESS manifest listing
     exactly the committed parts (readers select manifest files ONLY, so
-    orphans from dead tasks are invisible even before cleanup)."""
+    orphans from dead tasks are invisible even before cleanup).
+
+    In append mode (``mode("append")``) the driver-side commit MERGES the
+    existing _SUCCESS manifest's parts with the new batch's, so earlier
+    committed data stays manifest-visible; overwrite replaces both the
+    parts and the manifest.
+
+    LOCAL-FILESYSTEM-ONLY fixture: tasks stage with ``open()`` on the
+    executor's local disk and the driver commits with os/shutil, which is
+    correct only when driver and executors share a filesystem (local /
+    local-cluster mode, as in this harness).  The reference's equivalent
+    (writeIndexFileAndCommit, RemoteShuffleUtils.scala) commits through a
+    shared remote store; a cluster-grade port of this sink would carry the
+    staged payload in the commit message or stage to shared storage."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -167,11 +180,18 @@ class _SynthSinkWriter(DataSourceWriter):
         import shutil
 
         os.makedirs(self.path, exist_ok=True)
+        final = []
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f.endswith(".jsonl"):
                     os.remove(os.path.join(self.path, f))
-        final = []
+        else:
+            # Append: earlier commits' parts must stay manifest-visible,
+            # so seed the new manifest with the existing one's entries.
+            manifest = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(manifest):
+                with open(manifest) as f:
+                    final.extend(json.load(f).get("parts", []))
         for m in messages:
             if m is None:
                 continue

@@ -129,3 +129,36 @@ def test_python_datasource_writer_commit_protocol(spark, tmp_path):
     open(staged, "w").write("{}\n")
     w.abort([_SinkCommitMessage(staged, 1)])
     assert not os.path.exists(staged) and not os.path.exists(staging)
+
+
+def test_python_datasource_writer_append_merges_manifest(spark, tmp_path):
+    """Append-mode commits MERGE the existing _SUCCESS manifest with the
+    new batch's parts: earlier committed rows stay manifest-visible
+    (ADVICE r8: append used to rewrite the manifest with only the new
+    batch, silently dropping prior data from committed_files())."""
+    import os
+
+    from remote_shuffle_spark.sources.python_source import (
+        committed_files,
+        register_synth_source,
+    )
+
+    register_synth_source(spark)
+    out = str(tmp_path / "sink_append")
+    src = spark.read.format("rss_synth").option("n", "100").option("parts", "2").load()
+    src.write.format("rss_synth").mode("append").option("path", out).save()
+    first = set(committed_files(out))
+    assert len(first) == 2
+    src.write.format("rss_synth").mode("append").option("path", out).save()
+    merged = set(committed_files(out))
+    assert first < merged and len(merged) == 4
+    assert all(os.path.exists(f) for f in merged)
+    back = spark.read.schema("id long, user_id long, day int, metric long").json(
+        list(merged)
+    )
+    assert back.count() == 200
+    # overwrite after appends resets the manifest to the single new batch
+    src.limit(5).write.format("rss_synth").mode("overwrite").option("path", out).save()
+    assert len(committed_files(out)) <= 2 and not (
+        set(committed_files(out)) & merged
+    )
