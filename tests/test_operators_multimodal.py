@@ -313,15 +313,15 @@ def test_mp4_largesize_and_to_end_boxes():
     payload = b"\xab" * 10
     large_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 10) + payload
     tail_free = struct.pack(">I", 0) + b"free" + b"\x00" * 4
-    # strip original mdat (last box) and append the exotic ones
-    size_last = int.from_bytes(base[-(40 + 8) :][:4], "big")  # not reliable; rebuild
-    # rebuild: take everything before the final mdat box
-    # find final mdat offset by walking top-level boxes
+    # strip original mdat (last box) and append the exotic ones:
+    # find the final mdat offset by walking top-level boxes
     pos, cut = 0, None
     while pos < len(base):
         size = int.from_bytes(base[pos : pos + 4], "big")
         if base[pos + 4 : pos + 8] == b"mdat":
             cut = pos
+        if size == 0:  # to-end box: nothing can follow it
+            break
         pos += size
     doctored = base[:cut] + large_mdat + tail_free
     ts, dur, trk, mdat = _decode_mp4_boxes(doctored)
