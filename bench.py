@@ -38,6 +38,16 @@ def materialize(df) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument(
+        "--family",
+        default=None,
+        help="quiet-VM family re-measure: run ONLY queries whose name "
+        "contains this substring (e.g. 'tws', 'dedup') in a fresh "
+        "session, so chatty families get numbers free of the ambient "
+        "broadcast/GC state a 230-query session accumulates (round 8 "
+        "measured the same TWS query at 28.1 s mid-session vs 9.5 s "
+        "solo).  Full map goes to BENCH_family_<fam>.json.",
+    )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--repeat", type=int, default=2, help="executions per query; last one is the reported steady time")
     args = ap.parse_args()
@@ -55,7 +65,14 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    names = args.queries.split(",") if args.queries else list(qs)
+    if args.queries:
+        names = args.queries.split(",")
+    elif args.family:
+        names = [n for n in qs if args.family in n]
+        if not names:
+            raise SystemExit(f"no queries match family {args.family!r}")
+    else:
+        names = list(qs)
 
     sf_name = os.path.basename(args.sf_dir.rstrip("/"))
     sf = float(sf_name.removeprefix("sf")) if sf_name.startswith("sf") else None
@@ -89,7 +106,8 @@ def main() -> None:
     # to a repo file for round-over-round per-query comparison, and make the
     # FINAL stdout line a compact JSON — totals + the slowest-20 steady
     # times — that always fits in the tail.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    fname = f"BENCH_family_{args.family}.json" if args.family else "BENCH_full.json"
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     with open(full_path, "w") as fh:
         json.dump(result, fh, sort_keys=True)
     slowest = dict(sorted(steady.items(), key=lambda kv: -kv[1])[:20])
