@@ -649,6 +649,133 @@ def main():
             },
         )
     )
+    # round-9 additions: the r8 analytics queries that lacked probes
+    # (winnowing, cohort retention, session funnel, market basket,
+    # rollup+topk) plus the new exact-substring dedup tier.  Each uses
+    # the same algebra as its ext_ query, on synthetic inputs sized by
+    # --scale, so sublinear/linear wall growth is measurable.
+    from remote_shuffle_spark.operators.text import winnowing_fingerprints
+
+    results.append(
+        probe(
+            f"winnowing_{int(200_000 * s)}_docs",
+            lambda: {
+                "fps": winnowing_fingerprints(
+                    docs, "doc_id", "text", k=4, window=5
+                ).count()
+            },
+        )
+    )
+    results.append(
+        probe(
+            f"exact_substring_dedup_{int(200_000 * s)}_docs",
+            lambda: {
+                "dup_tokens": dedup.exact_substring_dedup_stats(
+                    docs, "doc_id", "text", window_tokens=20
+                )
+                .agg(F.sum("dup_tokens").alias("d"))
+                .collect()[0].d
+            },
+        )
+    )
+
+    def _cohort_probe():
+        daily = events.select(
+            "user_id", F.to_date("ts").alias("day")
+        ).distinct()
+        cohort = daily.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+        return {
+            "cells": daily.join(cohort, "user_id")
+            .groupBy(
+                "cohort_day",
+                F.datediff("day", "cohort_day").alias("day_offset"),
+            )
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .count()
+        }
+
+    results.append(probe(f"cohort_retention_{int(5_000_000 * s)}_events", _cohort_probe))
+
+    def _funnel_probe():
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts")
+        prev = F.lag("ts").over(w)
+        ns = (
+            prev.isNull()
+            | (F.unix_micros("ts") - F.unix_micros(prev) > 30 * 60 * 1_000_000)
+        ).cast("long")
+        sx = events.withColumn("session_id", F.sum(ns).over(w))
+        g = sx.groupBy("user_id", "session_id").agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("lc"),
+        )
+        conv = g.groupBy("user_id").agg(
+            F.sum(
+                F.when(F.col("fv").isNotNull() & (F.col("lc") > F.col("fv")), 1)
+                .otherwise(0)
+            ).alias("n_converted")
+        )
+        return {"users": conv.count()}
+
+    results.append(probe(f"session_funnel_{int(5_000_000 * s)}_events", _funnel_probe))
+
+    def _basket_probe():
+        # baskets of 5 items over a 2000-item catalog: the pair self-join
+        # is bounded by BASKET size (5 choose 2 per order), so pair rows —
+        # and wall — must grow linearly with orders, not quadratically
+        n = int(2_000_000 * s)
+        op = spark.range(n).select(
+            (F.col("id") / 5).cast("long").alias("ok"),
+            F.pmod(F.xxhash64("id"), F.lit(2000)).alias("pk"),
+        ).distinct()
+        n_orders = op.select("ok").distinct().count()
+        item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+        pair = (
+            op.alias("a")
+            .join(op.alias("b"), "ok")
+            .filter(F.col("a.pk") < F.col("b.pk"))
+            .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("both_cnt"))
+            .filter(F.col("both_cnt") >= 3)
+        )
+        out = (
+            pair.join(item.select(F.col("pk").alias("pa"), F.col("cnt").alias("ca")), "pa")
+            .join(item.select(F.col("pk").alias("pb"), F.col("cnt").alias("cb")), "pb")
+            .select(
+                "pa", "pb",
+                ((F.lit(n_orders) * F.col("both_cnt")).cast("double")
+                 / (F.col("ca") * F.col("cb"))).alias("lift"),
+            )
+        )
+        return {"pairs": out.count()}
+
+    results.append(probe(f"market_basket_{int(2_000_000 * s)}_items", _basket_probe))
+
+    def _rollup_topk_probe():
+        from pyspark.sql import Window as W
+
+        n = int(5_000_000 * s)
+        orders = spark.range(n).select(
+            F.pmod(F.xxhash64("id"), F.lit(5)).alias("prio"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(3)).alias("status"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100_000)) / 100.0).alias("price"),
+        )
+        a = orders.rollup("prio", "status").agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.sum("price").alias("sum_price"),
+        )
+        w = W.partitionBy("lvl", "prio").orderBy(
+            F.col("sum_price").desc(), F.col("status").asc_nulls_first()
+        )
+        return {
+            "rows": a.withColumn("rk", F.rank().over(w))
+            .filter(F.col("rk") <= 2)
+            .count()
+        }
+
+    results.append(probe(f"rollup_topk_{int(5_000_000 * s)}_orders", _rollup_topk_probe))
+
     print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
 
 
