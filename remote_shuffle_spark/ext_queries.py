@@ -6804,3 +6804,316 @@ def ext_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "med_event")
         .orderBy("event_type")
     )
+
+
+@declared(
+    "ext_dedup_substring",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             array_to_string((string_split({_NORM}, ' '))[1:60], ' ') AS text
+      FROM documents WHERE doc_id % 17 = 0
+    ), toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM corpus
+    ), base AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(GREATEST(0, len(tk) - 19) AS BIGINT) AS n_windows
+      FROM toks
+    ), wins AS (
+      SELECT doc_id, i AS pos, array_to_string(tk[i+1 : i+20], ' ') AS win
+      FROM toks, UNNEST(range(len(tk) - 19)) AS r(i)
+      WHERE len(tk) >= 20
+    ), dups AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        FROM wins)
+      WHERE rn > 1
+    ), cov AS (
+      SELECT doc_id,
+        LEAST(20, COALESCE(
+          LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 20)) AS covered
+      FROM dups
+    ), ds AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows,
+             CAST(SUM(covered) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_windows,
+           COALESCE(ds.dup_windows, 0) AS dup_windows,
+           COALESCE(ds.dup_tokens, 0) AS dup_tokens
+    FROM base b LEFT JOIN ds USING (doc_id) ORDER BY doc_id
+    """,
+    tags=("ext", "dedup"),
+)
+def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-independent exact-substring dedup
+    (operators/dedup.py:exact_substring_dedup_stats) — the ExactSubstr
+    tier of the dedup ladder between whole-paragraph keep-first
+    (ext_dedup_paragraph) and winnowing/near-dup: every 20-token sliding
+    window is hashed, corpus-wide keep-first marks later occurrences, and
+    each document reports how many windows and how many TOKENS (merged
+    spans) an exact-substring scrubber would remove.  The corpus is the
+    documents table plus planted full copies (doc_id%13, +1e6 ids) and
+    planted 60-token prefix copies (doc_id%17, +2e6 ids), so both
+    whole-document and mid-document copied runs are exercised — the
+    prefix copies are exactly the case segment-boundary dedup misses.
+    The production default is 50-token windows (Lee et al. ExactSubstr);
+    20 here because the fixture documents average ~56 tokens.
+
+    Scale: ONE shuffle keyed by xxhash64(window) carrying (hash, id, pos)
+    — never text; span merge is a per-document lead() window.  The oracle
+    replays the raw window STRINGS, so a Spark-side hash collision would
+    surface as a mismatch."""
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+    from remote_shuffle_spark.operators.dedup import exact_substring_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    full_copies = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    prefix_copies = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(_toks("text"), 1, 60)).alias("text"),
+    )
+    corpus = docs.unionAll(full_copies).unionAll(prefix_copies)
+    return exact_substring_dedup_stats(
+        corpus, "doc_id", "text", window_tokens=20
+    ).orderBy("doc_id")
+
+
+@declared(
+    "ext_stream_tws_proc_timers",
+    oracle="""
+    SELECT DISTINCT user_id, user_id AS fired_ms
+    FROM events ORDER BY user_id
+    """,
+    tags=("ext", "streaming", "stateful", "tws"),
+)
+def ext_stream_tws_proc_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS PROCESSING-TIME timer coverage
+    (streaming/stateful_v2.py:ProcTimeTimerProcessor) — the last TWS mode
+    unexercised after r8 (event-time timers + ProcessingTime TTL were
+    green; ProcessingTime timers were not): each user's first batch
+    registers an already-expired processing-time timer at
+    expiry = user_id ms (epoch 1970 < any wall clock) after asserting the
+    handle's processing-time clock is live; the timer fires in a
+    subsequent batch's timer phase and emits one (user_id, fired_ms)
+    row.  ProcessingTime mode never settles (module docstring), so the
+    drain is the proven poll-then-stop idiom from ext_stream_tws_ttl —
+    the fired set is deterministic (one row per user), only the firing
+    BATCH is wall-clock dependent."""
+    from remote_shuffle_spark.streaming.stateful_v2 import proc_time_timer_stream
+
+    return proc_time_timer_stream(spark, sf_dir)
+
+
+@declared(
+    "ext_shard_assignment",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tok,
+             ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS rk
+      FROM t
+    )
+    SELECT CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+                     ELSE 7 - (rk % 8) END AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM r GROUP BY shard ORDER BY shard
+    """,
+    tags=("ext", "pipeline"),
+)
+def ext_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard assignment
+    (operators/pipeline.py:assign_training_shards): documents ranked by
+    descending token count (ties by doc_id) and dealt serpentine onto 8
+    shards, so every data-parallel trainer rank gets the same token
+    budget to within one document — the sharding step between corpus
+    prep and epoch scheduling.  The rank comes from repartitionByRange +
+    the two-phase global index (NO single-partition ORDER BY window —
+    the naive row_number() over a global order is a one-task bottleneck
+    at 100 TB; the oracle uses it because DuckDB is single-node anyway).
+    Output is the per-shard balance report."""
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+    from remote_shuffle_spark.operators.pipeline import assign_training_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_toks("text")).cast("long").alias("n_tok")
+    )
+    assigned = assign_training_shards(
+        docs, "doc_id", "n_tok", n_shards=8, serpentine=True
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+@declared(
+    "ext_dedup_ladder",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, {_NORM} AS nt FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, {_NORM} FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             'p'||doc_id||'x p'||doc_id||'y p'||doc_id||'z ' ||
+             array_to_string((string_split({_NORM}, ' '))[8:57], ' ') ||
+             ' q'||doc_id||'x q'||doc_id||'y'
+      FROM documents WHERE doc_id % 19 = 0
+    ), grp AS (
+      SELECT nt, MIN(doc_id) AS keeper, COUNT(*) AS c FROM corpus GROUP BY nt
+    ), t1 AS (
+      SELECT '1_exact' AS stage,
+             CAST(SUM(c) - COUNT(*) AS BIGINT) AS docs_affected,
+             CAST(SUM(c) - COUNT(*) AS BIGINT) AS units_removed
+      FROM grp
+    ), surv AS (
+      SELECT keeper AS doc_id, nt FROM grp
+    ), toks AS (
+      SELECT doc_id, string_split(nt, ' ') AS tk FROM surv
+    ), seg AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(tk[i*20+1 : i*20+20], ' ') AS segment
+      FROM toks, UNNEST(range(CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS r(i)
+    ), marked AS (
+      SELECT doc_id, seg_idx, segment,
+             (ROW_NUMBER() OVER (PARTITION BY segment
+                                 ORDER BY doc_id, seg_idx) = 1) AS kept
+      FROM seg
+    ), para AS (
+      SELECT doc_id, COUNT(*) AS n_seg,
+             COUNT(*) FILTER (kept) AS kept_seg
+      FROM marked GROUP BY doc_id
+    ), t2 AS (
+      SELECT '2_paragraph' AS stage,
+             CAST(COUNT(*) FILTER (kept_seg < n_seg) AS BIGINT) AS docs_affected,
+             CAST(SUM(n_seg - kept_seg) AS BIGINT) AS units_removed
+      FROM para
+    ), trimmed AS (
+      SELECT p.doc_id,
+             COALESCE(s.txt, '') AS nt
+      FROM para p LEFT JOIN (
+        SELECT doc_id, string_agg(segment, ' ' ORDER BY seg_idx) AS txt
+        FROM marked WHERE kept GROUP BY doc_id
+      ) s USING (doc_id)
+    ), ttoks AS (
+      SELECT doc_id, string_split(nt, ' ') AS tk FROM trimmed
+    ), wins AS (
+      SELECT doc_id, i AS pos, array_to_string(tk[i+1 : i+20], ' ') AS win
+      FROM ttoks, UNNEST(range(len(tk) - 19)) AS r(i)
+      WHERE len(tk) >= 20
+    ), dups AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        FROM wins)
+      WHERE rn > 1
+    ), cov AS (
+      SELECT doc_id,
+        LEAST(20, COALESCE(
+          LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 20)) AS covered
+      FROM dups
+    ), t3 AS (
+      SELECT '3_substring' AS stage,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+             CAST(COALESCE(SUM(covered), 0) AS BIGINT) AS units_removed
+      FROM cov
+    )
+    SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+    ORDER BY stage
+    """,
+    tags=("ext", "dedup", "pipeline"),
+)
+def ext_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full exact-dedup LADDER as one composed pipeline — the
+    standard LLM-corpus sequence (exact doc → paragraph/segment →
+    boundary-independent exact substring), each tier consuming the
+    PREVIOUS tier's survivors/trimmed output, reported as a per-stage
+    funnel (stage, docs_affected, units_removed; units are stage-native:
+    docs, segments, tokens).  The corpus is documents plus planted FULL
+    copies (%13 → die at tier 1) and planted MID-DOCUMENT 50-token
+    copies at offset 3 with unique padding (%19): the mid copies are
+    deliberately segment-MISALIGNED (offset 3 + donor offset 7 ≡ 16 mod
+    20, never 0), so tier 2 cannot see them and tier 3 must — the
+    one-query demonstration of why the ladder needs its substring rung.
+
+    Scale: tier 1 shuffles (xxhash-able norm text) once; tier 2/3 are
+    the hash-keyed shuffles of segment_dedup_apply /
+    exact_substring_dedup_stats (text crosses one id-keyed exchange only
+    for the trimmed-text rebuild).  operators/dedup.py:
+    segment_dedup_apply, exact_substring_dedup_stats."""
+    from remote_shuffle_spark.functions.hashing import normalized_text
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+    from remote_shuffle_spark.operators.dedup import (
+        exact_substring_dedup_stats,
+        segment_dedup_apply,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    full_copies = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    did = F.col("doc_id").cast("string")
+    mid_copies = docs.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("p"), did, F.lit("x")),
+            F.concat(F.lit("p"), did, F.lit("y")),
+            F.concat(F.lit("p"), did, F.lit("z")),
+            F.concat_ws(" ", F.slice(_toks("text"), 8, 50)),
+            F.concat(F.lit("q"), did, F.lit("x")),
+            F.concat(F.lit("q"), did, F.lit("y")),
+        ).alias("text"),
+    )
+    corpus = docs.unionAll(full_copies).unionAll(mid_copies)
+
+    norm = corpus.select("doc_id", normalized_text("text").alias("nt"))
+    grp = norm.groupBy("nt").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("c")
+    )
+    t1 = grp.agg(
+        F.lit("1_exact").alias("stage"),
+        (F.sum("c") - F.count(F.lit(1))).alias("docs_affected"),
+        (F.sum("c") - F.count(F.lit(1))).alias("units_removed"),
+    )
+    survivors = grp.select(F.col("keeper").alias("doc_id"), F.col("nt").alias("text"))
+
+    applied = segment_dedup_apply(survivors, "doc_id", "text", seg_len=20)
+    t2 = applied.agg(
+        F.lit("2_paragraph").alias("stage"),
+        F.sum(
+            F.when(F.col("kept_segments") < F.col("n_segments"), 1).otherwise(0)
+        ).alias("docs_affected"),
+        F.sum(F.col("n_segments") - F.col("kept_segments")).alias("units_removed"),
+    )
+
+    sub = exact_substring_dedup_stats(
+        applied.select("doc_id", F.col("trimmed_text").alias("text")),
+        "doc_id",
+        "text",
+        window_tokens=20,
+    )
+    t3 = sub.agg(
+        F.lit("3_substring").alias("stage"),
+        F.sum(F.when(F.col("dup_windows") > 0, 1).otherwise(0)).alias(
+            "docs_affected"
+        ),
+        F.sum("dup_tokens").alias("units_removed"),
+    )
+    return t1.unionAll(t2).unionAll(t3).orderBy("stage")

@@ -628,3 +628,175 @@ def segment_dedup_stats(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("kept").alias("kept_segments"),
     ).select(F.col("_sd_id").alias(id_col), "n_segments", "kept_segments")
+
+
+def exact_substring_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window_tokens: int = 50,
+) -> DataFrame:
+    """Boundary-independent exact-substring dedup at bounded granularity
+    (the ExactSubstr tier of the standard LLM-corpus dedup ladder, between
+    whole-paragraph keep-first and near-dup LSH): every ``window_tokens``-
+    token sliding window (stride 1) of every document is hashed, each
+    distinct window's corpus-wide FIRST occurrence (global order =
+    (doc_id, pos)) is the keeper, and every later occurrence marks its
+    covered token span as duplicated.  Unlike :func:`segment_dedup_stats`
+    this catches copied runs that straddle segment boundaries — the public
+    ExactSubstr formulation (sorted duplicate runs, no suffix array needed
+    for fixed granularity).
+
+    Returns per-document
+    ``(id, n_tokens, n_windows, dup_windows, dup_tokens)`` where
+    ``dup_tokens`` is the size of the UNION of the duplicate windows'
+    ``[pos, pos+k-1]`` spans (adjacent/overlapping runs merged), i.e. how
+    many tokens an exact-substring scrubber would remove.
+
+    Scale: the ONE corpus-wide shuffle is keyed by xxhash64(window) and
+    carries only (hash, id, pos) — 24 bytes per window, never the text;
+    keep-first is a map-side-combinable min(struct) aggregate.  Span
+    merging is a lead() window partitioned BY DOCUMENT (per-doc state
+    only, no corpus-wide ordering), exploiting that fixed-length intervals
+    sorted by start merge in one linear pass:
+    covered = sum(min(k, next_pos - pos)) + k for the last run member.
+    No all-pairs, no driver-side data path.
+    """
+    from pyspark.sql import Window
+
+    k = int(window_tokens)
+    toks = df.select(
+        F.col(id_col).alias("_es_id"), tokens(text_col).alias("_es_toks")
+    )
+    base = toks.select(
+        "_es_id",
+        F.size("_es_toks").cast("long").alias("n_tokens"),
+        F.greatest(
+            F.lit(0), F.size("_es_toks") - F.lit(k) + F.lit(1)
+        ).cast("long").alias("n_windows"),
+    )
+    wins = (
+        toks.filter(F.size("_es_toks") >= k)
+        .select(
+            "_es_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_es_toks") - F.lit(k)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("_es_toks"), i + 1, k))
+                    ),
+                )
+            ).alias("pos", "win_hash"),
+        )
+    )
+    keepers = wins.groupBy("win_hash").agg(
+        F.min(F.struct("_es_id", "pos")).alias("first")
+    )
+    dups = (
+        wins.join(keepers, "win_hash")
+        .filter(
+            (F.col("first._es_id") != F.col("_es_id"))
+            | (F.col("first.pos") != F.col("pos"))
+        )
+        .select("_es_id", "pos")
+    )
+    per_doc_win = Window.partitionBy("_es_id").orderBy("pos")
+    covered = dups.select(
+        "_es_id",
+        F.least(
+            F.lit(k),
+            F.coalesce(
+                F.lead("pos").over(per_doc_win) - F.col("pos"), F.lit(k)
+            ),
+        ).alias("covered"),
+    )
+    dup_stats = covered.groupBy("_es_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_windows"),
+        F.sum("covered").cast("long").alias("dup_tokens"),
+    )
+    return (
+        base.join(dup_stats, "_es_id", "left")
+        .select(
+            F.col("_es_id").alias(id_col),
+            "n_tokens",
+            "n_windows",
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        )
+    )
+
+
+def segment_dedup_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seg_len: int = 20,
+) -> DataFrame:
+    """The APPLY face of :func:`segment_dedup_stats`: returns each
+    document with repeated segments REMOVED —
+    ``(id, trimmed_text, n_segments, kept_segments)`` — for feeding the
+    next tier of the dedup ladder (trimmed_text is '' when every segment
+    was a repeat).
+
+    Scale: the corpus-wide shuffle still carries only
+    (seg_hash, id, seg_idx) — the keep-first decision is identical to the
+    stats variant; the kept segment INDICES (ints) are then aggregated
+    per doc and joined back to the tokenized documents, where the trimmed
+    text is rebuilt NARROWLY by re-slicing the token array at the kept
+    indices.  Document text therefore crosses exactly one exchange (the
+    id-keyed join producing the output), never the hash-keyed one.
+    """
+    L = int(seg_len)
+    toks = df.select(
+        F.col(id_col).alias("_sa_id"), tokens(text_col).alias("_sa_toks")
+    )
+    segs = toks.select(
+        "_sa_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("_sa_toks") / F.lit(L)).cast("int") - 1,
+                ),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("_sa_toks"), i * L + 1, L))
+                ),
+            )
+        ).alias("seg_idx", "seg_hash"),
+    )
+    keepers = segs.groupBy("seg_hash").agg(
+        F.min(F.struct("_sa_id", "seg_idx")).alias("first")
+    )
+    kept_idx = (
+        segs.join(keepers, "seg_hash")
+        .filter(
+            (F.col("first._sa_id") == F.col("_sa_id"))
+            & (F.col("first.seg_idx") == F.col("seg_idx"))
+        )
+        .groupBy("_sa_id")
+        .agg(
+            F.sort_array(F.collect_list("seg_idx")).alias("_sa_keep"),
+        )
+    )
+    n_seg = F.ceil(F.size("_sa_toks") / F.lit(L)).cast("long")
+    return (
+        toks.join(kept_idx, "_sa_id", "left")
+        .select(
+            F.col("_sa_id").alias(id_col),
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.coalesce("_sa_keep", F.array()),
+                        lambda i: F.slice(F.col("_sa_toks"), i * L + 1, L),
+                    )
+                ),
+            ).alias("trimmed_text"),
+            n_seg.alias("n_segments"),
+            F.size(F.coalesce("_sa_keep", F.array())).cast("long").alias(
+                "kept_segments"
+            ),
+        )
+    )

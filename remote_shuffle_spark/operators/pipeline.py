@@ -553,3 +553,50 @@ def temperature_mixture(
             / F.sum("weight_scaled").over(W.partitionBy())
         ).alias("share"),
     ).orderBy("source")
+
+
+def assign_training_shards(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    n_shards: int = 8,
+    serpentine: bool = True,
+) -> DataFrame:
+    """Token-balanced training-shard assignment: rank documents by
+    descending ``weight_col`` (ties by id), then deal rank ``r`` to shard
+    ``r % n`` — serpentine (boustrophedon) order by default, which
+    reverses the dealing direction every round so the shard that got the
+    heaviest item in round ``i`` gets the lightest in round ``i+1``;
+    with sorted weights the max−min shard imbalance is bounded by ONE
+    document's weight, which is what keeps every data-parallel trainer
+    rank finishing its epoch together.
+
+    Scale: ranking uses repartitionByRange on (weight desc, id) +
+    :func:`with_global_index` — a distributed range sort plus the
+    two-phase offset index, NO single-partition window (the naive
+    ``row_number() OVER (ORDER BY ...)`` collapses 100 TB onto one
+    task).  Returns (id, weight, shard).
+    """
+    n = int(n_shards)
+    ranked = with_global_index(
+        df.select(
+            F.col(id_col).alias("_ts_id"), F.col(weight_col).alias("_ts_w")
+        )
+        .repartitionByRange(F.col("_ts_w").desc(), F.col("_ts_id"))
+        .sortWithinPartitions(F.col("_ts_w").desc(), F.col("_ts_id")),
+        out_col="_ts_rank",
+        order_by=[F.col("_ts_w").desc(), F.col("_ts_id")],
+    )
+    pos = F.pmod(F.col("_ts_rank"), F.lit(n))
+    rnd = F.floor(F.col("_ts_rank") / F.lit(n))
+    shard = (
+        F.when(F.pmod(rnd, F.lit(2)) == 0, pos).otherwise(F.lit(n - 1) - pos)
+        if serpentine
+        else pos
+    )
+    return ranked.select(
+        F.col("_ts_id").alias(id_col),
+        F.col("_ts_w").alias(weight_col),
+        shard.cast("int").alias("shard"),
+    )

@@ -238,3 +238,88 @@ def test_segment_dedup_partial_tail_segment(spark):
     )  # seg_len=3 -> "a b c" + tail "d"
     (row,) = segment_dedup_stats(df, "doc_id", "text", seg_len=3).collect()
     assert (row.n_segments, row.kept_segments) == (2, 2)
+
+
+def test_exact_substring_dedup_planted_copy(spark):
+    """ExactSubstr invariants on a planted mid-document copy: doc 2 embeds
+    doc 1's tokens 10..59 (a 50-token run) at an arbitrary offset, so with
+    the default 50-token window exactly ONE window of doc 2 duplicates and
+    its merged span is exactly 50 tokens (recall pin); doc 3 shares no
+    50-token run with anyone, so it reports zero (precision pin)."""
+    from remote_shuffle_spark.operators.dedup import exact_substring_dedup_stats
+
+    src = [f"s{i}" for i in range(80)]
+    copy = [f"p{i}" for i in range(7)] + src[10:60] + [f"q{i}" for i in range(9)]
+    clean = [f"c{i}" for i in range(70)]
+    df = spark.createDataFrame(
+        [(1, " ".join(src)), (2, " ".join(copy)), (3, " ".join(clean))],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.asDict()
+        for r in exact_substring_dedup_stats(df, "doc_id", "text").collect()
+    }
+    assert rows[1] == {
+        "doc_id": 1, "n_tokens": 80, "n_windows": 31,
+        "dup_windows": 0, "dup_tokens": 0,
+    }  # keeper side: first occurrence is never marked
+    assert rows[2] == {
+        "doc_id": 2, "n_tokens": 66, "n_windows": 17,
+        "dup_windows": 1, "dup_tokens": 50,
+    }
+    assert rows[3]["dup_windows"] == 0 and rows[3]["dup_tokens"] == 0
+
+
+def test_exact_substring_dedup_merges_overlapping_spans(spark):
+    """Adjacent duplicate windows must merge: doc 2 copies a 6-token run
+    from doc 1; with 4-token windows that is 3 overlapping duplicate
+    windows covering a UNION of exactly 6 tokens, not 12."""
+    from remote_shuffle_spark.operators.dedup import exact_substring_dedup_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y c d e f g h z"),   # copies c..h (6 tokens) at offset 2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.dup_windows, r.dup_tokens)
+        for r in exact_substring_dedup_stats(
+            df, "doc_id", "text", window_tokens=4
+        ).collect()
+    }
+    assert rows == {1: (0, 0), 2: (3, 6)}
+
+
+def test_exact_substring_dedup_disjoint_runs_not_bridged(spark):
+    """Two SEPARATE copied runs in one doc must count separately — the
+    span merge must not bridge across the clean gap between them."""
+    from remote_shuffle_spark.operators.dedup import exact_substring_dedup_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d   m n o p"),
+            (2, "a b c d u v w x y z m n o p"),  # two 4-token runs, gap of 6
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.dup_windows, r.dup_tokens)
+        for r in exact_substring_dedup_stats(
+            df, "doc_id", "text", window_tokens=4
+        ).collect()
+    }
+    assert rows[2] == (2, 8)  # 2 duplicate windows, 4+4 tokens, no bridge
+
+
+def test_exact_substring_dedup_short_docs_report_zero_windows(spark):
+    from remote_shuffle_spark.operators.dedup import exact_substring_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens")], "doc_id long, text string"
+    )
+    (row,) = exact_substring_dedup_stats(df, "doc_id", "text").collect()
+    assert (row.n_tokens, row.n_windows, row.dup_windows, row.dup_tokens) == (
+        3, 0, 0, 0,
+    )

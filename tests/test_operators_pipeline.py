@@ -264,3 +264,47 @@ def test_temperature_mixture_sqrt_weights(spark):
     assert got["big"].weight_scaled == 20_000_000
     assert abs(got["small"].share - 1 / 3) < 1e-12
     assert abs(got["big"].share - 2 / 3) < 1e-12
+
+
+def test_assign_training_shards_balance_bound(spark):
+    """Serpentine dealing over descending weights: max−min shard load is
+    bounded by one document's weight, and every shard gets the same doc
+    count (n divisible by shards here)."""
+    from remote_shuffle_spark.operators.pipeline import assign_training_shards
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 500 + 10) for i in range(160)], "doc_id long, w long"
+    )
+    out = assign_training_shards(df, "doc_id", "w", n_shards=8)
+    loads = {
+        r.shard: (r.n, r.s)
+        for r in out.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("s"))
+        .collect()
+    }
+    assert set(loads) == set(range(8))
+    counts = [n for n, _ in loads.values()]
+    sums = [s for _, s in loads.values()]
+    assert max(counts) == min(counts) == 20
+    max_w = df.agg(F.max("w")).collect()[0][0]
+    assert max(sums) - min(sums) <= max_w
+
+
+def test_assign_training_shards_serpentine_order(spark):
+    """Ranks 0..15 on 4 shards deal 0,1,2,3 then reverse 3,2,1,0 …"""
+    from remote_shuffle_spark.operators.pipeline import assign_training_shards
+
+    # weights descending with rank == doc_id for easy inspection
+    df = spark.createDataFrame(
+        [(i, 1000 - i) for i in range(16)], "doc_id long, w long"
+    )
+    got = {
+        r.doc_id: r.shard
+        for r in assign_training_shards(df, "doc_id", "w", n_shards=4).collect()
+    }
+    assert got == {
+        0: 0, 1: 1, 2: 2, 3: 3,
+        4: 3, 5: 2, 6: 1, 7: 0,
+        8: 0, 9: 1, 10: 2, 11: 3,
+        12: 3, 13: 2, 14: 1, 15: 0,
+    }

@@ -536,3 +536,19 @@ def test_chunk_overlap_is_narrow_until_sort(spark, sf_smoke):
     plan = _plan(df)
     exchanges = [l for l in plan.splitlines() if "Exchange" in l]
     assert all("rangepartitioning" in l for l in exchanges), exchanges
+
+
+def test_exact_substring_dedup_shuffles_hash_not_text(spark, sf_smoke):
+    """The corpus-wide keep-first shuffle must be keyed on the 8-byte
+    win_hash; the window STRING must never cross an exchange (windows are
+    hashed INSIDE the per-row transform, so text stays in the scan
+    stage)."""
+    from remote_shuffle_spark.operators.dedup import exact_substring_dedup_stats
+    from remote_shuffle_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = _plan(exact_substring_dedup_stats(docs, "doc_id", "text"))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges, plan[:800]
+    assert any("win_hash" in l for l in exchanges)
+    assert not any("win#" in l or "segment#" in l for l in exchanges), exchanges
