@@ -7117,3 +7117,144 @@ def ext_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dup_tokens").alias("units_removed"),
     )
     return t1.unionAll(t2).unionAll(t3).orderBy("stage")
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled DuckDB mirror of operators/graph.py:kcore_peel over the
+    orderkey DIVISION-TREE graph (edge o_orderkey -- o_orderkey//2):
+    per round, degree filter -> removed count -> residual edges, counts
+    over vertices WITH residual edges.  Every per-round CTE is
+    MATERIALIZED: each level references the previous 3x, so DuckDB's
+    default CTE inlining re-expands the chain EXPONENTIALLY across 4
+    unrolled rounds (measured: >240 s inlined, 0.03 s materialized)."""
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(o_orderkey, o_orderkey // 2) AS lo,
+             GREATEST(o_orderkey, o_orderkey // 2) AS hi
+      FROM orders WHERE o_orderkey // 2 <> o_orderkey
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p, c = r - 1, r
+        parts.append(
+            f""", d{c} AS MATERIALIZED (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT lo AS v FROM e{p} UNION ALL SELECT hi AS v FROM e{p}
+      ) GROUP BY v
+    ), rm{c} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rem FROM d{c} WHERE d < {k}
+    ), e{c} AS MATERIALIZED (
+      SELECT lo, hi FROM e{p}
+      WHERE lo IN (SELECT v FROM d{c} WHERE d >= {k})
+        AND hi IN (SELECT v FROM d{c} WHERE d >= {k})
+    ), v{c} AS (
+      SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS nv,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e{c}) AS ne
+      FROM (SELECT lo AS v FROM e{c} UNION ALL SELECT hi AS v FROM e{c})
+    )"""
+        )
+    selects = [
+        f"""SELECT CAST({r} AS INTEGER) AS round, rm{r}.rem AS removed_vertices,
+           v{r}.nv AS remaining_vertices, v{r}.ne AS remaining_edges
+    FROM rm{r}, v{r}"""
+        for r in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY round"
+
+
+@declared(
+    "ext_kcore",
+    oracle=_kcore_oracle_sql(k=3, rounds=4),
+    tags=("ext", "graph"),
+)
+def ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (operators/graph.py:kcore_peel): 4
+    synchronous peel rounds at k=3, each removing EVERY vertex with
+    residual degree < 3 at once — synchronous peeling is order-free
+    (confluent to the true k-core), which is what makes it deterministic
+    and oracle-mirrorable, unlike the sequential min-degree textbook
+    formulation.  The graph is the orderkey DIVISION TREE (edge
+    o_orderkey -- o_orderkey//2): TPC-H's relational graphs are
+    degree-regular (every part has ~4 suppliers) so nothing peels; the
+    division tree over the sparse orderkey space has the heavy tail of
+    degree-1/2 chains a real interaction graph has, and the peel
+    cascades through all 4 rounds at every SF (~half the vertices per
+    round).  Per round: one combinable degree count + a two-sided
+    vertex semi-join — keyed shuffles only, residual frame
+    localCheckpoint'ed so plans don't grow with the loop.  Counts cover
+    vertices with residual edges (a vertex isolated by its neighbors'
+    removal leaves the report rather than being double-counted as
+    removed — documented accounting, mirrored in SQL)."""
+    from remote_shuffle_spark.operators.graph import kcore_peel
+
+    ok = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    edges = ok.filter(
+        F.floor(F.col("o_orderkey") / 2) != F.col("o_orderkey")
+    ).select(
+        F.col("o_orderkey").alias("src"),
+        F.floor(F.col("o_orderkey") / 2).cast("long").alias("dst"),
+    )
+    return kcore_peel(edges, 3, rounds=4).orderBy("round")
+
+
+@declared(
+    "ext_sql_udf",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'bulk' END AS tier,
+           l_returnflag,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY ALL
+    ORDER BY tier, l_returnflag
+    """,
+    tags=("ext", "sql4", "udf"),
+)
+def ext_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 `CREATE FUNCTION ... RETURN`) —
+    the declarative UDF face: a scalar SQL UDF (quantity tier), a scalar
+    DECIMAL UDF (discounted price, exact fixed-point like q06), and a
+    SQL TABLE function (shipped-before cut filter) composed in one
+    GROUP BY ALL / ORDER BY ALL aggregation.  Unlike Python UDFs these
+    are inlined by Catalyst into the plan — the tier CASE and the
+    decimal product stay inside whole-stage codegen and the table
+    function's predicate pushes down to the parquet scan, which is why
+    this is the 100 TB-preferred way to package reusable business logic.
+    The oracle replays the inlined expressions (a SQL UDF has no other
+    semantics, by construction)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_tier(q DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN q < 10 THEN 'small' WHEN q < 30 THEN 'mid' "
+        "ELSE 'bulk' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(38,8) "
+        "RETURN CAST(p AS DECIMAL(18,4)) * (1 - CAST(d AS DECIMAL(18,4)))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION shipped_before(cut TIMESTAMP) "
+        "RETURNS TABLE(l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_returnflag STRING) "
+        "RETURN SELECT l_quantity, l_extendedprice, l_discount, l_returnflag "
+        "FROM li_sqludf WHERE l_shipdate < cut"
+    )
+    return spark.sql(
+        """
+        SELECT qty_tier(l_quantity) AS tier,
+               l_returnflag,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(disc_price(l_extendedprice, l_discount)), 4)
+                    AS DOUBLE) AS revenue
+        FROM shipped_before(TIMESTAMP '1997-01-01 00:00:00')
+        GROUP BY ALL
+        ORDER BY tier, l_returnflag
+        """
+    )

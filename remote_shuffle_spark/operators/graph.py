@@ -441,3 +441,61 @@ def label_propagation(
             .select(F.col("u").alias("v"), F.col("m.label").alias("label"))
         ).localCheckpoint(eager=True)
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    *,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling over an undirected graph: each ROUND
+    simultaneously removes every vertex whose degree in the CURRENT
+    residual graph is < k (the standard synchronous peel — order-free,
+    hence deterministic and engine-mirrorable, unlike sequential
+    min-degree peeling).  After ``rounds`` rounds, returns one row per
+    round: (round, removed_vertices, remaining_vertices,
+    remaining_edges).  Synchronous peeling converges to the true k-core
+    (the peel sequence is confluent); ``rounds`` bounds the work the way
+    the other iterative operators do (pagerank/BFS/LP) — rounds after
+    the fixpoint remove 0 and cost one tiny agg each.
+
+    Scale: per round one degree aggregation (combinable count on vertex)
+    + one semi-join of the edge list against surviving vertices (both
+    endpoints) — all keyed shuffles on vertex id, nothing quadratic;
+    the residual edge frame is localCheckpoint'ed per round so plans do
+    not grow with the loop.
+    """
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(lo.alias("a"), hi.alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    stats = []
+    cur = und
+    for r in range(1, int(rounds) + 1):
+        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select(F.col("a").alias("v"))
+        removed = deg.filter(F.col("d") < k).count()
+        cur = (
+            cur.join(keep.withColumnRenamed("v", "a"), "a")
+            .join(keep.withColumnRenamed("v", "b"), "b")
+            .select("a", "b")
+        ).localCheckpoint(eager=True)
+        n_v = (
+            cur.select(F.col("a").alias("v"))
+            .union(cur.select(F.col("b").alias("v")))
+            .distinct()
+            .count()
+        )
+        stats.append((r, removed, n_v, cur.count()))
+    return spark.createDataFrame(
+        stats,
+        "round int, removed_vertices long, remaining_vertices long, "
+        "remaining_edges long",
+    )

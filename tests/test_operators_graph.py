@@ -293,3 +293,38 @@ def test_label_propagation_is_synchronous_and_min_tied(spark):
     got = {r.v: r.label for r in label_propagation(df, iterations=1).collect()}
     # round 1 from initial labels: 5 sees {7}; 7 sees {5,9} tie -> 5; 9 sees {7}
     assert got == {5: 7, 7: 5, 9: 7}
+
+
+def test_kcore_peel_cascade_and_fixpoint(spark):
+    """Ring of 5 (2-core) with a 3-vertex tail: k=2 peels the tail one
+    link per round (synchronous peeling removes only the current
+    degree-1 endpoint), then reaches the ring fixpoint and removes 0."""
+    from remote_shuffle_spark.operators.graph import kcore_peel
+
+    ring = [(i, (i + 1) % 5) for i in range(5)]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(ring + tail, "src long, dst long")
+    rows = {r.round: r for r in kcore_peel(edges, 2, rounds=4).collect()}
+    # round 1: vertex 12 (degree 1) removed; 11 becomes degree 1 next
+    assert rows[1].removed_vertices == 1 and rows[1].remaining_edges == 7
+    assert rows[2].removed_vertices == 1 and rows[2].remaining_edges == 6
+    assert rows[3].removed_vertices == 1 and rows[3].remaining_edges == 5
+    # fixpoint: the ring is the 2-core
+    assert rows[4].removed_vertices == 0
+    assert rows[4].remaining_vertices == 5 and rows[4].remaining_edges == 5
+
+
+def test_kcore_peel_simultaneous_removal(spark):
+    """A star (center + 4 leaves) at k=2: every leaf has degree 1, so
+    round 1 removes all four AT ONCE and the center is isolated out of
+    the report (the documented vertices-with-residual-edges
+    accounting)."""
+    from remote_shuffle_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    rows = {r.round: r for r in kcore_peel(edges, 2, rounds=2).collect()}
+    assert rows[1].removed_vertices == 4
+    assert rows[1].remaining_vertices == 0 and rows[1].remaining_edges == 0
+    assert rows[2].removed_vertices == 0

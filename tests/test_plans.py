@@ -552,3 +552,15 @@ def test_exact_substring_dedup_shuffles_hash_not_text(spark, sf_smoke):
     assert exchanges, plan[:800]
     assert any("win_hash" in l for l in exchanges)
     assert not any("win#" in l or "segment#" in l for l in exchanges), exchanges
+
+
+def test_sql_udf_inlines_into_codegen_and_pushdown(spark, sf_smoke):
+    """SQL-defined functions must be INLINED by Catalyst: the table
+    function's shipdate predicate reaches the parquet scan as a pushed
+    filter, and no Python evaluation node appears anywhere (the whole
+    point of packaging logic as SQL UDFs instead of Python UDFs)."""
+    from remote_shuffle_spark.ext_queries import ext_sql_udf
+
+    plan = _plan(ext_sql_udf(spark, sf_smoke))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], plan[-1500:]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
