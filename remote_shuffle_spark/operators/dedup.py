@@ -616,7 +616,7 @@ def segment_dedup_stats(
     )
     keepers = segs.groupBy("seg_hash").agg(
         F.min(F.struct("_sd_id", "seg_idx")).alias("first")
-    )
+    ).hint("shuffle_merge")  # corpus-sized: see exact_substring_dedup_stats
     marked = segs.join(keepers, "seg_hash").select(
         "_sd_id",
         (
@@ -690,9 +690,17 @@ def exact_substring_dedup_stats(
             ).alias("pos", "win_hash"),
         )
     )
+    # shuffle_merge hints on both corpus-sized joins: keepers has ~one
+    # row per DISTINCT window (corpus-sized), but Catalyst's STATIC size
+    # estimate under a Generate is optimistic enough to plan a broadcast —
+    # measured driver OOM at 2M docs (40M windows) on 8g, and AQE can
+    # only promote SMJ->BHJ, never demote a statically-planned broadcast.
+    # Sort-merge, not shuffle_hash: SMJ sorts spill, while 32 concurrent
+    # per-task hash builds exhausted execution memory at the same scale
+    # (measured: "Can't acquire 67108864 bytes to build hash relation").
     keepers = wins.groupBy("win_hash").agg(
         F.min(F.struct("_es_id", "pos")).alias("first")
-    )
+    ).hint("shuffle_merge")
     dups = (
         wins.join(keepers, "win_hash")
         .filter(
@@ -714,7 +722,7 @@ def exact_substring_dedup_stats(
     dup_stats = covered.groupBy("_es_id").agg(
         F.count(F.lit(1)).cast("long").alias("dup_windows"),
         F.sum("covered").cast("long").alias("dup_tokens"),
-    )
+    ).hint("shuffle_merge")
     return (
         base.join(dup_stats, "_es_id", "left")
         .select(
@@ -766,9 +774,11 @@ def segment_dedup_apply(
             )
         ).alias("seg_idx", "seg_hash"),
     )
+    # same static-estimate broadcast hazard as exact_substring_dedup_stats:
+    # keepers/kept_idx are corpus-sized aggregates under a Generate
     keepers = segs.groupBy("seg_hash").agg(
         F.min(F.struct("_sa_id", "seg_idx")).alias("first")
-    )
+    ).hint("shuffle_merge")
     kept_idx = (
         segs.join(keepers, "seg_hash")
         .filter(
@@ -779,6 +789,7 @@ def segment_dedup_apply(
         .agg(
             F.sort_array(F.collect_list("seg_idx")).alias("_sa_keep"),
         )
+        .hint("shuffle_merge")
     )
     n_seg = F.ceil(F.size("_sa_toks") / F.lit(L)).cast("long")
     return (

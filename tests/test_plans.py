@@ -552,6 +552,11 @@ def test_exact_substring_dedup_shuffles_hash_not_text(spark, sf_smoke):
     assert exchanges, plan[:800]
     assert any("win_hash" in l for l in exchanges)
     assert not any("win#" in l or "segment#" in l for l in exchanges), exchanges
+    # and the corpus-sized joins must never broadcast: Catalyst's static
+    # size estimate under a Generate planned a BHJ over the keepers agg
+    # (one row per DISTINCT window — corpus-sized), measured OOM at 2M
+    # docs; the shuffle_merge hints must hold at every scale
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_sql_udf_inlines_into_codegen_and_pushdown(spark, sf_smoke):
