@@ -7258,3 +7258,80 @@ def ext_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY tier, l_returnflag
         """
     )
+
+
+@declared(
+    "ext_pq_recall",
+    oracle="""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+      FROM embeddings
+    ), subs AS MATERIALIZED (
+      SELECT vec_id AS id, s, q[s*8+1 : s*8+8] AS sv
+      FROM qv, UNNEST(range(8)) AS r(s)
+    ), cents AS MATERIALIZED (
+      SELECT id AS j, s, sv AS cv FROM subs WHERE id < 16
+    ), codes AS MATERIALIZED (
+      SELECT id, s, j AS code FROM (
+        SELECT sub.id, sub.s, c.j,
+          ROW_NUMBER() OVER (PARTITION BY sub.id, sub.s ORDER BY
+            list_sum(list_transform(generate_series(1, 8),
+              t -> (sub.sv[t]-c.cv[t])*(sub.sv[t]-c.cv[t]))), c.j) AS rn
+        FROM subs sub JOIN cents c ON sub.s = c.s)
+      WHERE rn = 1
+    ), lut AS MATERIALIZED (
+      SELECT p.id AS pid, p.s, c.j,
+        CAST(list_sum(list_transform(generate_series(1, 8),
+          t -> (p.sv[t]-c.cv[t])*(p.sv[t]-c.cv[t]))) AS BIGINT) AS ld
+      FROM subs p JOIN cents c ON p.s = c.s WHERE p.id < 8
+    ), adc AS MATERIALIZED (
+      SELECT l.pid, co.id, CAST(SUM(l.ld) AS BIGINT) AS dist
+      FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.j
+      WHERE co.id <> l.pid GROUP BY l.pid, co.id
+    ), exact AS MATERIALIZED (
+      SELECT p.vec_id AS pid, x.vec_id AS id,
+        CAST(list_sum(list_transform(generate_series(1, 64),
+          t -> (x.q[t]-p.q[t])*(x.q[t]-p.q[t]))) AS BIGINT) AS dist
+      FROM qv x, qv p WHERE p.vec_id < 8 AND x.vec_id <> p.vec_id
+    ), ta AS (
+      SELECT pid, id FROM (
+        SELECT pid, id, ROW_NUMBER() OVER (PARTITION BY pid
+          ORDER BY dist, id) AS rn FROM adc) WHERE rn <= 10
+    ), te AS (
+      SELECT pid, id FROM (
+        SELECT pid, id, ROW_NUMBER() OVER (PARTITION BY pid
+          ORDER BY dist, id) AS rn FROM exact) WHERE rn <= 10
+    ), h AS (
+      SELECT pid, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM ta JOIN te USING (pid, id) GROUP BY pid
+    )
+    SELECT p.pid AS probe_id, COALESCE(h.hits, 0) AS hits,
+           CAST(COALESCE(h.hits, 0) / 10.0 AS DOUBLE) AS recall_at_k
+    FROM (SELECT vec_id AS pid FROM embeddings WHERE vec_id < 8) p
+    LEFT JOIN h USING (pid) ORDER BY probe_id
+    """,
+    tags=("ext", "similarity", "ann"),
+)
+def ext_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN evaluation
+    (operators/similarity.py:pq_recall_at_k): PQ is the COMPRESSION rung
+    of the ANN family (IVF prunes which vectors to score; PQ stores 8
+    one-byte codes instead of 64 floats — 32x) and this query measures
+    what the compression costs: recall@10 of the ADC ranking (sum of 8
+    LUT entries per vector) against the exact quantized-L2 ranking, per
+    probe.  All INTEGER arithmetic (floor(v*127) quantization, integer
+    squared distances, ties to smallest id) so both rankings are
+    bit-reproducible — the codebook is the first 16 corpus vectors'
+    subvectors, a deterministic stand-in for k-means training that
+    exercises the identical encode/LUT/ADC machinery.  Low absolute
+    recall is EXPECTED on this fixture: uniform-random embeddings have
+    no cluster structure for the codebook to exploit (the honest
+    worst case; trained codebooks on real embeddings do far better) —
+    the pipeline decision the number feeds is exactly this measurement."""
+    from remote_shuffle_spark.operators.similarity import pq_recall_at_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    return pq_recall_at_k(emb, "vec_id", "embedding", probes, "vec_id", k=10)

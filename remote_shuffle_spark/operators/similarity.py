@@ -599,3 +599,157 @@ def quantization_recall_at_k(
         )
         .orderBy("probe_id")
     )
+
+
+def pq_recall_at_k(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probes_df: DataFrame,
+    probe_id_col: str,
+    *,
+    k: int = 10,
+    dim: int = 64,
+    num_subspaces: int = 8,
+    num_centroids: int = 16,
+    scale: int = 127,
+    num_subgroups: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN evaluation: per probe, recall@k of the
+    PQ/ADC ranking against the exact (quantized-integer) L2 ranking —
+    the compression rung of the similarity family (IVF prunes WHICH
+    vectors to score; PQ compresses HOW each vector is stored:
+    ``num_subspaces`` one-byte codes per vector instead of ``dim``
+    floats, a 32x storage cut at these defaults).
+
+    Mechanics (all INTEGER arithmetic, so rankings are bit-reproducible
+    across engines — the same discipline as
+    :func:`quantization_recall_at_k`):
+      1. vectors are quantized to ints (``floor(v*scale)``) and split
+         into ``num_subspaces`` contiguous subvectors;
+      2. the codebook is the first ``num_centroids`` corpus vectors'
+         subvectors (a deterministic stand-in for the k-means-trained
+         codebooks of real PQ — the ENCODE/LUT/ADC machinery this
+         operator exercises is identical either way, and determinism is
+         what makes the result oracle-checkable);
+      3. encode: each corpus subvector gets the id of its nearest
+         centroid subvector (exact integer L2, ties to smallest id) —
+         one broadcast join against the ``num_centroids x
+         num_subspaces`` codebook + a map-side-combinable min(struct)
+         argmin;
+      4. query time: per probe, an ADC lookup table (distance from the
+         probe's subvector to every centroid subvector — tiny,
+         broadcast), and each vector's approximate distance is the SUM
+         of ``num_subspaces`` LUT entries selected by its codes;
+      5. recall@k: ADC top-k vs exact top-k (two-phase subgroup top-k on
+         both sides, no reducer sorts a corpus-sized slice).
+
+    Scale shape: the corpus crosses the encode join once (narrow rows:
+    id + one subvector), codes are ``num_subspaces`` small ints per
+    vector — the structure a 100 TB vector store persists INSTEAD of raw
+    floats; probes and LUTs broadcast.  Returns
+    (probe_id, hits, recall_at_k).
+    """
+    d_sub = dim // num_subspaces
+    m = num_subspaces
+
+    def _qvec(col):
+        return F.transform(
+            to_double_array(col), lambda x: F.floor(x * scale).cast("long")
+        )
+
+    def _sub_explode(frame: DataFrame, key_out: str, key_col: str) -> DataFrame:
+        """(key, s, subvec): contiguous d_sub-wide integer subvectors."""
+        return frame.select(
+            F.col(key_col).alias(key_out),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.slice(_qvec(vec_col), s * d_sub + 1, d_sub),
+                )
+            ).alias("_s", "_sv"),
+        )
+
+    def _l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cents = F.broadcast(
+        _sub_explode(
+            df.filter(F.col(id_col) < num_centroids), "_j", id_col
+        ).select("_j", "_s", F.col("_sv").alias("_cv"))
+    )
+
+    codes = (
+        _sub_explode(df, "_id", id_col)
+        .join(cents, "_s")
+        .select("_id", "_s", "_j", _l2("_sv", "_cv").alias("_d"))
+        .groupBy("_id", "_s")
+        .agg(F.min(F.struct("_d", "_j")).alias("_m"))
+        .select("_id", "_s", F.col("_m._j").alias("_code"))
+    )
+
+    lut = F.broadcast(
+        _sub_explode(probes_df, "_pid", probe_id_col)
+        .join(cents, "_s")
+        .select("_pid", "_s", "_j", _l2("_sv", "_cv").alias("_ld"))
+    )
+
+    adc = (
+        codes.join(lut, (codes["_s"] == lut["_s"]) & (codes["_code"] == lut["_j"]))
+        .select("_id", "_pid", "_ld")
+        .filter(F.col("_id") != F.col("_pid"))
+        .groupBy("_pid", "_id")
+        .agg(F.sum("_ld").alias("_dist"))
+    )
+
+    q = F.broadcast(
+        probes_df.select(
+            F.col(probe_id_col).alias("_pid"), _qvec(vec_col).alias("_pq")
+        )
+    )
+    exact = (
+        df.select(F.col(id_col).alias("_id"), _qvec(vec_col).alias("_xq"))
+        .crossJoin(q)
+        .filter(F.col("_id") != F.col("_pid"))
+        .select("_pid", "_id", _l2("_xq", "_pq").alias("_dist"))
+    )
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        sub = scored.withColumn(
+            "_sub", F.pmod(F.xxhash64("_id"), F.lit(num_subgroups))
+        )
+        w1 = W.partitionBy("_pid", "_sub").orderBy("_dist", "_id")
+        survivors = (
+            sub.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        w2 = W.partitionBy("_pid").orderBy("_dist", "_id")
+        return (
+            survivors.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k)
+            .select("_pid", "_id")
+        )
+
+    hits = (
+        _topk(adc)
+        .join(_topk(exact), ["_pid", "_id"])
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        q.select("_pid")
+        .join(hits, "_pid", "left")
+        .select(
+            F.col("_pid").alias("probe_id"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(k))
+            .cast("double")
+            .alias("recall_at_k"),
+        )
+        .orderBy("probe_id")
+    )

@@ -327,3 +327,59 @@ def test_quantized_recall_detects_coarse_rank_flip(spark):
         df, "vec_id", "embedding", probes, "vec_id", k=1
     ).collect()
     assert (row.probe_id, row.hits, row.recall_at_k) == (0, 0, 0.0)
+
+
+def test_pq_recall_perfect_on_reconstructible_corpus(spark):
+    """When every corpus vector is an exact concatenation of codebook
+    subvectors, PQ encoding reconstructs losslessly, ADC distance equals
+    the exact distance for every (probe, vector) pair, and recall@k must
+    be exactly 1.0 — the identity that validates the encode/LUT/ADC
+    machinery end to end."""
+    from remote_shuffle_spark.operators.similarity import pq_recall_at_k
+
+    # codebook ids 0..3: dim 8, two subspaces of width 4
+    cb = {
+        0: [0.1, 0.2, 0.3, 0.4, 0.9, 0.8, 0.7, 0.6],
+        1: [0.5, 0.4, 0.3, 0.2, 0.1, 0.3, 0.5, 0.7],
+        2: [0.9, 0.1, 0.8, 0.2, 0.4, 0.4, 0.2, 0.9],
+        3: [0.2, 0.7, 0.6, 0.1, 0.6, 0.2, 0.8, 0.3],
+    }
+    rows = [(i, v) for i, v in cb.items()]
+    # corpus ids 10..17: every (first-half, second-half) codebook combo
+    rid = 10
+    for a in range(4):
+        for b in range(2):
+            rows.append((rid, cb[a][:4] + cb[b][4:]))
+            rid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter("vec_id < 2")
+    out = pq_recall_at_k(
+        df, "vec_id", "embedding", probes, "vec_id",
+        k=3, dim=8, num_subspaces=2, num_centroids=4,
+    )
+    got = {r.probe_id: r.recall_at_k for r in out.collect()}
+    assert got == {0: 1.0, 1: 1.0}
+
+
+def test_pq_codes_are_nearest_centroids(spark):
+    """A vector equal to codebook vector j must encode to code j in every
+    subspace (distance 0 beats every other centroid)."""
+    from remote_shuffle_spark.operators.similarity import pq_recall_at_k
+
+    # reuse the operator end-to-end: probe == corpus vector 3 (a codebook
+    # row); its exact nearest non-self neighbors and ADC nearest must
+    # coincide because all corpus rows reconstruct exactly
+    cb = {
+        0: [0.1, 0.2, 0.3, 0.4, 0.9, 0.8, 0.7, 0.6],
+        1: [0.5, 0.4, 0.3, 0.2, 0.1, 0.3, 0.5, 0.7],
+        2: [0.9, 0.1, 0.8, 0.2, 0.4, 0.4, 0.2, 0.9],
+        3: [0.2, 0.7, 0.6, 0.1, 0.6, 0.2, 0.8, 0.3],
+    }
+    rows = [(i, v) for i, v in cb.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_recall_at_k(
+        df, "vec_id", "embedding", df.filter("vec_id = 3"), "vec_id",
+        k=2, dim=8, num_subspaces=2, num_centroids=4,
+    )
+    (row,) = out.collect()
+    assert (row.probe_id, row.recall_at_k) == (3, 1.0)
