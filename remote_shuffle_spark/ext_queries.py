@@ -7335,3 +7335,85 @@ def ext_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8)
     return pq_recall_at_k(emb, "vec_id", "embedding", probes, "vec_id", k=10)
+
+
+@declared(
+    "ext_char_entropy",
+    oracle=f"""
+    WITH nt AS (
+      SELECT doc_id, {_NORM} AS t FROM documents
+    ), c AS (
+      SELECT doc_id,
+        list_transform(string_split('{",".join("abcdefghijklmnopqrstuvwxyz0123456789")}', ','),
+          ch -> CAST(len(t) - len(replace(t, ch, '')) AS BIGINT)) AS cnts
+      FROM nt
+    ), s AS (
+      SELECT doc_id, cnts, CAST(list_sum(cnts) AS BIGINT) AS n FROM c
+    ), e AS (
+      SELECT doc_id, n,
+        CAST(ROUND(CAST(list_sum(list_transform(cnts,
+          x -> CASE WHEN x > 0
+               THEN CAST(ROUND(-(CAST(x AS DOUBLE) / n)
+                         * ln(CAST(x AS DOUBLE) / n), 6) AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END)) AS DOUBLE), 5) AS DOUBLE)
+          AS entropy
+      FROM s
+    )
+    SELECT CAST(FLOOR(entropy * 4) AS INTEGER) AS entropy_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS sum_chars,
+           MIN(entropy) AS min_entropy,
+           MAX(entropy) AS max_entropy
+    FROM e GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ext", "text", "quality"),
+)
+def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy quality filter
+    (operators/text.py:char_entropy) — the classic crawl-cleaning signal
+    for gibberish/encoding noise/key-mash (low entropy = repeated
+    characters; natural language ~2.9-3.1 nats over [a-z0-9]; uniform
+    noise → ln 36 ≈ 3.58), bucketed into quarter-nat tiers.  Counts are
+    EXACT length-differences under single-char removal (36 narrow
+    codegen expressions, no per-char explode — a 100x row-count saving
+    over explode(split(text,''))); each Shannon term is rounded to 6
+    decimals and decimal-summed (the ext_label_entropy float
+    discipline), the final value rounded to 5, so buckets are
+    engine-stable.  One groupBy(bucket) shuffle for the report."""
+    from remote_shuffle_spark.operators.text import char_entropy
+    from remote_shuffle_spark.functions.hashing import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.round(char_entropy("text"), 5).alias("entropy"),
+        F.aggregate(
+            F.array(
+                *[
+                    (
+                        F.length(normalized_text("text"))
+                        - F.length(
+                            F.replace(
+                                normalized_text("text"), F.lit(c), F.lit("")
+                            )
+                        )
+                    ).cast("long")
+                    for c in "abcdefghijklmnopqrstuvwxyz0123456789"
+                ]
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n"),
+    )
+    return (
+        counted.groupBy(
+            F.floor(F.col("entropy") * 4).cast("int").alias("entropy_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("sum_chars"),
+            F.min("entropy").alias("min_entropy"),
+            F.max("entropy").alias("max_entropy"),
+        )
+        .orderBy("entropy_bucket")
+    )

@@ -727,3 +727,46 @@ def winnowing_fingerprints(
         )
         .select(F.col("_wf_id").alias(id_col), "n_shingles", "n_fingerprints")
     )
+
+
+CHAR_ENTROPY_ALPHABET = tuple("abcdefghijklmnopqrstuvwxyz0123456789")
+
+
+def char_entropy(text_col) -> Column:
+    """Per-document character-distribution Shannon entropy over the
+    lowercase alphanumeric alphabet — the classic crawl-filter signal for
+    gibberish, encoding noise, and key-mash (very LOW entropy = repeated
+    characters / padding; natural language sits ~2.9-3.1 nats over this
+    alphabet; uniform noise approaches ln(36) ≈ 3.58).
+
+    Engine-stable float discipline (same as ext_label_entropy): each
+    count is EXACT (length-difference under single-char removal — no
+    per-char explode, 36 narrow expressions), each Shannon term is
+    rounded to 6 decimals and decimal-summed, and only the final sum is
+    a double — so the value is bit-identical across engines that agree
+    on ln() to 6 decimals.  Characters outside the alphabet (spaces,
+    punctuation) are not counted.
+    """
+    from remote_shuffle_spark.functions.hashing import normalized_text
+
+    nt = normalized_text(text_col)
+    counts = F.array(
+        *[
+            (F.length(nt) - F.length(F.replace(nt, F.lit(c), F.lit("")))).cast(
+                "long"
+            )
+            for c in CHAR_ENTROPY_ALPHABET
+        ]
+    )
+    n = F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x)
+    p = lambda c: c.cast("double") / n.cast("double")  # noqa: E731
+    term = lambda c: F.round(-p(c) * F.log(p(c)), 6).cast("decimal(18,6)")  # noqa: E731
+    return F.aggregate(
+        counts,
+        F.lit(0).cast("decimal(28,6)"),
+        # re-cast: decimal(28,6) + decimal(18,6) widens to (29,6), but the
+        # fold's merge lambda must return the accumulator's exact type
+        lambda acc, c: (
+            acc + F.when(c > 0, term(c)).otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).cast("decimal(28,6)"),
+    ).cast("double")

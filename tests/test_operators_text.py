@@ -294,3 +294,34 @@ def test_winnowing_shared_run_guarantees_common_fingerprint(spark):
     s1 = {r.m for r in sel.filter("doc_id = 1").collect()}
     s2 = {r.m for r in sel.filter("doc_id = 2").collect()}
     assert s1 & s2, "8-word shared run must yield a common fingerprint"
+
+
+def test_char_entropy_known_values(spark):
+    """Hand-computed pins: a single repeated character has entropy 0; two
+    equally frequent characters have entropy ln 2; a key-mash doc scores
+    far below a natural-language doc."""
+    import math
+
+    from remote_shuffle_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),
+            (2, "abababab"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaab"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.e
+        for r in df.select("doc_id", char_entropy("text").alias("e")).collect()
+    }
+    assert got[1] == 0.0
+    # each of the two Shannon terms rounds to 6 decimals, so the sum can
+    # differ from ln 2 by up to 1e-6 (the documented discipline)
+    assert abs(got[2] - math.log(2)) < 2e-6
+    # pangram: 26 letters, 35 chars total — rich distribution
+    assert got[3] > 3.0
+    # near-degenerate key-mash sits way below natural text
+    assert got[4] < 0.2
