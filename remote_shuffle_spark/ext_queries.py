@@ -7417,3 +7417,210 @@ def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entropy_bucket")
     )
+
+
+@declared(
+    "ext_data_quality_audit",
+    oracle="""
+    SELECT 'customer.c_acctbal not null' AS check_name,
+           CAST(COUNT(*) FILTER (c_acctbal IS NULL) AS BIGINT) AS violations
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem.fk_orderkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_quantity in [1,50]',
+           CAST(COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.pk_orderkey_linenumber unique',
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'orders.fk_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders.o_orderkey unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice <= 300000',
+           CAST(COUNT(*) FILTER (o_totalprice > 300000) AS BIGINT)
+    FROM orders
+    ORDER BY check_name
+    """,
+    tags=("ext", "quality", "audit"),
+)
+def ext_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/dbt-test pattern): a
+    constraint suite — primary-key uniqueness, composite-key uniqueness,
+    two referential-integrity checks, a domain-range check, a null
+    check, and a business-rule threshold — evaluated as ONE report of
+    (check_name, violations).  Every check is a combinable aggregate or
+    an anti-join count (FK checks broadcast the key side when small;
+    anti-join at scale), so the whole audit is a handful of scans with
+    no row-level data movement — the pre-ingest gate a 100 TB pipeline
+    runs before promoting a snapshot.  The threshold check is
+    deliberately violated by the fixture (nonzero violations) so the
+    report's nonzero path is exercised."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    checks = [
+        one(
+            "customer.c_acctbal not null",
+            cust.agg(
+                F.count(F.when(F.col("c_acctbal").isNull(), 1)).alias("violations")
+            ),
+        ),
+        one(
+            "lineitem.fk_orderkey",
+            li.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("violations")),
+        ),
+        one(
+            "lineitem.l_quantity in [1,50]",
+            li.agg(
+                F.count(
+                    F.when(
+                        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                    )
+                ).alias("violations")
+            ),
+        ),
+        one(
+            "lineitem.pk_orderkey_linenumber unique",
+            li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("violations")),
+        ),
+        one(
+            "orders.fk_custkey",
+            orders.join(
+                cust.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("violations")),
+        ),
+        one(
+            "orders.o_orderkey unique",
+            orders.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                    "violations"
+                )
+            ),
+        ),
+        one(
+            "orders.o_totalprice <= 300000",
+            orders.agg(
+                F.count(F.when(F.col("o_totalprice") > 300000, 1)).alias(
+                    "violations"
+                )
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check_name")
+
+
+@declared(
+    "ext_table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+           CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_repr,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*),
+           CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', COUNT(*),
+           CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           CAST(COUNT(*) FILTER (o_orderpriority IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(COUNT(*) FILTER (o_orderstatus IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(COUNT(*) FILTER (o_totalprice IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name
+    """,
+    tags=("ext", "quality", "audit"),
+)
+def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profiling (the Deequ/whylogs 'profile' pattern):
+    for every column of orders — row count, null count, exact distinct
+    count, and min/max rendered to a uniform string column (timestamps
+    via a fixed UTC format, doubles through DECIMAL(18,2) so the text is
+    engine-stable, numbers rendered AFTER the native-typed min/max so
+    '9' < '10' ordering bugs can't creep in).  One aggregate per column
+    = one column-pruned columnar scan each — the schema-drift /
+    data-contract snapshot a pipeline records per ingest; at 100 TB swap
+    the exact distinct for approx_count_distinct and keep the shape."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str, render) -> DataFrame:
+        return orders.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+            render(F.min(col)).alias("min_repr"),
+            render(F.max(col)).alias("max_repr"),
+        )
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    as_ts = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    as_money = lambda c: c.cast("decimal(18,2)").cast("string")  # noqa: E731
+    parts = [
+        prof("o_custkey", as_str),
+        prof("o_orderdate", as_ts),
+        prof("o_orderkey", as_str),
+        prof("o_orderpriority", as_str),
+        prof("o_orderstatus", as_str),
+        prof("o_totalprice", as_money),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("column_name")
