@@ -7624,3 +7624,64 @@ def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("column_name")
+
+
+@declared(
+    "ext_window_rank_family",
+    oracle="""
+    SELECT o_orderpriority, ntile4, COUNT(*) AS n,
+           ROUND(MIN(pr), 6) AS min_pr, ROUND(MAX(pr), 6) AS max_pr,
+           ROUND(MAX(cd), 6) AS max_cd,
+           MAX(rnk) AS max_rank, MAX(drnk) AS max_dense_rank
+    FROM (
+      SELECT o_orderpriority,
+             NTILE(4) OVER w1 AS ntile4,
+             PERCENT_RANK() OVER w1 AS pr,
+             CUME_DIST() OVER w1 AS cd,
+             RANK() OVER w2 AS rnk,
+             DENSE_RANK() OVER w2 AS drnk
+      FROM orders
+      WINDOW w1 AS (PARTITION BY o_orderpriority ORDER BY o_orderkey),
+             w2 AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+    )
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("ext", "sql", "window"),
+)
+def ext_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window family the suite had not yet exercised: NTILE
+    (equal-ish buckets, larger groups first per the SQL standard),
+    PERCENT_RANK ((rank-1)/(n-1)), CUME_DIST (rank-with-ties/n), and
+    RANK vs DENSE_RANK over an ordering WITH ties (o_orderdate) so the
+    two actually diverge.  Determinism: w1 orders by the unique order
+    key (no tie ambiguity); w2's tied rows receive identical ranks by
+    definition, so every emitted value is row-deterministic; the two
+    rational-valued functions are exact integer divisions in double,
+    rounded to 6 for belt-and-braces.  Both windows share the
+    o_orderpriority partitioning — ONE exchange feeds all five
+    functions (the multi-window-one-shuffle plan matters at scale)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w1 = W.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    w2 = W.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    ranked = orders.select(
+        "o_orderpriority",
+        F.ntile(4).over(w1).alias("ntile4"),
+        F.percent_rank().over(w1).alias("pr"),
+        F.cume_dist().over(w1).alias("cd"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority", "ntile4")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("pr"), 6).alias("min_pr"),
+            F.round(F.max("pr"), 6).alias("max_pr"),
+            F.round(F.max("cd"), 6).alias("max_cd"),
+            F.max("rnk").alias("max_rank"),
+            F.max("drnk").alias("max_dense_rank"),
+        )
+        .orderBy("o_orderpriority", "ntile4")
+    )
