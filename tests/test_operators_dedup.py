@@ -323,3 +323,46 @@ def test_exact_substring_dedup_short_docs_report_zero_windows(spark):
     assert (row.n_tokens, row.n_windows, row.dup_windows, row.dup_tokens) == (
         3, 0, 0, 0,
     )
+
+
+def test_segment_dedup_apply_trims_and_rebuilds(spark):
+    """APPLY variant: repeated segments are removed from later docs and
+    the trimmed text is rebuilt in segment order; fully-duplicate docs
+    come back as empty string (not NULL, not dropped)."""
+    from remote_shuffle_spark.operators.dedup import segment_dedup_apply
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # segments "a b c" | "d e f"
+            (2, "x y z a b c"),       # seg "a b c" repeats doc 1 seg 0
+            (3, "a b c d e f"),       # fully duplicate
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.trimmed_text, r.n_segments, r.kept_segments)
+        for r in segment_dedup_apply(df, "doc_id", "text", seg_len=3).collect()
+    }
+    assert rows[1] == ("a b c d e f", 2, 2)
+    assert rows[2] == ("x y z", 2, 1)
+    assert rows[3] == ("", 2, 0)
+
+
+def test_segment_dedup_apply_preserves_segment_order(spark):
+    """Kept segments must reassemble in seg_idx order even when the
+    collect_list arrives unordered (sort_array pin)."""
+    from remote_shuffle_spark.operators.dedup import segment_dedup_apply
+
+    # doc 2 repeats doc 1's MIDDLE segment only
+    df = spark.createDataFrame(
+        [
+            (1, "m m m"),
+            (2, "a a a m m m z z z"),  # segs: "a a a" | "m m m" | "z z z"
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.trimmed_text
+        for r in segment_dedup_apply(df, "doc_id", "text", seg_len=3).collect()
+    }
+    assert rows[2] == "a a a z z z"
