@@ -7379,31 +7379,16 @@ def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     over explode(split(text,''))); each Shannon term is rounded to 6
     decimals and decimal-summed (the ext_label_entropy float
     discipline), the final value rounded to 5, so buckets are
-    engine-stable.  One groupBy(bucket) shuffle for the report."""
-    from remote_shuffle_spark.operators.text import char_entropy
-    from remote_shuffle_spark.functions.hashing import normalized_text
+    engine-stable.  One groupBy(bucket) shuffle for the report.
+    Uses char_entropy_frame — the STAGED projections form — because the
+    single-Column form nests three HOF levels and codegen re-evaluates
+    inlined subtrees per lambda element: measured 174 s vs 1.5 s at
+    sf0.1 (the round-2 HOF lesson, compounded combinatorially)."""
+    from remote_shuffle_spark.operators.text import char_entropy_frame
 
     docs = load_table(spark, sf_dir, "documents")
-    counted = docs.select(
-        "doc_id",
-        F.round(char_entropy("text"), 5).alias("entropy"),
-        F.aggregate(
-            F.array(
-                *[
-                    (
-                        F.length(normalized_text("text"))
-                        - F.length(
-                            F.replace(
-                                normalized_text("text"), F.lit(c), F.lit("")
-                            )
-                        )
-                    ).cast("long")
-                    for c in "abcdefghijklmnopqrstuvwxyz0123456789"
-                ]
-            ),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).alias("n"),
+    counted = char_entropy_frame(docs, "text", out_col="e_raw", n_col="n").select(
+        "doc_id", F.round(F.col("e_raw"), 5).alias("entropy"), "n"
     )
     return (
         counted.groupBy(

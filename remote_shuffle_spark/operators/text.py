@@ -746,6 +746,15 @@ def char_entropy(text_col) -> Column:
     a double — so the value is bit-identical across engines that agree
     on ln() to 6 decimals.  Characters outside the alphabet (spaces,
     punctuation) are not counted.
+
+    SCALE WARNING — this single-Column form nests three HOF levels
+    (terms × total-fold × count-array), and codegen re-evaluates inlined
+    subtrees per lambda element (the round-2 lesson), so cost explodes
+    combinatorially: measured 174 s over 50k docs at sf0.1.  It exists
+    for expression-level composition on SMALL frames (the pytest pins);
+    every real pipeline should use :func:`char_entropy_frame`, which
+    stages the count array / total / terms as separate projections
+    (0.6 s on the same input — 290x).
     """
     from remote_shuffle_spark.functions.hashing import normalized_text
 
@@ -759,6 +768,11 @@ def char_entropy(text_col) -> Column:
         ]
     )
     n = F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x)
+    return _entropy_from_counts(counts, n)
+
+
+def _entropy_from_counts(counts: Column, n: Column) -> Column:
+    """Decimal-summed Shannon entropy of an exact integer count array."""
     p = lambda c: c.cast("double") / n.cast("double")  # noqa: E731
     term = lambda c: F.round(-p(c) * F.log(p(c)), 6).cast("decimal(18,6)")  # noqa: E731
     return F.aggregate(
@@ -770,3 +784,41 @@ def char_entropy(text_col) -> Column:
             acc + F.when(c > 0, term(c)).otherwise(F.lit(0).cast("decimal(18,6)"))
         ).cast("decimal(28,6)"),
     ).cast("double")
+
+
+def char_entropy_frame(
+    df: DataFrame,
+    text_col: str,
+    *,
+    out_col: str = "entropy",
+    n_col: str = "n_chars",
+) -> DataFrame:
+    """The pipeline form of :func:`char_entropy`: identical values, but
+    the normalized text, the 36-count array, and the total are MATERIALIZED
+    as separate projections, so each is computed exactly once per row —
+    codegen cannot re-evaluate across projection boundaries the way it
+    re-evaluates inlined subtrees inside HOF lambdas (measured >100x:
+    1.5 s vs 174 s over the sf0.1 corpus).  Adds (out_col, n_col) to ``df``."""
+    from remote_shuffle_spark.functions.hashing import normalized_text
+
+    staged = (
+        df.withColumn("_ce_nt", normalized_text(text_col))
+        .withColumn(
+            "_ce_cnts",
+            F.array(
+                *[
+                    (
+                        F.length("_ce_nt")
+                        - F.length(F.replace(F.col("_ce_nt"), F.lit(c), F.lit("")))
+                    ).cast("long")
+                    for c in CHAR_ENTROPY_ALPHABET
+                ]
+            ),
+        )
+        .withColumn(
+            n_col,
+            F.aggregate(F.col("_ce_cnts"), F.lit(0).cast("long"), lambda a, x: a + x),
+        )
+        .withColumn(out_col, _entropy_from_counts(F.col("_ce_cnts"), F.col(n_col)))
+    )
+    return staged.drop("_ce_nt", "_ce_cnts")
