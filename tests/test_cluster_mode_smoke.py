@@ -69,6 +69,14 @@ with tempfile.TemporaryDirectory() as td:
 # PYTHONPATH — the one propagation path local[32] cannot falsify.
 tws = qs["ext_stream_tws_limiter"](spark, sf).collect()
 out["tws_rows"] = len(tws)
+# round-9 surfaces whose plans changed or are new: the sort-merge-hinted
+# substring dedup (hint must survive real remote shuffle) and the PQ
+# encode/LUT/ADC pipeline (broadcast codebook reaches real executors)
+sub = qs["ext_dedup_substring"](spark, sf).collect()
+out["substring_rows"] = len(sub)
+out["substring_dup_tokens"] = int(sum(r.dup_tokens for r in sub))
+pq = qs["ext_pq_recall"](spark, sf).collect()
+out["pq_rows"] = len(pq)
 print("RESULT:" + json.dumps(out))
 spark.stop()
 """
@@ -107,3 +115,6 @@ def test_local_cluster_smoke():
     want = [[i, 0] for i in range(7)] + [[10, 10], [11, 10]]
     assert got["cc"] == want
     assert got["tws_rows"] == 75  # 15 users x first-5 limiter at sf0.001
+    assert got["substring_rows"] == 569  # 500 docs + 39 full + 30 prefix copies
+    assert got["substring_dup_tokens"] > 0
+    assert got["pq_rows"] == 8
