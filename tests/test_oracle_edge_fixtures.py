@@ -190,3 +190,68 @@ def test_known_engine_divergence_levenshtein_unicode(spark):
     cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     n_non_ascii = cust.filter(~F.col("c_name").rlike("^[\\x00-\\x7F]*$")).count()
     assert n_non_ascii == 0
+
+
+def test_kcore_peel_empty_and_self_loop_graphs(spark):
+    """k-core edge shapes: an empty edge frame yields all-zero rounds
+    (no crash), and self-loops are dropped by canonicalization before
+    they can inflate degrees."""
+    from remote_shuffle_spark.operators.graph import kcore_peel
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    rows = kcore_peel(empty, 2, rounds=2).collect()
+    assert [(r.removed_vertices, r.remaining_edges) for r in rows] == [(0, 0), (0, 0)]
+
+    loops = spark.createDataFrame(
+        [(1, 1), (2, 2), (1, 2)], "src long, dst long"
+    )
+    rows = {r.round: r for r in kcore_peel(loops, 1, rounds=1).collect()}
+    # only the 1-2 edge survives canonicalization; both endpoints degree 1
+    assert rows[1].remaining_edges == 1 and rows[1].remaining_vertices == 2
+
+
+def test_assign_training_shards_fewer_docs_than_shards(spark):
+    """n < n_shards: every doc gets its own shard, empty shards simply
+    don't appear (no crash, no modulo wrap artifacts)."""
+    from remote_shuffle_spark.operators.pipeline import assign_training_shards
+
+    df = spark.createDataFrame([(1, 5), (2, 9)], "doc_id long, w long")
+    got = {
+        r.doc_id: r.shard
+        for r in assign_training_shards(df, "doc_id", "w", n_shards=8).collect()
+    }
+    assert got == {2: 0, 1: 1}  # rank 0 = heaviest (w=9) -> shard 0
+
+
+def test_char_entropy_frame_empty_and_symbol_only_docs(spark):
+    """Docs with no alphanumeric characters have n_chars == 0 and entropy
+    0 (the empty fold), not NULL/NaN — the bucket report must not lose
+    them."""
+    from remote_shuffle_spark.operators.text import char_entropy_frame
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "!!! ... ???"), (3, "abc")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.entropy)
+        for r in char_entropy_frame(df, "text").collect()
+    }
+    assert got[1] == (0, 0.0)
+    assert got[2] == (0, 0.0)
+    assert got[3][0] == 3 and got[3][1] > 1.0
+
+
+def test_exact_substring_dedup_identical_window_within_one_doc(spark):
+    """Self-repetition INSIDE one document is also deduped: the second
+    occurrence of a window in the same doc is a duplicate of the first
+    (keep-first is global order (doc_id, pos), not cross-doc-only)."""
+    from remote_shuffle_spark.operators.dedup import exact_substring_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c")], "doc_id long, text string"
+    )
+    (row,) = exact_substring_dedup_stats(
+        df, "doc_id", "text", window_tokens=3
+    ).collect()
+    # windows: abc bca cab abc -> pos 3 duplicates pos 0
+    assert (row.dup_windows, row.dup_tokens) == (1, 3)
