@@ -7670,3 +7670,81 @@ def ext_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "ntile4")
     )
+
+
+@declared(
+    "ext_stream_corpus_prep",
+    oracle=f"""
+    WITH surv AS (
+      SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ), f AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             len(list_distinct(tk)) AS n_distinct,
+             len(list_filter(tk, t -> t IN ('the','and','of','to','is'))) AS stop_count
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM surv)
+    ), s AS (
+      SELECT CAST(3*n_tokens + 10*n_distinct + 25*stop_count AS BIGINT) AS score
+      FROM f
+    )
+    SELECT score // 200 AS quality_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           MIN(score) AS min_score,
+           MAX(score) AS max_score
+    FROM s GROUP BY 1 ORDER BY quality_bucket
+    """,
+    tags=("ext", "streaming", "dedup", "pipeline"),
+)
+def ext_stream_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus-prep composition — the continuous form of the
+    batch ext_corpus_prep_pipeline: documents arrive as time-ordered
+    micro-batches, content dedup keeps the first arrival per md5 digest
+    (dropDuplicatesWithinWatermark, horizon beyond the fixture span — the
+    ext_stream_content_dedup soundness argument), the survivors flow
+    through the integer-weight quality classifier IN-STREAM (purely
+    narrow, codegen'd — classification adds no state and no extra
+    shuffle to the dedup stage), and the drained per-document scores are
+    tiered into the same report ext_quality_classifier produces —
+    demonstrating that the batch scoring stage drops into an ingest
+    stream unchanged.  Oracle = keep-first-per-text then the classifier
+    algebra, all in SQL."""
+    import uuid
+
+    from remote_shuffle_spark.operators.text import quality_classifier
+    from remote_shuffle_spark.streaming.dedup import doc_split_dir
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    scoped = stream_session(spark, 8)
+    d = doc_split_dir(spark, sf_dir)
+    stream = (
+        scoped.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("digest", F.md5(F.encode("text", "utf-8")))
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+    scored = quality_classifier(stream, "doc_id", "text", bucket_width=200)
+    name = f"corpus_prep_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.select("doc_id", "quality_score", "quality_bucket")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        scoped.table(name)
+        .groupBy("quality_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("quality_score").alias("sum_score"),
+            F.min("quality_score").alias("min_score"),
+            F.max("quality_score").alias("max_score"),
+        )
+        .orderBy("quality_bucket")
+    )
