@@ -7748,3 +7748,81 @@ def ext_stream_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quality_bucket")
     )
+
+
+@declared(
+    "ext_scd2_lookup",
+    oracle="""
+    WITH current AS (
+      SELECT c_custkey, c_acctbal,
+             TIMESTAMP '1900-01-01 00:00:00' AS effective_from,
+             TIMESTAMP '9999-12-31 00:00:00' AS effective_to
+      FROM customer
+    ), changes AS (
+      SELECT c_custkey, c_acctbal + 100 AS c_acctbal,
+             TIMESTAMP '1995-06-01 00:00:00' AS change_ts
+      FROM customer WHERE c_custkey % 5 = 0
+    ), dim AS (
+      SELECT c.c_custkey, c.c_acctbal, c.effective_from,
+             CASE WHEN ch.c_custkey IS NULL THEN c.effective_to
+                  ELSE ch.change_ts END AS effective_to
+      FROM current c LEFT JOIN changes ch USING (c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_acctbal, change_ts, TIMESTAMP '9999-12-31 00:00:00'
+      FROM changes
+    )
+    SELECT strftime(d.effective_from, '%Y-%m-%d') AS version_from,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(d.c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS sum_bal
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.effective_from
+     AND o.o_orderdate <  d.effective_to
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ext", "scd2", "join"),
+)
+def ext_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 POINT-IN-TIME lookup (operators/upsert.py:scd2_point_in_time)
+    — the read side of the versioned dimension ext_scd2 builds: every
+    5th customer's balance changes at 1995-06-01 (mid-way through the
+    TPC-H order-date range), and each order joins the dimension VERSION
+    valid at its order date (half-open from <= ts < to, so the change
+    instant sees the new version).  The plan is an equi-join on custkey
+    with the interval as a post-join filter — SCD2 guarantees few
+    versions per key, so this beats a general range join; at 100 TB the
+    dimension broadcasts when it fits.  The report groups order counts
+    and time-correct balances by version era, so both the pre- and
+    post-change versions must be matched correctly for the hash to
+    pass."""
+    from remote_shuffle_spark.operators.upsert import scd2_apply, scd2_point_in_time
+
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1900-01-01 00:00:00").cast("timestamp_ntz").alias("effective_from"),
+        F.lit("9999-12-31 00:00:00").cast("timestamp_ntz").alias("effective_to"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("1995-06-01 00:00:00").cast("timestamp_ntz").alias("change_ts"),
+    )
+    dim = scd2_apply(current, changes, ["c_custkey"])
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_ts"),
+    )
+    joined = scd2_point_in_time(dim, fact, ["c_custkey"], "o_ts")
+    return (
+        joined.groupBy(
+            F.date_format("effective_from", "yyyy-MM-dd").alias("version_from")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(dec("c_acctbal")), 4).cast("double").alias("sum_bal"),
+        )
+        .orderBy("version_from")
+    )

@@ -157,3 +157,40 @@ def merge_upsert_ordered(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def scd2_point_in_time(
+    dim: DataFrame,
+    fact: DataFrame,
+    key_cols: list[str],
+    fact_ts_col: str,
+    *,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time dimension lookup against an SCD2 table: each fact row
+    joins the dimension VERSION that was valid at the fact's timestamp
+    (``from <= ts < to`` — the half-open convention :func:`scd2_apply`
+    writes, so a fact at exactly the change instant sees the NEW
+    version).  This is the read side of SCD2 — the join every
+    time-correct report runs against a versioned dimension.
+
+    Plan shape: an EQUI-join on the dimension key with the interval
+    predicate as a post-join filter — correct and cheap because SCD2
+    guarantees few versions per key (fan-out = version count, then the
+    filter keeps exactly one); a general interval/range join
+    (operators/joins.py) is only needed when there is no equi-key.  At
+    100 TB the dimension is broadcast when it fits, else both sides
+    shuffle on the key.
+    """
+    cond = None
+    for k in key_cols:
+        c = fact[k] == dim[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (fact[fact_ts_col] >= dim[from_col])
+        & (fact[fact_ts_col] < dim[to_col])
+    )
+    return fact.join(dim, cond, how).drop(*[dim[k] for k in key_cols])

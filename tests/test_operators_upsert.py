@@ -66,3 +66,40 @@ def test_snapshot_diff_statuses(spark):
     out = {r.k: r.status for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
     # 1 removed, 3 changed, 5 added; 2 and 4 (null==null) unchanged → absent
     assert out == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_scd2_point_in_time_half_open_boundary(spark):
+    """A fact at EXACTLY the change instant must see the NEW version
+    (from <= ts < to), facts before see the old one, and a fact before
+    the first version matches nothing under inner join."""
+    from remote_shuffle_spark.operators.upsert import scd2_point_in_time
+
+    dim = spark.createDataFrame(
+        [
+            (1, 100, "2020-01-01 00:00:00", "2021-06-01 00:00:00"),
+            (1, 200, "2021-06-01 00:00:00", "9999-12-31 00:00:00"),
+        ],
+        "k long, bal long, effective_from string, effective_to string",
+    ).select(
+        "k", "bal",
+        F.col("effective_from").cast("timestamp_ntz").alias("effective_from"),
+        F.col("effective_to").cast("timestamp_ntz").alias("effective_to"),
+    )
+    fact = spark.createDataFrame(
+        [
+            (1, "2019-05-05 00:00:00"),  # before history: no match
+            (1, "2020-05-05 00:00:00"),  # old version
+            (1, "2021-06-01 00:00:00"),  # boundary: NEW version
+            (1, "2022-01-01 00:00:00"),  # open version
+        ],
+        "k long, ts string",
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    got = sorted(
+        (str(r.ts), r.bal)
+        for r in scd2_point_in_time(dim, fact, ["k"], "ts").collect()
+    )
+    assert got == [
+        ("2020-05-05 00:00:00", 100),
+        ("2021-06-01 00:00:00", 200),
+        ("2022-01-01 00:00:00", 200),
+    ]
