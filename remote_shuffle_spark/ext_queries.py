@@ -5972,13 +5972,9 @@ def ext_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_oracle_sql(num_merges: int = 3) -> str:
-    """Unrolled DuckDB mirror of operators/text.py:bpe_train — per round:
-    the same weighted adjacent-pair count over the vocabulary, the same
-    (pc DESC, a DESC, b DESC) argmax, and the IDENTICAL greedy merge fold
-    (list_reduce over the '|'-delimited symbol string — byte-for-byte the
-    algebra of _bpe_merge_fold, including left-first resolution of
-    overlapping same-symbol runs)."""
+def _bpe_oracle_parts(num_merges: int) -> tuple[str, str]:
+    """Shared head+stages of the BPE oracles (train and apply): the
+    vocabulary CTE plus per-round pair-count/argmax/merge-fold CTEs."""
     head = f"""
     WITH r0 AS (
       SELECT array_to_string(string_split(word, ''), '|') AS repr,
@@ -6005,6 +6001,17 @@ def _bpe_train_oracle_sql(num_merges: int = 3) -> str:
     ), s{k} AS (
       SELECT SUM(len(string_split(repr, '|')) * cnt) AS total FROM r{k}
     )""")
+    return head, "".join(stages)
+
+
+def _bpe_train_oracle_sql(num_merges: int = 3) -> str:
+    """Unrolled DuckDB mirror of operators/text.py:bpe_train — per round:
+    the same weighted adjacent-pair count over the vocabulary, the same
+    (pc DESC, a DESC, b DESC) argmax, and the IDENTICAL greedy merge fold
+    (list_reduce over the '|'-delimited symbol string — byte-for-byte the
+    algebra of _bpe_merge_fold, including left-first resolution of
+    overlapping same-symbol runs)."""
+    head, stages = _bpe_oracle_parts(num_merges)
     selects = [
         f"""SELECT {k} AS round, b{k}.a AS pair_a, b{k}.b AS pair_b,
                CAST(b{k}.pc AS BIGINT) AS pair_count,
@@ -6012,7 +6019,7 @@ def _bpe_train_oracle_sql(num_merges: int = 3) -> str:
         FROM b{k}, s{k}"""
         for k in range(1, num_merges + 1)
     ]
-    return head + "".join(stages) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+    return head + stages + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
 
 
 @declared(
@@ -7825,4 +7832,74 @@ def ext_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dec("c_acctbal")), 4).cast("double").alias("sum_bal"),
         )
         .orderBy("version_from")
+    )
+
+
+def _bpe_apply_oracle_sql(num_merges: int = 3) -> str:
+    """Train (shared CTEs with the bpe_train oracle) then APPLY: every
+    document's words re-encoded by the same list_reduce folds using the
+    learned (a, b) of each round, reported per source."""
+    head, stages = _bpe_oracle_parts(num_merges)
+    nested = "array_to_string(string_split(word, ''), '|')"
+    for k in range(1, num_merges + 1):
+        nested = f"""list_reduce(string_split({nested}, '|'), (acc, x) -> CASE
+               WHEN x = b{k}.b AND (acc = b{k}.a OR ends_with(acc, '|' || b{k}.a))
+               THEN left(acc, length(acc) - length(b{k}.a)) || b{k}.a || b{k}.b
+               ELSE acc || '|' || x END)"""
+    froms = ", ".join(f"b{k}" for k in range(1, num_merges + 1))
+    return (
+        head
+        + stages
+        + f"""
+    , docwords AS (
+      SELECT doc_id, source, unnest(string_split({_NORM}, ' ')) AS word
+      FROM documents
+    ), applied AS (
+      SELECT doc_id, source,
+             length(word) AS char_syms,
+             len(string_split({nested}, '|')) AS bpe_syms
+      FROM docwords, {froms}
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(char_syms) AS BIGINT) AS symbols_char,
+           CAST(SUM(bpe_syms) AS BIGINT) AS symbols_bpe
+    FROM applied GROUP BY source ORDER BY source"""
+    )
+
+
+@declared(
+    "ext_bpe_apply",
+    oracle=_bpe_apply_oracle_sql(3),
+    tags=("ext", "text", "tokenizer"),
+)
+def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply side completing the tokenizer loop
+    (operators/text.py:bpe_apply): train 3 merges on the corpus
+    (ext_bpe_train's exact algebra), then re-encode every document's
+    words with the learned merge table and report the compression per
+    source (char symbols vs post-merge symbols).  The merge folds run
+    once per DISTINCT word — the same vocabulary-bounded working-set
+    collapse that keeps training flat at 10x corpus — and per-document
+    counts come back through one broadcast word-keyed join.  The merge
+    list itself is a 3-row driver collect (bounded, like IVF
+    centroids).  Oracle: the shared train CTEs plus the identical
+    nested list_reduce folds applied to every document word."""
+    from remote_shuffle_spark.operators.text import bpe_apply, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    trained = bpe_train(docs, "doc_id", "text", num_merges=3).orderBy("round")
+    merges = [(r.pair_a, r.pair_b) for r in trained.collect()]
+    per_doc = bpe_apply(docs, "doc_id", "text", merges)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("symbols_char").alias("symbols_char"),
+            F.sum("symbols_bpe").alias("symbols_bpe"),
+        )
+        .orderBy("source")
     )

@@ -822,3 +822,55 @@ def char_entropy_frame(
         .withColumn(out_col, _entropy_from_counts(F.col("_ce_cnts"), F.col(n_col)))
     )
     return staged.drop("_ce_nt", "_ce_cnts")
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a trained BPE merge list to a corpus — the ENCODE side of
+    :func:`bpe_train` (train emits the merge table; this is what the
+    tokenizer then does to every document).  Each merge is folded
+    greedily left-to-right over the symbol string with the IDENTICAL
+    :func:`_bpe_merge_fold` algebra training used, so train and apply
+    agree on every boundary case (overlapping runs, repeated symbols).
+
+    Scale shape — encode cost is VOCABULARY-bounded, not corpus-bounded:
+    the merge folds run once per DISTINCT word (the same working-set
+    collapse that makes bpe_train flat at 10x corpus), and documents get
+    their per-word symbol counts back through one broadcastable
+    word-keyed join.  Returns (id, n_words, symbols_char, symbols_bpe)
+    per document: the char-level symbol count and the count after all
+    merges — the compression the merge table buys.
+    """
+    words = df.select(
+        F.col(id_col).alias("_ba_id"), F.explode(tokens(text_col)).alias("word")
+    )
+    encoded = words.select("word").distinct().select(
+        "word",
+        F.array_join(F.split("word", ""), "|").alias("_repr"),
+    )
+    for a, b in merges:
+        encoded = encoded.select(
+            "word",
+            _bpe_merge_fold(F.split("_repr", r"\|"), a, b).alias("_repr"),
+        )
+    encoded = encoded.select(
+        "word",
+        F.length("word").alias("_char_syms"),
+        F.size(F.split("_repr", r"\|")).alias("_bpe_syms"),
+    )
+    return (
+        words.join(F.broadcast(encoded), "word")
+        .groupBy("_ba_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_char_syms").cast("long").alias("symbols_char"),
+            F.sum("_bpe_syms").cast("long").alias("symbols_bpe"),
+        )
+        .select(
+            F.col("_ba_id").alias(id_col), "n_words", "symbols_char", "symbols_bpe"
+        )
+    )

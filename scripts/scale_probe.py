@@ -776,6 +776,24 @@ def main():
 
     results.append(probe(f"rollup_topk_{int(5_000_000 * s)}_orders", _rollup_topk_probe))
 
+    results.append(
+        probe(
+            f"pq_recall_{n_vec}_vecs_q8",
+            lambda: {
+                "mean_hits": similarity.pq_recall_at_k(
+                    emb,
+                    "vec_id",
+                    "embedding",
+                    emb.filter(F.col("vec_id") < 8),
+                    "vec_id",
+                    k=10,
+                )
+                .agg(F.sum("hits").alias("h"))
+                .collect()[0].h
+            },
+        )
+    )
+
     print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
 
 

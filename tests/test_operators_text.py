@@ -325,3 +325,33 @@ def test_char_entropy_known_values(spark):
     assert got[3] > 3.0
     # near-degenerate key-mash sits way below natural text
     assert got[4] < 0.2
+
+
+def test_bpe_apply_matches_train_fold_semantics(spark):
+    """Applying the trained merges to the TRAINING corpus must reproduce
+    bpe_train's own corpus_symbols_after at every round — train and
+    apply share one fold algebra by construction."""
+    from remote_shuffle_spark.operators.text import bpe_apply, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    trained = bpe_train(df, "doc_id", "text", num_merges=2).orderBy("round").collect()
+    merges = [(r.pair_a, r.pair_b) for r in trained]
+    applied = bpe_apply(df, "doc_id", "text", merges)
+    total_bpe = applied.agg(F.sum("symbols_bpe")).collect()[0][0]
+    assert total_bpe == trained[-1].corpus_symbols_after
+    # and char symbols = plain character count of all words
+    total_char = applied.agg(F.sum("symbols_char")).collect()[0][0]
+    assert total_char == sum(len(w) for t in ("low lower lowest low", "new newer newest new") for w in t.split())
+
+
+def test_bpe_apply_greedy_left_first(spark):
+    """Overlapping merge sites resolve left-first: merging (a,a) over
+    'aaa' yields [aa, a] (2 symbols), never [a, aa]."""
+    from remote_shuffle_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    (row,) = bpe_apply(df, "doc_id", "text", [("a", "a")]).collect()
+    assert (row.symbols_char, row.symbols_bpe) == (3, 2)
