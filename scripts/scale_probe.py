@@ -776,6 +776,52 @@ def main():
 
     results.append(probe(f"rollup_topk_{int(5_000_000 * s)}_orders", _rollup_topk_probe))
 
+    def _kcore_probe():
+        n = int(1_000_000 * s)
+        tree = spark.range(1, n).select(
+            F.col("id").alias("src"),
+            (F.col("id") / 2).cast("long").alias("dst"),
+        )
+        rows = graph_ops.kcore_peel(tree, 3, rounds=4).collect()
+        return {"removed_by_round": [int(r.removed_vertices) for r in rows]}
+
+    results.append(probe(f"kcore_{int(1_000_000 * s)}_node_tree_4r", _kcore_probe))
+
+    from remote_shuffle_spark.operators.pipeline import assign_training_shards
+
+    def _shard_probe():
+        w = docs.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(4096)).alias("w")
+        )
+        out = assign_training_shards(w, "doc_id", "w", n_shards=64)
+        loads = out.groupBy("shard").agg(F.sum("w").alias("t")).collect()
+        ts = [r.t for r in loads]
+        return {"shards": len(ts), "spread": int(max(ts) - min(ts))}
+
+    results.append(probe(f"shard_assign_{int(200_000 * s)}_docs", _shard_probe))
+
+    from remote_shuffle_spark.operators.text import bpe_apply
+
+    results.append(
+        probe(
+            f"bpe_apply_{int(200_000 * s)}_docs_3merges",
+            lambda: {
+                "ratio_pct": int(
+                    bpe_apply(
+                        docs, "doc_id", "text",
+                        [("w", "1"), ("w", "2"), ("w", "3")],
+                    )
+                    .agg(
+                        (
+                            F.sum("symbols_bpe") * 100 / F.sum("symbols_char")
+                        ).cast("long").alias("r")
+                    )
+                    .collect()[0].r
+                )
+            },
+        )
+    )
+
     results.append(
         probe(
             f"pq_recall_{n_vec}_vecs_q8",
