@@ -569,3 +569,23 @@ def test_sql_udf_inlines_into_codegen_and_pushdown(spark, sf_smoke):
     plan = _plan(ext_sql_udf(spark, sf_smoke))
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], plan[-1500:]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shard_assignment_no_single_partition_window(spark, sf_smoke):
+    """The shard rank must come from the two-phase global index over a
+    range-partitioned sort — a naive row_number() OVER (ORDER BY ...)
+    would put the whole corpus through ONE task (the claim in
+    assign_training_shards' docstring, pinned here)."""
+    from remote_shuffle_spark.functions.hashing import tokens
+    from remote_shuffle_spark.operators.pipeline import assign_training_shards
+    from remote_shuffle_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    plan = _plan(assign_training_shards(docs, "doc_id", "n_tok"))
+    assert "SinglePartition" not in plan, plan
+    # the local index window partitions by the checkpoint's partition id
+    # (the range sort itself happened before the eager localCheckpoint,
+    # so the visible plan starts at Scan ExistingRDD)
+    assert "Window" in plan and "_pid" in plan
