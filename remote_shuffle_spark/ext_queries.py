@@ -6727,7 +6727,7 @@ def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair AS (
       SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS both_cnt
       FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
-      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
     )
     SELECT pa, pb, both_cnt,
            CAST(n.n_orders * pair.both_cnt AS DOUBLE)
@@ -7902,4 +7902,80 @@ def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("symbols_bpe").alias("symbols_bpe"),
         )
         .orderBy("source")
+    )
+
+
+@declared(
+    "ext_market_basket_triples",
+    oracle="""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), pair AS MATERIALIZED (
+      SELECT a.pk AS pa, b.pk AS pb
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), tri AS (
+      SELECT a.pk AS pa, b.pk AS pb, c.pk AS pc, COUNT(*) AS support
+      FROM op a
+      JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      JOIN op c ON b.ok = c.ok AND b.pk < c.pk
+      JOIN pair p1 ON p1.pa = a.pk AND p1.pb = b.pk
+      JOIN pair p2 ON p2.pa = a.pk AND p2.pb = c.pk
+      JOIN pair p3 ON p3.pa = b.pk AND p3.pb = c.pk
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    )
+    SELECT pa, pb, pc, CAST(support AS BIGINT) AS support
+    FROM tri ORDER BY support DESC, pa, pb, pc LIMIT 20
+    """,
+    tags=("ext", "analytics", "basket"),
+)
+def ext_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets with the A-PRIORI pruning step — the
+    market-basket ladder above ext_market_basket's pairs: candidate
+    triples are generated ONLY from orders, and every triple must have
+    all three of its sub-pairs frequent (support >= 2) before its own
+    support is counted (>= 2) — the downward-closure property that keeps
+    itemset mining tractable at scale (the candidate space collapses to
+    frequent-pair joins instead of catalog³).  Shape: the within-order
+    triple join is bounded by BASKET size (k choose 3 per order, same
+    bound class as the pair miner); the frequent-pair set is small and
+    broadcast into three semi-joins."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    pair = (
+        op.alias("a")
+        .join(op.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    tri = (
+        op.alias("a")
+        .join(op.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .join(op.alias("c"), "ok")
+        .filter(F.col("b.pk") < F.col("c.pk"))
+        .select(
+            F.col("a.pk").alias("pa"),
+            F.col("b.pk").alias("pb"),
+            F.col("c.pk").alias("pc"),
+        )
+    )
+    fp = F.broadcast(pair)
+    pruned = (
+        tri.join(fp, ["pa", "pb"], "left_semi")
+        .join(fp.select(F.col("pa"), F.col("pb").alias("pc")), ["pa", "pc"], "left_semi")
+        .join(fp.select(F.col("pa").alias("pb"), F.col("pb").alias("pc")), ["pb", "pc"], "left_semi")
+    )
+    return (
+        pruned.groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "pa", "pb", "pc")
+        .limit(20)
     )
