@@ -7979,3 +7979,72 @@ def ext_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "pa", "pb", "pc")
         .limit(20)
     )
+
+
+@declared(
+    "ext_time_to_convert",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), fc AS (
+      SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'click' AND e.ts > fv.first_view
+      GROUP BY e.user_id
+    ), d AS (
+      SELECT (epoch_us(fc.first_click) - epoch_us(fv.first_view)) / 1000000.0
+               AS delta_sec
+      FROM fv JOIN fc USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(MIN(delta_sec), 6) AS min_sec,
+           ROUND(quantile_cont(delta_sec, 0.25), 6) AS p25_sec,
+           ROUND(quantile_cont(delta_sec, 0.5), 6) AS median_sec,
+           ROUND(quantile_cont(delta_sec, 0.75), 6) AS p75_sec,
+           ROUND(MAX(delta_sec), 6) AS max_sec
+    FROM d
+    """,
+    tags=("ext", "analytics", "funnel"),
+)
+def ext_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-DELAY distribution — the time dimension the funnel
+    family (ext_funnel / ext_session_funnel) doesn't report: per user,
+    the first view and the first click STRICTLY AFTER it, then exact
+    interpolated quartiles of the delay in seconds (percentile ≡
+    DuckDB's quantile_cont bit-for-bit — the ext_quantile_bins
+    precedent).  Two combinable aggregations sharing the user_id key +
+    one join; deltas are exact integer microsecond differences divided
+    once, so the quantile inputs are engine-identical.  Events ts is
+    TIMESTAMP_NTZ (load_table normalizes the ns-parquet column), so
+    unix_micros needs the documented cast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    d = fv.join(fc, "user_id").select(
+        (
+            (F.unix_micros("first_click") - F.unix_micros("first_view"))
+            / F.lit(1_000_000.0)
+        ).alias("delta_sec")
+    )
+    pct = F.percentile("delta_sec", F.lit([0.25, 0.5, 0.75]))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.min("delta_sec"), 6).alias("min_sec"),
+        F.round(pct[0], 6).alias("p25_sec"),
+        F.round(pct[1], 6).alias("median_sec"),
+        F.round(pct[2], 6).alias("p75_sec"),
+        F.round(F.max("delta_sec"), 6).alias("max_sec"),
+    )
