@@ -6727,7 +6727,7 @@ def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair AS (
       SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS both_cnt
       FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
     )
     SELECT pa, pb, both_cnt,
            CAST(n.n_orders * pair.both_cnt AS DOUBLE)
