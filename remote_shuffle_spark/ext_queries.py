@@ -7126,6 +7126,319 @@ def ext_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t1.unionAll(t2).unionAll(t3).orderBy("stage")
 
 
+def _ladder_full_oracle_sql() -> str:
+    """Four-tier ladder oracle: tiers 1-3 replay ext_dedup_ladder's SQL
+    (plus the %23 near-dup plants in the corpus), then the tier-3 scrub
+    is APPLIED (removed token positions = union of duplicate-window
+    spans) and tier 4 replays the md5-MinHash banding of
+    operators/dedup.py:minhash_components_md5 EXACTLY — md5 exists in
+    both engines and equal-length hex compares lexicographically ==
+    numerically, so min-hash selection, band keys, candidates, the
+    integer Jaccard verify (2*inter >= union) and the recursive
+    min-label components are all bit-identical.  Every multi-referenced
+    CTE is MATERIALIZED (DuckDB inlines by default; the unrolled chain
+    re-expands exponentially otherwise)."""
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(16)
+    )
+    band_keys = ", ".join(
+        f"'{b}|'||h{2 * b}||'|'||h{2 * b + 1}" for b in range(8)
+    )
+    return f"""
+    WITH RECURSIVE corpus AS MATERIALIZED (
+      SELECT doc_id, {{_NORM}} AS nt FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, {{_NORM}} FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             'p'||doc_id||'x p'||doc_id||'y p'||doc_id||'z ' ||
+             array_to_string((string_split({{_NORM}}, ' '))[8:57], ' ') ||
+             ' q'||doc_id||'x q'||doc_id||'y'
+      FROM documents WHERE doc_id % 19 = 0
+      UNION ALL
+      SELECT doc_id + 3000000,
+             array_to_string(list_transform(string_split({{_NORM}}, ' '),
+               (t, i) -> CASE WHEN (i-1) % 19 = 0
+                              THEN 'n'||doc_id||'e'||CAST(i-1 AS VARCHAR)
+                              ELSE t END), ' ')
+      FROM documents WHERE doc_id % 23 = 0
+    ), grp AS MATERIALIZED (
+      SELECT nt, MIN(doc_id) AS keeper, COUNT(*) AS c FROM corpus GROUP BY nt
+    ), t1 AS (
+      SELECT '1_exact' AS stage,
+             CAST(SUM(c) - COUNT(*) AS BIGINT) AS docs_affected,
+             CAST(SUM(c) - COUNT(*) AS BIGINT) AS units_removed
+      FROM grp
+    ), surv AS (
+      SELECT keeper AS doc_id, nt FROM grp
+    ), toks AS MATERIALIZED (
+      SELECT doc_id, string_split(nt, ' ') AS tk FROM surv
+    ), seg AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(tk[i*20+1 : i*20+20], ' ') AS segment
+      FROM toks, UNNEST(range(CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS r(i)
+    ), marked AS MATERIALIZED (
+      SELECT doc_id, seg_idx, segment,
+             (ROW_NUMBER() OVER (PARTITION BY segment
+                                 ORDER BY doc_id, seg_idx) = 1) AS kept
+      FROM seg
+    ), para AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n_seg,
+             COUNT(*) FILTER (kept) AS kept_seg
+      FROM marked GROUP BY doc_id
+    ), t2 AS (
+      SELECT '2_paragraph' AS stage,
+             CAST(COUNT(*) FILTER (kept_seg < n_seg) AS BIGINT) AS docs_affected,
+             CAST(SUM(n_seg - kept_seg) AS BIGINT) AS units_removed
+      FROM para
+    ), trimmed AS (
+      SELECT p.doc_id, COALESCE(s.txt, '') AS nt
+      FROM para p LEFT JOIN (
+        SELECT doc_id, string_agg(segment, ' ' ORDER BY seg_idx) AS txt
+        FROM marked WHERE kept GROUP BY doc_id
+      ) s USING (doc_id)
+    ), ttoks AS MATERIALIZED (
+      SELECT doc_id, string_split(nt, ' ') AS tk FROM trimmed
+    ), wins AS (
+      SELECT doc_id, i AS pos, array_to_string(tk[i+1 : i+20], ' ') AS win
+      FROM ttoks, UNNEST(range(len(tk) - 19)) AS r(i)
+      WHERE len(tk) >= 20
+    ), dups AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        FROM wins)
+      WHERE rn > 1
+    ), cov AS MATERIALIZED (
+      SELECT doc_id, pos,
+        LEAST(20, COALESCE(
+          LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 20)) AS covered
+      FROM dups
+    ), t3 AS (
+      SELECT '3_substring' AS stage,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+             CAST(COALESCE(SUM(covered), 0) AS BIGINT) AS units_removed
+      FROM cov
+    ), removedpos AS MATERIALIZED (
+      SELECT DISTINCT doc_id, pos + u AS tp
+      FROM cov, UNNEST(range(covered)) AS r(u)
+    ), keptpos AS (
+      SELECT t.doc_id, t.tp, t.tok
+      FROM (SELECT doc_id, i AS tp, tk[i+1] AS tok
+            FROM ttoks, UNNEST(range(len(tk))) AS r(i)) t
+      LEFT JOIN removedpos rm ON rm.doc_id = t.doc_id AND rm.tp = t.tp
+      WHERE rm.tp IS NULL
+    ), scrub AS MATERIALIZED (
+      SELECT p.doc_id, COALESCE(s.txt, '') AS nt
+      FROM para p LEFT JOIN (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS txt
+        FROM keptpos GROUP BY doc_id
+      ) s USING (doc_id)
+    ), mtk AS MATERIALIZED (
+      SELECT doc_id, string_split(nt, ' ') AS tk FROM scrub
+      WHERE len(string_split(nt, ' ')) >= 3
+    ), msh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(tk[i+1 : i+3], ' ') AS sh
+      FROM mtk, UNNEST(range(len(tk) - 2)) AS r(i)
+    ), sig AS MATERIALIZED (
+      SELECT doc_id,
+           {mins}
+      FROM msh GROUP BY doc_id
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, u.bkey
+      FROM sig, UNNEST([{band_keys}]) AS u(bkey)
+    ), buckets AS MATERIALIZED (
+      SELECT bkey, COUNT(*) AS bs FROM bands GROUP BY bkey
+    ), bounded AS MATERIALIZED (
+      SELECT b.doc_id, b.bkey
+      FROM bands b JOIN buckets k ON b.bkey = k.bkey
+      WHERE k.bs BETWEEN 2 AND 64
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bounded a JOIN bounded b
+        ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), scount AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS ns FROM msh GROUP BY doc_id
+    ), inter AS MATERIALIZED (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ni
+      FROM cand c
+      JOIN msh x ON x.doc_id = c.id_a
+      JOIN msh y ON y.doc_id = c.id_b AND y.sh = x.sh
+      GROUP BY c.id_a, c.id_b
+    ), verified AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN scount sa ON sa.doc_id = c.id_a
+      JOIN scount sb ON sb.doc_id = c.id_b
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      WHERE 2 * COALESCE(i.ni, 0) >= sa.ns + sb.ns - COALESCE(i.ni, 0)
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION ALL
+      SELECT id_b, id_a FROM verified
+    ), reach(v, root0) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, reach.root0 FROM reach JOIN edges e ON e.u = reach.v
+    ), comp AS (
+      SELECT v, MIN(root0) AS root FROM reach GROUP BY v
+    ), t4 AS (
+      SELECT '4_neardup' AS stage,
+             CAST(COUNT(*) - COUNT(DISTINCT root) AS BIGINT) AS docs_affected,
+             CAST(COUNT(*) - COUNT(DISTINCT root) AS BIGINT) AS units_removed
+      FROM comp
+    )
+    SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+    UNION ALL SELECT * FROM t4
+    ORDER BY stage
+    """
+
+
+@declared(
+    "ext_dedup_ladder_full",
+    oracle=_ladder_full_oracle_sql().replace("{_NORM}", _NORM),
+    tags=("ext", "dedup", "pipeline", "lsh"),
+)
+def ext_dedup_ladder_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE public corpus-dedup ladder, all FOUR tiers composed
+    end-to-end (exact doc -> paragraph/segment -> exact substring ->
+    MinHash-LSH near-dup), each tier consuming the previous tier's
+    survivors/scrubbed text — the sequence every pretraining corpus run
+    executes.  Reported as the per-stage funnel (stage, docs_affected,
+    units_removed; units are stage-native: docs, segments, tokens, docs).
+
+    Plants, one per failure mode the ladder must catch:
+      %13 FULL copies            -> die at tier 1 (exact);
+      %19 mid-document 50-token
+          segment-MISALIGNED copies -> invisible to tier 2, die at
+          tier 3 (substring);
+      %23 NEAR copies (every 19th token of the donor replaced with a
+          doc-unique token) -> every aligned 20-segment AND every
+          20-token sliding window contains an edit (19 < 20), so tiers
+          1-3 cannot see them at all; 3-shingle Jaccard stays ~0.7-0.8,
+          so tier 4 must — the one-query demonstration of why the
+          ladder needs its near-dup rung.
+
+    Tier 4 is the md5 ORACLE-REPLAYABLE MinHash variant
+    (operators/dedup.py:minhash_components_md5): engine-identical hash
+    selection makes candidates, the integer Jaccard verify and the
+    connected-components keep-one all exactly SQL-checkable — no
+    invariant-only oracle needed even though LSH membership is
+    hash-derived.
+
+    Scale: tier shuffles are the operators' own (hash-keyed, text never
+    crosses the window/segment exchanges); tier 4 signatures are 16
+    short strings per doc (map-side combined), pair fan-out capped per
+    bucket, Jaccard verify runs on the candidate SUBSET, CC state is one
+    row per candidate vertex.  operators/dedup.py:
+    segment_dedup_apply, exact_substring_dedup_apply,
+    minhash_components_md5."""
+    from remote_shuffle_spark.functions.hashing import normalized_text
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+    from remote_shuffle_spark.operators.dedup import (
+        exact_substring_dedup_apply,
+        minhash_components_md5,
+        segment_dedup_apply,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    full_copies = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    mid_copies = docs.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("p"), did, F.lit("x")),
+            F.concat(F.lit("p"), did, F.lit("y")),
+            F.concat(F.lit("p"), did, F.lit("z")),
+            F.concat_ws(" ", F.slice(_toks("text"), 8, 50)),
+            F.concat(F.lit("q"), did, F.lit("x")),
+            F.concat(F.lit("q"), did, F.lit("y")),
+        ).alias("text"),
+    )
+    # Two-step select: a column reference captured inside a transform()
+    # LAMBDA resolves against the aliased OUTPUT projection (measured:
+    # one-step gave 'n3000000e0', the +3000000 id), unlike the plain
+    # concat in mid_copies — so edit the text against the original
+    # doc_id first, then re-key.
+    near_copies = (
+        docs.filter(F.col("doc_id") % 23 == 0)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    _toks("text"),
+                    lambda t, i: F.when(
+                        i % 19 == 0,
+                        F.concat(F.lit("n"), did, F.lit("e"), i.cast("string")),
+                    ).otherwise(t),
+                ),
+            ).alias("text"),
+        )
+        .select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    )
+    corpus = (
+        docs.unionAll(full_copies).unionAll(mid_copies).unionAll(near_copies)
+    )
+
+    norm = corpus.select("doc_id", normalized_text("text").alias("nt"))
+    grp = norm.groupBy("nt").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("c")
+    )
+    t1 = grp.agg(
+        F.lit("1_exact").alias("stage"),
+        (F.sum("c") - F.count(F.lit(1))).alias("docs_affected"),
+        (F.sum("c") - F.count(F.lit(1))).alias("units_removed"),
+    )
+    survivors = grp.select(
+        F.col("keeper").alias("doc_id"), F.col("nt").alias("text")
+    )
+
+    applied = segment_dedup_apply(survivors, "doc_id", "text", seg_len=20)
+    t2 = applied.agg(
+        F.lit("2_paragraph").alias("stage"),
+        F.sum(
+            F.when(F.col("kept_segments") < F.col("n_segments"), 1).otherwise(0)
+        ).alias("docs_affected"),
+        F.sum(F.col("n_segments") - F.col("kept_segments")).alias(
+            "units_removed"
+        ),
+    )
+
+    sub = exact_substring_dedup_apply(
+        applied.select("doc_id", F.col("trimmed_text").alias("text")),
+        "doc_id",
+        "text",
+        window_tokens=20,
+    )
+    t3 = sub.agg(
+        F.lit("3_substring").alias("stage"),
+        F.sum(F.when(F.col("dup_windows") > 0, 1).otherwise(0)).alias(
+            "docs_affected"
+        ),
+        F.sum("dup_tokens").alias("units_removed"),
+    )
+
+    comps = minhash_components_md5(
+        sub.select("doc_id", F.col("trimmed_text").alias("text")),
+        "doc_id",
+        "text",
+        shingle_len=3,
+        num_hashes=16,
+        num_bands=8,
+    )
+    removed4 = F.count(F.lit(1)) - F.countDistinct("root")
+    t4 = comps.agg(
+        F.lit("4_neardup").alias("stage"),
+        removed4.alias("docs_affected"),
+        removed4.alias("units_removed"),
+    )
+    return t1.unionAll(t2).unionAll(t3).unionAll(t4).orderBy("stage")
+
+
 def _kcore_oracle_sql(k: int = 3, rounds: int = 4) -> str:
     """Unrolled DuckDB mirror of operators/graph.py:kcore_peel over the
     orderkey DIVISION-TREE graph (edge o_orderkey -- o_orderkey//2):

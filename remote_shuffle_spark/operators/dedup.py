@@ -811,3 +811,226 @@ def segment_dedup_apply(
             ),
         )
     )
+
+
+def exact_substring_dedup_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window_tokens: int = 20,
+) -> DataFrame:
+    """APPLY face of :func:`exact_substring_dedup_stats`: returns each
+    document with the union of its duplicate-window token spans REMOVED —
+    ``(id, trimmed_text, n_tokens, dup_windows, dup_tokens)`` — so the
+    next rung of the dedup ladder (near-dup LSH) consumes
+    substring-scrubbed text, exactly as the public ExactSubstr pipelines
+    do between the exact tiers and the MinHash pass.
+
+    Removal semantics match the stats variant bit-for-bit: duplicate
+    windows are later-than-first occurrences in (doc_id, pos) order; the
+    removed positions are the union of their ``[pos, pos+k)`` spans
+    (disjoint runs via the same lead() pass, so ``size(removed) ==
+    dup_tokens``).
+
+    Scale: identical shuffle discipline to the stats face — the ONE
+    corpus-wide exchange is keyed by xxhash64(window) and carries
+    (hash, id, pos) only; removed-position arrays ride the per-doc
+    id-keyed join (ints, no text), and the text rebuild is a narrow
+    transform-with-index over the already-materialized token array.  The
+    per-token ``array_contains`` probe is O(|removed|) — bounded by the
+    document's own length, local to the row, never a shuffle concern.
+    Both corpus-sized joins keep the shuffle_merge pin (static-estimate
+    broadcast hazard under Generate, see exact_substring_dedup_stats).
+    """
+    from pyspark.sql import Window
+
+    k = int(window_tokens)
+    toks = df.select(
+        F.col(id_col).alias("_ea_id"), tokens(text_col).alias("_ea_toks")
+    )
+    wins = (
+        toks.filter(F.size("_ea_toks") >= k)
+        .select(
+            "_ea_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_ea_toks") - F.lit(k)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("_ea_toks"), i + 1, k))
+                    ),
+                )
+            ).alias("pos", "win_hash"),
+        )
+    )
+    keepers = wins.groupBy("win_hash").agg(
+        F.min(F.struct("_ea_id", "pos")).alias("first")
+    ).hint("shuffle_merge")
+    dups = (
+        wins.join(keepers, "win_hash")
+        .filter(
+            (F.col("first._ea_id") != F.col("_ea_id"))
+            | (F.col("first.pos") != F.col("pos"))
+        )
+        .select("_ea_id", "pos")
+    )
+    per_doc = Window.partitionBy("_ea_id").orderBy("pos")
+    runs = dups.select(
+        "_ea_id",
+        "pos",
+        F.least(
+            F.lit(k),
+            F.coalesce(F.lead("pos").over(per_doc) - F.col("pos"), F.lit(k)),
+        ).alias("_ea_c"),
+    )
+    rm_agg = runs.groupBy("_ea_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_windows"),
+        F.sort_array(
+            F.flatten(
+                F.collect_list(
+                    F.sequence(F.col("pos"), F.col("pos") + F.col("_ea_c") - 1)
+                )
+            )
+        ).alias("_ea_rm"),
+    ).hint("shuffle_merge")
+    joined = toks.join(rm_agg, "_ea_id", "left").select(
+        "_ea_id",
+        "_ea_toks",
+        F.coalesce("_ea_rm", F.array().cast("array<int>")).alias("_ea_rm"),
+        F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_ea_toks"),
+            lambda t, i: F.when(~F.array_contains(F.col("_ea_rm"), i), t),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        F.col("_ea_id").alias(id_col),
+        F.concat_ws(" ", kept).alias("trimmed_text"),
+        F.size("_ea_toks").cast("long").alias("n_tokens"),
+        "dup_windows",
+        F.size("_ea_rm").cast("long").alias("dup_tokens"),
+    )
+
+
+def minhash_components_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_len: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """ORACLE-REPLAYABLE MinHash-LSH near-dup groups: ``(id, root)`` —
+    one row per document that belongs to a verified near-dup component,
+    ``root`` = the component's smallest id (the keeper; removal set =
+    rows with ``id != root``).
+
+    This is the md5 twin of :func:`minhash_candidates` +
+    :func:`connected_components`: every hash in the pipeline is
+    ``md5(seed || '|' || shingle)`` instead of seeded xxhash64, because
+    md5 exists in BOTH Spark and DuckDB and equal-length lowercase-hex
+    strings compare lexicographically == numerically — so the per-seed
+    MIN selection, the band keys, the candidate set, and therefore the
+    final components are bit-identical across engines and the whole
+    near-dup tier becomes exactly SQL-oracle-checkable (the same
+    engine-identical-selection trick as the winnowing operator).  The
+    xxhash64 variant remains the production-speed path; this one is the
+    verification face (md5 costs ~2x, same asymptotics, same shuffles).
+
+    Algebra (mirror EXACTLY in any oracle):
+      - docs with < ``shingle_len`` tokens are excluded (no shingles);
+      - shingle set = DISTINCT ``shingle_len``-grams joined by ' ';
+      - signature_i = MIN(md5(i || '|' || shingle)), i < num_hashes;
+      - band key b   = b || '|' || sig[b*r] .. '|' .. sig[b*r + r - 1],
+        r = num_hashes // num_bands; buckets with 2..max_bucket_size
+        members yield candidate pairs (skew guard identical to the
+        xxhash variant — oversized buckets are degenerate text, dropped);
+      - verify: exact Jaccard on the distinct shingle sets at threshold
+        1/2 via the INTEGER comparison 2*|A∩B| >= |A∪B| (no float);
+      - components over verified pairs (iterative min-label CC), root =
+        min id.
+
+    Scale shape: signatures are ``num_hashes`` 32-char strings per doc
+    reaching the exchange map-side-combined; the pair join fans out only
+    within capped buckets; the verify shingle pass runs on the candidate
+    SUBSET (semi-join), not the corpus; CC state is one (vertex, label)
+    row per candidate vertex.
+    """
+    from remote_shuffle_spark.operators.graph import connected_components
+
+    n = int(shingle_len)
+    r = num_hashes // num_bands
+    if r * num_bands != num_hashes:
+        raise ValueError("num_bands must divide num_hashes")
+    tk = df.select(
+        F.col(id_col).alias("_mm_id"), tokens(text_col).alias("_mm_tk")
+    ).filter(F.size("_mm_tk") >= n)
+    sh = tk.select(
+        "_mm_id",
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(F.col("_mm_tk"), n))
+        ).alias("_mm_sh"),
+    )
+    sig = sh.groupBy("_mm_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_mm_sh")))
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"_h{b * r + j}") for j in range(r)],
+            )
+            for b in range(num_bands)
+        ]
+    )
+    tagged = sig.select("_mm_id", F.explode(bands).alias("_mm_bucket"))
+    sizes = tagged.groupBy("_mm_bucket").agg(F.count(F.lit(1)).alias("_bs"))
+    bounded = tagged.join(
+        sizes.filter((F.col("_bs") >= 2) & (F.col("_bs") <= max_bucket_size)),
+        "_mm_bucket",
+    ).select("_mm_bucket", "_mm_id")
+    cands = (
+        bounded.withColumnRenamed("_mm_id", "id_a")
+        .join(bounded.withColumnRenamed("_mm_id", "id_b"), "_mm_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # small (id pairs); feeds semi-join + verify
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_mm_id"))
+        .union(cands.select(F.col("id_b")))
+        .distinct()
+    )
+    ss = (
+        tk.join(cand_ids, "_mm_id", "left_semi")
+        .select(
+            "_mm_id",
+            F.array_distinct(
+                word_shingles_from_tokens(F.col("_mm_tk"), n)
+            ).alias("_mm_set"),
+        )
+    )
+    pairs = (
+        cands.join(ss.withColumnRenamed("_mm_id", "id_a"), "id_a")
+        .withColumnRenamed("_mm_set", "_set_a")
+        .join(ss.withColumnRenamed("_mm_id", "id_b"), "id_b")
+        .withColumnRenamed("_mm_set", "_set_b")
+    )
+    inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    union = F.size(F.array_union("_set_a", "_set_b"))
+    verified = pairs.filter((F.lit(2) * inter) >= union).select("id_a", "id_b")
+    return connected_components(verified).select(
+        F.col("vertex").alias(id_col), F.col("component").alias("root")
+    )

@@ -677,9 +677,16 @@ def pq_recall_at_k(
             lambda acc, x: acc + x,
         )
 
+    # Codebook = the num_centroids smallest-id corpus vectors (ordered
+    # TakeOrderedAndProject, not filter(id < num_centroids)): with sparse
+    # or non-zero-based ids a value filter silently shrinks (or empties)
+    # the codebook and recall quietly degrades to 0 — ordered-limit gives
+    # exactly num_centroids rows for any id domain.  On dense 0-based ids
+    # (the fixture, and the oracle's WHERE id < n mirror) the two are
+    # identical sets.
     cents = F.broadcast(
         _sub_explode(
-            df.filter(F.col(id_col) < num_centroids), "_j", id_col
+            df.orderBy(id_col).limit(num_centroids), "_j", id_col
         ).select("_j", "_s", F.col("_sv").alias("_cv"))
     )
 

@@ -69,113 +69,125 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_asof_join_nearest": 5,
     "ext_audio_metadata": 7,
     "ext_bfs_levels": 6,
-    "ext_bigram_counts": 4,
-    "ext_bigram_lm_quality": 4,
+    "ext_bigram_counts": 9,
+    "ext_bigram_lm_quality": 9,
     "ext_bloom_anti_join": 8,
     "ext_bloom_semi_join": 8,
-    "ext_bm25_topk": 4,
+    "ext_bm25_topk": 9,
+    "ext_bpe_apply": 9,
     "ext_bpe_tokens": 8,
     "ext_bpe_train": 8,
     "ext_bucketed_join": 6,
-    "ext_chi_square": 4,
+    "ext_char_entropy": 9,
+    "ext_chi_square": 9,
     "ext_chunk_overlap": 8,
     "ext_chunk_sequences": 7,
     "ext_cohort_retention": 8,
     "ext_collation": 7,
-    "ext_compaction": 4,
+    "ext_compaction": 9,
     "ext_corpus_prep_pipeline": 5,
-    "ext_corr_matrix": 4,
+    "ext_corr_matrix": 9,
     "ext_cumulative_crossover": 8,
+    "ext_data_quality_audit": 9,
     "ext_dataset_mixture": 7,
-    "ext_decontaminate": 4,
+    "ext_decontaminate": 9,
     "ext_dedup_exact": 7,
     "ext_dedup_groups": 8,
     "ext_dedup_incremental": 7,
+    "ext_dedup_ladder": 9,
     "ext_dedup_minhash": 8,
     "ext_dedup_paragraph": 8,
     "ext_dedup_prefix_blocks": 7,
     "ext_dedup_simhash": 8,
+    "ext_dedup_substring": 9,
     "ext_doc_embedding_join": 7,
     "ext_doc_histogram": 8,
     "ext_embedding_neardup": 8,
-    "ext_event_debounce": 4,
-    "ext_event_runs": 4,
+    "ext_event_debounce": 9,
+    "ext_event_runs": 9,
     "ext_fingerprint": 7,
-    "ext_funnel": 4,
-    "ext_fuzzy_join": 4,
+    "ext_funnel": 9,
+    "ext_fuzzy_join": 9,
     "ext_fuzzy_join_segments": 6,
     "ext_fuzzy_join_suffix": 5,
     "ext_fuzzy_link": 6,
     "ext_global_index": 8,
     "ext_heavy_hitters": 5,
     "ext_hll_rolling_distinct": 5,
-    "ext_hll_rollup": 4,
-    "ext_hopping_window": 4,
-    "ext_incremental_agg": 4,
+    "ext_hll_rollup": 9,
+    "ext_hopping_window": 9,
+    "ext_incremental_agg": 9,
     "ext_interval_overlap_join": 5,
-    "ext_inverted_index": 4,
+    "ext_inverted_index": 9,
     "ext_join_size_estimate": 7,
     "ext_join_strategy_hints": 8,
-    "ext_kfold_split": 4,
+    "ext_kcore": 9,
+    "ext_kfold_split": 9,
     "ext_kll_quantiles": 6,
     "ext_kll_rolling_quantile": 6,
-    "ext_kmeans_cells": 4,
+    "ext_kmeans_cells": 9,
     "ext_knn_join": 6,
     "ext_knn_join_lsh": 7,
     "ext_label_centroids": 8,
-    "ext_label_entropy": 4,
+    "ext_label_entropy": 9,
     "ext_label_propagation": 8,
     "ext_lang_id": 7,
     "ext_market_basket": 8,
+    "ext_market_basket_triples": 9,
     "ext_metadata_columns": 8,
     "ext_mixture_temperature": 8,
     "ext_multimodal_decode": 7,
     "ext_multimodal_features": 8,
     "ext_multimodal_frames": 8,
     "ext_ngram_jaccard": 7,
-    "ext_pack_greedy": 4,
+    "ext_pack_greedy": 9,
     "ext_pagerank": 6,
     "ext_pagerank_directed": 7,
     "ext_pandas_udaf": 8,
     "ext_parameterized_sql": 7,
-    "ext_per_key_sample": 4,
+    "ext_per_key_sample": 9,
     "ext_pii_scrub": 8,
     "ext_pmi_collocations": 4,
+    "ext_pq_recall": 9,
     "ext_python_datasource": 6,
     "ext_python_datasource_write": 8,
     "ext_quality_classifier": 8,
     "ext_quality_features": 8,
-    "ext_quantile_bins": 4,
+    "ext_quantile_bins": 9,
     "ext_quantized_recall": 8,
     "ext_range_join": 7,
     "ext_recursive_cte": 6,
     "ext_repetition": 7,
-    "ext_rolling_time_window": 4,
+    "ext_rolling_time_window": 9,
     "ext_rollup_topk": 8,
     "ext_salted_agg": 8,
     "ext_salted_join": 5,
     "ext_scalar_subquery_fanout": 7,
     "ext_scd2": 8,
-    "ext_semantic_dedup": 4,
+    "ext_scd2_lookup": 9,
+    "ext_semantic_dedup": 9,
     "ext_session_funnel": 8,
     "ext_session_window_native": 6,
     "ext_sessionize": 7,
+    "ext_shard_assignment": 9,
     "ext_similarity_ivf": 8,
     "ext_similarity_lsh": 5,
     "ext_similarity_topk": 7,
-    "ext_skew_report": 4,
-    "ext_snapshot_diff": 4,
+    "ext_skew_report": 9,
+    "ext_snapshot_diff": 9,
     "ext_sql_identifier": 8,
     "ext_sql_pipe": 8,
     "ext_sql_scripting": 7,
+    "ext_sql_udf": 9,
     "ext_statestore_reader": 7,
-    "ext_stratified_sample": 4,
+    "ext_stratified_sample": 9,
     "ext_stream_available_now": 7,
-    "ext_stream_cdc_upsert": 4,
+    "ext_stream_cdc_upsert": 9,
     "ext_stream_content_dedup": 7,
+    "ext_stream_corpus_prep": 9,
     "ext_stream_dedup": 7,
     "ext_stream_dedup_within_watermark": 7,
-    "ext_stream_enrich": 4,
+    "ext_stream_enrich": 9,
     "ext_stream_full_outer_join": 6,
     "ext_stream_hopping_window": 6,
     "ext_stream_incremental_runs": 8,
@@ -184,22 +196,25 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_stream_python_datasource": 6,
     "ext_stream_session_window": 6,
     "ext_stream_sessionize": 7,
-    "ext_stream_stream_join": 4,
+    "ext_stream_stream_join": 9,
     "ext_stream_tws_available_now": 8,
     "ext_stream_tws_initial_state": 8,
     "ext_stream_tws_limiter": 8,
+    "ext_stream_tws_proc_timers": 9,
     "ext_stream_tws_row_api": 8,
     "ext_stream_tws_timers": 8,
     "ext_stream_tws_ttl": 8,
     "ext_stream_tws_type_counts": 8,
     "ext_stream_window": 7,
-    "ext_stream_window_filesink": 4,
+    "ext_stream_window_filesink": 9,
+    "ext_table_profile": 9,
     "ext_text_quality": 7,
     "ext_text_stats": 7,
     "ext_tf_idf": 7,
     "ext_theta_distinct": 6,
     "ext_theta_set_algebra": 6,
-    "ext_train_split": 4,
+    "ext_time_to_convert": 9,
+    "ext_train_split": 9,
     "ext_triangle_count": 8,
     "ext_try_arithmetic": 8,
     "ext_udtf_polymorphic": 7,
@@ -209,12 +224,13 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_vector_normalize": 7,
     "ext_video_metadata": 8,
     "ext_vocab": 7,
-    "ext_weighted_sample": 4,
-    "ext_window_zscore": 4,
+    "ext_weighted_sample": 9,
+    "ext_window_rank_family": 9,
+    "ext_window_zscore": 9,
     "ext_winnowing": 8,
     "ext_xml_roundtrip": 7,
     "ext_year_over_year_cte": 7,
-    "ext_zorder_key": 4,
+    "ext_zorder_key": 9,
     "ext_zorder_layout": 7,
     "q01_scan_filter_agg": 5,
     "q02_repartition": 5,

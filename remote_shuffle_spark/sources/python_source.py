@@ -198,8 +198,16 @@ class _SynthSinkWriter(DataSourceWriter):
             dst = os.path.join(self.path, os.path.basename(m.staged_file))
             shutil.move(m.staged_file, dst)
             final.append({"file": os.path.basename(dst), "rows": m.rows})
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        # Manifest write is atomic (temp + os.replace): a crash between the
+        # part moves above and this point leaves the OLD manifest intact —
+        # the new parts are orphaned-but-invisible, never half-listed.
+        # Append mode still assumes a SINGLE writer per path (the
+        # read-extend-replace is not serialized across concurrent commits;
+        # same single-writer contract as Spark's own FileStreamSink log).
+        tmp = os.path.join(self.path, f"_SUCCESS.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
             json.dump({"parts": final}, f)
+        os.replace(tmp, os.path.join(self.path, "_SUCCESS"))
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
 
     def abort(self, messages):

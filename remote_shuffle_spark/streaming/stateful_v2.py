@@ -737,7 +737,11 @@ class ProcTimeTimerProcessor(StatefulProcessor):
             pass  # drain; only first-seen matters
         if not self.registered.exists():
             now = timer_values.getCurrentProcessingTimeInMs()
-            assert now > 0, f"processing-time clock not live: {now}"
+            if now <= 0:  # not assert: must survive python -O and surface clearly
+                raise RuntimeError(
+                    f"processing-time clock not live: getCurrentProcessingTimeInMs()"
+                    f" returned {now} (expected epoch-ms > 0 in ProcessingTime mode)"
+                )
             self.handle.registerTimer(int(key[0]))  # epoch+user_id ms: expired
             self.registered.update((1,))
         return iter([])

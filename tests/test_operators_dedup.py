@@ -366,3 +366,72 @@ def test_segment_dedup_apply_preserves_segment_order(spark):
         for r in segment_dedup_apply(df, "doc_id", "text", seg_len=3).collect()
     }
     assert rows[2] == "a a a z z z"
+
+
+def test_documents_fixture_min_tokens_supports_ladder_oracle(spark):
+    """ADVICE r9 (ext_queries.py ext_dedup_ladder): the oracle's %19
+    planted-mid-copy branch concatenates pre-normalized fragments
+    (tokens 8..57) without re-normalizing; a donor doc with <8 tokens
+    would leave an empty middle slice → a double space in the oracle's
+    corpus text that Spark's normalized_text collapses, diverging the
+    exact-dup groups.  Benign while every document has >= 8 tokens —
+    pin that fixture invariant at every gate SF so a regenerated
+    fixture with shorter docs fails HERE, not as a gate hash mismatch."""
+    from remote_shuffle_spark.functions.hashing import normalized_text
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        docs = load_table(spark, sf, "documents")
+        mn = docs.select(
+            F.min(F.size(F.split(normalized_text("text"), " ")))
+        ).first()[0]
+        assert mn is not None and mn >= 8, (sf, mn)
+
+
+def test_exact_substring_apply_trims_dup_spans_and_counts_match(spark):
+    """The apply face must scrub exactly the union of duplicate-window
+    spans: a 25-token mid-copy inside doc 2 (windows of 20, stride 1)
+    is removed, surrounding unique tokens survive, and
+    size(removed) == dup_tokens (the stats-face number)."""
+    base = " ".join(f"w{i}" for i in range(60))
+    mid = "a1 b1 c1 " + " ".join(f"w{i}" for i in range(25, 50)) + " z1 z2"
+    df = spark.createDataFrame(
+        [(1, base), (2, mid), (3, "unrelated " + " ".join(f"u{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.exact_substring_dedup_apply(
+            df, "doc_id", "text", window_tokens=20
+        ).collect()
+    }
+    assert out[1].trimmed_text == base and out[1].dup_tokens == 0
+    # doc 2: the 25 copied tokens (w25..w49) scrubbed, padding kept
+    assert out[2].trimmed_text == "a1 b1 c1 z1 z2"
+    assert out[2].dup_tokens == 25
+    assert out[2].n_tokens == 30
+    assert out[3].trimmed_text.startswith("unrelated")
+
+
+def test_minhash_components_md5_groups_planted_near_dups(spark):
+    """Tier-4 invariant: near copies with one edit per 19 tokens (so no
+    20-token window survives tiers 1-3) land in their donor's component
+    with root = donor id; unrelated docs appear in no component.
+    Deterministic: md5-based banding is fixed for a fixed corpus."""
+    rows = []
+    for d in range(4):
+        toks = [f"d{d}w{i}" for i in range(60)]
+        rows.append((d, " ".join(toks)))
+        edited = list(toks)
+        for p in range(0, 60, 19):
+            edited[p] = f"e{d}p{p}"
+        rows.append((100 + d, " ".join(edited)))
+    rows.append((999, " ".join(f"solo{i}" for i in range(60))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    comps = {
+        r.doc_id: r.root
+        for r in dedup.minhash_components_md5(df, "doc_id", "text").collect()
+    }
+    for d in range(4):
+        assert comps.get(d) == d and comps.get(100 + d) == d, (d, comps)
+    assert 999 not in comps
