@@ -760,3 +760,213 @@ def pq_recall_at_k(
         )
         .orderBy("probe_id")
     )
+
+
+def ivf_pq_recall_at_k(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probes_df: DataFrame,
+    probe_id_col: str,
+    *,
+    k: int = 10,
+    dim: int = 64,
+    num_subspaces: int = 8,
+    num_centroids: int = 16,
+    num_cells: int = 8,
+    nprobe: int = 2,
+    scale: int = 127,
+    num_subgroups: int = 64,
+    cell_centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC — the composed IVF + PQ layout every production vector
+    store actually runs: IVF cells prune WHICH vectors are scored
+    (``nprobe`` of ``num_cells`` cells per probe), then the ADC scan
+    runs ONLY over the pruned candidates' 8-byte PQ codes.  This is what
+    makes PQ's 32x storage cut pay at query time: the scan fraction is
+    ~``nprobe / num_cells`` of the corpus instead of all of it.
+
+    Mechanics — all INTEGER arithmetic (bit-reproducible across engines,
+    same discipline as :func:`pq_recall_at_k`):
+      1. cell centroids = the ``num_cells`` smallest-id vectors
+         (quantized; a deterministic k-means stand-in — pass
+         ``cell_centroids`` (cid, cvec double array) to plug in
+         operators.clustering.kmeans_centroids for trained cells; the
+         prune/scan machinery is identical either way);
+      2. every vector joins the broadcast centroid table once and keeps
+         its argmin cell (min(struct(dist, cid)) — map-side combinable,
+         ties to smallest cid);
+      3. per probe, cells are ranked by exact integer L2
+         (probes x num_cells rows — tiny) and the ``nprobe`` nearest
+         become the probe's candidate cells;
+      4. candidates = vectors assigned to a probed cell (broadcast join
+         against the (pid, cid) probe list); ``scanned`` counts them —
+         the audit column that shows the nprobe/num_cells scan fraction;
+      5. PQ encode / LUT / ADC exactly as :func:`pq_recall_at_k`
+         (codebook = first ``num_centroids`` vectors' subvectors), but
+         the ADC sum runs only over candidate (probe, vector) pairs;
+      6. recall@k = overlap of the candidate-restricted ADC top-k with
+         the EXACT full-corpus top-k — so the number prices BOTH losses
+         (cell pruning + code compression) against ground truth.
+         With ``nprobe == num_cells`` the candidate set is the whole
+         corpus and the result degrades exactly to plain PQ
+         (pytest-pinned).
+
+    Scale shape: the corpus crosses the cell-assignment broadcast join
+    and the encode join once each (narrow rows); codes are
+    ``num_subspaces`` small ints; probe-side tables (probed cells, LUTs)
+    broadcast; the exact side is the evaluation harness — production
+    persists codes + cell ids and skips it.  Returns
+    (probe_id, scanned, hits, recall_at_k)."""
+    d_sub = dim // num_subspaces
+    m = num_subspaces
+
+    def _qvec(col):
+        return F.transform(
+            to_double_array(col), lambda x: F.floor(x * scale).cast("long")
+        )
+
+    def _sub_explode(frame: DataFrame, key_out: str, key_col: str) -> DataFrame:
+        return frame.select(
+            F.col(key_col).alias(key_out),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.slice(_qvec(vec_col), s * d_sub + 1, d_sub),
+                )
+            ).alias("_s", "_sv"),
+        )
+
+    def _l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    qdf = df.select(F.col(id_col).alias("_id"), _qvec(vec_col).alias("_q"))
+    if cell_centroids is not None:
+        cellc = F.broadcast(
+            cell_centroids.select(
+                F.col("cid").cast("long").alias("_cid"),
+                F.transform(
+                    F.col("cvec"), lambda x: F.floor(x * scale).cast("long")
+                ).alias("_cv"),
+            )
+        )
+    else:
+        cellc = F.broadcast(
+            qdf.orderBy("_id")
+            .limit(num_cells)
+            .select(F.col("_id").alias("_cid"), F.col("_q").alias("_cv"))
+        )
+    assigned = (
+        qdf.crossJoin(cellc)
+        .select("_id", "_cid", _l2("_q", "_cv").alias("_cd"))
+        .groupBy("_id")
+        .agg(F.min(F.struct("_cd", "_cid")).alias("_m"))
+        .select("_id", F.col("_m._cid").alias("_cell"))
+    )
+
+    pq_probe = probes_df.select(
+        F.col(probe_id_col).alias("_pid"), _qvec(vec_col).alias("_pq")
+    )
+    probecells = F.broadcast(
+        pq_probe.crossJoin(cellc)
+        .select("_pid", "_cid", _l2("_pq", "_cv").alias("_cd"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("_pid").orderBy("_cd", "_cid")),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("_pid", F.col("_cid").alias("_cell"))
+    )
+    cand = (
+        assigned.join(probecells, "_cell")
+        .filter(F.col("_id") != F.col("_pid"))
+        .select("_pid", "_id")
+    )
+    scanned = cand.groupBy("_pid").agg(
+        F.count(F.lit(1)).cast("long").alias("scanned")
+    )
+
+    cents = F.broadcast(
+        _sub_explode(
+            df.orderBy(id_col).limit(num_centroids), "_j", id_col
+        ).select("_j", "_s", F.col("_sv").alias("_cv2"))
+    )
+    codes = (
+        _sub_explode(df, "_id", id_col)
+        .join(cents, "_s")
+        .select("_id", "_s", "_j", _l2("_sv", "_cv2").alias("_d"))
+        .groupBy("_id", "_s")
+        .agg(F.min(F.struct("_d", "_j")).alias("_m"))
+        .select("_id", "_s", F.col("_m._j").alias("_code"))
+    )
+    lut = F.broadcast(
+        _sub_explode(probes_df, "_pid", probe_id_col)
+        .join(cents, "_s")
+        .select("_pid", "_s", "_j", _l2("_sv", "_cv2").alias("_ld"))
+    )
+    adc = (
+        cand.join(codes, "_id")
+        .join(
+            lut,
+            (cand["_pid"] == lut["_pid"])
+            & (codes["_s"] == lut["_s"])
+            & (codes["_code"] == lut["_j"]),
+        )
+        .select(cand["_pid"], "_id", "_ld")
+        .groupBy("_pid", "_id")
+        .agg(F.sum("_ld").alias("_dist"))
+    )
+
+    q = F.broadcast(
+        probes_df.select(
+            F.col(probe_id_col).alias("_pid"), _qvec(vec_col).alias("_pq")
+        )
+    )
+    exact = (
+        df.select(F.col(id_col).alias("_id"), _qvec(vec_col).alias("_xq"))
+        .crossJoin(q)
+        .filter(F.col("_id") != F.col("_pid"))
+        .select("_pid", "_id", _l2("_xq", "_pq").alias("_dist"))
+    )
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        sub = scored.withColumn(
+            "_sub", F.pmod(F.xxhash64("_id"), F.lit(num_subgroups))
+        )
+        w1 = W.partitionBy("_pid", "_sub").orderBy("_dist", "_id")
+        survivors = (
+            sub.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        w2 = W.partitionBy("_pid").orderBy("_dist", "_id")
+        return (
+            survivors.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k)
+            .select("_pid", "_id")
+        )
+
+    hits = (
+        _topk(adc)
+        .join(_topk(exact), ["_pid", "_id"])
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        q.select("_pid")
+        .join(scanned, "_pid", "left")
+        .join(hits, "_pid", "left")
+        .select(
+            F.col("_pid").alias("probe_id"),
+            F.coalesce(F.col("scanned"), F.lit(0)).cast("long").alias("scanned"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(k))
+            .cast("double")
+            .alias("recall_at_k"),
+        )
+        .orderBy("probe_id")
+    )

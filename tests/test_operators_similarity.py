@@ -383,3 +383,58 @@ def test_pq_codes_are_nearest_centroids(spark):
     )
     (row,) = out.collect()
     assert (row.probe_id, row.recall_at_k) == (3, 1.0)
+
+
+def test_ivf_pq_with_nprobe_all_degrades_to_plain_pq(spark, sf_smoke):
+    """IVFADC's pruning-loss pin: with nprobe == num_cells every cell is
+    probed, the candidate set is the whole corpus (minus self), and the
+    recall numbers must equal plain PQ's exactly — isolating the two
+    losses (cell pruning vs code compression) the composed operator
+    prices together."""
+    from remote_shuffle_spark.operators.similarity import (
+        ivf_pq_recall_at_k,
+        pq_recall_at_k,
+    )
+    from remote_shuffle_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    full = {
+        r.probe_id: (r.scanned, r.hits)
+        for r in ivf_pq_recall_at_k(
+            emb, "vec_id", "embedding", probes, "vec_id",
+            k=10, num_cells=8, nprobe=8,
+        ).collect()
+    }
+    plain = {
+        r.probe_id: r.hits
+        for r in pq_recall_at_k(
+            emb, "vec_id", "embedding", probes, "vec_id", k=10
+        ).collect()
+    }
+    n = emb.count()
+    assert set(full) == set(plain)
+    for pid, (scanned, hits) in full.items():
+        assert scanned == n - 1, (pid, scanned, n)  # whole corpus minus self
+        assert hits == plain[pid], (pid, hits, plain[pid])
+
+
+def test_ivf_pq_scan_fraction_tracks_nprobe(spark, sf_smoke):
+    """The pruning contract: total scanned across probes grows ~linearly
+    with nprobe (cells are near-balanced only by data luck, so pin the
+    ordering and the exact-coverage endpoints, not equality)."""
+    from remote_shuffle_spark.operators.similarity import ivf_pq_recall_at_k
+    from remote_shuffle_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    totals = {}
+    for nprobe in (1, 4, 8):
+        rows = ivf_pq_recall_at_k(
+            emb, "vec_id", "embedding", probes, "vec_id",
+            k=10, num_cells=8, nprobe=nprobe,
+        ).collect()
+        totals[nprobe] = sum(r.scanned for r in rows)
+    assert totals[1] < totals[4] < totals[8]
+    n = emb.count()
+    assert totals[8] == 8 * (n - 1)
