@@ -2889,6 +2889,106 @@ def ext_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_snapshot_drift",
+    oracle=f"""
+    WITH old AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 = 0 THEN 'OLD ' || text ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0
+    ), new AS MATERIALIZED (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 13 <> 0
+    ),
+    lo AS (SELECT lang AS k, COUNT(*) AS c_o FROM old GROUP BY 1),
+    ln_ AS (SELECT lang AS k, COUNT(*) AS c_n FROM new GROUP BY 1),
+    lf AS MATERIALIZED (
+      SELECT COALESCE(lo.k, ln_.k) AS k,
+             COALESCE(c_o, 0) AS c_o, COALESCE(c_n, 0) AS c_n
+      FROM lo FULL OUTER JOIN ln_ ON lo.k = ln_.k
+    ), lt AS (
+      SELECT SUM(c_o) AS t_o, SUM(c_n) AS t_n, COUNT(*) AS b FROM lf
+    ), lbins AS MATERIALIZED (
+      SELECT b,
+             CAST(ROUND(
+               ((c_n + 1.0)/(t_n + b) - (c_o + 1.0)/(t_o + b))
+               * ln(((c_n + 1.0)/(t_n + b)) / ((c_o + 1.0)/(t_o + b))), 6)
+               AS DECIMAL(18,6)) AS term,
+             ABS(SUM(c_o) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t_o
+               - SUM(c_n) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t_n)
+               AS d
+      FROM lf CROSS JOIN lt
+    ), lrow AS (
+      SELECT 'lang' AS feature, CAST(MAX(b) AS BIGINT) AS n_bins,
+             CAST(SUM(term) AS DOUBLE) AS psi,
+             ROUND(MAX(d), 6) AS ks_stat
+      FROM lbins
+    ),
+    tko AS (SELECT len(string_split({_NORM}, ' ')) // 8 AS k, COUNT(*) AS c_o
+            FROM old GROUP BY 1),
+    tkn AS (SELECT len(string_split({_NORM}, ' ')) // 8 AS k, COUNT(*) AS c_n
+            FROM new GROUP BY 1),
+    tf AS MATERIALIZED (
+      SELECT COALESCE(tko.k, tkn.k) AS k,
+             COALESCE(c_o, 0) AS c_o, COALESCE(c_n, 0) AS c_n
+      FROM tko FULL OUTER JOIN tkn ON tko.k = tkn.k
+    ), tt AS (
+      SELECT SUM(c_o) AS t_o, SUM(c_n) AS t_n, COUNT(*) AS b FROM tf
+    ), tbins AS MATERIALIZED (
+      SELECT b,
+             CAST(ROUND(
+               ((c_n + 1.0)/(t_n + b) - (c_o + 1.0)/(t_o + b))
+               * ln(((c_n + 1.0)/(t_n + b)) / ((c_o + 1.0)/(t_o + b))), 6)
+               AS DECIMAL(18,6)) AS term,
+             ABS(SUM(c_o) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t_o
+               - SUM(c_n) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t_n)
+               AS d
+      FROM tf CROSS JOIN tt
+    ), trow AS (
+      SELECT 'n_tokens' AS feature, CAST(MAX(b) AS BIGINT) AS n_bins,
+             CAST(SUM(term) AS DOUBLE) AS psi,
+             ROUND(MAX(d), 6) AS ks_stat
+      FROM tbins
+    )
+    SELECT * FROM lrow UNION ALL SELECT * FROM trow ORDER BY feature
+    """,
+    tags=("ext", "stats", "audit", "versioning"),
+)
+def ext_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DISTRIBUTION drift (operators/upsert.py:snapshot_drift) —
+    PSI + KS statistic per monitored feature between the same two
+    deterministic documents snapshots ext_snapshot_diff row-diffs (old =
+    %11-filtered with %7 docs 'OLD '-prefixed, new = %13-filtered): the
+    monitoring twin of ext_data_quality_audit, answering "did the corpus
+    SHIFT?" where the audit answers "is the corpus BROKEN?".  Features:
+    ``lang`` (categorical bins, lex-ordered ordinal CDF for KS) and
+    ``n_tokens`` (8-wide buckets; the OLD prefix moves %7 docs up one
+    token, the membership filters shift both marginals).  PSI terms use
+    Laplace smoothing (cnt+1)/(total+bins) — exact integer inputs, no
+    epsilon — rounded to 6 dp and decimal-summed (label_entropy
+    discipline); KS is a pure max-selection over bounded bins, no
+    accumulation hazard."""
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+    from remote_shuffle_spark.operators.upsert import snapshot_drift
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    old = docs.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit("OLD "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 0)
+    feats = [
+        ("lang", F.col("lang")),
+        ("n_tokens", F.floor(F.size(_toks("text")) / 8).cast("long")),
+    ]
+    return snapshot_drift(old, new, feats).orderBy("feature")
+
+
+@declared(
     "ext_label_entropy",
     oracle="""
     WITH c AS (
@@ -7762,6 +7862,190 @@ def ext_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", probes, "vec_id",
         k=10, num_cells=8, nprobe=2,
     )
+
+
+@declared(
+    "ext_line_cleaning",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+    ), lines0 AS (
+      SELECT doc_id, i AS line_idx, tk[i*8+1 : i*8+8] AS ltk
+      FROM toks, UNNEST(range(CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS r(i)
+    ), lines AS MATERIALIZED (
+      SELECT doc_id, line_idx,
+        CASE WHEN doc_id % 11 = 0 AND line_idx = 0 THEN '__BOILER__'
+             ELSE array_to_string(ltk, ' ') ||
+                  CASE WHEN (doc_id + line_idx) % 3 <> 0 THEN '.' ELSE '' END
+        END AS lt,
+        CASE WHEN doc_id % 11 = 0 AND line_idx = 0 THEN 11
+             ELSE len(ltk) END AS wc
+      FROM lines0
+    ), s1 AS (
+      SELECT '1_terminal_punct' AS stage,
+             CAST(COUNT(*) FILTER (lt NOT LIKE '%.') AS BIGINT) AS lines_removed,
+             CAST(COUNT(DISTINCT doc_id) FILTER (lt NOT LIKE '%.') AS BIGINT)
+               AS docs_affected
+      FROM lines
+    ), surv1 AS MATERIALIZED (
+      SELECT * FROM lines WHERE lt LIKE '%.'
+    ), s2 AS (
+      SELECT '2_min_words' AS stage,
+             CAST(COUNT(*) FILTER (wc < 5) AS BIGINT) AS lines_removed,
+             CAST(COUNT(DISTINCT doc_id) FILTER (wc < 5) AS BIGINT)
+               AS docs_affected
+      FROM surv1
+    ), surv2 AS MATERIALIZED (
+      SELECT doc_id, line_idx, lt FROM surv1 WHERE wc >= 5
+    ), marked AS MATERIALIZED (
+      SELECT doc_id, line_idx,
+             (ROW_NUMBER() OVER (PARTITION BY lt
+                                 ORDER BY doc_id, line_idx) = 1) AS kept
+      FROM surv2
+    ), s3 AS (
+      SELECT '3_dup_lines' AS stage,
+             CAST(COUNT(*) FILTER (NOT kept) AS BIGINT) AS lines_removed,
+             CAST(COUNT(DISTINCT doc_id) FILTER (NOT kept) AS BIGINT)
+               AS docs_affected
+      FROM marked
+    ), perdoc AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS c FROM marked WHERE kept GROUP BY doc_id
+    ), s4 AS (
+      SELECT '4_short_pages' AS stage,
+             CAST(COALESCE((SELECT SUM(c) FROM perdoc WHERE c < 3), 0)
+               AS BIGINT) AS lines_removed,
+             CAST((SELECT COUNT(*) FROM documents)
+                  - (SELECT COUNT(*) FROM perdoc WHERE c >= 3)
+               AS BIGINT) AS docs_affected
+    )
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+    UNION ALL SELECT * FROM s4
+    ORDER BY stage
+    """.replace("__BOILER__", "subscribe to our newsletter and click here to read more today."),
+    tags=("ext", "text", "pipeline"),
+)
+def ext_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning rules (Raffel et al. 2020, the public
+    rule set every crawl-cleaning pipeline applies before dedup), run
+    SEQUENTIALLY as one per-rule funnel report (stage, lines_removed,
+    docs_affected):
+
+      1_terminal_punct — keep only lines ending in terminal punctuation;
+      2_min_words      — of those, drop lines with < 5 words;
+      3_dup_lines      — corpus-WIDE exact duplicate-line removal,
+                         keep-first by (doc_id, line_idx) — C4's
+                         three-sentence-span dedup at line granularity;
+      4_short_pages    — drop pages with < 3 surviving lines (their
+                         remaining lines counted as removed).
+
+    The fixture corpus is word-soup with no real line structure, so the
+    query PLANTS it deterministically (both engines replay the same
+    construction, the rules then test the data): docs are chunked into
+    8-token pseudo-lines; a line gets a terminal '.' iff
+    (doc_id + line_idx) %% 3 != 0 (simulating nav/menu junk that C4's
+    punctuation rule exists to kill); short tail chunks fall to the
+    min-word rule; and every %%11 doc's first line is replaced with a
+    constant boilerplate sentence — the classic duplicated-line case —
+    which survives rules 1-2 and dies corpus-wide in rule 3 (keep-first).
+
+    Scale: rules 1-2 are narrow filters; the ONE corpus shuffle (rule 3)
+    is keyed by xxhash64(line) and carries (hash, doc_id, line_idx) —
+    never the text (segment-dedup discipline); rule 4 is a per-doc
+    count.  Cited C4 reference: Raffel et al., JMLR 21(140), section
+    2.2 heuristics."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+
+    boiler = "subscribe to our newsletter and click here to read more today."
+    toks = docs.select("doc_id", _toks("text").alias("tk"))
+    lines0 = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("tk") / F.lit(8)).cast("int") - 1,
+                ),
+                lambda i: F.slice(F.col("tk"), i * 8 + 1, 8),
+            )
+        ).alias("line_idx", "ltk"),
+    )
+    is_boiler = (F.col("doc_id") % 11 == 0) & (F.col("line_idx") == 0)
+    lt = F.when(is_boiler, F.lit(boiler)).otherwise(
+        F.concat(
+            F.concat_ws(" ", F.col("ltk")),
+            F.when((F.col("doc_id") + F.col("line_idx")) % 3 != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+    wc = F.when(is_boiler, F.lit(11)).otherwise(F.size("ltk"))
+    lines = lines0.select(
+        "doc_id", "line_idx", lt.alias("lt"), wc.alias("wc")
+    )
+    ends = F.col("lt").endswith(".")
+    s1 = lines.agg(
+        F.lit("1_terminal_punct").alias("stage"),
+        F.sum(F.when(~ends, 1).otherwise(0)).cast("long").alias("lines_removed"),
+        F.count_distinct(F.when(~ends, F.col("doc_id"))).cast("long").alias(
+            "docs_affected"
+        ),
+    )
+    surv1 = lines.filter(ends)
+    short = F.col("wc") < 5
+    s2 = surv1.agg(
+        F.lit("2_min_words").alias("stage"),
+        F.sum(F.when(short, 1).otherwise(0)).cast("long").alias("lines_removed"),
+        F.count_distinct(F.when(short, F.col("doc_id"))).cast("long").alias(
+            "docs_affected"
+        ),
+    )
+    surv2 = surv1.filter(~short).select(
+        "doc_id", "line_idx", F.xxhash64("lt").alias("h")
+    )
+    first = surv2.groupBy("h").agg(
+        F.min(F.struct("doc_id", "line_idx")).alias("f")
+    )
+    marked = surv2.join(first, "h").select(
+        "doc_id",
+        "line_idx",
+        (
+            (F.col("f.doc_id") == F.col("doc_id"))
+            & (F.col("f.line_idx") == F.col("line_idx"))
+        ).alias("kept"),
+    )
+    s3 = marked.agg(
+        F.lit("3_dup_lines").alias("stage"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).cast("long").alias(
+            "lines_removed"
+        ),
+        F.count_distinct(F.when(~F.col("kept"), F.col("doc_id"))).cast(
+            "long"
+        ).alias("docs_affected"),
+    )
+    perdoc = marked.filter("kept").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    td = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    s4 = (
+        perdoc.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("c") < 3, F.col("c"))), F.lit(0)
+            ).cast("long").alias("lines_removed"),
+            F.sum(F.when(F.col("c") >= 3, 1).otherwise(0)).cast("long").alias(
+                "kept_pages"
+            ),
+        )
+        .crossJoin(td)
+        .select(
+            F.lit("4_short_pages").alias("stage"),
+            "lines_removed",
+            (F.col("n_docs") - F.coalesce(F.col("kept_pages"), F.lit(0)))
+            .cast("long")
+            .alias("docs_affected"),
+        )
+    )
+    return s1.unionAll(s2).unionAll(s3).unionAll(s4).orderBy("stage")
 
 
 @declared(

@@ -466,7 +466,11 @@ def kcore_peel(
     + one semi-join of the edge list against surviving vertices (both
     endpoints) — all keyed shuffles on vertex id, nothing quadratic;
     the residual edge frame is localCheckpoint'ed per round so plans do
-    not grow with the loop.
+    not grow with the loop.  The three report numbers (removed /
+    remaining vertices / remaining edges) are gathered in ONE combined
+    action per round — a crossJoin of three one-row aggregates — not
+    three separate count() jobs (r9 verdict: the per-round actions were
+    a third of the iteration floor).
     """
     lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     und = (
@@ -481,19 +485,27 @@ def kcore_peel(
         sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
         deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select(F.col("a").alias("v"))
-        removed = deg.filter(F.col("d") < k).count()
         cur = (
             cur.join(keep.withColumnRenamed("v", "a"), "a")
             .join(keep.withColumnRenamed("v", "b"), "b")
             .select("a", "b")
         ).localCheckpoint(eager=True)
-        n_v = (
-            cur.select(F.col("a").alias("v"))
-            .union(cur.select(F.col("b").alias("v")))
-            .distinct()
-            .count()
+        new_sym = cur.union(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        stats.append((r, removed, n_v, cur.count()))
+        row = (
+            deg.agg(
+                F.sum(F.when(F.col("d") < k, 1).otherwise(0))
+                .cast("long")
+                .alias("removed")
+            )
+            .crossJoin(
+                new_sym.agg(F.countDistinct("a").cast("long").alias("n_v"))
+            )
+            .crossJoin(cur.agg(F.count(F.lit(1)).cast("long").alias("n_e")))
+            .first()
+        )
+        stats.append((r, row.removed or 0, row.n_v, row.n_e))
     return spark.createDataFrame(
         stats,
         "round int, removed_vertices long, remaining_vertices long, "

@@ -194,3 +194,83 @@ def scd2_point_in_time(
         & (fact[fact_ts_col] < dim[to_col])
     )
     return fact.join(dim, cond, how).drop(*[dim[k] for k in key_cols])
+
+
+def snapshot_drift(
+    old: DataFrame,
+    new: DataFrame,
+    features: list[tuple[str, "F.Column"]],
+) -> DataFrame:
+    """Distribution-drift report between two corpus snapshots — the
+    MONITORING twin of the snapshot_diff row-level diff: one row per
+    monitored feature with
+    ``(feature, n_bins, psi, ks_stat)``.
+
+    ``features`` is a list of (name, bin-key Column): the column maps
+    each row to a BOUNDED bin key (a categorical value, or a bucketed
+    numeric like ``floor(n_tokens/8)``) — the bin domain is the union of
+    both snapshots' keys.
+
+    Metrics (the standard model-monitoring pair):
+      - **PSI** (population stability index) =
+        sum over bins of (p_new - p_old) * ln(p_new / p_old), with
+        Laplace-smoothed proportions ``p = (cnt + 1) / (total + n_bins)``
+        so empty-on-one-side bins are defined without epsilon magic —
+        the smoothing is exact integer arithmetic and therefore
+        engine-replayable.  Each term is rounded to 6 decimals and
+        DECIMAL-summed (the label_entropy float discipline: a double
+        SUM's accumulation order is not engine-stable, a decimal sum of
+        pre-rounded terms is).
+      - **KS statistic** = max over the bin-ordered support of
+        |CDF_old - CDF_new| (exact, since the support is the discrete
+        bin domain; categorical features use their natural string order
+        — an ordinal encoding, documented rather than hidden).  max() is
+        SELECTION, not accumulation, so no decimal detour is needed;
+        the output is rounded to 6 decimals.
+
+    Scale: per feature, two combinable groupBy counts (bin-keyed
+    shuffles), one full outer join on the bin key, one single-partition
+    cumulative window — safe ONLY because the bin domain is bounded by
+    construction (categoricals / buckets), never corpus-sized; that
+    bound is the caller's contract, mirroring the KLL-sketch discipline
+    for unbounded numerics."""
+    from pyspark.sql import Window as W
+
+    out = None
+    for name, key in features:
+        oc = old.select(key.alias("k")).groupBy("k").agg(
+            F.count(F.lit(1)).alias("c_o")
+        )
+        nc = new.select(key.alias("k")).groupBy("k").agg(
+            F.count(F.lit(1)).alias("c_n")
+        )
+        full = oc.join(nc, "k", "full").select(
+            "k",
+            F.coalesce("c_o", F.lit(0)).alias("c_o"),
+            F.coalesce("c_n", F.lit(0)).alias("c_n"),
+        )
+        tots = full.agg(
+            F.sum("c_o").alias("t_o"),
+            F.sum("c_n").alias("t_n"),
+            F.count(F.lit(1)).alias("b"),
+        )
+        j = full.crossJoin(F.broadcast(tots))
+        p_o = (F.col("c_o") + 1) / (F.col("t_o") + F.col("b"))
+        p_n = (F.col("c_n") + 1) / (F.col("t_n") + F.col("b"))
+        term = F.round((p_n - p_o) * F.log(p_n / p_o), 6).cast("decimal(18,6)")
+        w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+        d = F.abs(
+            F.sum("c_o").over(w) / F.col("t_o")
+            - F.sum("c_n").over(w) / F.col("t_n")
+        )
+        row = (
+            j.select(term.alias("term"), d.alias("d"), F.col("b"))
+            .agg(
+                F.lit(name).alias("feature"),
+                F.max("b").cast("long").alias("n_bins"),
+                F.sum("term").cast("double").alias("psi"),
+                F.round(F.max("d"), 6).alias("ks_stat"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

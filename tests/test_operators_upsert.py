@@ -103,3 +103,42 @@ def test_scd2_point_in_time_half_open_boundary(spark):
         ("2021-06-01 00:00:00", 200),
         ("2022-01-01 00:00:00", 200),
     ]
+
+
+def test_snapshot_drift_matches_hand_computed_psi_and_ks(spark):
+    """PSI and KS against a by-hand computation on a 2-bin fixture:
+    old = [a, a, b], new = [a, b, b].  Laplace-smoothed p over totals+2;
+    KS over lex bin order (at 'a': |2/3 - 1/3| = 1/3, at 'b': 0)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.upsert import snapshot_drift
+
+    old = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    new = spark.createDataFrame([("a",), ("b",), ("b",)], "v string")
+    row = snapshot_drift(old, new, [("v", F.col("v"))]).first()
+    p_o = {"a": 3 / 5, "b": 2 / 5}  # (cnt+1)/(3+2)
+    p_n = {"a": 2 / 5, "b": 3 / 5}
+    want_psi = sum(
+        round((p_n[k] - p_o[k]) * math.log(p_n[k] / p_o[k]), 6) for k in "ab"
+    )
+    assert row.feature == "v" and row.n_bins == 2
+    assert abs(row.psi - want_psi) < 1e-12, (row.psi, want_psi)
+    assert row.ks_stat == round(abs(2 / 3 - 1 / 3), 6)
+
+
+def test_snapshot_drift_zero_on_identical_snapshots(spark):
+    """Identical snapshots must report PSI == 0 and KS == 0 exactly
+    (every term is (p-p)*ln(1) = 0 before rounding)."""
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.upsert import snapshot_drift
+
+    df = spark.createDataFrame([("x", 1), ("y", 2), ("y", 3)], "v string, n long")
+    rows = snapshot_drift(
+        df, df, [("v", F.col("v")), ("n", F.col("n"))]
+    ).collect()
+    assert {r.feature for r in rows} == {"v", "n"}
+    for r in rows:
+        assert r.psi == 0.0 and r.ks_stat == 0.0, r
