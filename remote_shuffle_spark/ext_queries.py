@@ -2989,6 +2989,75 @@ def ext_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_dsir_weights",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, string_split({_NORM}, ' ') AS tk FROM documents
+    ), bg AS MATERIALIZED (
+      SELECT doc_id, lang,
+             substr(md5(array_to_string(tk[i+1 : i+2], ' ')), 1, 3) AS b
+      FROM toks, UNNEST(range(len(tk) - 1)) AS r(i)
+      WHERE len(tk) >= 2
+    ), cnt AS MATERIALIZED (
+      SELECT b, COUNT(*) AS c_s,
+             COUNT(*) FILTER (lang = 'en') AS c_t
+      FROM bg GROUP BY b
+    ), tot AS (
+      SELECT SUM(c_s) AS n_s, SUM(c_t) AS n_t, COUNT(*) AS bb FROM cnt
+    ), ratio AS MATERIALIZED (
+      SELECT b,
+             CAST(ROUND(ln(((c_t + 1.0)/(n_t + bb))
+                         / ((c_s + 1.0)/(n_s + bb))), 6)
+               AS DECIMAL(18,6)) AS r
+      FROM cnt CROSS JOIN tot
+    ), docw AS MATERIALIZED (
+      SELECT bg.doc_id, COUNT(*) AS nb, SUM(r) AS lw
+      FROM bg JOIN ratio USING (b) GROUP BY bg.doc_id
+    ), alldocs AS (
+      SELECT d.doc_id, d.lang,
+             COALESCE(w.lw, CAST(0 AS DECIMAL(18,6))) AS lw,
+             COALESCE(w.nb, 0) AS nb
+      FROM documents d LEFT JOIN docw w USING (doc_id)
+    )
+    SELECT CAST(FLOOR(lw) AS BIGINT) AS lw_bucket,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS n_target_docs,
+           CAST(SUM(nb) AS BIGINT) AS n_bigrams
+    FROM alldocs GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ext", "text", "pipeline", "sampling"),
+)
+def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (operators/text.py:dsir_log_weights —
+    Xie et al. 2023 public data-selection recipe): hashed-bigram feature
+    buckets (first 3 hex of md5 — 4096-ary, engine-identical), per-doc
+    log weight = decimal-summed rounded log-ratios of Laplace-smoothed
+    target ('en') vs source (whole corpus) bucket probabilities.
+    Reported as the per-weight-bucket histogram (floor(log_w), n_docs,
+    n_target_docs, n_bigrams) — the DSIR premise is visible in the
+    output: high-weight buckets skew target-rich, which is exactly what
+    importance RESAMPLING then exploits.  Everything is exact: integer
+    counts in, decimal sums out; the only corpus-sized shuffle is the
+    id-keyed per-doc weight aggregation."""
+    from remote_shuffle_spark.operators.text import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = dsir_log_weights(docs, "doc_id", "text", F.col("lang") == "en")
+    j = docs.select("doc_id", "lang").join(w, "doc_id")
+    return (
+        j.groupBy(F.floor("log_w").cast("long").alias("lw_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_target_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        )
+        .orderBy("lw_bucket")
+    )
+
+
+@declared(
     "ext_label_entropy",
     oracle="""
     WITH c AS (

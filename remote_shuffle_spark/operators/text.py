@@ -874,3 +874,100 @@ def bpe_apply(
             F.col("_ba_id").alias(id_col), "n_words", "symbols_char", "symbols_bpe"
         )
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    *,
+    bucket_hex: int = 3,
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" — the
+    public recipe for selecting raw-corpus documents that LOOK like a
+    target corpus): per document, the log importance weight
+    ``sum over bigram occurrences of ln(p_target(b) / p_source(b))``
+    where ``b`` is the bigram's hashed feature bucket.
+
+    Engine-replayable construction (no xxhash, no float accumulation):
+      - bucket = the first ``bucket_hex`` hex chars of md5(bigram) — a
+        16^bucket_hex-ary feature space as a STRING key, identical in
+        any engine with md5 (the winnowing trick applied to feature
+        hashing);
+      - probabilities are Laplace-smoothed over the OBSERVED bucket set
+        ``(cnt + 1) / (total + n_buckets)`` — exact integer inputs, no
+        epsilon (snapshot_drift discipline);
+      - each bucket's log-ratio is rounded to 6 decimals and the per-doc
+        weight is a DECIMAL sum of those terms (label_entropy
+        discipline: double-sum order is not engine-stable, a decimal sum
+        of pre-rounded terms is).
+
+    ``is_target`` is a boolean Column over ``df``'s rows (e.g.
+    ``F.col("lang") == "en"``); the source distribution is the WHOLE
+    frame, per the paper's raw-vs-target setup.  Documents with < 2
+    tokens have no features and weight exactly 0.
+
+    Returns (id, n_bigrams, log_w:decimal).
+
+    Scale: one narrow bigram explode; bucket counts are a combinable
+    groupBy on a <= 16^bucket_hex-row key space; the ratio table is tiny
+    and broadcast; the only corpus-sized shuffle is the per-doc weight
+    aggregation keyed by id.  At 100 TB the ratio table is computed once
+    and reused across selection runs (it is the trained "classifier")."""
+    tk = df.select(
+        F.col(id_col).alias("_dw_id"),
+        is_target.alias("_dw_tg"),
+        tokens(text_col).alias("_dw_tk"),
+    )
+    bg = tk.filter(F.size("_dw_tk") >= 2).select(
+        "_dw_id",
+        "_dw_tg",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_dw_tk") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_dw_tk"), i, 2)),
+            )
+        ).alias("_dw_bg"),
+    ).select(
+        "_dw_id",
+        "_dw_tg",
+        F.substring(F.md5(F.col("_dw_bg")), 1, bucket_hex).alias("_dw_b"),
+    )
+    cnt = bg.groupBy("_dw_b").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.sum(F.when(F.col("_dw_tg"), 1).otherwise(0)).alias("c_t"),
+    )
+    tot = cnt.agg(
+        F.sum("c_s").alias("n_s"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("bb"),
+    )
+    p_t = (F.col("c_t") + 1) / (F.col("n_t") + F.col("bb"))
+    p_s = (F.col("c_s") + 1) / (F.col("n_s") + F.col("bb"))
+    ratio = F.broadcast(
+        cnt.crossJoin(F.broadcast(tot)).select(
+            "_dw_b",
+            F.round(F.log(p_t / p_s), 6).cast("decimal(18,6)").alias("_dw_r"),
+        )
+    )
+    docw = (
+        bg.join(ratio, "_dw_b")
+        .groupBy("_dw_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_dw_r").alias("log_w"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_dw_id"))
+        .join(docw, "_dw_id", "left")
+        .select(
+            F.col("_dw_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(
+                "log_w", F.lit(0).cast("decimal(18,6)")
+            ).alias("log_w"),
+        )
+    )

@@ -840,7 +840,80 @@ def main():
         )
     )
 
+    results.append(
+        probe(
+            f"ivf_pq_{n_vec}_vecs_q8_nprobe2of8",
+            lambda: (
+                lambda rows: {
+                    "scanned_frac_pct": int(
+                        100 * sum(r.scanned for r in rows)
+                        / (8 * (int(200_000 * s) - 1))
+                    ),
+                    "hits": sum(r.hits for r in rows),
+                }
+            )(
+                similarity.ivf_pq_recall_at_k(
+                    emb, "vec_id", "embedding",
+                    emb.filter(F.col("vec_id") < 8), "vec_id",
+                    k=10, num_cells=8, nprobe=2,
+                ).collect()
+            ),
+        )
+    )
+
+    # tier-4 reality: near-dup grouping AFTER exact tiers — corpus = docs
+    # plus ~1% near copies (tokens 0/19/38 edited, so no 20-token window
+    # survives the exact tiers); bucket cap raised to clear the ~206-member
+    # planted exact-dup groups that remain in the synth corpus
+    def _neardup_probe():
+        near = (
+            docs.filter(F.col("doc_id") % 100 == 1)
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t, i: F.when(
+                            i % 19 == 0,
+                            F.concat(F.lit("e"), F.col("doc_id").cast("string")),
+                        ).otherwise(t),
+                    ),
+                ).alias("text"),
+            )
+            .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        )
+        comps = dedup.minhash_components_md5(
+            docs.unionAll(near), "doc_id", "text", max_bucket_size=256
+        )
+        r = comps.agg(
+            F.count(F.lit(1)).alias("v"),
+            (F.count(F.lit(1)) - F.countDistinct("root")).alias("removed"),
+        ).collect()[0]
+        return {"vertices": r.v, "removed": r.removed}
+
+    results.append(
+        probe(f"neardup_md5_{int(200_000 * s)}_docs", _neardup_probe)
+    )
+
+    results.append(
+        probe(
+            f"substring_apply_{int(200_000 * s)}_docs",
+            lambda: {
+                "dup_tokens_m": int(
+                    dedup.exact_substring_dedup_apply(
+                        docs, "doc_id", "text", window_tokens=20
+                    )
+                    .agg(F.sum("dup_tokens").alias("t"))
+                    .collect()[0].t
+                    / 1_000_000
+                )
+            },
+        )
+    )
+
     print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
+
 
 
 if __name__ == "__main__":

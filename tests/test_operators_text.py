@@ -355,3 +355,32 @@ def test_bpe_apply_greedy_left_first(spark):
     df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
     (row,) = bpe_apply(df, "doc_id", "text", [("a", "a")]).collect()
     assert (row.symbols_char, row.symbols_bpe) == (3, 2)
+
+
+def test_dsir_log_weights_hand_computed(spark):
+    """Exact weight check on a 3-doc fixture: doc 1 ('a b') is the
+    target; docs 2 ('a b') and 3 ('c d') the rest of the source.  Bucket
+    counts: b(ab): c_s=2, c_t=1; b(cd): c_s=1, c_t=0; totals n_s=3,
+    n_t=1, B=2.  r(ab)=round(ln((2/3)/(3/5)),6); r(cd)=
+    round(ln((1/3)/(2/5)),6).  Doc weights are single terms (one bigram
+    each), so the decimal equals the rounded float exactly."""
+    import math
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.text import dsir_log_weights
+
+    df = spark.createDataFrame(
+        [(1, "a b", True), (2, "a b", False), (3, "c d", False), (4, "x", False)],
+        "doc_id long, text string, tg boolean",
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.log_w)
+        for r in dsir_log_weights(df, "doc_id", "text", F.col("tg")).collect()
+    }
+    r_ab = Decimal(str(round(math.log((2 / 3) / (3 / 5)), 6)))
+    r_cd = Decimal(str(round(math.log((1 / 3) / (2 / 5)), 6)))
+    assert out[1] == (1, r_ab) and out[2] == (1, r_ab)
+    assert out[3] == (1, r_cd)
+    assert out[4] == (0, Decimal("0.000000"))  # <2 tokens: no features
