@@ -3058,6 +3058,109 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_hard_negatives",
+    oracle="""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+      FROM embeddings
+    ), scored AS MATERIALIZED (
+      SELECT p.vec_id AS pid, p.label AS plabel, x.vec_id AS id,
+             x.label AS xlabel,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               t -> x.q[t] * p.q[t])) AS BIGINT) AS dot
+      FROM qv p CROSS JOIN qv x
+      WHERE p.vec_id < 8 AND x.vec_id <> p.vec_id
+    ), pos AS (
+      SELECT pid, id AS pos_id, dot AS pos_dot FROM (
+        SELECT pid, id, dot, ROW_NUMBER() OVER (PARTITION BY pid
+          ORDER BY dot, id) AS rn
+        FROM scored WHERE xlabel = plabel) WHERE rn = 1
+    ), neg AS (
+      SELECT pid, id AS neg_id, dot AS neg_dot FROM (
+        SELECT pid, id, dot, ROW_NUMBER() OVER (PARTITION BY pid
+          ORDER BY dot DESC, id) AS rn
+        FROM scored WHERE xlabel <> plabel) WHERE rn = 1
+    )
+    SELECT q.vec_id AS probe_id, q.label AS label,
+           pos.pos_id, pos.pos_dot, neg.neg_id, neg.neg_dot
+    FROM qv q
+    LEFT JOIN pos ON pos.pid = q.vec_id
+    LEFT JOIN neg ON neg.pid = q.vec_id
+    WHERE q.vec_id < 8
+    ORDER BY probe_id
+    """,
+    tags=("ext", "similarity", "pipeline"),
+)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-example mining for contrastive training — the standard
+    metric-learning batch-construction step (hardest positive = SAME
+    label, LOWEST similarity; hardest negative = DIFFERENT label,
+    HIGHEST similarity) per probe, over the embeddings table's label
+    column.  Integer dot products (floor(v*127) quantization) so both
+    rankings are bit-reproducible.
+
+    Scale shape: probes broadcast (8 rows), the corpus crosses ONE
+    narrow projection, and both argmin/argmax are CONDITIONAL
+    min/max(struct) AGGREGATES — fully map-side-combinable, no window,
+    no per-probe reducer sort: per (probe, corpus-partition) exactly two
+    structs reach the exchange regardless of corpus size.  Tie-breaks to
+    the smallest id on both sides (max(struct(dot, -id)) recovers
+    smallest-id-on-tie for the negative argmax)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _qvec(col):
+        return F.transform(
+            F.col(col), lambda x: F.floor(x.cast("double") * 127).cast("long")
+        )
+
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("_pid"),
+            F.col("label").alias("_plabel"),
+            _qvec("embedding").alias("_pq"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_xq"), F.col("_pq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("_id"),
+            F.col("label").alias("_xlabel"),
+            _qvec("embedding").alias("_xq"),
+        )
+        .crossJoin(probes)
+        .filter(F.col("_id") != F.col("_pid"))
+        .select(
+            "_pid",
+            "_plabel",
+            "_id",
+            "_xlabel",
+            dot.alias("_dot"),
+        )
+    )
+    same = F.col("_xlabel") == F.col("_plabel")
+    agg = scored.groupBy("_pid", "_plabel").agg(
+        F.min(F.when(same, F.struct("_dot", "_id"))).alias("_pos"),
+        F.max(
+            F.when(~same, F.struct("_dot", (-F.col("_id")).alias("_nid")))
+        ).alias("_neg"),
+    )
+    return agg.select(
+        F.col("_pid").alias("probe_id"),
+        F.col("_plabel").alias("label"),
+        F.col("_pos._id").alias("pos_id"),
+        F.col("_pos._dot").alias("pos_dot"),
+        (-F.col("_neg._nid")).alias("neg_id"),
+        F.col("_neg._dot").alias("neg_dot"),
+    ).orderBy("probe_id")
+
+
+@declared(
     "ext_label_entropy",
     oracle="""
     WITH c AS (
