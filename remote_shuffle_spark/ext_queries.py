@@ -3161,6 +3161,84 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_mmr_select",
+    oracle="""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+      FROM embeddings
+    ), probe AS (SELECT q FROM qv WHERE vec_id = 0),
+    rel AS MATERIALIZED (
+      SELECT x.vec_id AS id, x.q,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               t -> x.q[t] * p.q[t])) AS BIGINT) AS rel
+      FROM qv x CROSS JOIN probe p WHERE x.vec_id <> 0
+    ), pool AS MATERIALIZED (
+      SELECT id, q, rel FROM rel ORDER BY rel DESC, id LIMIT 12
+    ), sims AS MATERIALIZED (
+      SELECT a.id AS a, b.id AS b,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               t -> a.q[t] * b.q[t])) AS BIGINT) AS s
+      FROM pool a CROSS JOIN pool b WHERE a.id <> b.id
+    ), s1 AS MATERIALIZED (
+      SELECT id, rel FROM pool ORDER BY rel DESC, id LIMIT 1
+    ), c2 AS MATERIALIZED (
+      SELECT c.id, c.rel, sm.s AS msim
+      FROM pool c JOIN s1 ON c.id <> s1.id
+      JOIN sims sm ON sm.a = c.id AND sm.b = s1.id
+    ), s2 AS MATERIALIZED (
+      SELECT id, rel, msim FROM c2 ORDER BY rel - msim DESC, id LIMIT 1
+    ), c3 AS MATERIALIZED (
+      SELECT c.id, c.rel, MAX(sm.s) AS msim
+      FROM pool c JOIN s1 ON c.id <> s1.id JOIN s2 ON c.id <> s2.id
+      JOIN sims sm ON sm.a = c.id AND (sm.b = s1.id OR sm.b = s2.id)
+      GROUP BY c.id, c.rel
+    ), s3 AS MATERIALIZED (
+      SELECT id, rel, msim FROM c3 ORDER BY rel - msim DESC, id LIMIT 1
+    ), c4 AS MATERIALIZED (
+      SELECT c.id, c.rel, MAX(sm.s) AS msim
+      FROM pool c JOIN s1 ON c.id <> s1.id JOIN s2 ON c.id <> s2.id
+      JOIN s3 ON c.id <> s3.id
+      JOIN sims sm ON sm.a = c.id
+        AND (sm.b = s1.id OR sm.b = s2.id OR sm.b = s3.id)
+      GROUP BY c.id, c.rel
+    ), s4 AS MATERIALIZED (
+      SELECT id, rel, msim FROM c4 ORDER BY rel - msim DESC, id LIMIT 1
+    )
+    SELECT CAST(1 AS INTEGER) AS rank, id AS vec_id, rel,
+           rel AS mmr_score FROM s1
+    UNION ALL SELECT 2, id, rel, rel - msim FROM s2
+    UNION ALL SELECT 3, id, rel, rel - msim FROM s3
+    UNION ALL SELECT 4, id, rel, rel - msim FROM s4
+    ORDER BY rank
+    """,
+    tags=("ext", "similarity", "pipeline"),
+)
+def ext_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-k (operators/similarity.py:mmr_select — Carbonell
+    & Goldstein 1998): greedy relevance-minus-max-similarity selection of
+    4 items from the top-12 relevance pool against probe vec_id=0, all
+    integer arithmetic (lambda=1/2 objective scaled by 2).  The oracle
+    UNROLLS the greedy rounds (each selection CTE MATERIALIZED — the
+    k-core lesson); the Spark side prunes the pool distributedly
+    (subgroup top-k + TakeOrdered) and runs the greedy loop on the
+    collected pool^2 similarity matrix (bounded driver math, ivf_topk
+    precedent)."""
+    from remote_shuffle_spark.operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_select(
+        emb.filter(F.col("vec_id") != 0),
+        "vec_id",
+        "embedding",
+        emb.filter(F.col("vec_id") == 0),
+        k=4,
+        pool=12,
+    )
+
+
+@declared(
     "ext_label_entropy",
     oracle="""
     WITH c AS (

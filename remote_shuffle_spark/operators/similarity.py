@@ -970,3 +970,95 @@ def ivf_pq_recall_at_k(
         )
         .orderBy("probe_id")
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    *,
+    k: int = 4,
+    pool: int = 12,
+    scale: int = 127,
+    num_subgroups: int = 64,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998)
+    — the standard greedy diverse-top-k used for retrieval result
+    diversification and diverse training-sample curation: pick the most
+    relevant item first, then repeatedly the item maximizing
+    ``relevance - max-similarity-to-already-selected`` (the lambda=1/2
+    MMR objective scaled by 2, so everything stays INTEGER and
+    bit-reproducible under floor(v*scale) quantization; ties to
+    smallest id).
+
+    Returns (rank, id, rel, mmr_score) for the ``k`` selected items
+    (rank 1's mmr_score is its relevance — no selected set yet).
+
+    Scale shape: relevance is one narrow corpus pass against the
+    broadcast query; the candidate POOL (top ``pool`` by relevance) is
+    cut with a subgroup top-k + TakeOrdered (no corpus-wide
+    single-partition window); the pool's pairwise similarity matrix
+    (pool^2 <= 144 integer dots) is computed distributedly and the
+    greedy loop itself runs on that COLLECTED bounded matrix —
+    driver-side math over a K-row object, the ivf_topk precedent
+    (driver ranks nprobe cells), never a corpus-sized collect."""
+
+    def _qvec(col):
+        return F.transform(
+            to_double_array(col), lambda x: F.floor(x * scale).cast("long")
+        )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    spark = df.sparkSession
+    q = F.broadcast(query_df.select(_qvec(vec_col).alias("_mq")).limit(1))
+    scored = (
+        df.select(F.col(id_col).alias("_id"), _qvec(vec_col).alias("_xq"))
+        .crossJoin(q)
+        .select("_id", "_xq", _dot(F.col("_xq"), F.col("_mq")).alias("_rel"))
+    )
+    sub = scored.withColumn("_sub", F.pmod(F.xxhash64("_id"), F.lit(num_subgroups)))
+    w1 = W.partitionBy("_sub").orderBy(F.col("_rel").desc(), "_id")
+    pool_df = (
+        sub.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= pool)
+        .orderBy(F.col("_rel").desc(), "_id")
+        .limit(pool)
+        .select("_id", "_xq", "_rel")
+        .localCheckpoint(eager=True)  # bounded: `pool` rows
+    )
+    a = pool_df.select(F.col("_id").alias("_a"), F.col("_xq").alias("_qa"))
+    b = pool_df.select(F.col("_id").alias("_b"), F.col("_xq").alias("_qb"))
+    sims = {
+        (r._a, r._b): r._s
+        for r in a.crossJoin(b)
+        .filter(F.col("_a") != F.col("_b"))
+        .select("_a", "_b", _dot(F.col("_qa"), F.col("_qb")).alias("_s"))
+        .collect()
+    }
+    cands = {r._id: r._rel for r in pool_df.select("_id", "_rel").collect()}
+
+    selected: list[tuple[int, int, int, int]] = []  # (rank, id, rel, score)
+    chosen: list[int] = []
+    for rank in range(1, min(k, len(cands)) + 1):
+        best = None
+        for cid, rel in cands.items():
+            if cid in chosen:
+                continue
+            msim = max((sims[(cid, s)] for s in chosen), default=None)
+            score = rel if msim is None else rel - msim
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel, score)
+        _, cid, rel, score = best
+        chosen.append(cid)
+        selected.append((rank, cid, rel, score))
+    return spark.createDataFrame(
+        selected, f"rank int, {id_col} long, rel long, mmr_score long"
+    )

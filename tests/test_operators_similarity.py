@@ -438,3 +438,29 @@ def test_ivf_pq_scan_fraction_tracks_nprobe(spark, sf_smoke):
     assert totals[1] < totals[4] < totals[8]
     n = emb.count()
     assert totals[8] == 8 * (n - 1)
+
+
+def test_mmr_select_prefers_diverse_over_redundant(spark):
+    """The MMR property the operator exists for: with q=[1,.2], candidate
+    a=[1,0] (most relevant), b=[.99,0] (nearly a duplicate of a), and
+    c=[.5,.9] (less relevant, diverse), rank 1 must be a and rank 2 must
+    be c — plain relevance ranking would pick b.  (The score algebra:
+    rel(x) - sim(x,a) = dot(x, q - a), which is 0 for any x parallel to
+    a and strictly positive for c's orthogonal component — q must NOT
+    equal a or every second-pick score ties at 0.)  Integer arithmetic
+    at scale=127 mirrors the query's quantization."""
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.operators.similarity import mmr_select
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.99, 0.0]),
+        (3, [0.5, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.2])], "vec_id long, embedding array<double>")
+    got = [(r.rank, r.vec_id) for r in mmr_select(
+        df, "vec_id", "embedding", q, k=2, pool=3
+    ).orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 3)], got
