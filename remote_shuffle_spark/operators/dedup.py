@@ -179,14 +179,24 @@ def minhash_candidates(
         "doc", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
     sizes = tagged.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsize"))
+    # shuffle_merge pins on both bucket joins: the qualifying-bucket set
+    # and the rows inside it scale with the corpus's near-dup density
+    # (NOT bounded by the per-bucket cap — the cap bounds each bucket,
+    # not how many buckets qualify), yet both sit under a Generate whose
+    # static size estimate Catalyst trusts enough to plan BHJ (measured:
+    # the r10 plan audit showed BuildRight broadcasts on both).  Same
+    # static-estimate trap as exact_substring_dedup_stats; AQE can never
+    # demote a statically-planned broadcast.
     bounded = tagged.join(
-        sizes.filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket_size)),
+        sizes.filter(
+            (F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket_size)
+        ).hint("shuffle_merge"),
         ["band", "bucket"],
     )
     a = bounded.select("band", "bucket", F.col("doc").alias("id_a"))
     b = bounded.select("band", "bucket", F.col("doc").alias("id_b"))
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b.hint("shuffle_merge"), ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -996,13 +1006,21 @@ def minhash_components_md5(
     )
     tagged = sig.select("_mm_id", F.explode(bands).alias("_mm_bucket"))
     sizes = tagged.groupBy("_mm_bucket").agg(F.count(F.lit(1)).alias("_bs"))
+    # shuffle_merge pins: same static-estimate BHJ trap as
+    # minhash_candidates (see the comment there) — both the qualifying-
+    # bucket join and the pair self-join scale with near-dup density.
     bounded = tagged.join(
-        sizes.filter((F.col("_bs") >= 2) & (F.col("_bs") <= max_bucket_size)),
+        sizes.filter(
+            (F.col("_bs") >= 2) & (F.col("_bs") <= max_bucket_size)
+        ).hint("shuffle_merge"),
         "_mm_bucket",
     ).select("_mm_bucket", "_mm_id")
     cands = (
         bounded.withColumnRenamed("_mm_id", "id_a")
-        .join(bounded.withColumnRenamed("_mm_id", "id_b"), "_mm_bucket")
+        .join(
+            bounded.withColumnRenamed("_mm_id", "id_b").hint("shuffle_merge"),
+            "_mm_bucket",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

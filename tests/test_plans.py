@@ -589,3 +589,78 @@ def test_shard_assignment_no_single_partition_window(spark, sf_smoke):
     # (the range sort itself happened before the eager localCheckpoint,
     # so the visible plan starts at Scan ExistingRDD)
     assert "Window" in plan and "_pid" in plan
+
+
+def test_minhash_banding_joins_never_broadcast(spark, sf_smoke):
+    """Both MinHash banding variants must pin their bucket joins to
+    sort-merge: the qualifying-bucket set and the rows inside it scale
+    with the corpus's near-dup density (the per-bucket cap bounds each
+    bucket, not how many qualify), but they sit under a Generate whose
+    static size estimate Catalyst trusts enough to plan BHJ (the r10
+    plan audit caught BuildRight broadcasts on both joins in both
+    variants — the exact_substring static-estimate trap again).  The
+    candidate pipelines are checked pre-checkpoint (the eager
+    localCheckpoint in the group variants would hide the upstream
+    plan)."""
+    from remote_shuffle_spark.operators.dedup import minhash_candidates
+    from remote_shuffle_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = _plan(minhash_candidates(docs, "doc_id", "text", reuse=False))
+    assert "BroadcastHashJoin" not in plan, plan[:1200]
+
+    # md5 variant: rebuild the pre-checkpoint candidate pipeline the way
+    # minhash_components_md5 does (same code path up to cands)
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.functions.hashing import (
+        tokens,
+        word_shingles_from_tokens,
+    )
+
+    n, num_hashes, num_bands, cap = 3, 16, 8, 64
+    r = num_hashes // num_bands
+    tk = docs.select(
+        F.col("doc_id").alias("_mm_id"), tokens("text").alias("_mm_tk")
+    ).filter(F.size("_mm_tk") >= n)
+    sh = tk.select(
+        "_mm_id",
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(F.col("_mm_tk"), n))
+        ).alias("_mm_sh"),
+    )
+    sig = sh.groupBy("_mm_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_mm_sh")))
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|", F.lit(str(b)), *[F.col(f"_h{b * r + j}") for j in range(r)]
+            )
+            for b in range(num_bands)
+        ]
+    )
+    tagged = sig.select("_mm_id", F.explode(bands).alias("_mm_bucket"))
+    sizes = tagged.groupBy("_mm_bucket").agg(F.count(F.lit(1)).alias("_bs"))
+    bounded = tagged.join(
+        sizes.filter((F.col("_bs") >= 2) & (F.col("_bs") <= cap)).hint(
+            "shuffle_merge"
+        ),
+        "_mm_bucket",
+    ).select("_mm_bucket", "_mm_id")
+    cands = (
+        bounded.withColumnRenamed("_mm_id", "id_a")
+        .join(
+            bounded.withColumnRenamed("_mm_id", "id_b").hint("shuffle_merge"),
+            "_mm_bucket",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    assert "BroadcastHashJoin" not in _plan(cands)
