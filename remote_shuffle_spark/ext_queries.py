@@ -4455,6 +4455,77 @@ def ext_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_session_window_dynamic",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+                  ELSE INTERVAL 30 MINUTE END AS gap
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_id, ts, gap,
+             MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM ev
+    ), flagged AS (
+      SELECT user_id, event_id, ts, gap,
+             CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END
+               AS new_s
+      FROM runs
+    ), islands AS (
+      SELECT user_id, ts, gap,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts + gap), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("ext", "window", "session", "streaming"),
+)
+def ext_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows — ``session_window`` with a per-EVENT
+    gap expression (errors close sessions after 5 minutes, everything
+    else 30), the Spark surface behind activity-dependent sessionization
+    (short timeouts for failure events, long for browsing).  Semantics
+    pin, mirrored by the oracle's cumulative-max islands SQL: each event
+    spans [ts, ts + its own gap); an event is in the SAME session iff
+    ts <= the running max end of all previous events (touching windows
+    MERGE — equality is not a boundary, matching the static
+    ext_session_window_native precedent); session end = max(ts + gap)
+    over members, so one long-gap event can hold a session open through
+    several short-gap ones.  Crafted-boundary pytest pins the
+    exact-touch merge (tests/test_streaming.py)."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@declared(
     "ext_session_window_native",
     oracle="""
     WITH ev AS (

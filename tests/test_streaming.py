@@ -1140,3 +1140,45 @@ def test_tws_list_and_map_state_with_ttl(spark):
     finally:
         q.stop()
     assert got == want
+
+
+def test_dynamic_session_window_touch_merges_past_does_not(spark):
+    """Dynamic-gap session_window boundary pin (ext_session_window_dynamic
+    oracle mirrors this exactly): an event AT the previous event's window
+    end (prev ts + prev gap) MERGES — equality is not a boundary — while
+    one microsecond past it starts a new session; and a long-gap event
+    holds the session open through a later short-gap one."""
+    minute = 60 * 1_000_000
+    rows = [
+        # user 1: error@0 (5m window) + event exactly at 5m -> ONE session
+        (1, 1, 0, "error"),
+        (1, 2, 5 * minute, "click"),
+        # user 2: error@0 (5m) + event at 5m + 1us -> TWO sessions
+        (2, 3, 0, "error"),
+        (2, 4, 5 * minute + 1, "click"),
+        # user 3: click@0 (30m window) then error@10m (5m window) then
+        # click@20m: the error's own window ends at 15m, but the FIRST
+        # click's 30m window holds the session open -> ONE session
+        (3, 5, 0, "click"),
+        (3, 6, 10 * minute, "error"),
+        (3, 7, 20 * minute, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, t_us long, event_type string"
+    ).select(
+        "user_id", "event_id", F.timestamp_micros("t_us").alias("ts"), "event_type"
+    )
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_user = {}
+    for r in sess:
+        per_user.setdefault(r.user_id, []).append(r.n)
+    assert sorted(per_user[1]) == [2], per_user  # touch merges
+    assert sorted(per_user[2]) == [1, 1], per_user  # 1us past splits
+    assert sorted(per_user[3]) == [3], per_user  # long gap holds it open
