@@ -3239,6 +3239,66 @@ def ext_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_span_corruption",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n
+      FROM documents
+    ), k AS (
+      SELECT lang, n,
+             CASE WHEN n >= 3 AND (doc_id % 20) <= n - 3
+                  THEN (n - 3 - (doc_id % 20)) // 20 + 1
+                  ELSE 0 END AS spans
+      FROM t
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS input_tokens,
+           CAST(SUM(3 * spans) AS BIGINT) AS masked_tokens,
+           CAST(SUM(spans) AS BIGINT) AS n_spans,
+           CAST(SUM(n - 2 * spans) AS BIGINT) AS encoder_tokens,
+           CAST(SUM(4 * spans + 1) AS BIGINT) AS decoder_tokens
+    FROM k GROUP BY lang ORDER BY lang
+    """,
+    tags=("ext", "text", "pipeline"),
+)
+def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption BUDGET report (Raffel et al. 2020 §3.1.4
+    objective): deterministic span placement (span length 3, stride 20,
+    per-doc offset doc_id %% 20 — ~15%% corruption rate, the paper's
+    setting) and the resulting sequence-length accounting per language:
+    masked tokens (3 per span), encoder input length (n - 2*spans: each
+    span collapses to one sentinel), decoder target length (4*spans + 1:
+    span tokens + sentinels + EOS).  The arithmetic every seq2seq
+    pretraining pipeline runs to size its batches — entirely CLOSED-FORM
+    per row (span count = floor((n-3-offset)/20)+1), so the plan is one
+    narrow projection + a combinable per-lang aggregate: no explode, no
+    per-token rows, nothing but the scan at any corpus size."""
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    n = F.size(_toks("text")).cast("long")
+    off = F.col("doc_id") % 20
+    spans = F.when(
+        (n >= 3) & (off <= n - 3), F.floor((n - 3 - off) / 20) + 1
+    ).otherwise(F.lit(0)).cast("long")
+    k = docs.select("lang", n.alias("n"), spans.alias("spans"))
+    return (
+        k.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("input_tokens"),
+            F.sum(3 * F.col("spans")).alias("masked_tokens"),
+            F.sum("spans").alias("n_spans"),
+            F.sum(F.col("n") - 2 * F.col("spans")).alias("encoder_tokens"),
+            F.sum(4 * F.col("spans") + 1).alias("decoder_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@declared(
     "ext_label_entropy",
     oracle="""
     WITH c AS (
