@@ -4771,6 +4771,62 @@ def ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_stream_session_dynamic",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+                  ELSE INTERVAL 30 MINUTE END AS gap
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_id, ts, gap,
+             MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM ev
+    ), flagged AS (
+      SELECT user_id, event_id, ts, gap,
+             CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END
+               AS new_s
+      FROM runs
+    ), islands AS (
+      SELECT user_id, ts, gap,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, MIN(ts) AS s_start, MAX(ts + gap) AS s_end,
+             COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, sid
+    ), wm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS w
+              FROM events)
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events
+    FROM sessions, wm WHERE s_end <= wm.w
+    ORDER BY user_id, session_start
+    """,
+    tags=("ext", "streaming", "session"),
+)
+def ext_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows with a DYNAMIC per-event gap
+    (streaming/windowed.py:session_window_stream with gap_expr — errors
+    time out after 5 minutes, everything else 30): the batch
+    ext_session_window_dynamic semantics under append-mode watermark
+    finalization.  The oracle composes the dynamic cumulative-max
+    islands (touching windows merge, session end = max(ts + gap)) with
+    the INCLUSIVE eviction boundary (end <= max(ts) - 2h) pinned by the
+    static streaming session query — so this row proves the dynamic-gap
+    merge logic and the append finalization rule hold TOGETHER."""
+    from remote_shuffle_spark.streaming.windowed import session_window_stream
+
+    gap_expr = F.when(
+        F.col("event_type") == "error", F.lit("5 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return session_window_stream(spark, sf_dir, gap_expr=gap_expr)
+
+
+@declared(
     "ext_stream_session_window",
     oracle="""
     WITH ev AS (

@@ -134,6 +134,7 @@ def session_window_stream(
     sf_dir: str,
     *,
     gap: str = "30 minutes",
+    gap_expr=None,
     watermark: str = "2 hours",
     state_partitions: int | None = 8,
 ) -> DataFrame:
@@ -170,8 +171,15 @@ def session_window_stream(
         .withColumn("ts", event_time(dict(batch.dtypes).get("ts")))
         .withWatermark("ts", watermark)
     )
+    # gap_expr (a per-event Column, e.g. event-type-dependent timeouts)
+    # selects the DYNAMIC-gap form; session end is then max(ts + gap)
+    # over members, and append-mode finalization stays end <= watermark
+    # (inclusive), identical to the static-gap eviction boundary.
     agg = stream.groupBy(
-        "user_id", F.session_window("ts", gap).alias("sw")
+        "user_id",
+        F.session_window("ts", gap_expr if gap_expr is not None else gap).alias(
+            "sw"
+        ),
     ).agg(F.count(F.lit(1)).alias("n_events"))
     name = f"session_stream_{uuid.uuid4().hex[:8]}"
     q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
