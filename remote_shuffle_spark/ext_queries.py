@@ -3299,6 +3299,61 @@ def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_freshness_weights",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), mx AS (SELECT MAX(ts) AS m FROM ev),
+    w AS MATERIALIZED (
+      SELECT event_type,
+             CAST(ROUND(exp(-(epoch_us(m) - epoch_us(ts))
+                            / (86400000000.0 * 30)), 6)
+               AS DECIMAL(18,6)) AS wt
+      FROM ev CROSS JOIN mx
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(wt) AS DECIMAL(38,6)) AS total_weight,
+           CAST(SUM(CAST(ROUND(CAST(wt AS DOUBLE) * CAST(wt AS DOUBLE), 6)
+                         AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_sq
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ext", "stats", "sampling"),
+)
+def ext_freshness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decay sampling weights — the standard freshness weighting
+    for training-data and feed sampling: each event's weight is
+    exp(-age / 30 days) against the corpus max timestamp, reported per
+    event type as (n, total_weight, sum of squared weights) — the two
+    sums a sampler needs for effective-sample-size
+    (ESS = total^2 / sum_sq) and normalization.  Float discipline:
+    exp() differs across libm implementations at the ULP level, so each
+    weight is rounded to 6 dp and DECIMAL-summed (label_entropy
+    pattern); the squared term re-rounds the decimal-held weight's
+    square before its own decimal sum, keeping both aggregates exact.
+    Ages are exact integer microsecond differences (events ts is
+    TIMESTAMP_NTZ — cast first, the r8 pitfall)."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+    mx = ev.agg(F.max("ts").alias("m"))
+    age_us = F.unix_micros(F.col("m")) - F.unix_micros(F.col("ts"))
+    wt = F.round(F.exp(-age_us / (86400000000.0 * 30)), 6).cast("decimal(18,6)")
+    w = ev.crossJoin(F.broadcast(mx)).select("event_type", wt.alias("wt"))
+    sq = F.round(
+        F.col("wt").cast("double") * F.col("wt").cast("double"), 6
+    ).cast("decimal(18,6)")
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("wt").cast("decimal(38,6)").alias("total_weight"),
+            F.sum(sq).cast("decimal(38,6)").alias("sum_sq"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
     "ext_label_entropy",
     oracle="""
     WITH c AS (
