@@ -3161,6 +3161,133 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_ann_filtered",
+    oracle="""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+      FROM embeddings
+    ), scored AS MATERIALIZED (
+      SELECT p.vec_id AS pid, x.vec_id AS id, x.label,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               t -> x.q[t] * p.q[t])) AS BIGINT) AS dot
+      FROM qv p CROSS JOIN qv x
+      WHERE p.vec_id < 8 AND x.vec_id <> p.vec_id
+    ), ranked_all AS MATERIALIZED (
+      SELECT pid, id, dot,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dot DESC, id)
+               AS unfiltered_rank
+      FROM scored
+    ), filt AS (
+      SELECT pid, id, dot,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dot DESC, id) AS rank
+      FROM scored WHERE label % 3 = 0
+    )
+    SELECT f.pid AS probe_id, CAST(f.rank AS INTEGER) AS rank,
+           f.id AS vec_id, f.dot,
+           CAST(r.unfiltered_rank AS BIGINT) AS unfiltered_rank
+    FROM filt f JOIN ranked_all r ON r.pid = f.pid AND r.id = f.id
+    WHERE f.rank <= 5
+    ORDER BY probe_id, rank
+    """,
+    tags=("ext", "similarity", "ann"),
+)
+def ext_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k under a metadata predicate
+    (label %% 3 = 0), the operation every production vector store must
+    support and the one that breaks naive post-filtering: alongside each
+    selected neighbor, ``unfiltered_rank`` reports how deep the
+    UNfiltered ranking a post-filter would have had to scan to find it
+    (ranks in the hundreds on this fixture — the standard argument for
+    predicate-aware/pre-filtered ANN).  PRE-filter semantics: the
+    predicate prunes the corpus BEFORE ranking, so on a label-partitioned
+    table the scan itself shrinks (partition pruning).
+
+    Scale shape: probes broadcast; the filtered top-k is a subgroup
+    row_number then a bounded global cut (never a corpus-wide
+    single-partition window); the unfiltered rank of the k survivors is
+    a COUNT of strictly-better rows per (probe, survivor) — a broadcast
+    join of the 40 selected rows against the scored corpus with a
+    combinable count, not a corpus-wide window.  Integer dots
+    throughout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as W
+
+    def _qvec(col):
+        return F.transform(
+            F.col(col), lambda x: F.floor(x.cast("double") * 127).cast("long")
+        )
+
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("_pid"), _qvec("embedding").alias("_pq")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_xq"), F.col("_pq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("_id"),
+            F.col("label").alias("_label"),
+            _qvec("embedding").alias("_xq"),
+        )
+        .crossJoin(probes)
+        .filter(F.col("_id") != F.col("_pid"))
+        .select("_pid", "_id", "_label", dot.alias("_dot"))
+    )
+    filt = scored.filter(F.col("_label") % 3 == 0)
+    sub = filt.withColumn("_sub", F.pmod(F.xxhash64("_id"), F.lit(64)))
+    w1 = W.partitionBy("_pid", "_sub").orderBy(F.col("_dot").desc(), "_id")
+    survivors = (
+        sub.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn", "_sub")
+    )
+    w2 = W.partitionBy("_pid").orderBy(F.col("_dot").desc(), "_id")
+    topk = (
+        survivors.withColumn("_rank", F.row_number().over(w2))
+        .filter(F.col("_rank") <= 5)
+        .select("_pid", "_rank", "_id", "_dot")
+        .localCheckpoint(eager=True)  # bounded: probes x k rows
+    )
+    sel = F.broadcast(
+        topk.select(
+            F.col("_pid").alias("_spid"),
+            F.col("_id").alias("_sid"),
+            F.col("_dot").alias("_sdot"),
+        )
+    )
+    better = scored.join(sel, scored["_pid"] == sel["_spid"]).filter(
+        (F.col("_dot") > F.col("_sdot"))
+        | ((F.col("_dot") == F.col("_sdot")) & (scored["_id"] < sel["_sid"]))
+    )
+    ranks = better.groupBy("_spid", "_sid").agg(
+        (F.count(F.lit(1)) + 1).alias("unfiltered_rank")
+    )
+    return (
+        topk.join(
+            ranks,
+            (topk["_pid"] == ranks["_spid"]) & (topk["_id"] == ranks["_sid"]),
+            "left",
+        )
+        .select(
+            topk["_pid"].alias("probe_id"),
+            F.col("_rank").cast("int").alias("rank"),
+            topk["_id"].alias("vec_id"),
+            F.col("_dot").alias("dot"),
+            F.coalesce("unfiltered_rank", F.lit(1)).cast("long").alias(
+                "unfiltered_rank"
+            ),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+@declared(
     "ext_mmr_select",
     oracle="""
     WITH qv AS MATERIALIZED (
