@@ -664,3 +664,24 @@ def test_minhash_banding_joins_never_broadcast(spark, sf_smoke):
         .distinct()
     )
     assert "BroadcastHashJoin" not in _plan(cands)
+
+
+def test_ann_filtered_no_corpus_window_and_small_side_broadcast(spark, sf_smoke):
+    """ext_ann_filtered's two scale contracts: (a) every row_number
+    window is partitioned (the corpus-wide ranking is cut per
+    (probe, subgroup) then per probe over <= probes*k survivors — no
+    'No Partition Defined' single-partition pass over the corpus);
+    (b) the unfiltered-rank join broadcasts the SMALL survivors side,
+    never the scored corpus."""
+    import __spark_entry__ as e
+
+    df = e.queries()["ext_ann_filtered"](spark, sf_smoke)
+    plan = _plan(df)
+    windows = [l for l in plan.splitlines() if "Window [" in l]
+    assert windows, plan[:600]
+    # every window spec must carry the probe-id partition column — an
+    # unpartitioned (single-partition, corpus-wide) spec would omit it
+    assert all("_pid" in l for l in windows), windows
+    # the probe table reaches the corpus via a broadcast (probes are the
+    # small side of the scoring cross join)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:600]
