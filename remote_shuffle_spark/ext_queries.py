@@ -8609,9 +8609,12 @@ def ext_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wc = F.when(is_boiler, F.lit(11)).otherwise(F.size("ltk"))
+    # eager checkpoint: the 4-row funnel union evaluates four branches in
+    # one action — without materialization the tokenize+explode re-runs
+    # per branch (the ladder lesson, applied here too)
     lines = lines0.select(
         "doc_id", "line_idx", lt.alias("lt"), wc.alias("wc")
-    )
+    ).localCheckpoint(eager=True)
     ends = F.col("lt").endswith(".")
     s1 = lines.agg(
         F.lit("1_terminal_punct").alias("stage"),
@@ -8642,7 +8645,7 @@ def ext_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("f.doc_id") == F.col("doc_id"))
             & (F.col("f.line_idx") == F.col("line_idx"))
         ).alias("kept"),
-    )
+    ).localCheckpoint(eager=True)  # feeds s3 AND the rule-4 per-doc counts
     s3 = marked.agg(
         F.lit("3_dup_lines").alias("stage"),
         F.sum(F.when(~F.col("kept"), 1).otherwise(0)).cast("long").alias(

@@ -925,6 +925,68 @@ def exact_substring_dedup_apply(
     )
 
 
+def _md5_band_candidates(
+    tk: DataFrame,
+    *,
+    shingle_len: int,
+    num_hashes: int,
+    num_bands: int,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Pre-checkpoint candidate pipeline of :func:`minhash_components_md5`
+    (``tk`` = (_mm_id, _mm_tk), already length-filtered) — factored out so
+    the no-BroadcastHashJoin plan pin (tests/test_plans.py) targets the
+    REAL operator code: the eager checkpoint in the caller would hide
+    this subplan from any post-hoc plan inspection, and a hand-copied
+    test pipeline would keep passing after someone removed the hints."""
+    n, r = shingle_len, num_hashes // num_bands
+    sh = tk.select(
+        "_mm_id",
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(F.col("_mm_tk"), n))
+        ).alias("_mm_sh"),
+    )
+    sig = sh.groupBy("_mm_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_mm_sh")))
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"_h{b * r + j}") for j in range(r)],
+            )
+            for b in range(num_bands)
+        ]
+    )
+    tagged = sig.select("_mm_id", F.explode(bands).alias("_mm_bucket"))
+    sizes = tagged.groupBy("_mm_bucket").agg(F.count(F.lit(1)).alias("_bs"))
+    # shuffle_merge pins: same static-estimate BHJ trap as
+    # minhash_candidates (see the comment there) — both the qualifying-
+    # bucket join and the pair self-join scale with near-dup density.
+    bounded = tagged.join(
+        sizes.filter(
+            (F.col("_bs") >= 2) & (F.col("_bs") <= max_bucket_size)
+        ).hint("shuffle_merge"),
+        "_mm_bucket",
+    ).select("_mm_bucket", "_mm_id")
+    return (
+        bounded.withColumnRenamed("_mm_id", "id_a")
+        .join(
+            bounded.withColumnRenamed("_mm_id", "id_b").hint("shuffle_merge"),
+            "_mm_bucket",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_components_md5(
     df: DataFrame,
     id_col: str,
@@ -974,58 +1036,18 @@ def minhash_components_md5(
     from remote_shuffle_spark.operators.graph import connected_components
 
     n = int(shingle_len)
-    r = num_hashes // num_bands
-    if r * num_bands != num_hashes:
+    if (num_hashes // num_bands) * num_bands != num_hashes:
         raise ValueError("num_bands must divide num_hashes")
     tk = df.select(
         F.col(id_col).alias("_mm_id"), tokens(text_col).alias("_mm_tk")
     ).filter(F.size("_mm_tk") >= n)
-    sh = tk.select(
-        "_mm_id",
-        F.explode(
-            F.array_distinct(word_shingles_from_tokens(F.col("_mm_tk"), n))
-        ).alias("_mm_sh"),
-    )
-    sig = sh.groupBy("_mm_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_mm_sh")))
-            ).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    bands = F.array(
-        *[
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"_h{b * r + j}") for j in range(r)],
-            )
-            for b in range(num_bands)
-        ]
-    )
-    tagged = sig.select("_mm_id", F.explode(bands).alias("_mm_bucket"))
-    sizes = tagged.groupBy("_mm_bucket").agg(F.count(F.lit(1)).alias("_bs"))
-    # shuffle_merge pins: same static-estimate BHJ trap as
-    # minhash_candidates (see the comment there) — both the qualifying-
-    # bucket join and the pair self-join scale with near-dup density.
-    bounded = tagged.join(
-        sizes.filter(
-            (F.col("_bs") >= 2) & (F.col("_bs") <= max_bucket_size)
-        ).hint("shuffle_merge"),
-        "_mm_bucket",
-    ).select("_mm_bucket", "_mm_id")
-    cands = (
-        bounded.withColumnRenamed("_mm_id", "id_a")
-        .join(
-            bounded.withColumnRenamed("_mm_id", "id_b").hint("shuffle_merge"),
-            "_mm_bucket",
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .localCheckpoint(eager=True)  # small (id pairs); feeds semi-join + verify
-    )
+    cands = _md5_band_candidates(
+        tk,
+        shingle_len=n,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        max_bucket_size=max_bucket_size,
+    ).localCheckpoint(eager=True)  # small (id pairs); feeds semi-join + verify
     cand_ids = (
         cands.select(F.col("id_a").alias("_mm_id"))
         .union(cands.select(F.col("id_b")))

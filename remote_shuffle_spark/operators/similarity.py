@@ -1059,6 +1059,7 @@ def mmr_select(
         _, cid, rel, score = best
         chosen.append(cid)
         selected.append((rank, cid, rel, score))
+    id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        selected, f"rank int, {id_col} long, rel long, mmr_score long"
+        selected, f"rank int, {id_col} {id_type}, rel long, mmr_score long"
     )

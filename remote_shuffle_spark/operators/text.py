@@ -935,10 +935,13 @@ def dsir_log_weights(
         "_dw_tg",
         F.substring(F.md5(F.col("_dw_bg")), 1, bucket_hex).alias("_dw_b"),
     )
+    # eager checkpoint: `cnt` (<= 16^bucket_hex rows) feeds both the
+    # totals aggregate and the ratio table; without it the corpus-wide
+    # bigram explode + count executes twice.
     cnt = bg.groupBy("_dw_b").agg(
         F.count(F.lit(1)).alias("c_s"),
         F.sum(F.when(F.col("_dw_tg"), 1).otherwise(0)).alias("c_t"),
-    )
+    ).localCheckpoint(eager=True)
     tot = cnt.agg(
         F.sum("c_s").alias("n_s"),
         F.sum("c_t").alias("n_t"),

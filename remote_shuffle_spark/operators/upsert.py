@@ -244,11 +244,16 @@ def snapshot_drift(
         nc = new.select(key.alias("k")).groupBy("k").agg(
             F.count(F.lit(1)).alias("c_n")
         )
+        # eager checkpoint: `full` feeds both the totals aggregate and the
+        # per-bin frame below; without it the corpus-sized two-groupBy +
+        # outer-join subtree executes twice per feature.  Bounded by the
+        # function's own bin-domain contract, so the materialization is a
+        # few rows.
         full = oc.join(nc, "k", "full").select(
             "k",
             F.coalesce("c_o", F.lit(0)).alias("c_o"),
             F.coalesce("c_n", F.lit(0)).alias("c_n"),
-        )
+        ).localCheckpoint(eager=True)
         tots = full.agg(
             F.sum("c_o").alias("t_o"),
             F.sum("c_n").alias("t_n"),

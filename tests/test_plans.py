@@ -609,59 +609,19 @@ def test_minhash_banding_joins_never_broadcast(spark, sf_smoke):
     plan = _plan(minhash_candidates(docs, "doc_id", "text", reuse=False))
     assert "BroadcastHashJoin" not in plan, plan[:1200]
 
-    # md5 variant: rebuild the pre-checkpoint candidate pipeline the way
-    # minhash_components_md5 does (same code path up to cands)
+    # md5 variant: plan the REAL pre-checkpoint candidate pipeline (the
+    # factored operator helper — not a copy, so removing the hints from
+    # the operator fails THIS test)
     from pyspark.sql import functions as F
 
-    from remote_shuffle_spark.functions.hashing import (
-        tokens,
-        word_shingles_from_tokens,
-    )
+    from remote_shuffle_spark.functions.hashing import tokens
+    from remote_shuffle_spark.operators.dedup import _md5_band_candidates
 
-    n, num_hashes, num_bands, cap = 3, 16, 8, 64
-    r = num_hashes // num_bands
     tk = docs.select(
         F.col("doc_id").alias("_mm_id"), tokens("text").alias("_mm_tk")
-    ).filter(F.size("_mm_tk") >= n)
-    sh = tk.select(
-        "_mm_id",
-        F.explode(
-            F.array_distinct(word_shingles_from_tokens(F.col("_mm_tk"), n))
-        ).alias("_mm_sh"),
-    )
-    sig = sh.groupBy("_mm_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_mm_sh")))
-            ).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    bands = F.array(
-        *[
-            F.concat_ws(
-                "|", F.lit(str(b)), *[F.col(f"_h{b * r + j}") for j in range(r)]
-            )
-            for b in range(num_bands)
-        ]
-    )
-    tagged = sig.select("_mm_id", F.explode(bands).alias("_mm_bucket"))
-    sizes = tagged.groupBy("_mm_bucket").agg(F.count(F.lit(1)).alias("_bs"))
-    bounded = tagged.join(
-        sizes.filter((F.col("_bs") >= 2) & (F.col("_bs") <= cap)).hint(
-            "shuffle_merge"
-        ),
-        "_mm_bucket",
-    ).select("_mm_bucket", "_mm_id")
-    cands = (
-        bounded.withColumnRenamed("_mm_id", "id_a")
-        .join(
-            bounded.withColumnRenamed("_mm_id", "id_b").hint("shuffle_merge"),
-            "_mm_bucket",
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    ).filter(F.size("_mm_tk") >= 3)
+    cands = _md5_band_candidates(
+        tk, shingle_len=3, num_hashes=16, num_bands=8, max_bucket_size=64
     )
     assert "BroadcastHashJoin" not in _plan(cands)
 
@@ -723,6 +683,11 @@ def test_ann_filtered_no_corpus_window_and_small_side_broadcast(spark, sf_smoke)
     # unpartitioned (single-partition, corpus-wide) spec would omit it
     assert all("_pid" in l for l in windows), windows
     # and the full query's final plan broadcasts only survivor/probe-sized
-    # frames into the corpus join
+    # frames into the corpus joins, with the SMALL side as the build side:
+    # the unfiltered-rank join must be BuildRight (right = the 40-row _spid
+    # survivors), and the scoring cross join BuildRight (right = 8 probes)
     full = _plan(e.queries()["ext_ann_filtered"](spark, sf_smoke))
-    assert "BroadcastNestedLoopJoin" in full or "BroadcastHashJoin" in full, full[:600]
+    bhj = [l for l in full.splitlines() if "BroadcastHashJoin" in l and "_spid" in l]
+    assert bhj and all("BuildRight" in l for l in bhj), bhj or full[:600]
+    bnl = [l for l in full.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert bnl and all("BuildRight" in l for l in bnl), bnl or full[:600]

@@ -868,7 +868,11 @@ def _retry_once_on_load_flake(fn):
     def wrapper(*args, **kwargs):
         try:
             return fn(*args, **kwargs)
-        except Exception:
+        except Exception as first:
+            # keep the flaky signal visible: a swallowed first failure
+            # would mask a real intermittent protocol defect's frequency
+            print(f"RETRY {fn.__name__}: first attempt failed with "
+                  f"{type(first).__name__}: {first}", flush=True)
             _time.sleep(10)
             return fn(*args, **kwargs)
 
