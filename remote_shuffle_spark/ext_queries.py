@@ -3481,6 +3481,82 @@ def ext_freshness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_ngram_novelty",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+    ), tri AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(tk[i+1 : i+3], ' ') AS g
+      FROM toks, UNNEST(range(len(tk) - 2)) AS r(i)
+      WHERE len(tk) >= 3
+    ), first AS MATERIALIZED (
+      SELECT g, MIN(doc_id) AS fid FROM tri GROUP BY g
+    ), pd AS (
+      SELECT t.doc_id, COUNT(*) AS n_tri,
+             COUNT(*) FILTER (f.fid = t.doc_id) AS novel
+      FROM tri t JOIN first f USING (g) GROUP BY t.doc_id
+    )
+    SELECT doc_id // 100 AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tri) AS BIGINT) AS total_trigrams,
+           CAST(SUM(novel) AS BIGINT) AS novel_trigrams
+    FROM pd GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ext", "text", "pipeline"),
+)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus n-gram NOVELTY scoring — for each document, how many
+    of its distinct trigrams appear for the FIRST time in the corpus
+    (first = smallest doc_id), reported per 100-doc ingestion bucket:
+    the curve every corpus-growth analysis draws (novelty decays as the
+    corpus absorbs the common phrase space — visible in the output:
+    early buckets are ~all-novel, later ones mostly repeats), and the
+    signal curriculum/dedup-budget decisions read.
+
+    Scale: keep-first algebra — the ONE corpus shuffle is keyed by
+    xxhash64(trigram) (8-byte keys, segment-dedup discipline; the oracle
+    groups by trigram text, collision probability negligible at 64
+    bits), first-occurrence is a combinable MIN, and the per-doc novel
+    count rides the id-keyed join back.  Docs under 3 tokens have no
+    trigrams and are excluded symmetrically in both engines."""
+    from remote_shuffle_spark.functions.hashing import (
+        tokens as _toks,
+        word_shingles_from_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = docs.select("doc_id", _toks("text").alias("_tk")).filter(
+        F.size("_tk") >= 3
+    )
+    tri = tk.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(F.col("_tk"), 3))
+        ).alias("_g"),
+    ).select("doc_id", F.xxhash64("_g").alias("_h"))
+    first = tri.groupBy("_h").agg(F.min("doc_id").alias("_fid"))
+    pd_ = (
+        tri.join(first, "_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(
+                F.when(F.col("_fid") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    return (
+        pd_.groupBy(F.floor(F.col("doc_id") / 100).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tri").cast("long").alias("total_trigrams"),
+            F.sum("novel").cast("long").alias("novel_trigrams"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@declared(
     "ext_label_entropy",
     oracle="""
     WITH c AS (
