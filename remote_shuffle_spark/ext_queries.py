@@ -3557,6 +3557,84 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_burst_detection",
+    oracle="""
+    WITH pm AS MATERIALIZED (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS BIGINT)
+               AS minute,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM pm GROUP BY event_type
+    )
+    SELECT p.event_type,
+           CAST(st.n AS BIGINT) AS n_minutes,
+           CAST(COUNT(*) FILTER (
+             p.x * st.n > st.s
+             AND (p.x * st.n - st.s) * (p.x * st.n - st.s)
+                 > 9 * (st.n * st.ss - st.s * st.s)
+           ) AS BIGINT) AS burst_minutes,
+           CAST(MAX(p.x) AS BIGINT) AS max_minute_count
+    FROM pm p JOIN st USING (event_type)
+    GROUP BY p.event_type, st.n ORDER BY p.event_type
+    """,
+    tags=("ext", "stats", "events"),
+)
+def ext_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over per-minute event counts — the classic
+    3-sigma anomaly rule, computed with NO floating point anywhere: a
+    minute is a burst iff (n*x - S)^2 > 9*(n*SS - S^2) and x above the
+    mean, which is the x > mu + 3*sigma test with mu = S/n and
+    sigma^2 = (n*SS - S^2)/n^2 multiplied out to pure int64 arithmetic
+    (counts are integers; the squares stay far inside int64 at any
+    fixture scale).  The float-free form is the engine-exactness
+    discipline taken to its logical end — no rounding contract needed
+    at all.  Scale: one combinable (type, minute) count, one tiny
+    per-type stats aggregate broadcast back, one filtered count."""
+    events = load_table(spark, sf_dir, "events")
+    pm = (
+        events.select(
+            "event_type",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 60_000_000
+            ).cast("long").alias("minute"),
+        )
+        .groupBy("event_type", "minute")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    st = pm.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    j = pm.join(F.broadcast(st), "event_type")
+    d = F.col("x") * F.col("n") - F.col("s")
+    is_burst = (d > 0) & (
+        d * d > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    )
+    return (
+        j.groupBy("event_type", "n")
+        .agg(
+            F.sum(F.when(is_burst, 1).otherwise(0)).cast("long").alias(
+                "burst_minutes"
+            ),
+            F.max("x").cast("long").alias("max_minute_count"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_minutes"),
+            "burst_minutes",
+            "max_minute_count",
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
     "ext_label_entropy",
     oracle="""
     WITH c AS (

@@ -216,3 +216,58 @@ def test_cms_inner_product_join_size_bounds(spark):
     assert est <= exact + (math.e / a.width) * 3000 * 2000, (est, exact, a.width)
     with _pytest.raises(ValueError, match="geometry"):
         a.inner_product(sk(right, 0.01))
+
+
+def test_burst_detection_integer_rule_matches_float_3sigma(spark):
+    """The float-free burst test ((n*x-S)^2 > 9*(n*SS-S^2), x above mean)
+    must agree with the float x > mu + 3*sigma rule on crafted counts
+    with one planted spike, and the declared query must flag it."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    import remote_shuffle_spark.ext_queries  # noqa: F401 — registers EXT queries
+    from remote_shuffle_spark.queries import REGISTRY
+
+    # 60 quiet minutes of ~5 events + one 50-event spike
+    counts = [5, 4, 6, 5, 5] * 12 + [50]
+    mu = sum(counts) / len(counts)
+    var = sum(x * x for x in counts) / len(counts) - mu * mu
+    float_bursts = {
+        i for i, x in enumerate(counts) if x > mu + 3 * math.sqrt(var)
+    }
+    n, s, ss = len(counts), sum(counts), sum(x * x for x in counts)
+    int_bursts = {
+        i
+        for i, x in enumerate(counts)
+        if x * n > s and (x * n - s) ** 2 > 9 * (n * ss - s * s)
+    }
+    assert int_bursts == float_bursts == {60}
+
+    # end-to-end through the declared query's plan on planted events
+    rows = []
+    eid = 0
+    for minute, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, minute * 60_000_000, "spiky"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, t_us long, event_type string"
+    ).select(
+        "event_id",
+        F.timestamp_micros("t_us").alias("ts"),
+        "event_type",
+        F.lit(1).alias("user_id"),
+        F.lit(0.0).alias("value"),
+        F.lit("").alias("props"),
+    )
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix=f"burst_{uuid.uuid4().hex[:6]}")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        r.event_type: (r.n_minutes, r.burst_minutes, r.max_minute_count)
+        for r in REGISTRY["ext_burst_detection"].fn(spark, d).collect()
+    }
+    assert out["spiky"] == (61, 1, 50), out
