@@ -3635,6 +3635,79 @@ def ext_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality
+      FROM documents WHERE doc_id % 2 = 0
+    ), v2 AS (
+      SELECT doc_id, lang, n_chars, n_chars % 100 AS quality
+      FROM documents WHERE doc_id % 2 = 1
+    ), merged AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (quality IS NULL) AS BIGINT) AS n_legacy,
+           CAST(COALESCE(SUM(quality), 0) AS BIGINT) AS sum_quality
+    FROM merged GROUP BY lang ORDER BY lang
+    """,
+    tags=("ext", "sources", "lakehouse"),
+)
+def ext_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-EVOLUTION read (parquet ``mergeSchema``) — the lakehouse
+    surface every long-lived dataset hits: an old snapshot written
+    without a column and a new snapshot written with it must read back
+    as ONE frame with the legacy rows null-backfilled.  The query
+    actually WRITES both generations (even docs as v1 without
+    ``quality``, odd docs as v2 with ``quality = n_chars %% 100``) to a
+    scratch directory and reads the parent with
+    mergeSchema + recursiveFileLookup, so the footer-merging machinery
+    is exercised for real; the oracle replays the logical result
+    (UNION ALL with a typed NULL column).  Per-lang report: total docs,
+    legacy (null-backfilled) docs, sum of the evolved column.
+
+    Scale note: mergeSchema reads EVERY file's footer at planning time —
+    fine per-snapshot-directory, pathological over millions of small
+    files; production pins the merged schema explicitly (or uses a table
+    format) once it stabilizes, which is why the query confines the
+    merge to one read of two generations."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"schema_evo_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    v1 = docs.filter(F.col("doc_id") % 2 == 0)
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", (F.col("n_chars") % 100).cast("long")
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "gen1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "gen2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("quality").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_legacy"),
+            F.coalesce(F.sum("quality"), F.lit(0)).cast("long").alias(
+                "sum_quality"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@declared(
     "ext_label_entropy",
     oracle="""
     WITH c AS (
