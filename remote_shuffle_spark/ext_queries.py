@@ -3288,6 +3288,91 @@ def ext_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_knn_eval",
+    oracle="""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+      FROM embeddings
+    ), scored AS MATERIALIZED (
+      SELECT p.vec_id AS pid, p.label AS truth, x.vec_id AS id,
+             x.label AS pred,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               t -> x.q[t] * p.q[t])) AS BIGINT) AS dot
+      FROM qv p CROSS JOIN qv x
+      WHERE p.vec_id < 64 AND x.vec_id <> p.vec_id
+    ), nn AS (
+      SELECT pid, truth, pred FROM (
+        SELECT pid, truth, pred,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                 ORDER BY dot DESC, id) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT truth, pred, COUNT(*) AS n
+    FROM nn GROUP BY truth, pred ORDER BY truth, pred
+    """,
+    tags=("ext", "similarity", "eval"),
+)
+def ext_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN classifier EVALUATION — the confusion matrix of
+    nearest-neighbor label prediction over the embeddings table (64 test
+    probes classified by their single nearest neighbor in the rest of
+    the corpus, integer dots, ties to smallest id): the eval every
+    embedding-quality gate runs before trusting vectors for retrieval
+    or dedup.  Output is the sparse confusion matrix (truth, pred, n).
+
+    Scale shape: probes broadcast; the 1-NN per probe is a
+    map-side-combinable max(struct(dot, -id, pred)) aggregate — no
+    window, no per-probe reducer sort; the confusion matrix is a tiny
+    count over 64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _qvec(col):
+        return F.transform(
+            F.col(col), lambda x: F.floor(x.cast("double") * 127).cast("long")
+        )
+
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("_pid"),
+            F.col("label").alias("_truth"),
+            _qvec("embedding").alias("_pq"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_xq"), F.col("_pq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("_id"),
+            F.col("label").alias("_pred"),
+            _qvec("embedding").alias("_xq"),
+        )
+        .crossJoin(probes)
+        .filter(F.col("_id") != F.col("_pid"))
+        .select("_pid", "_truth", "_pred", "_id", dot.alias("_dot"))
+    )
+    # argmax by (dot desc, id asc): max(struct(dot, -id, pred)) — the
+    # hard_negatives tie-break trick carrying the payload in the struct
+    nn = scored.groupBy("_pid", "_truth").agg(
+        F.max(
+            F.struct("_dot", (-F.col("_id")).alias("_nid"), "_pred")
+        ).alias("_m")
+    )
+    return (
+        nn.select(
+            F.col("_truth").alias("truth"), F.col("_m._pred").alias("pred")
+        )
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("truth", "pred")
+    )
+
+
+@declared(
     "ext_mmr_select",
     oracle="""
     WITH qv AS MATERIALIZED (
