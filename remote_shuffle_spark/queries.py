@@ -62,6 +62,7 @@ def declared(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # After each round's gate runs, refresh this dict
 # (scripts/update_driver_verified.py prints the literal).
 DRIVER_VERIFIED_ROUND: dict[str, int] = {
+    "ext_ann_filtered": 10,
     "ext_apply_in_arrow": 8,
     "ext_approx_top_k": 7,
     "ext_asof_join": 7,
@@ -78,6 +79,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_bpe_tokens": 8,
     "ext_bpe_train": 8,
     "ext_bucketed_join": 6,
+    "ext_burst_detection": 10,
     "ext_char_entropy": 9,
     "ext_chi_square": 9,
     "ext_chunk_overlap": 8,
@@ -95,6 +97,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_dedup_groups": 8,
     "ext_dedup_incremental": 7,
     "ext_dedup_ladder": 9,
+    "ext_dedup_ladder_full": 10,
     "ext_dedup_minhash": 8,
     "ext_dedup_paragraph": 8,
     "ext_dedup_prefix_blocks": 7,
@@ -102,6 +105,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_dedup_substring": 9,
     "ext_doc_embedding_join": 7,
     "ext_doc_histogram": 8,
+    "ext_dsir_weights": 10,
     "ext_embedding_neardup": 8,
     "ext_event_debounce": 9,
     "ext_event_runs": 9,
@@ -109,9 +113,10 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_funnel": 9,
     "ext_fuzzy_join": 9,
     "ext_fuzzy_join_segments": 6,
-    "ext_fuzzy_join_suffix": 5,
+    "ext_fuzzy_join_suffix": 10,
     "ext_fuzzy_link": 6,
     "ext_global_index": 8,
+    "ext_hard_negatives": 10,
     "ext_heavy_hitters": 5,
     "ext_hll_rolling_distinct": 5,
     "ext_hll_rollup": 9,
@@ -119,6 +124,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_incremental_agg": 9,
     "ext_interval_overlap_join": 5,
     "ext_inverted_index": 9,
+    "ext_ivf_pq_recall": 10,
     "ext_join_size_estimate": 7,
     "ext_join_strategy_hints": 8,
     "ext_kcore": 9,
@@ -126,20 +132,24 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_kll_quantiles": 6,
     "ext_kll_rolling_quantile": 6,
     "ext_kmeans_cells": 9,
+    "ext_knn_eval": 10,
     "ext_knn_join": 6,
     "ext_knn_join_lsh": 7,
     "ext_label_centroids": 8,
     "ext_label_entropy": 9,
     "ext_label_propagation": 8,
     "ext_lang_id": 7,
+    "ext_line_cleaning": 10,
     "ext_market_basket": 8,
     "ext_market_basket_triples": 9,
     "ext_metadata_columns": 8,
     "ext_mixture_temperature": 8,
+    "ext_mmr_select": 10,
     "ext_multimodal_decode": 7,
     "ext_multimodal_features": 8,
     "ext_multimodal_frames": 8,
     "ext_ngram_jaccard": 7,
+    "ext_ngram_novelty": 10,
     "ext_pack_greedy": 9,
     "ext_pagerank": 6,
     "ext_pagerank_directed": 7,
@@ -147,7 +157,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_parameterized_sql": 7,
     "ext_per_key_sample": 9,
     "ext_pii_scrub": 8,
-    "ext_pmi_collocations": 4,
+    "ext_pmi_collocations": 10,
     "ext_pq_recall": 9,
     "ext_python_datasource": 6,
     "ext_python_datasource_write": 8,
@@ -165,8 +175,10 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_scalar_subquery_fanout": 7,
     "ext_scd2": 8,
     "ext_scd2_lookup": 9,
+    "ext_schema_evolution": 10,
     "ext_semantic_dedup": 9,
     "ext_session_funnel": 8,
+    "ext_session_window_dynamic": 10,
     "ext_session_window_native": 6,
     "ext_sessionize": 7,
     "ext_shard_assignment": 9,
@@ -175,6 +187,8 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_similarity_topk": 7,
     "ext_skew_report": 9,
     "ext_snapshot_diff": 9,
+    "ext_snapshot_drift": 10,
+    "ext_span_corruption": 10,
     "ext_sql_identifier": 8,
     "ext_sql_pipe": 8,
     "ext_sql_scripting": 7,
@@ -194,6 +208,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_stream_late_drop": 5,
     "ext_stream_outer_join": 6,
     "ext_stream_python_datasource": 6,
+    "ext_stream_session_dynamic": 10,
     "ext_stream_session_window": 6,
     "ext_stream_sessionize": 7,
     "ext_stream_stream_join": 9,
@@ -232,32 +247,32 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_year_over_year_cte": 7,
     "ext_zorder_key": 9,
     "ext_zorder_layout": 7,
-    "q01_scan_filter_agg": 5,
-    "q02_repartition": 5,
-    "q03_repartition_empty": 5,
-    "q04_global_sort": 5,
-    "q05_groupby_aqe": 5,
-    "q06_tpch_q1": 5,
-    "q07_groupbykey_collect": 5,
-    "q08_distinct": 5,
-    "q09_count_distinct": 5,
-    "q10_sort_merge_join": 5,
-    "q11_broadcast_join": 5,
-    "q12_semi_join": 5,
-    "q13_anti_join": 5,
-    "q14_multistage": 5,
-    "q15_skew_groupby": 5,
-    "q16_null_keys": 5,
-    "q17_window_topk": 5,
-    "q18_union_distinct": 5,
-    "q19_intersect": 5,
-    "q20_except": 5,
-    "q21_rollup": 5,
+    "q01_scan_filter_agg": 10,
+    "q02_repartition": 10,
+    "q03_repartition_empty": 10,
+    "q04_global_sort": 10,
+    "q05_groupby_aqe": 10,
+    "q06_tpch_q1": 10,
+    "q07_groupbykey_collect": 10,
+    "q08_distinct": 10,
+    "q09_count_distinct": 10,
+    "q10_sort_merge_join": 10,
+    "q11_broadcast_join": 10,
+    "q12_semi_join": 10,
+    "q13_anti_join": 10,
+    "q14_multistage": 10,
+    "q15_skew_groupby": 10,
+    "q16_null_keys": 10,
+    "q17_window_topk": 10,
+    "q18_union_distinct": 10,
+    "q19_intersect": 10,
+    "q20_except": 10,
+    "q21_rollup": 10,
     "q22_pivot": 6,
-    "q23_json_scalar": 5,
-    "q24_date_parts": 5,
-    "q25_cube": 5,
-    "q26_string_funcs": 5,
+    "q23_json_scalar": 10,
+    "q24_date_parts": 10,
+    "q25_cube": 10,
+    "q26_string_funcs": 10,
     "q27_explode_unnest": 6,
     "q28_percentiles": 6,
     "q29_approx_agg": 6,
@@ -293,13 +308,13 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q59_keep_latest": 7,
     "q60_sql_entry": 7,
     "q61_lateral_join": 7,
-    "q62_order_priority_exists": 4,
-    "q63_conditional_priority_agg": 4,
-    "q64_customer_order_histogram": 4,
-    "q65_promo_revenue_share": 4,
-    "q66_small_quantity_revenue": 4,
-    "q67_large_volume_orders": 4,
-    "q68_disjunctive_revenue": 4,
+    "q62_order_priority_exists": 10,
+    "q63_conditional_priority_agg": 10,
+    "q64_customer_order_histogram": 10,
+    "q65_promo_revenue_share": 10,
+    "q66_small_quantity_revenue": 10,
+    "q67_large_volume_orders": 10,
+    "q68_disjunctive_revenue": 10,
     "q69_idle_customer_balance": 5,
     "q70_grouping_id": 5,
     "q71_mom_growth": 5,
@@ -320,8 +335,11 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
 # Names whose LATEST external gate check was NOT fully green (err or any
 # mismatch): these outrank merely-stale rows in the gate window below,
 # regardless of an older green round.  Refreshed by the same helper.
-# Round 8 gate was 50/50 green, so this is currently empty.
-DRIVER_LATEST_FAILED: frozenset[str] = frozenset()
+# Round 10 gate was 49/50: ext_freshness_weights hash-only red (rebuilt
+# engine-exact in round 11) leads the window.
+DRIVER_LATEST_FAILED: frozenset[str] = frozenset({
+    "ext_freshness_weights",
+})
 
 # Derived flat set (kept for tests / external callers).
 DRIVER_VERIFIED: frozenset[str] = frozenset(DRIVER_VERIFIED_ROUND)

@@ -1,0 +1,182 @@
+"""Rounding-midpoint distance screen for the rounded-transcendental oracles.
+
+The round-10 gate recorded a hash-only mismatch on ext_freshness_weights that
+no local re-run reproduced; the prime suspect was a driver-side libm exp()
+differing by 1 ULP at a 6-dp rounding midpoint.  That query is now
+engine-exact (Python-precomputed literal weight table), but four other
+declared queries still round a transcendental (ln) to 6 dp on the compared
+path: ext_label_entropy, ext_char_entropy, ext_dsir_weights and
+ext_snapshot_drift (PSI terms + the KS round).  They are safe only while no
+compared term sits close enough to a 0.5e-6 rounding midpoint for a 1-ULP
+libm skew to flip the rounded digit.
+
+This screen PROVES that margin for the shipped fixtures: for every raw
+(pre-round) term at both gate SFs, the distance from the nearest rounding
+midpoint must exceed SCALED_MARGIN in round-scaled space.  A 1-ULP skew of a
+double x <= ~10 moves it by <= ~2e-15, i.e. <= ~2e-9 in 1e6-scaled space —
+three orders of magnitude inside the 1e-6 margin asserted here.  Fixture
+regeneration that lands a term near a midpoint fails THIS test loudly
+instead of surfacing as an unreproducible gate hash mismatch.
+
+DuckDB computes the raw terms (IEEE +,-,*,/ are correctly rounded and
+engine-identical; ln's possible 1-ULP skew is far below the asserted
+margin, so either engine's ln is valid for measuring the distance).
+"""
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+# minimum allowed |frac(value * 10^dp) - 0.5|; 1-ULP libm skew is ~2e-9 in
+# this scaled space for values <= ~10, so 1e-6 is a ~500x safety margin.
+SCALED_MARGIN = 1e-6
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _docs(sf_dir: str) -> str:
+    return f"read_parquet('{sf_dir}/documents.parquet')"
+
+
+def _assert_margin(values: list[float], dp: int, what: str) -> None:
+    assert values, f"{what}: screen query returned no terms"
+    scale = 10.0**dp
+    worst = min(abs((v * scale) % 1.0 - 0.5) for v in values)
+    assert worst > SCALED_MARGIN, (
+        f"{what}: a pre-round term sits {worst:.3e} (scaled) from a "
+        f"0.5e-{dp} rounding midpoint — a 1-ULP libm skew could flip the "
+        f"rounded digit and the gate hash; regenerate or re-quantize"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_label_entropy_terms_clear_of_midpoints(sf_dir):
+    rows = duckdb.sql(
+        f"""
+        WITH c AS (SELECT lang, COUNT(*) AS cnt FROM {_docs(sf_dir)} GROUP BY lang),
+        tot AS (SELECT SUM(cnt) AS n FROM c)
+        SELECT -(cnt / tot.n) * ln(cnt / tot.n) AS raw FROM c CROSS JOIN tot
+        """
+    ).fetchall()
+    _assert_margin([r[0] for r in rows], 6, "ext_label_entropy ln term")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_char_entropy_terms_clear_of_midpoints(sf_dir):
+    chars = ",".join("abcdefghijklmnopqrstuvwxyz0123456789")
+    rows = duckdb.sql(
+        f"""
+        WITH nt AS (SELECT doc_id, {_NORM} AS t FROM {_docs(sf_dir)}),
+        c AS (
+          SELECT doc_id,
+            list_transform(string_split('{chars}', ','),
+              ch -> CAST(len(t) - len(replace(t, ch, '')) AS BIGINT)) AS cnts
+          FROM nt
+        ), s AS (
+          SELECT doc_id, cnts, CAST(list_sum(cnts) AS BIGINT) AS n FROM c
+        )
+        SELECT UNNEST(list_filter(
+                 list_transform(cnts,
+                   x -> CASE WHEN x > 0
+                        THEN -(CAST(x AS DOUBLE) / n) * ln(CAST(x AS DOUBLE) / n)
+                        ELSE NULL END),
+                 v -> v IS NOT NULL)) AS raw
+        FROM s WHERE n > 0
+        """
+    ).fetchall()
+    _assert_margin([r[0] for r in rows], 6, "ext_char_entropy ln term")
+
+
+# NOTE on the SECOND rounding stage (char_entropy's round-5 of the decimal
+# sum): ~5% of per-doc 6-dp entropy sums sit EXACTLY on a 5-dp midpoint
+# (6th digit = 5) in the shipped fixtures, and the query is still green
+# every round — because an exact-decimal midpoint is NOT the libm hazard.
+# Both engines see the identical decimal; Spark's Round(double) goes
+# through BigDecimal.valueOf (the SHORTEST decimal representation, which
+# round-trips 6-dp sums exactly) with HALF_UP, and DuckDB's scaled
+# multiply lands exactly on .5 and rounds away-from-zero — identical
+# results for exact ties.  The fragile case is only a value that is NEAR
+# a midpoint because a transcendental computed it — which the tests above
+# screen.
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_dsir_log_ratio_terms_clear_of_midpoints(sf_dir):
+    rows = duckdb.sql(
+        f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, lang, string_split({_NORM}, ' ') AS tk FROM {_docs(sf_dir)}
+        ), bg AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 substr(md5(array_to_string(tk[i+1 : i+2], ' ')), 1, 3) AS b
+          FROM toks, UNNEST(range(len(tk) - 1)) AS r(i)
+          WHERE len(tk) >= 2
+        ), cnt AS MATERIALIZED (
+          SELECT b, COUNT(*) AS c_s, COUNT(*) FILTER (lang = 'en') AS c_t
+          FROM bg GROUP BY b
+        ), tot AS (SELECT SUM(c_s) AS n_s, SUM(c_t) AS n_t, COUNT(*) AS bb FROM cnt)
+        SELECT ln(((c_t + 1.0)/(n_t + bb)) / ((c_s + 1.0)/(n_s + bb))) AS raw
+        FROM cnt CROSS JOIN tot
+        """
+    ).fetchall()
+    _assert_margin([r[0] for r in rows], 6, "ext_dsir_weights log-ratio term")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_snapshot_drift_terms_clear_of_midpoints(sf_dir):
+    """PSI ln terms AND the raw KS distances (the KS stat is rational-only
+    but still passes through ROUND(double, 6), whose tie handling can
+    differ between BigDecimal HALF_UP and scaled-multiply rounding)."""
+    raws: list[float] = []
+    for feat_key in (
+        "lang",
+        f"len(string_split({_NORM}, ' ')) // 8",
+    ):
+        rows = duckdb.sql(
+            f"""
+            WITH old AS MATERIALIZED (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 7 = 0 THEN 'OLD ' || text ELSE text END AS text
+              FROM {_docs(sf_dir)} WHERE doc_id % 11 <> 0
+            ), new AS MATERIALIZED (
+              SELECT doc_id, lang, text FROM {_docs(sf_dir)} WHERE doc_id % 13 <> 0
+            ),
+            lo AS (SELECT {feat_key} AS k, COUNT(*) AS c_o FROM old GROUP BY 1),
+            ln_ AS (SELECT {feat_key} AS k, COUNT(*) AS c_n FROM new GROUP BY 1),
+            lf AS MATERIALIZED (
+              SELECT COALESCE(lo.k, ln_.k) AS k,
+                     COALESCE(c_o, 0) AS c_o, COALESCE(c_n, 0) AS c_n
+              FROM lo FULL OUTER JOIN ln_ ON lo.k = ln_.k
+            ), lt AS (SELECT SUM(c_o) AS t_o, SUM(c_n) AS t_n, COUNT(*) AS b FROM lf)
+            SELECT ((c_n + 1.0)/(t_n + b) - (c_o + 1.0)/(t_o + b))
+                   * ln(((c_n + 1.0)/(t_n + b)) / ((c_o + 1.0)/(t_o + b))) AS psi_raw,
+                   ABS(SUM(c_o) OVER (ORDER BY k
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t_o
+                     - SUM(c_n) OVER (ORDER BY k
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t_n)
+                     AS ks_raw
+            FROM lf CROSS JOIN lt
+            """
+        ).fetchall()
+        raws.extend(r[0] for r in rows)
+        raws.extend(r[1] for r in rows)
+    _assert_margin(raws, 6, "ext_snapshot_drift PSI/KS term")
+
+
+def test_freshness_weight_table_is_literal_and_exact():
+    """The rebuilt ext_freshness_weights must stay transcendental-free on
+    the compared path: its per-day weights are Python literals whose 6-dp
+    strings round-trip exactly, and the table extends to the day where
+    the weight reaches an exact 0.000000 (so the beyond-table coalesce to
+    zero is exact, not an approximation)."""
+    from remote_shuffle_spark.ext_queries import _FRESHNESS_ROWS
+
+    assert _FRESHNESS_ROWS[0] == (0, "1.000000", "1.000000")
+    assert _FRESHNESS_ROWS[-1][1] == "0.000000"
+    for d, w, s in _FRESHNESS_ROWS:
+        assert w == f"{round(math.exp(-d / 30.0), 6):.6f}"
+        assert s == f"{round(float(w) * float(w), 6):.6f}"

@@ -862,17 +862,43 @@ def _retry_once_on_load_flake(fn):
     family-protocol row; each passes solo in ~25 s).  Every wrapped test
     is idempotent per invocation (uuid-fresh sink names / tmp dirs), so
     one retry after a settle pause distinguishes a real protocol defect
-    (fails twice) from a load flake (passes on the quiet second run)."""
+    (fails twice) from a load flake (passes on the quiet second run).
+
+    The retry is NARROW: only the observed flake classes are retried —
+    AssertionError/TimeoutError (the 240 s poll deadline expiring before
+    the query converges) and socket / Py4J connection errors (slow
+    state-server socket drain).  Anything else (TypeError, KeyError,
+    AnalysisException, ...) is a real defect and re-raises immediately.
+    The first failure is recorded as a pytest WARNING (shown in the run
+    summary), so an intermittent 50%-failure protocol regression leaves
+    a visible flaky-test trail instead of a buried stdout line."""
+
+    _RETRYABLE = (AssertionError, TimeoutError, ConnectionError, EOFError)
+
+    def _is_load_flake(exc: Exception) -> bool:
+        if isinstance(exc, _RETRYABLE):
+            return True
+        # Py4J wraps JVM-side socket failures in its own exception types;
+        # match by name to avoid importing py4j internals here.
+        name = type(exc).__name__
+        return name in ("Py4JError", "Py4JJavaError", "Py4JNetworkError")
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         try:
             return fn(*args, **kwargs)
         except Exception as first:
+            if not _is_load_flake(first):
+                raise
             # keep the flaky signal visible: a swallowed first failure
             # would mask a real intermittent protocol defect's frequency
-            print(f"RETRY {fn.__name__}: first attempt failed with "
-                  f"{type(first).__name__}: {first}", flush=True)
+            import warnings
+
+            warnings.warn(
+                f"RETRY {fn.__name__}: first attempt failed with "
+                f"{type(first).__name__}: {first}",
+                stacklevel=2,
+            )
             _time.sleep(10)
             return fn(*args, **kwargs)
 
