@@ -435,3 +435,71 @@ def test_minhash_components_md5_groups_planted_near_dups(spark):
     for d in range(4):
         assert comps.get(d) == d and comps.get(100 + d) == d, (d, comps)
     assert 999 not in comps
+
+
+def test_incremental_minhash_dedup_statuses_and_path_equivalence(spark, tmp_path):
+    """Incremental dedup against a PERSISTED band index: planted exact
+    copies come out 'exact_dup', planted near copies (one edit per 19
+    tokens, jaccard ~0.8) 'near_dup', unrelated docs 'new' — and the
+    small-delta PUSHDOWN path (collected band keys as an IN filter over
+    the bkey-sorted index) returns exactly the join path's result."""
+    corpus_rows = []
+    for d in range(6):
+        corpus_rows.append((d, " ".join(f"c{d}w{i}" for i in range(60))))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    delta_rows = [(100, corpus_rows[0][1])]  # exact copy of doc 0
+    edited = [f"c1w{i}" for i in range(60)]
+    for p in range(0, 60, 19):
+        edited[p] = f"n1e{p}"
+    delta_rows.append((101, " ".join(edited)))  # near copy of doc 1
+    delta_rows.append((102, " ".join(f"fresh{i}" for i in range(60))))  # new
+    delta_rows.append((103, "xy"))  # < 3 tokens: unshingleable, 'new'
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+
+    idx_path = str(tmp_path / "band_index")
+    dedup.write_minhash_band_index(
+        dedup.minhash_band_index(corpus, "doc_id", "text"), idx_path
+    )
+    index = spark.read.parquet(idx_path)
+
+    join_res = {
+        r.doc_id: r.status
+        for r in dedup.incremental_minhash_dedup(
+            delta, corpus, "doc_id", "text", band_index=index
+        ).collect()
+    }
+    assert join_res == {
+        100: "exact_dup",
+        101: "near_dup",
+        102: "new",
+        103: "new",
+    }
+
+    push_res = {
+        r.doc_id: r.status
+        for r in dedup.incremental_minhash_dedup(
+            delta,
+            corpus,
+            "doc_id",
+            "text",
+            band_index=index,
+            pushdown_keys_limit=10_000,
+        ).collect()
+    }
+    assert push_res == join_res
+
+
+def test_incremental_minhash_index_drops_oversized_buckets_but_keeps_singletons(spark):
+    """Index-build cap semantics: a bucket shared by more corpus docs than
+    max_bucket_size is dropped (degenerate boilerplate), but size-1
+    buckets STAY — a future delta doc can land in them (unlike the
+    self-join pipelines' 2..cap rule)."""
+    boiler = " ".join(f"b{i}" for i in range(30))
+    rows = [(d, boiler) for d in range(5)]  # 5 identical docs, one bucket set
+    rows.append((99, " ".join(f"u{i}" for i in range(30))))  # unique doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = dedup.minhash_band_index(df, "doc_id", "text", max_bucket_size=3)
+    ids = {r.id for r in idx.select("id").distinct().collect()}
+    # the boilerplate docs' buckets all have size 5 > 3: dropped entirely
+    assert ids == {99}
