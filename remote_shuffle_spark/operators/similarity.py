@@ -1126,10 +1126,43 @@ def ivf_pq_write_index(
     cellc = F.broadcast(
         qdf.orderBy("_id")
         .limit(num_cells)
-        .select(F.col("_id").alias("_cid"), F.col("_q").alias("_cv"))
+        .select(F.col("_id").alias("cid"), F.col("_q").alias("cv"))
+    )
+    cents = F.broadcast(
+        qdf.orderBy("_id")
+        .limit(num_centroids)
+        .select(
+            F.col("_id").alias("j"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.slice(F.col("_q"), s * d_sub + 1, d_sub),
+                )
+            ).alias("s", "cv"),
+        )
+    )
+    codes = _ivf_encode(qdf, cellc, cents, m=m, d_sub=d_sub)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    cellc.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents.write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def _ivf_encode(
+    qdf: DataFrame, cellc: DataFrame, cents: DataFrame, *, m: int, d_sub: int
+) -> DataFrame:
+    """Shared IVFADC encode stage: quantized vectors ``(_id, _q)`` against
+    a centroid table ``(cid, cv)`` and a subspace codebook ``(j, s, cv)``
+    — argmin cell assignment (ties to smallest cid) plus per-subspace
+    argmin PQ codes, returned as ``(id, cell, codes array<long>)``.
+    Both :func:`ivf_pq_write_index` (model trained from the corpus) and
+    :func:`ivf_pq_upsert` (model FROZEN, read back from the index) run
+    exactly this — the encode math cannot drift between build and
+    ingest."""
+    cellb = F.broadcast(
+        cellc.select(F.col("cid").alias("_cid"), F.col("cv").alias("_cv"))
     )
     assigned = (
-        qdf.crossJoin(cellc)
+        qdf.crossJoin(cellb)
         .select("_id", "_q", "_cid", _ivfl2("_q", "_cv").alias("_cd"))
         .groupBy("_id")
         .agg(
@@ -1138,7 +1171,6 @@ def ivf_pq_write_index(
         )
         .select("_id", F.col("_m._cid").alias("cell"), "_q")
     )
-
     subs = assigned.select(
         "_id",
         "cell",
@@ -1149,21 +1181,13 @@ def ivf_pq_write_index(
             )
         ).alias("_s", "_sv"),
     )
-    cents = F.broadcast(
-        qdf.orderBy("_id")
-        .limit(num_centroids)
-        .select(
-            F.col("_id").alias("_j"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda s: F.slice(F.col("_q"), s * d_sub + 1, d_sub),
-                )
-            ).alias("_s", "_cv2"),
+    centb = F.broadcast(
+        cents.select(
+            F.col("j").alias("_j"), F.col("s").alias("_s"), F.col("cv").alias("_cv2")
         )
     )
-    codes = (
-        subs.join(cents, "_s")
+    return (
+        subs.join(centb, "_s")
         .select("_id", "cell", "_s", "_j", _ivfl2("_sv", "_cv2").alias("_d"))
         .groupBy("_id", "cell", "_s")
         .agg(F.min(F.struct("_d", "_j")).alias("_m"))
@@ -1179,13 +1203,40 @@ def ivf_pq_write_index(
             F.transform(F.col("_sc"), lambda x: x["_j"]).alias("codes"),
         )
     )
-    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
-    cellc.select(F.col("_cid").alias("cid"), F.col("_cv").alias("cv")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/centroids")
-    cents.select(
-        F.col("_j").alias("j"), F.col("_s").alias("s"), F.col("_cv2").alias("cv")
-    ).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivf_pq_upsert(
+    spark,
+    path: str,
+    delta_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int = 64,
+    num_subspaces: int = 8,
+    scale: int = 127,
+) -> None:
+    """Incremental INGEST into a persisted :func:`ivf_pq_write_index`
+    layout: the delta is encoded against the index's FROZEN model tables
+    (centroids + codebook read back from ``path`` — never retrained, so
+    existing codes stay valid and comparable) and its code rows are
+    APPENDED into only the touched ``cell=`` partition directories — the
+    vector-index twin of the incremental dedup band index, and the same
+    materialized-state thesis: index built once, every ingest pays only
+    delta-proportional encode + append, and probes see old and new
+    vectors through one partition-pruned scan.
+
+    At lake scale appends accumulate small files per cell; compact a
+    cell by rewriting just its directory (partition-scoped overwrite) —
+    the model tables never change until a full re-train/re-build."""
+    cellc = spark.read.parquet(f"{path}/centroids")
+    cents = spark.read.parquet(f"{path}/codebook")
+    d_sub = dim // num_subspaces
+    qdf = delta_df.select(
+        F.col(id_col).alias("_id"), _ivfq(vec_col, scale).alias("_q")
+    )
+    codes = _ivf_encode(qdf, cellc, cents, m=num_subspaces, d_sub=d_sub)
+    codes.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
 
 
 def ivf_pq_indexed_topk(

@@ -519,3 +519,31 @@ def test_ivf_pq_indexed_prunes_partitions_and_matches_inquery(spark, sf_smoke, t
         assert all(r.scanned < n_corpus for r in rs)
         dists = [r.adc_dist for r in sorted(rs, key=lambda x: x.rank)]
         assert dists == sorted(dists)
+
+
+def test_ivf_pq_upsert_equals_full_build_under_frozen_model(spark, sf_smoke, tmp_path):
+    """Frozen-model invariant: when the model vectors (smallest ids) all
+    live in the corpus split, build(corpus) + upsert(delta) must serve
+    EXACTLY what build(corpus ∪ delta) serves — the incremental path
+    changes the layout's history, never its content."""
+    emb = load_table(spark, sf_smoke, "embeddings").filter(F.col("vec_id") < 40)
+    corpus = emb.filter(F.col("vec_id") < 30)  # contains model ids 0..15
+    delta = emb.filter(F.col("vec_id") >= 30)
+    probes = emb.filter(F.col("vec_id") < 3)
+
+    inc_path = str(tmp_path / "inc")
+    similarity.ivf_pq_write_index(corpus, "vec_id", "embedding", inc_path)
+    similarity.ivf_pq_upsert(spark, inc_path, delta, "vec_id", "embedding")
+
+    full_path = str(tmp_path / "full")
+    similarity.ivf_pq_write_index(emb, "vec_id", "embedding", full_path)
+
+    def run(path):
+        return [
+            tuple(r)
+            for r in similarity.ivf_pq_indexed_topk(
+                spark, path, probes, "vec_id", "embedding", k=5, nprobe=2
+            ).collect()
+        ]
+
+    assert run(inc_path) == run(full_path)
