@@ -8762,6 +8762,190 @@ def ext_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _minhash_estimate_oracle_sql() -> str:
+    """DuckDB replay of the MinHash Jaccard-ESTIMATOR audit: md5
+    signatures (engine-identical min selection) for planted exact/near
+    pairs, per-pair agreement count vs exact integer shingle overlap."""
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(16)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, {{_NORM}} AS nt FROM documents
+    ), pairs AS MATERIALIZED (
+      SELECT doc_id AS a, doc_id + 1000000 AS b, 'exact' AS pair_type
+      FROM base WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id, doc_id + 2000000, 'near'
+      FROM base WHERE doc_id % 23 = 0
+    ), corpus AS MATERIALIZED (
+      SELECT doc_id, nt FROM base WHERE doc_id % 13 = 0 OR doc_id % 23 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, nt FROM base WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             array_to_string(list_transform(string_split(nt, ' '),
+               (t, i) -> CASE WHEN (i-1) % 19 = 0
+                              THEN 'n'||doc_id||'e'||CAST(i-1 AS VARCHAR)
+                              ELSE t END), ' ')
+      FROM base WHERE doc_id % 23 = 0
+    ), tk AS MATERIALIZED (
+      SELECT doc_id, string_split(nt, ' ') AS t FROM corpus
+      WHERE len(string_split(nt, ' ')) >= 3
+    ), msh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1 : i+3], ' ') AS sh
+      FROM tk, UNNEST(range(len(t) - 2)) AS r(i)
+    ), sig AS MATERIALIZED (
+      SELECT doc_id,
+           {mins}
+      FROM msh GROUP BY doc_id
+    ), scount AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS ns FROM msh GROUP BY doc_id
+    ), pinter AS MATERIALIZED (
+      SELECT p.a, p.b, COUNT(*) AS ni
+      FROM pairs p
+      JOIN msh x ON x.doc_id = p.a
+      JOIN msh y ON y.doc_id = p.b AND y.sh = x.sh
+      GROUP BY p.a, p.b
+    ), scored AS MATERIALIZED (
+      SELECT p.pair_type,
+             CAST({agree} AS BIGINT) AS est_k,
+             COALESCE(i.ni, 0) AS ni,
+             ca.ns + cb.ns - COALESCE(i.ni, 0) AS nu
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.a
+      JOIN sig sb ON sb.doc_id = p.b
+      JOIN scount ca ON ca.doc_id = p.a
+      JOIN scount cb ON cb.doc_id = p.b
+      LEFT JOIN pinter i ON i.a = p.a AND i.b = p.b
+    )
+    SELECT pair_type, est_k,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ni) AS BIGINT) AS sum_inter,
+           CAST(SUM(nu) AS BIGINT) AS sum_union
+    FROM scored GROUP BY pair_type, est_k ORDER BY pair_type, est_k
+    """
+
+
+@declared(
+    "ext_minhash_estimate",
+    oracle=_minhash_estimate_oracle_sql().replace("{_NORM}", _NORM),
+    tags=("ext", "dedup", "lsh", "stats"),
+)
+def ext_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR accuracy audit — the measurement that justifies
+    every signature-table byte: the fraction of agreeing signature
+    components (16 md5 min-hashes, operators/dedup.py:_md5_signatures)
+    is the classic unbiased Jaccard estimator, and this query compares
+    it against the EXACT integer shingle overlap on planted pairs —
+    exact copies (%13 donors, must read 16/16 with inter == union) and
+    near copies (%23 donors, every-19th-token edit, true Jaccard
+    ~0.7-0.8).  Reported as the (pair_type, est_k) histogram with the
+    exact intersection/union sums per bucket, so the estimator's
+    concentration (and its k=16 quantization) is visible directly — the
+    number a pipeline reads to pick num_hashes/bands before committing
+    to an LSH layout at corpus scale.
+
+    Everything is engine-identical: md5 min-selection for the
+    signatures, integer set sizes for the truth.  Scale shape: two
+    map-side-combinable shuffles (signatures, shingle-overlap count) —
+    pairs are planted donor->copy, no LSH fan-out involved."""
+    from remote_shuffle_spark.functions.hashing import (
+        tokens as _toks,
+        word_shingles_from_tokens,
+    )
+    from remote_shuffle_spark.operators.dedup import _md5_signatures
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    donors = docs.filter(
+        (F.col("doc_id") % 13 == 0) | (F.col("doc_id") % 23 == 0)
+    )
+    exact_copies = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    did = F.col("doc_id").cast("string")
+    near_copies = (
+        docs.filter(F.col("doc_id") % 23 == 0)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    _toks("text"),
+                    lambda t, i: F.when(
+                        i % 19 == 0,
+                        F.concat(F.lit("n"), did, F.lit("e"), i.cast("string")),
+                    ).otherwise(t),
+                ),
+            ).alias("text"),
+        )
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    corpus = donors.unionAll(exact_copies).unionAll(near_copies)
+    tk = corpus.select(
+        F.col("doc_id").alias("_mm_id"), _toks("text").alias("_mm_tk")
+    ).filter(F.size("_mm_tk") >= 3)
+    sig = _md5_signatures(tk, shingle_len=3, num_hashes=16).localCheckpoint(
+        eager=True
+    )  # one row per doc; read by both pair sides
+    sets = tk.select(
+        "_mm_id",
+        F.array_distinct(word_shingles_from_tokens(F.col("_mm_tk"), 3)).alias(
+            "_sset"
+        ),
+    )
+
+    pairs = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + 1000000).alias("b"),
+        F.lit("exact").alias("pair_type"),
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 23 == 0).select(
+            F.col("doc_id").alias("a"),
+            (F.col("doc_id") + 2000000).alias("b"),
+            F.lit("near").alias("pair_type"),
+        )
+    )
+    sig_a = sig.select(
+        F.col("_mm_id").alias("a"), *[F.col(f"_h{i}").alias(f"_a{i}") for i in range(16)]
+    )
+    sig_b = sig.select(
+        F.col("_mm_id").alias("b"), *[F.col(f"_h{i}").alias(f"_b{i}") for i in range(16)]
+    )
+    set_a = sets.select(F.col("_mm_id").alias("a"), F.col("_sset").alias("_set_a"))
+    set_b = sets.select(F.col("_mm_id").alias("b"), F.col("_sset").alias("_set_b"))
+    est = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    union = F.size(F.array_union("_set_a", "_set_b"))
+    scored = (
+        pairs.join(sig_a, "a")
+        .join(sig_b, "b")
+        .join(set_a, "a")
+        .join(set_b, "b")
+        .select(
+            "pair_type",
+            est.cast("long").alias("est_k"),
+            inter.alias("_ni"),
+            union.alias("_nu"),
+        )
+    )
+    return (
+        scored.groupBy("pair_type", "est_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_ni").cast("long").alias("sum_inter"),
+            F.sum("_nu").cast("long").alias("sum_union"),
+        )
+        .orderBy("pair_type", "est_k")
+    )
+
+
 def _kcore_oracle_sql(k: int = 3, rounds: int = 4) -> str:
     """Unrolled DuckDB mirror of operators/graph.py:kcore_peel over the
     orderkey DIVISION-TREE graph (edge o_orderkey -- o_orderkey//2):

@@ -925,6 +925,38 @@ def exact_substring_dedup_apply(
     )
 
 
+def _md5_signatures(
+    tk: DataFrame,
+    *,
+    shingle_len: int,
+    num_hashes: int,
+) -> DataFrame:
+    """(_mm_id, _h0.._h{k-1}) md5-MinHash SIGNATURES — the per-doc min of
+    ``md5(seed || '|' || shingle)`` over the distinct shingle set, one
+    column per seed (engine-identical selection, the
+    minhash_components_md5 contract).  Shared by the banding pipelines
+    and the estimator-accuracy face (ext_minhash_estimate): the
+    fraction of agreeing components is the classic unbiased Jaccard
+    estimator these signatures exist for.  One map-side-combinable
+    groupBy shuffle."""
+    sh = tk.select(
+        "_mm_id",
+        F.explode(
+            F.array_distinct(
+                word_shingles_from_tokens(F.col("_mm_tk"), shingle_len)
+            )
+        ).alias("_mm_sh"),
+    )
+    return sh.groupBy("_mm_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_mm_sh")))
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def _md5_band_tags(
     tk: DataFrame,
     *,
@@ -941,20 +973,9 @@ def _md5_band_tags(
     :func:`minhash_components_md5`; the ONE shuffle here is the
     per-doc groupBy carrying ``num_hashes`` 32-char min-hash strings
     (map-side combinable MIN aggregates)."""
-    n, r = shingle_len, num_hashes // num_bands
-    sh = tk.select(
-        "_mm_id",
-        F.explode(
-            F.array_distinct(word_shingles_from_tokens(F.col("_mm_tk"), n))
-        ).alias("_mm_sh"),
-    )
-    sig = sh.groupBy("_mm_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_mm_sh")))
-            ).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
+    r = num_hashes // num_bands
+    sig = _md5_signatures(
+        tk, shingle_len=shingle_len, num_hashes=num_hashes
     )
     bands = F.array(
         *[
