@@ -8762,6 +8762,285 @@ def ext_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _index_refresh_oracle_sql() -> str:
+    """DuckDB replay of the TWO-GENERATION incremental ingest loop:
+    gen-1 dedups delta1 against the corpus band index, its 'new' docs'
+    band rows are folded in (refresh cap: new + existing <= 64 per
+    bucket, operators/dedup.py:minhash_band_index_refresh), then gen-2
+    dedups delta2 against the refreshed index + grown text corpus.
+    Same md5 engine-identical algebra as the incremental oracle."""
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(16)
+    )
+    band_keys = ", ".join(
+        f"'{b}|'||h{2 * b}||'|'||h{2 * b + 1}" for b in range(8)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, {{_NORM}} AS nt FROM documents
+    ), corpus AS MATERIALIZED (
+      SELECT doc_id, nt FROM base WHERE doc_id % 10 NOT IN (3, 7)
+    ), delta1 AS MATERIALIZED (
+      SELECT doc_id, nt FROM base WHERE doc_id % 10 = 3
+    ), delta2 AS MATERIALIZED (
+      SELECT doc_id, nt FROM base WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 3000000,
+             array_to_string(list_transform(string_split(nt, ' '),
+               (t, i) -> CASE WHEN (i-1) % 19 = 0
+                              THEN 'm'||doc_id||'e'||CAST(i-1 AS VARCHAR)
+                              ELSE t END), ' ')
+      FROM base WHERE doc_id % 10 = 3 AND doc_id % 3 = 0
+    ), surv1 AS MATERIALIZED (
+      SELECT d.doc_id, d.nt FROM delta1 d
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.nt = d.nt)
+    ), ctk AS MATERIALIZED (
+      SELECT doc_id, string_split(nt, ' ') AS tk FROM corpus
+      WHERE len(string_split(nt, ' ')) >= 3
+    ), csh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(tk[i+1 : i+3], ' ') AS sh
+      FROM ctk, UNNEST(range(len(tk) - 2)) AS r(i)
+    ), csig AS MATERIALIZED (
+      SELECT doc_id,
+           {mins}
+      FROM csh GROUP BY doc_id
+    ), cbands AS MATERIALIZED (
+      SELECT doc_id, u.bkey FROM csig, UNNEST([{band_keys}]) AS u(bkey)
+    ), cbsz AS MATERIALIZED (
+      SELECT bkey, COUNT(*) AS bs FROM cbands GROUP BY bkey
+    ), idx1 AS MATERIALIZED (
+      SELECT b.bkey, b.doc_id FROM cbands b JOIN cbsz s ON b.bkey = s.bkey
+      WHERE s.bs <= 64
+    ), d1tk AS MATERIALIZED (
+      SELECT doc_id, string_split(nt, ' ') AS tk FROM surv1
+      WHERE len(string_split(nt, ' ')) >= 3
+    ), d1sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(tk[i+1 : i+3], ' ') AS sh
+      FROM d1tk, UNNEST(range(len(tk) - 2)) AS r(i)
+    ), d1sig AS MATERIALIZED (
+      SELECT doc_id,
+           {mins}
+      FROM d1sh GROUP BY doc_id
+    ), d1bands AS MATERIALIZED (
+      SELECT doc_id, u.bkey FROM d1sig, UNNEST([{band_keys}]) AS u(bkey)
+    ), cand1 AS MATERIALIZED (
+      SELECT DISTINCT d.doc_id AS did, i.doc_id AS cid
+      FROM d1bands d JOIN idx1 i ON d.bkey = i.bkey
+    ), ccount AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS ns FROM csh GROUP BY doc_id
+    ), d1count AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS ns FROM d1sh GROUP BY doc_id
+    ), inter1 AS MATERIALIZED (
+      SELECT c.did, c.cid, COUNT(*) AS ni
+      FROM cand1 c
+      JOIN d1sh x ON x.doc_id = c.did
+      JOIN csh y ON y.doc_id = c.cid AND y.sh = x.sh
+      GROUP BY c.did, c.cid
+    ), near1 AS MATERIALIZED (
+      SELECT DISTINCT c.did AS doc_id
+      FROM cand1 c
+      JOIN d1count sd ON sd.doc_id = c.did
+      JOIN ccount sc ON sc.doc_id = c.cid
+      LEFT JOIN inter1 i ON i.did = c.did AND i.cid = c.cid
+      WHERE 2 * COALESCE(i.ni, 0) >= sd.ns + sc.ns - COALESCE(i.ni, 0)
+    ), status1 AS MATERIALIZED (
+      SELECT d.doc_id,
+             CASE WHEN s.doc_id IS NULL THEN 'exact_dup'
+                  WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'new' END AS status
+      FROM delta1 d
+      LEFT JOIN surv1 s ON s.doc_id = d.doc_id
+      LEFT JOIN near1 n ON n.doc_id = d.doc_id
+    ), new1 AS MATERIALIZED (
+      SELECT s.doc_id, s.nt FROM surv1 s
+      WHERE NOT EXISTS (SELECT 1 FROM near1 n WHERE n.doc_id = s.doc_id)
+    ), n1bands AS MATERIALIZED (
+      SELECT b.doc_id, b.bkey FROM d1bands b
+      WHERE EXISTS (SELECT 1 FROM new1 w WHERE w.doc_id = b.doc_id)
+    ), n1sz AS MATERIALIZED (
+      SELECT bkey, COUNT(*) AS nn FROM n1bands GROUP BY bkey
+    ), idx1sz AS MATERIALIZED (
+      SELECT bkey, COUNT(*) AS en FROM idx1 GROUP BY bkey
+    ), idx2 AS MATERIALIZED (
+      SELECT bkey, doc_id FROM idx1
+      UNION ALL
+      SELECT b.bkey, b.doc_id
+      FROM n1bands b
+      JOIN n1sz s ON s.bkey = b.bkey
+      LEFT JOIN idx1sz e ON e.bkey = b.bkey
+      WHERE s.nn + COALESCE(e.en, 0) <= 64
+    ), corpus2 AS MATERIALIZED (
+      SELECT doc_id, nt FROM corpus
+      UNION ALL
+      SELECT doc_id, nt FROM new1
+    ), surv2 AS MATERIALIZED (
+      SELECT d.doc_id, d.nt FROM delta2 d
+      WHERE NOT EXISTS (SELECT 1 FROM corpus2 c WHERE c.nt = d.nt)
+    ), c2tk AS MATERIALIZED (
+      SELECT doc_id, string_split(nt, ' ') AS tk FROM corpus2
+      WHERE len(string_split(nt, ' ')) >= 3
+    ), c2sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(tk[i+1 : i+3], ' ') AS sh
+      FROM c2tk, UNNEST(range(len(tk) - 2)) AS r(i)
+    ), c2count AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS ns FROM c2sh GROUP BY doc_id
+    ), d2tk AS MATERIALIZED (
+      SELECT doc_id, string_split(nt, ' ') AS tk FROM surv2
+      WHERE len(string_split(nt, ' ')) >= 3
+    ), d2sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(tk[i+1 : i+3], ' ') AS sh
+      FROM d2tk, UNNEST(range(len(tk) - 2)) AS r(i)
+    ), d2sig AS MATERIALIZED (
+      SELECT doc_id,
+           {mins}
+      FROM d2sh GROUP BY doc_id
+    ), d2bands AS MATERIALIZED (
+      SELECT doc_id, u.bkey FROM d2sig, UNNEST([{band_keys}]) AS u(bkey)
+    ), cand2 AS MATERIALIZED (
+      SELECT DISTINCT d.doc_id AS did, i.doc_id AS cid
+      FROM d2bands d JOIN idx2 i ON d.bkey = i.bkey
+    ), d2count AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS ns FROM d2sh GROUP BY doc_id
+    ), inter2 AS MATERIALIZED (
+      SELECT c.did, c.cid, COUNT(*) AS ni
+      FROM cand2 c
+      JOIN d2sh x ON x.doc_id = c.did
+      JOIN c2sh y ON y.doc_id = c.cid AND y.sh = x.sh
+      GROUP BY c.did, c.cid
+    ), near2 AS MATERIALIZED (
+      SELECT DISTINCT c.did AS doc_id
+      FROM cand2 c
+      JOIN d2count sd ON sd.doc_id = c.did
+      JOIN c2count sc ON sc.doc_id = c.cid
+      LEFT JOIN inter2 i ON i.did = c.did AND i.cid = c.cid
+      WHERE 2 * COALESCE(i.ni, 0) >= sd.ns + sc.ns - COALESCE(i.ni, 0)
+    ), status2 AS MATERIALIZED (
+      SELECT d.doc_id,
+             CASE WHEN s.doc_id IS NULL THEN 'exact_dup'
+                  WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'new' END AS status
+      FROM delta2 d
+      LEFT JOIN surv2 s ON s.doc_id = d.doc_id
+      LEFT JOIN near2 n ON n.doc_id = d.doc_id
+    )
+    SELECT 'g1' AS generation, status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM status1 GROUP BY status
+    UNION ALL
+    SELECT 'g2', status, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM status2 GROUP BY status
+    ORDER BY generation, status
+    """
+
+
+@declared(
+    "ext_dedup_index_refresh",
+    oracle=_index_refresh_oracle_sql().replace("{_NORM}", _NORM),
+    tags=("ext", "dedup", "lsh", "incremental"),
+)
+def ext_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental ingest loop CLOSED over two generations: delta1 is
+    deduped against the persisted corpus band index
+    (ext_dedup_incremental_minhash's machinery), its 'new' docs are
+    folded back into the index
+    (operators/dedup.py:minhash_band_index_refresh — append with the
+    cap checked against current bucket totals, so the <=cap invariant
+    survives every generation), and delta2 is then deduped against the
+    REFRESHED index + grown corpus.  delta2 plants near copies of
+    delta1 docs (every-19th-token edits of %10==3 ∧ %3==0 donors) —
+    catching them as 'near_dup' in g2 is only possible because the
+    refresh landed the donors' band rows: the one-query proof the loop
+    works, and the full engine-side realization of the reference's
+    materialized-state thesis (state written by one job, consumed AND
+    EXTENDED by the next).
+
+    Reported as the per-generation status funnel
+    (generation, status, n_docs, id_checksum); the whole two-round
+    pipeline is md5-engine-identical, so the oracle replays both
+    generations exactly.  The scratch index is uuid-unique per
+    invocation with cleanup after the eager checkpoint."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+    from remote_shuffle_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+        minhash_band_index_refresh,
+        write_minhash_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(~F.pmod(F.col("doc_id"), F.lit(10)).isin(3, 7))
+    delta1 = docs.filter(F.col("doc_id") % 10 == 3)
+    did = F.col("doc_id").cast("string")
+    d2_plants = (
+        docs.filter((F.col("doc_id") % 10 == 3) & (F.col("doc_id") % 3 == 0))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    _toks("text"),
+                    lambda t, i: F.when(
+                        i % 19 == 0,
+                        F.concat(F.lit("m"), did, F.lit("e"), i.cast("string")),
+                    ).otherwise(t),
+                ),
+            ).alias("text"),
+        )
+        .select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    )
+    delta2 = docs.filter(F.col("doc_id") % 10 == 7).unionAll(d2_plants)
+
+    path = os.path.join(tempfile.gettempdir(), f"mhrefresh_{uuid.uuid4().hex}")
+    try:
+        write_minhash_band_index(
+            minhash_band_index(corpus, "doc_id", "text"), path
+        )
+        r1 = incremental_minhash_dedup(
+            delta1,
+            corpus,
+            "doc_id",
+            "text",
+            band_index=spark.read.parquet(path),
+        ).localCheckpoint(eager=True)  # statuses feed the report AND new1
+        g1 = r1.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        ).select(F.lit("g1").alias("generation"), "status", "n_docs", "id_checksum")
+
+        new1 = delta1.join(
+            r1.filter(F.col("status") == "new").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        minhash_band_index_refresh(spark, path, new1, "doc_id", "text")
+        corpus2 = corpus.unionAll(new1)
+        r2 = incremental_minhash_dedup(
+            delta2,
+            corpus2,
+            "doc_id",
+            "text",
+            band_index=spark.read.parquet(path),
+        )
+        g2 = r2.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        ).select(F.lit("g2").alias("generation"), "status", "n_docs", "id_checksum")
+        return (
+            g1.unionAll(g2)
+            .orderBy("generation", "status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _minhash_estimate_oracle_sql() -> str:
     """DuckDB replay of the MinHash Jaccard-ESTIMATOR audit: md5
     signatures (engine-identical min selection) for planted exact/near

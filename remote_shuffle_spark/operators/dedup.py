@@ -1356,3 +1356,79 @@ def incremental_minhash_dedup(
             .alias("status"),
         )
     )
+
+
+def minhash_band_index_refresh(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_len: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    num_files: int = 4,
+) -> None:
+    """Fold freshly-ingested (already-deduped) documents INTO a persisted
+    :func:`minhash_band_index` — the step that closes the incremental
+    ingest loop: after :func:`incremental_minhash_dedup` passes a
+    delta's 'new' docs, their band rows are APPENDED so the NEXT delta
+    dedups against corpus + every prior generation.
+
+    Cap discipline on append: a new row lands only if its bucket's
+    post-append size (existing index rows + new rows for that key)
+    stays within ``max_bucket_size`` — so the <=cap invariant every
+    probe relies on survives any number of refresh generations.  The
+    existing-count lookup is a semi-join of the index restricted to the
+    NEW keys (delta-proportional, like the probe itself).  Note the
+    one asymmetry: a bucket the original build dropped as degenerate
+    has zero index rows, so new arrivals can repopulate it up to the
+    cap — compaction (a full rebuild) re-evaluates every bucket against
+    the whole corpus; schedule it like any index maintenance.
+
+    Appended files are written sorted by bkey so the small-delta
+    pushdown path keeps skipping row groups across generations."""
+    tk = new_df.select(
+        F.col(id_col).alias("_mm_id"), tokens(text_col).alias("_mm_tk")
+    ).filter(F.size("_mm_tk") >= shingle_len)
+    new_tags = _md5_band_tags(
+        tk,
+        shingle_len=shingle_len,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+    ).localCheckpoint(eager=True)  # ∝ delta; read three times below
+    new_sizes = new_tags.groupBy("_mm_bucket").agg(
+        F.count(F.lit(1)).alias("_new_n")
+    )
+    existing = spark.read.parquet(path)
+    existing_sizes = (
+        existing.join(
+            new_sizes.select(F.col("_mm_bucket").alias("bkey")),
+            "bkey",
+            "left_semi",
+        )
+        .groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("_old_n"))
+    )
+    kept_keys = (
+        new_sizes.join(
+            existing_sizes.withColumnRenamed("bkey", "_mm_bucket"),
+            "_mm_bucket",
+            "left",
+        )
+        .filter(
+            F.col("_new_n") + F.coalesce(F.col("_old_n"), F.lit(0))
+            <= max_bucket_size
+        )
+        .select("_mm_bucket")
+    )
+    (
+        new_tags.join(kept_keys, "_mm_bucket")
+        .select(F.col("_mm_bucket").alias("bkey"), F.col("_mm_id").alias("id"))
+        .repartitionByRange(num_files, "bkey")
+        .sortWithinPartitions("bkey")
+        .write.mode("append")
+        .parquet(path)
+    )
