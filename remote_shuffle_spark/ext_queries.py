@@ -8999,8 +8999,11 @@ def ext_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(tempfile.gettempdir(), f"mhrefresh_{uuid.uuid4().hex}")
     try:
+        # 4 range files: enough for the sorted-layout contract, a quarter
+        # of the write tasks at fixture scale (this query pays the build
+        # per invocation — unlike the snapshot-cached probe index)
         write_minhash_band_index(
-            minhash_band_index(corpus, "doc_id", "text"), path
+            minhash_band_index(corpus, "doc_id", "text"), path, num_files=4
         )
         r1 = incremental_minhash_dedup(
             delta1,

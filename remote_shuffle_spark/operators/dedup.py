@@ -1250,7 +1250,8 @@ def incremental_minhash_dedup(
     delta_h = delta_df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text"), h.alias("_h")
     )
-    exact_ids = delta_h.join(corpus_hashes, "_h", "left_semi").select("_id")
+    # survivors is the ONLY corpus-hash join; exact dups are derived as
+    # its complement at the end (one less corpus-side branch per call)
     survivors = delta_h.join(corpus_hashes, "_h", "left_anti").select(
         "_id", "_text"
     )
@@ -1277,9 +1278,13 @@ def incremental_minhash_dedup(
         shingle_len=shingle_len,
         num_hashes=num_hashes,
         num_bands=num_bands,
-    ).localCheckpoint(eager=True)  # ∝ delta; read twice on the pushdown path
+    )
 
     if pushdown_keys_limit is not None:
+        # the key collection below re-reads the band frame the join also
+        # needs — materialize it once (∝ delta); the join-only path reads
+        # it once and skips the checkpoint job
+        delta_bands = delta_bands.localCheckpoint(eager=True)
         keys = [
             r[0]
             for r in delta_bands.select("_mm_bucket")
@@ -1339,7 +1344,7 @@ def incremental_minhash_dedup(
     all_ids = delta_h.select("_id")
     return (
         all_ids.join(
-            exact_ids.withColumn("_ex", F.lit(1)), "_id", "left"
+            survivors.select("_id").withColumn("_sv", F.lit(1)), "_id", "left"
         )
         .join(
             near_ids.withColumnRenamed("_did", "_id").withColumn(
@@ -1350,7 +1355,7 @@ def incremental_minhash_dedup(
         )
         .select(
             F.col("_id").alias(id_col),
-            F.when(F.col("_ex") == 1, F.lit("exact_dup"))
+            F.when(F.col("_sv").isNull(), F.lit("exact_dup"))
             .when(F.col("_nr") == 1, F.lit("near_dup"))
             .otherwise(F.lit("new"))
             .alias("status"),
