@@ -9044,6 +9044,85 @@ def ext_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _band_index_stats_oracle_sql() -> str:
+    """DuckDB replay of the band-index BUILD report: pre-cap bucket-size
+    histogram over the corpus band tags plus the degenerate (dropped)
+    tail — md5 banding identical to minhash_band_index."""
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(16)
+    )
+    band_keys = ", ".join(
+        f"'{b}|'||h{2 * b}||'|'||h{2 * b + 1}" for b in range(8)
+    )
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, {{_NORM}} AS nt FROM documents WHERE doc_id % 10 <> 7
+    ), ctk AS MATERIALIZED (
+      SELECT doc_id, string_split(nt, ' ') AS tk FROM corpus
+      WHERE len(string_split(nt, ' ')) >= 3
+    ), csh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(tk[i+1 : i+3], ' ') AS sh
+      FROM ctk, UNNEST(range(len(tk) - 2)) AS r(i)
+    ), csig AS MATERIALIZED (
+      SELECT doc_id,
+           {mins}
+      FROM csh GROUP BY doc_id
+    ), cbands AS MATERIALIZED (
+      SELECT doc_id, u.bkey FROM csig, UNNEST([{band_keys}]) AS u(bkey)
+    ), cbsz AS MATERIALIZED (
+      SELECT bkey, COUNT(*) AS bs FROM cbands GROUP BY bkey
+    )
+    SELECT CASE WHEN bs > 64 THEN -1 ELSE bs END AS bucket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(bs) AS BIGINT) AS n_rows
+    FROM cbsz GROUP BY 1 ORDER BY 1
+    """
+
+
+@declared(
+    "ext_band_index_stats",
+    oracle=_band_index_stats_oracle_sql().replace("{_NORM}", _NORM),
+    tags=("ext", "dedup", "lsh", "audit"),
+)
+def ext_band_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-index BUILD health report — the stats command every
+    production LSH index ships: the pre-cap bucket-size histogram
+    (bucket_size, n_buckets, n_rows) with the degenerate tail folded
+    into one ``bucket_size = -1`` row (buckets over the cap of 64 —
+    boilerplate keys the build DROPS; their row count is exactly what
+    the skew guard saved the pair join from).  Size-1 buckets dominate
+    healthy corpora (no collision); the 2+ sizes price the candidate
+    fan-out the probes will pay; a fat -1 row means the shingle/band
+    parameters need retuning BEFORE the index is built at corpus scale.
+
+    Same corpus split and md5 banding as ext_dedup_incremental_minhash's
+    index, so this is the audit face of that layout.  One
+    map-side-combinable shuffle (signatures) + one bucket count."""
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+    from remote_shuffle_spark.operators.dedup import _md5_band_tags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    tk = corpus.select(
+        F.col("doc_id").alias("_mm_id"), _toks("text").alias("_mm_tk")
+    ).filter(F.size("_mm_tk") >= 3)
+    tags = _md5_band_tags(tk, shingle_len=3, num_hashes=16, num_bands=8)
+    sizes = tags.groupBy("_mm_bucket").agg(F.count(F.lit(1)).alias("_bs"))
+    return (
+        sizes.groupBy(
+            F.when(F.col("_bs") > 64, F.lit(-1))
+            .otherwise(F.col("_bs"))
+            .cast("long")
+            .alias("bucket_size")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("_bs").cast("long").alias("n_rows"),
+        )
+        .orderBy("bucket_size")
+    )
+
+
 def _minhash_estimate_oracle_sql() -> str:
     """DuckDB replay of the MinHash Jaccard-ESTIMATOR audit: md5
     signatures (engine-identical min selection) for planted exact/near
