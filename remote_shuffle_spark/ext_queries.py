@@ -9044,6 +9044,185 @@ def ext_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _incremental_bucketed_oracle_sql() -> str:
+    """DuckDB replay of incremental_minhash_dedup over the BUCKETED-index
+    fixture (corpus %10 != 9, delta = held-out %10 == 9 + %17 exact +
+    %29 near plants) — identical algebra to
+    _incremental_minhash_oracle_sql, different split so the two
+    queries' oracle texts never alias each other (the shared-oracle
+    str.replace trap)."""
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(16)
+    )
+    band_keys = ", ".join(
+        f"'{b}|'||h{2 * b}||'|'||h{2 * b + 1}" for b in range(8)
+    )
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, {{_NORM}} AS nt FROM documents WHERE doc_id % 10 <> 9
+    ), delta AS MATERIALIZED (
+      SELECT doc_id, {{_NORM}} AS nt FROM documents WHERE doc_id % 10 = 9
+      UNION ALL
+      SELECT doc_id + 1000000, {{_NORM}} FROM documents
+      WHERE doc_id % 10 <> 9 AND doc_id % 17 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             array_to_string(list_transform(string_split({{_NORM}}, ' '),
+               (t, i) -> CASE WHEN (i-1) % 19 = 0
+                              THEN 'k'||doc_id||'e'||CAST(i-1 AS VARCHAR)
+                              ELSE t END), ' ')
+      FROM documents WHERE doc_id % 10 <> 9 AND doc_id % 29 = 0
+    ), surv AS MATERIALIZED (
+      SELECT d.doc_id, d.nt FROM delta d
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.nt = d.nt)
+    ), ctk AS MATERIALIZED (
+      SELECT doc_id, string_split(nt, ' ') AS tk FROM corpus
+      WHERE len(string_split(nt, ' ')) >= 3
+    ), csh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(tk[i+1 : i+3], ' ') AS sh
+      FROM ctk, UNNEST(range(len(tk) - 2)) AS r(i)
+    ), csig AS MATERIALIZED (
+      SELECT doc_id,
+           {mins}
+      FROM csh GROUP BY doc_id
+    ), cbands AS MATERIALIZED (
+      SELECT doc_id, u.bkey FROM csig, UNNEST([{band_keys}]) AS u(bkey)
+    ), cbsz AS MATERIALIZED (
+      SELECT bkey, COUNT(*) AS bs FROM cbands GROUP BY bkey
+    ), idx AS MATERIALIZED (
+      SELECT b.bkey, b.doc_id FROM cbands b JOIN cbsz s ON b.bkey = s.bkey
+      WHERE s.bs <= 64
+    ), dtk AS MATERIALIZED (
+      SELECT doc_id, string_split(nt, ' ') AS tk FROM surv
+      WHERE len(string_split(nt, ' ')) >= 3
+    ), dsh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(tk[i+1 : i+3], ' ') AS sh
+      FROM dtk, UNNEST(range(len(tk) - 2)) AS r(i)
+    ), dsig AS MATERIALIZED (
+      SELECT doc_id,
+           {mins}
+      FROM dsh GROUP BY doc_id
+    ), dbands AS MATERIALIZED (
+      SELECT doc_id, u.bkey FROM dsig, UNNEST([{band_keys}]) AS u(bkey)
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT d.doc_id AS did, i.doc_id AS cid
+      FROM dbands d JOIN idx i ON d.bkey = i.bkey
+    ), dcount AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS ns FROM dsh GROUP BY doc_id
+    ), ccount AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS ns FROM csh GROUP BY doc_id
+    ), inter AS MATERIALIZED (
+      SELECT c.did, c.cid, COUNT(*) AS ni
+      FROM cand c
+      JOIN dsh x ON x.doc_id = c.did
+      JOIN csh y ON y.doc_id = c.cid AND y.sh = x.sh
+      GROUP BY c.did, c.cid
+    ), near AS MATERIALIZED (
+      SELECT DISTINCT c.did AS doc_id
+      FROM cand c
+      JOIN dcount sd ON sd.doc_id = c.did
+      JOIN ccount sc ON sc.doc_id = c.cid
+      LEFT JOIN inter i ON i.did = c.did AND i.cid = c.cid
+      WHERE 2 * COALESCE(i.ni, 0) >= sd.ns + sc.ns - COALESCE(i.ni, 0)
+    ), status AS (
+      SELECT d.doc_id,
+             CASE WHEN s.doc_id IS NULL THEN 'exact_dup'
+                  WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'new' END AS status
+      FROM delta d
+      LEFT JOIN surv s ON s.doc_id = d.doc_id
+      LEFT JOIN near n ON n.doc_id = d.doc_id
+    )
+    SELECT status, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM status GROUP BY status ORDER BY status
+    """
+
+
+@declared(
+    "ext_dedup_incremental_bucketed",
+    oracle=_incremental_bucketed_oracle_sql().replace("{_NORM}", _NORM),
+    tags=("ext", "dedup", "lsh", "incremental", "layout"),
+)
+def ext_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-delta incremental-dedup path: the corpus band index is
+    persisted as a HASH-BUCKETED sorted table on bkey
+    (plans/shuffle_policy.py:write_bucketed — the engine's dkey layout,
+    the reference's reduce-partition-keyed storage), so the delta's band
+    join runs with the corpus side exchange-FREE: only the delta shuffles
+    (to the index's bucket count), which is exactly the asymmetry the
+    incremental pattern exists for — at 100 TB the index side is the big
+    one, and it never moves.  tests/test_plans.py pins the bucketed run
+    strictly fewer Exchanges than the parquet-index run of the same data.
+
+    The small-delta pushdown path (ext_dedup_incremental_minhash) and
+    this bucketed path are the two halves of the operator's
+    pushdown_keys_limit contract: key-pruned READ for small deltas,
+    zero-corpus-exchange JOIN for big ones.  Different corpus/delta split
+    (%10 == 9 held out; %17 exact and %29 near plants) so the two
+    queries' oracles never alias.  Same md5 engine-identical algebra."""
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+    from remote_shuffle_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+    from remote_shuffle_spark.plans.shuffle_policy import (
+        read_bucketed,
+        unique_table_name,
+        write_bucketed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    fresh = docs.filter(F.col("doc_id") % 10 == 9)
+    exact_copies = corpus.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    did = F.col("doc_id").cast("string")
+    near_copies = (
+        corpus.filter(F.col("doc_id") % 29 == 0)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    _toks("text"),
+                    lambda t, i: F.when(
+                        i % 19 == 0,
+                        F.concat(F.lit("k"), did, F.lit("e"), i.cast("string")),
+                    ).otherwise(t),
+                ),
+            ).alias("text"),
+        )
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    delta = fresh.unionAll(exact_copies).unionAll(near_copies)
+
+    tbl = unique_table_name("mh_band_idx")
+    try:
+        write_bucketed(
+            minhash_band_index(corpus, "doc_id", "text"),
+            tbl,
+            ["bkey"],
+            num_buckets=8,
+            sort_cols=["bkey"],
+        )
+        res = incremental_minhash_dedup(
+            delta, corpus, "doc_id", "text", band_index=read_bucketed(spark, tbl)
+        )
+        return (
+            res.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def _band_index_stats_oracle_sql() -> str:
     """DuckDB replay of the band-index BUILD report: pre-cap bucket-size
     histogram over the corpus band tags plus the degenerate (dropped)

@@ -1205,6 +1205,7 @@ def incremental_minhash_dedup(
     num_bands: int = 8,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
     pushdown_keys_limit: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental EXACT + NEAR-dup dedup of an arriving delta against an
     existing corpus — the production ingest pattern (dedup the delta
@@ -1243,6 +1244,12 @@ def incremental_minhash_dedup(
     Docs with fewer than ``shingle_len`` tokens cannot shingle; they
     skip tier 2 and come out 'new' unless exact dups (mirror this in
     any oracle).
+
+    ``materialize=False`` skips the eager localCheckpoints (which
+    EXECUTE their subplans immediately and so hide the band join from
+    any post-hoc plan inspection) — used by the plan pins in
+    tests/test_plans.py to audit the REAL pipeline; results are
+    identical, production callers keep the default.
     """
     h = F.xxhash64(normalized_text(text_col))
     corpus_hashes = corpus_df.select(h.alias("_h")).distinct()
@@ -1284,7 +1291,8 @@ def incremental_minhash_dedup(
         # the key collection below re-reads the band frame the join also
         # needs — materialize it once (∝ delta); the join-only path reads
         # it once and skips the checkpoint job
-        delta_bands = delta_bands.localCheckpoint(eager=True)
+        if materialize:
+            delta_bands = delta_bands.localCheckpoint(eager=True)
         keys = [
             r[0]
             for r in delta_bands.select("_mm_bucket")
@@ -1299,8 +1307,9 @@ def incremental_minhash_dedup(
         delta_bands.join(index.hint("shuffle_merge"), "_mm_bucket")
         .select(F.col("_mm_id").alias("_did"), "_cid")
         .distinct()
-        .localCheckpoint(eager=True)  # id pairs; feeds two shingle joins
     )
+    if materialize:
+        cands = cands.localCheckpoint(eager=True)  # id pairs; feeds two shingle joins
 
     def _sets(frame: DataFrame, idc: str, textc: str) -> DataFrame:
         t = frame.select(

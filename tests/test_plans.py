@@ -691,3 +691,59 @@ def test_ann_filtered_no_corpus_window_and_small_side_broadcast(spark, sf_smoke)
     assert bhj and all("BuildRight" in l for l in bhj), bhj or full[:600]
     bnl = [l for l in full.splitlines() if "BroadcastNestedLoopJoin" in l]
     assert bnl and all("BuildRight" in l for l in bnl), bnl or full[:600]
+
+
+def test_bucketed_band_index_join_eliminates_corpus_exchange(spark, sf_smoke, tmp_path):
+    """The large-delta incremental-dedup path: a band index persisted as a
+    bkey-bucketed table must feed the delta band join with NO exchange on
+    the index (corpus) side — the dkey-layout asymmetry
+    ext_dedup_incremental_bucketed exists for.  Pinned RELATIVELY against
+    real operator code: the same dedup over the same data with a plain
+    parquet index must plan strictly MORE Exchanges than the bucketed run
+    (the delta side still shuffles in both; only the corpus-side exchange
+    disappears)."""
+    from remote_shuffle_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+        write_minhash_band_index,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    delta = docs.filter(F.col("doc_id") % 10 == 9)
+
+    pq_path = str(tmp_path / "pq_idx")
+    write_minhash_band_index(
+        minhash_band_index(corpus, "doc_id", "text"), pq_path, num_files=4
+    )
+    tbl = shuffle_policy.unique_table_name("mh_band_pin")
+    shuffle_policy.write_bucketed(
+        minhash_band_index(corpus, "doc_id", "text"),
+        tbl,
+        ["bkey"],
+        num_buckets=8,
+        sort_cols=["bkey"],
+    )
+    try:
+        def exchanges(index_df):
+            # materialize=False: the operator's eager checkpoints would
+            # EXECUTE the band join before we could inspect its plan
+            res = incremental_minhash_dedup(
+                delta,
+                corpus,
+                "doc_id",
+                "text",
+                band_index=index_df,
+                materialize=False,
+            )
+            # count Exchange NODES (the formatted tree mentions each node
+            # twice: once in the tree, once in the detail section)
+            return len(
+                re.findall(r"^\(\d+\) Exchange", explain.physical_plan(res), re.M)
+            )
+
+        n_parquet = exchanges(spark.read.parquet(pq_path))
+        n_bucketed = exchanges(shuffle_policy.read_bucketed(spark, tbl))
+        assert n_bucketed < n_parquet, (n_bucketed, n_parquet)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
