@@ -9302,6 +9302,93 @@ def ext_band_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "ext_ivf_cell_stats",
+    oracle="""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+      FROM embeddings
+    ), cellc AS MATERIALIZED (
+      SELECT vec_id AS cid, q AS cv FROM qv WHERE vec_id < 8
+    ), assign AS MATERIALIZED (
+      SELECT id, cid AS cell, d FROM (
+        SELECT v.vec_id AS id, c.cid,
+          list_sum(list_transform(generate_series(1, 64),
+            t -> (v.q[t]-c.cv[t])*(v.q[t]-c.cv[t]))) AS d,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            list_sum(list_transform(generate_series(1, 64),
+              t -> (v.q[t]-c.cv[t])*(v.q[t]-c.cv[t]))), c.cid) AS rn
+        FROM qv v CROSS JOIN cellc c)
+      WHERE rn = 1
+    ), tot AS (SELECT COUNT(*) AS n FROM assign)
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) * 1000 // MAX(tot.n) AS BIGINT) AS permille,
+           CAST(SUM(d) AS BIGINT) AS sum_sq_dist,
+           CAST(MAX(d) AS BIGINT) AS max_sq_dist
+    FROM assign CROSS JOIN tot
+    GROUP BY cell ORDER BY cell
+    """,
+    tags=("ext", "similarity", "ann", "audit"),
+)
+def ext_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-BALANCE health report — the vector-index twin of
+    ext_band_index_stats and the number that explains the measured
+    scan-fraction gap (r10 probe: 31% scanned at nprobe 2/8 vs the 25%
+    ideal — cell imbalance on uniform vectors): per cell, its
+    population, per-mille share (integer-exact: n*1000 DIV total), and
+    the assignment-distance mass (sum / max integer squared L2 to the
+    centroid — the within-cell quantization error a k-means retrain
+    would shrink).  A skewed permille column means hot cells dominate
+    probe cost; a fat max_sq_dist means the centroid set underfits.
+    Both are the retune-before-you-build signals for the persisted
+    partitionBy(cell) layout (ext_ivf_pq_indexed).
+
+    Same deterministic model and integer algebra as the IVFADC family;
+    one broadcast assignment pass + one cell aggregate."""
+    from remote_shuffle_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.transform(
+            to_double_array("embedding"),
+            lambda x: F.floor(x * 127).cast("long"),
+        ).alias("_q"),
+    )
+    cellc = F.broadcast(
+        qdf.orderBy("_id")
+        .limit(8)
+        .select(F.col("_id").alias("_cid"), F.col("_q").alias("_cv"))
+    )
+    l2 = F.aggregate(
+        F.zip_with("_q", "_cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        qdf.crossJoin(cellc)
+        .select("_id", "_cid", l2.alias("_d"))
+        .groupBy("_id")
+        .agg(F.min(F.struct("_d", "_cid")).alias("_m"))
+        .select("_id", F.col("_m._cid").alias("cell"), F.col("_m._d").alias("_d"))
+    )
+    tot = assigned.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.expr("count(1) * 1000 DIV max(_n)").alias("permille"),
+            F.sum("_d").cast("long").alias("sum_sq_dist"),
+            F.max("_d").cast("long").alias("max_sq_dist"),
+        )
+        .orderBy("cell")
+    )
+
+
 def _minhash_estimate_oracle_sql() -> str:
     """DuckDB replay of the MinHash Jaccard-ESTIMATOR audit: md5
     signatures (engine-identical min selection) for planted exact/near
