@@ -9223,6 +9223,93 @@ def ext_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+@declared(
+    "ext_dedup_rate_estimate",
+    oracle=f"""
+    WITH {_AUG_DOCS}, nrm AS MATERIALIZED (
+      SELECT doc_id, {_NORM} AS nt FROM aug
+    ), grp AS MATERIALIZED (
+      SELECT nt, MIN(doc_id) AS keeper, COUNT(*) AS c FROM nrm GROUP BY nt
+    ), removable AS MATERIALIZED (
+      SELECT n.doc_id FROM nrm n JOIN grp g ON g.nt = n.nt
+      WHERE n.doc_id <> g.keeper
+    ), smp AS MATERIALIZED (
+      SELECT doc_id, nt FROM nrm
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ), sgrp AS MATERIALIZED (
+      SELECT nt, MIN(doc_id) AS skeeper FROM smp GROUP BY nt
+    )
+    SELECT (SELECT COUNT(*) FROM nrm) AS n_docs,
+           (SELECT COUNT(*) FROM removable) AS n_dup_docs,
+           (SELECT COUNT(*) FROM smp) AS n_sample,
+           (SELECT COUNT(*) FROM smp s
+             WHERE EXISTS (SELECT 1 FROM removable r WHERE r.doc_id = s.doc_id))
+             AS sample_dup_vs_corpus,
+           (SELECT COUNT(*) FROM smp s JOIN sgrp g ON g.nt = s.nt
+             WHERE s.doc_id <> g.skeeper) AS sample_dup_within
+    """,
+    tags=("ext", "dedup", "sampling", "audit"),
+)
+def ext_dedup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based DUPLICATION-RATE estimation — the scout every 100 TB
+    dedup run sends first (is the corpus 2% or 40% duplicated? the
+    answer sizes the whole pipeline), demonstrated against exact truth
+    on the copy-augmented corpus.  Two estimators over the SAME
+    deterministic 1/16 sample (md5(doc_id) first hex digit — the
+    engine-identical 'TABLESAMPLE' that a cross-engine oracle can
+    replay, unlike seed-based sampling):
+
+    - ``sample_dup_vs_corpus``: each sampled doc checked against the
+      FULL corpus keep-first groups — unbiased (the estimand is a
+      per-doc property; uniform sampling of docs is exact in
+      expectation), costs one corpus-side hash groupBy regardless of
+      sample size;
+    - ``sample_dup_within``: groups formed among sampled docs only —
+      the tempting shortcut that is biased LOW (a dup pair needs both
+      members sampled: a 1/16 sample sees ~1/16 of each group's
+      companions), visible directly against the n_dup_docs truth.
+
+    All integer counts (rates left to the caller — no float on the
+    compared path).  Scale shape: one 8-byte-key groupBy for the truth
+    table, sample-sized joins for both estimators."""
+    from remote_shuffle_spark.functions.hashing import normalized_text
+
+    aug = _augmented_docs(spark, sf_dir)
+    nrm = aug.select("doc_id", normalized_text("text").alias("_nt")).select(
+        "doc_id", F.xxhash64("_nt").alias("_h")
+    )
+    grp = nrm.groupBy("_h").agg(F.min("doc_id").alias("_keeper"))
+    removable = (
+        nrm.join(grp, "_h")
+        .filter(F.col("doc_id") != F.col("_keeper"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)  # id list; read by truth count + sample join
+    )
+    smp = nrm.filter(
+        F.md5(F.col("doc_id").cast("string")).substr(1, 1) == "0"
+    ).select("doc_id", "_h")
+    sgrp = smp.groupBy("_h").agg(F.min("doc_id").alias("_skeeper"))
+
+    n_docs = nrm.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_dup = removable.agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    n_sample = smp.agg(F.count(F.lit(1)).alias("n_sample"))
+    s_vs_corpus = (
+        smp.join(removable, "doc_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("sample_dup_vs_corpus"))
+    )
+    s_within = (
+        smp.join(sgrp, "_h")
+        .filter(F.col("doc_id") != F.col("_skeeper"))
+        .agg(F.count(F.lit(1)).alias("sample_dup_within"))
+    )
+    return (
+        n_docs.crossJoin(n_dup)
+        .crossJoin(n_sample)
+        .crossJoin(s_vs_corpus)
+        .crossJoin(s_within)
+    )
+
+
 def _band_index_stats_oracle_sql() -> str:
     """DuckDB replay of the band-index BUILD report: pre-cap bucket-size
     histogram over the corpus band tags plus the degenerate (dropped)

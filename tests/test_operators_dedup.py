@@ -503,3 +503,43 @@ def test_incremental_minhash_index_drops_oversized_buckets_but_keeps_singletons(
     ids = {r.id for r in idx.select("id").distinct().collect()}
     # the boilerplate docs' buckets all have size 5 > 3: dropped entirely
     assert ids == {99}
+
+
+def test_band_index_files_have_disjoint_bkey_ranges(spark, tmp_path):
+    """The bkey-sorted index layout must actually ENABLE footer skipping:
+    write_minhash_band_index's range partition + in-file sort gives every
+    parquet file a tight, pairwise-DISJOINT bkey min-max — so a pushed
+    key filter (the small-delta path) can rule files out on statistics
+    alone.  Checked against real parquet footers (the test_zorder
+    discipline)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = [
+        (d, " ".join(f"d{d}w{i}" for i in range(40))) for d in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "bidx")
+    dedup.write_minhash_band_index(
+        dedup.minhash_band_index(df, "doc_id", "text"), path, num_files=8
+    )
+    bounds = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i in range(g.num_columns):
+                c = g.column(i)
+                if c.path_in_schema == "bkey" and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            bounds.append((lo, hi))
+    assert len(bounds) >= 4  # enough files for skipping to matter
+    bounds.sort()
+    for (_, hi_prev), (lo_next, _) in zip(bounds, bounds[1:]):
+        assert hi_prev <= lo_next, (hi_prev, lo_next)
