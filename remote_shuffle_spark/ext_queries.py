@@ -9390,6 +9390,135 @@ def ext_band_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_ivf_index_compact",
+    oracle="""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q
+      FROM embeddings
+    ), cellc AS MATERIALIZED (
+      SELECT vec_id AS cid, q AS cv FROM qv WHERE vec_id % 5 <> 2
+      ORDER BY vec_id LIMIT 8
+    ), subs AS MATERIALIZED (
+      SELECT vec_id AS id, s, q[s*8+1 : s*8+8] AS sv
+      FROM qv, UNNEST(range(8)) AS r(s)
+    ), cents AS MATERIALIZED (
+      SELECT id AS j, s, sv AS cv FROM subs WHERE id IN (
+        SELECT vec_id FROM qv WHERE vec_id % 5 <> 2 ORDER BY vec_id LIMIT 16)
+    ), assign AS MATERIALIZED (
+      SELECT id, cid AS cell FROM (
+        SELECT v.vec_id AS id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            list_sum(list_transform(generate_series(1, 64),
+              t -> (v.q[t]-c.cv[t])*(v.q[t]-c.cv[t]))), c.cid) AS rn
+        FROM qv v CROSS JOIN cellc c)
+      WHERE rn = 1
+    ), probecells AS MATERIALIZED (
+      SELECT pid, cid FROM (
+        SELECT p.vec_id AS pid, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+            list_sum(list_transform(generate_series(1, 64),
+              t -> (p.q[t]-c.cv[t])*(p.q[t]-c.cv[t]))), c.cid) AS rn
+        FROM qv p CROSS JOIN cellc c WHERE p.vec_id < 4)
+      WHERE rn <= 2
+    ), cand AS MATERIALIZED (
+      SELECT pc.pid, a.id
+      FROM probecells pc JOIN assign a ON a.cell = pc.cid
+      WHERE a.id <> pc.pid
+    ), scanned AS MATERIALIZED (
+      SELECT pid, CAST(COUNT(*) AS BIGINT) AS scanned FROM cand GROUP BY pid
+    ), codes AS MATERIALIZED (
+      SELECT id, s, j AS code FROM (
+        SELECT sub.id, sub.s, c.j,
+          ROW_NUMBER() OVER (PARTITION BY sub.id, sub.s ORDER BY
+            list_sum(list_transform(generate_series(1, 8),
+              t -> (sub.sv[t]-c.cv[t])*(sub.sv[t]-c.cv[t]))), c.j) AS rn
+        FROM subs sub JOIN cents c ON sub.s = c.s)
+      WHERE rn = 1
+    ), lut AS MATERIALIZED (
+      SELECT p.id AS pid, p.s, c.j,
+        CAST(list_sum(list_transform(generate_series(1, 8),
+          t -> (p.sv[t]-c.cv[t])*(p.sv[t]-c.cv[t]))) AS BIGINT) AS ld
+      FROM subs p JOIN cents c ON p.s = c.s WHERE p.id < 4
+    ), adc AS MATERIALIZED (
+      SELECT l.pid, co.id, CAST(SUM(l.ld) AS BIGINT) AS dist
+      FROM cand cd
+      JOIN codes co ON co.id = cd.id
+      JOIN lut l ON l.pid = cd.pid AND co.s = l.s AND co.code = l.j
+      GROUP BY l.pid, co.id
+    ), tk AS (
+      SELECT pid, id, dist,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dist, id) AS rnk
+      FROM adc
+    )
+    SELECT t.pid AS probe_id, s.scanned,
+           CAST(t.rnk AS INTEGER) AS rank,
+           t.id AS vec_id, t.dist AS adc_dist
+    FROM tk t JOIN scanned s USING (pid)
+    WHERE t.rnk <= 5
+    ORDER BY probe_id, rank
+    """,
+    tags=("ext", "similarity", "ann", "layout", "incremental"),
+)
+def ext_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index COMPACTION via DYNAMIC partition overwrite — the maintenance
+    step that completes the persisted-index lifecycle (build → upsert →
+    compact → probe): two upsert generations leave multiple small files
+    in every touched cell directory, then
+    operators/similarity.py:ivf_pq_compact_cells rewrites the cells with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` so ONLY the
+    rewritten partitions are replaced (untouched cells byte-identical —
+    pytest-pinned, with the before==after content invariant).  The probe
+    after compaction must serve exactly the single-build content, which
+    is what the oracle replays (corpus = vec_id %% 5 != 2 trains the
+    frozen model; the two deltas %% 10 == 2 and %% 10 == 7 partition the
+    held-out rest).
+
+    At 100 TB this is the periodic job every partitioned index runs; the
+    dynamic mode is what makes it safe per-cell (a static overwrite
+    would drop every cell the job didn't write)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from remote_shuffle_spark.operators.similarity import (
+        ivf_pq_compact_cells,
+        ivf_pq_indexed_topk,
+        ivf_pq_upsert,
+        ivf_pq_write_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 2)
+    delta1 = emb.filter(F.col("vec_id") % 10 == 2)
+    delta2 = emb.filter(F.col("vec_id") % 10 == 7)
+    path = os.path.join(tempfile.gettempdir(), f"ivf_compact_{uuid.uuid4().hex}")
+    try:
+        ivf_pq_write_index(corpus, "vec_id", "embedding", path)
+        ivf_pq_upsert(spark, path, delta1, "vec_id", "embedding")
+        ivf_pq_upsert(spark, path, delta2, "vec_id", "embedding")
+        ivf_pq_compact_cells(spark, path)
+        probes = emb.filter(F.col("vec_id") < 4)
+        return (
+            ivf_pq_indexed_topk(
+                spark, path, probes, "vec_id", "embedding", k=5, nprobe=2
+            )
+            .select(
+                "probe_id",
+                "scanned",
+                "rank",
+                F.col("id").alias("vec_id"),
+                "adc_dist",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@declared(
     "ext_ivf_cell_stats",
     oracle="""
     WITH qv AS MATERIALIZED (

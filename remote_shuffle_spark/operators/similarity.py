@@ -1348,3 +1348,42 @@ def ivf_pq_indexed_topk(
         )
         .orderBy("probe_id", "rank")
     )
+
+
+def ivf_pq_compact_cells(
+    spark,
+    path: str,
+    *,
+    cells: list[int] | None = None,
+    num_files_per_cell: int = 1,
+) -> None:
+    """Compact the small files that :func:`ivf_pq_upsert` appends — each
+    ingest adds a file generation to every touched ``cell=`` directory,
+    and a probe's cost per cell is (files x footer) + rows, so periodic
+    compaction keeps the pruned-scan promise honest.  Uses DYNAMIC
+    partition overwrite (``spark.sql.sources.partitionOverwriteMode =
+    dynamic``): the rewrite job's output replaces ONLY the cell
+    partitions it writes — untouched cells' files are left byte-for-byte
+    alone (pytest-pinned), which is what makes per-cell compaction safe
+    to run concurrently with probes of other cells.  ``cells=None``
+    compacts every cell; content is unchanged either way (the operator
+    is a pure layout rewrite — probe results before == after,
+    pytest-pinned).
+
+    At lake scale, schedule by files-per-cell threshold and compact the
+    worst offenders first; the model tables never participate."""
+    codes_path = f"{path}/codes"
+    df = spark.read.parquet(codes_path)
+    if cells is not None:
+        df = df.filter(F.col("cell").isin([int(c) for c in cells]))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(num_files_per_cell, "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(codes_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -547,3 +547,55 @@ def test_ivf_pq_upsert_equals_full_build_under_frozen_model(spark, sf_smoke, tmp
         ]
 
     assert run(inc_path) == run(full_path)
+
+
+def test_ivf_pq_compact_dynamic_overwrite_preserves_untouched_cells(spark, sf_smoke, tmp_path):
+    """Compaction contract: (a) upserts accumulate file generations in
+    touched cells; (b) compacting a SUBSET of cells rewrites only those
+    partition dirs — untouched cells keep their exact files (dynamic
+    partition overwrite, not whole-table); (c) probe content is
+    byte-identical before and after (pure layout rewrite)."""
+    import glob
+    import os
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 2)
+    delta1 = emb.filter(F.col("vec_id") % 10 == 2)
+    delta2 = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "ivfc")
+    similarity.ivf_pq_write_index(corpus, "vec_id", "embedding", path)
+    similarity.ivf_pq_upsert(spark, path, delta1, "vec_id", "embedding")
+    similarity.ivf_pq_upsert(spark, path, delta2, "vec_id", "embedding")
+
+    def files_by_cell():
+        out = {}
+        for d in glob.glob(os.path.join(path, "codes", "cell=*")):
+            cell = int(d.split("cell=")[1])
+            out[cell] = sorted(
+                os.path.basename(f) for f in glob.glob(os.path.join(d, "*.parquet"))
+            )
+        return out
+
+    before = files_by_cell()
+    multi = [c for c, fs in before.items() if len(fs) >= 2]
+    assert multi, "upserts should leave multiple file generations somewhere"
+
+    probes = emb.filter(F.col("vec_id") < 3)
+
+    def topk():
+        return [
+            tuple(r)
+            for r in similarity.ivf_pq_indexed_topk(
+                spark, path, probes, "vec_id", "embedding", k=5, nprobe=2
+            ).collect()
+        ]
+
+    content_before = topk()
+    target = multi[0]
+    similarity.ivf_pq_compact_cells(spark, path, cells=[target])
+    after = files_by_cell()
+    assert len(after[target]) == 1
+    for c, fs in before.items():
+        if c != target:
+            assert after[c] == fs, f"cell {c} was touched by a subset compact"
+    assert topk() == content_before
