@@ -8762,13 +8762,24 @@ def ext_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _index_refresh_oracle_sql() -> str:
+def _index_refresh_oracle_sql(
+    corpus_where: str = "doc_id % 10 NOT IN (3, 7)",
+    d1_where: str = "doc_id % 10 = 3",
+    d2_where: str = "doc_id % 10 = 7",
+    plant_where: str = "doc_id % 10 = 3 AND doc_id % 3 = 0",
+    plant_prefix: str = "m",
+) -> str:
     """DuckDB replay of the TWO-GENERATION incremental ingest loop:
     gen-1 dedups delta1 against the corpus band index, its 'new' docs'
     band rows are folded in (refresh cap: new + existing <= 64 per
     bucket, operators/dedup.py:minhash_band_index_refresh), then gen-2
     dedups delta2 against the refreshed index + grown text corpus.
-    Same md5 engine-identical algebra as the incremental oracle."""
+    Same md5 engine-identical algebra as the incremental oracle.
+    Parameterized over the corpus/delta splits so the batch query
+    (ext_dedup_index_refresh) and its STREAMING twin
+    (ext_stream_ingest_dedup) share ONE formula emitter (the
+    _zorder_oracle no-drift precedent) without their oracle texts
+    aliasing each other."""
     mins = ",\n           ".join(
         f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(16)
     )
@@ -8779,18 +8790,18 @@ def _index_refresh_oracle_sql() -> str:
     WITH base AS MATERIALIZED (
       SELECT doc_id, {{_NORM}} AS nt FROM documents
     ), corpus AS MATERIALIZED (
-      SELECT doc_id, nt FROM base WHERE doc_id % 10 NOT IN (3, 7)
+      SELECT doc_id, nt FROM base WHERE {corpus_where}
     ), delta1 AS MATERIALIZED (
-      SELECT doc_id, nt FROM base WHERE doc_id % 10 = 3
+      SELECT doc_id, nt FROM base WHERE {d1_where}
     ), delta2 AS MATERIALIZED (
-      SELECT doc_id, nt FROM base WHERE doc_id % 10 = 7
+      SELECT doc_id, nt FROM base WHERE {d2_where}
       UNION ALL
       SELECT doc_id + 3000000,
              array_to_string(list_transform(string_split(nt, ' '),
                (t, i) -> CASE WHEN (i-1) % 19 = 0
-                              THEN 'm'||doc_id||'e'||CAST(i-1 AS VARCHAR)
+                              THEN '{plant_prefix}'||doc_id||'e'||CAST(i-1 AS VARCHAR)
                               ELSE t END), ' ')
-      FROM base WHERE doc_id % 10 = 3 AND doc_id % 3 = 0
+      FROM base WHERE {plant_where}
     ), surv1 AS MATERIALIZED (
       SELECT d.doc_id, d.nt FROM delta1 d
       WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.nt = d.nt)
@@ -9603,6 +9614,142 @@ def ext_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@declared(
+    "ext_stream_ingest_dedup",
+    oracle=_index_refresh_oracle_sql(
+        corpus_where="doc_id % 10 NOT IN (1, 5)",
+        d1_where="doc_id % 10 = 1",
+        d2_where="doc_id % 10 = 5",
+        plant_where="doc_id % 10 = 1 AND doc_id % 3 = 0",
+        plant_prefix="j",
+    ).replace("{_NORM}", _NORM),
+    tags=("ext", "dedup", "lsh", "incremental", "streaming"),
+)
+def ext_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental ingest loop as a STREAMING job — the form it
+    actually runs in production: a file-source readStream drained by two
+    `Trigger.AvailableNow` runs sharing one checkpoint (the
+    ext_stream_incremental_runs periodic-ingest pattern), where each
+    micro-batch is one arriving delta and ``foreachBatch`` performs the
+    whole per-ingest transaction — dedup the batch against the CURRENT
+    corpus + persisted band index (incremental_minhash_dedup), append
+    its statuses (generation = batch id), fold the new docs back into
+    the index (minhash_band_index_refresh) and into the corpus text
+    store.  Batch 2's planted near copies of batch-1 donors are caught
+    only because batch 1's refresh landed — the streaming proof of the
+    materialized-state loop.
+
+    The final statuses table is a pure function of the two deltas
+    (exactly the two-generation batch replay — the oracle is the SAME
+    parameterized emitter as ext_dedup_index_refresh's over this
+    fixture's splits: corpus %10 not in (1,5), deltas %10==1 then
+    %10==5 + 'j'-prefix plants).  Scale: each micro-batch pays
+    delta-proportional work; state between batches lives in the
+    persisted index/corpus dirs, not executor memory — executor loss
+    replays nothing (the reference's durability thesis, streaming
+    form)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+    from remote_shuffle_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+        minhash_band_index_refresh,
+        write_minhash_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(~F.pmod(F.col("doc_id"), F.lit(10)).isin(1, 5))
+    delta1 = docs.filter(F.col("doc_id") % 10 == 1)
+    did = F.col("doc_id").cast("string")
+    plants = (
+        docs.filter((F.col("doc_id") % 10 == 1) & (F.col("doc_id") % 3 == 0))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    _toks("text"),
+                    lambda t, i: F.when(
+                        i % 19 == 0,
+                        F.concat(F.lit("j"), did, F.lit("e"), i.cast("string")),
+                    ).otherwise(t),
+                ),
+            ).alias("text"),
+        )
+        .select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    )
+    delta2 = docs.filter(F.col("doc_id") % 10 == 5).unionAll(plants)
+
+    base = os.path.join(tempfile.gettempdir(), f"stream_ingest_{uuid.uuid4().hex}")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    statuses = os.path.join(base, "statuses")
+    idx = os.path.join(base, "idx")
+    extra = os.path.join(base, "extra")
+    try:
+        write_minhash_band_index(
+            minhash_band_index(corpus, "doc_id", "text"), idx, num_files=4
+        )
+        corpus.limit(0).write.parquet(extra)  # empty corpus-additions store
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            gen = f"g{batch_id + 1}"
+            corpus_now = corpus.unionByName(spark.read.parquet(extra))
+            res = (
+                incremental_minhash_dedup(
+                    batch_df,
+                    corpus_now,
+                    "doc_id",
+                    "text",
+                    band_index=spark.read.parquet(idx),
+                )
+                .withColumn("generation", F.lit(gen))
+                .localCheckpoint(eager=True)  # feeds statuses write + new1
+            )
+            res.write.mode("append").parquet(statuses)
+            new_docs = batch_df.join(
+                res.filter(F.col("status") == "new").select("doc_id"),
+                "doc_id",
+                "left_semi",
+            ).localCheckpoint(eager=True)  # feeds refresh + corpus store
+            minhash_band_index_refresh(spark, idx, new_docs, "doc_id", "text")
+            new_docs.write.mode("append").parquet(extra)
+
+        def run_once() -> None:
+            q = (
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(src)
+                .writeStream.foreachBatch(handle)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # one file per delta → exactly one micro-batch per AvailableNow run
+        delta1.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        delta2.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+        return (
+            spark.read.parquet(statuses)
+            .groupBy("generation", "status")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+            )
+            .orderBy("generation", "status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _minhash_estimate_oracle_sql() -> str:
