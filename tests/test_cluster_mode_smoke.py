@@ -77,6 +77,16 @@ out["substring_rows"] = len(sub)
 out["substring_dup_tokens"] = int(sum(r.dup_tokens for r in sub))
 pq = qs["ext_pq_recall"](spark, sf).collect()
 out["pq_rows"] = len(pq)
+# round-11 persisted-index surfaces: both lifecycles write REAL files
+# that a different executor set must read back (build by one job's
+# executors, probe by another's — the materialized-state seam that
+# local[32]'s single JVM cannot falsify), plus the collected-cells
+# isin pushdown and the foreachBatch closure pickling to executors.
+inc = {r.status: r.n_docs
+       for r in qs["ext_dedup_incremental_minhash"](spark, sf).collect()}
+out["inc_dedup_statuses"] = sorted(inc)
+ivf = qs["ext_ivf_pq_indexed"](spark, sf).collect()
+out["ivf_indexed_rows"] = len(ivf)
 print("RESULT:" + json.dumps(out))
 spark.stop()
 """
@@ -118,3 +128,5 @@ def test_local_cluster_smoke():
     assert got["substring_rows"] == 569  # 500 docs + 39 full + 30 prefix copies
     assert got["substring_dup_tokens"] > 0
     assert got["pq_rows"] == 8
+    assert got["inc_dedup_statuses"] == ["exact_dup", "near_dup", "new"]
+    assert got["ivf_indexed_rows"] == 20  # 4 probes x top-5
