@@ -108,6 +108,40 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(copies)
 
 
+def _planted_near_copies(
+    donors: DataFrame, prefix: str, id_offset: int
+) -> DataFrame:
+    """Planted NEAR copies: every 19th token of each donor replaced with a
+    doc-unique token ``{prefix}{doc_id}e{pos}``, re-keyed at
+    doc_id + id_offset.  19 < 20 means every aligned 20-segment AND every
+    20-token sliding window contains an edit (invisible to the exact /
+    paragraph / substring dedup tiers), while 3-shingle Jaccard stays
+    ~0.7-0.8 — the canonical plant for near-dup recall, shared by six
+    queries (one definition here, each oracle mirrors it as a DuckDB
+    list_transform with its own prefix/offset so their texts never
+    alias).  Two-step select: a column ref captured inside a transform()
+    LAMBDA resolves against the aliased OUTPUT projection (measured in
+    r10: a one-step form produced the POST-offset id inside the token),
+    so the text is edited against the original doc_id first, then
+    re-keyed."""
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+
+    did = F.col("doc_id").cast("string")
+    return donors.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                _toks("text"),
+                lambda t, i: F.when(
+                    i % 19 == 0,
+                    F.concat(F.lit(prefix), did, F.lit("e"), i.cast("string")),
+                ).otherwise(t),
+            ),
+        ).alias("text"),
+    ).select((F.col("doc_id") + id_offset).alias("doc_id"), "text")
+
+
 def _exact_dup_pairs(aug: DataFrame, min_tokens: int) -> DataFrame:
     """(id_a, id_b) pairs of docs with identical normalized text and at
     least ``min_tokens`` tokens.  The self-join runs on the 64-bit
@@ -3575,8 +3609,8 @@ def ext_freshness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     NO transcendental is evaluated by either engine on the compared path
     (the md5-minhash / DSIR engine-exact precedent — prescribed by the
     round-10 verdict for the one gate red).  The only corpus-sized
-    shuffle is the final event_type aggregate; the 421-row weight table
-    broadcasts."""
+    shuffle is the final event_type aggregate; the 441-row weight table
+    (down to and past the first exact 0.000000 at d=436) broadcasts."""
     events = load_table(spark, sf_dir, "events")
     ev = events.select("event_type", F.col("ts").cast("timestamp").alias("ts"))
     mx = ev.agg(F.max("ts").alias("m"))
@@ -8450,27 +8484,8 @@ def ext_dedup_ladder_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("q"), did, F.lit("y")),
         ).alias("text"),
     )
-    # Two-step select: a column reference captured inside a transform()
-    # LAMBDA resolves against the aliased OUTPUT projection (measured:
-    # one-step gave 'n3000000e0', the +3000000 id), unlike the plain
-    # concat in mid_copies — so edit the text against the original
-    # doc_id first, then re-key.
-    near_copies = (
-        docs.filter(F.col("doc_id") % 23 == 0)
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.transform(
-                    _toks("text"),
-                    lambda t, i: F.when(
-                        i % 19 == 0,
-                        F.concat(F.lit("n"), did, F.lit("e"), i.cast("string")),
-                    ).otherwise(t),
-                ),
-            ).alias("text"),
-        )
-        .select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    near_copies = _planted_near_copies(
+        docs.filter(F.col("doc_id") % 23 == 0), "n", 3000000
     )
     corpus = (
         docs.unionAll(full_copies).unionAll(mid_copies).unionAll(near_copies)
@@ -8569,8 +8584,18 @@ def _minhash_index_dir(spark: SparkSession, sf_dir: str) -> str:
         f"mhidx1|{real}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"rss_mhidx_{key}")
-    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_SUCCESS")):
+
+    def _complete(d: str) -> bool:
+        return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    if _complete(out):
         return out
+    # an INCOMPLETE cache dir (e.g. a /tmp cleaner pruned _SUCCESS or a
+    # part file by atime) must never be served NOR allowed to block the
+    # rename of a fresh build (self-review r11: the old except branch
+    # rmtree'd the GOOD build and returned the broken dir)
+    if os.path.isdir(out):
+        shutil.rmtree(out, ignore_errors=True)
     tmp = f"{out}.tmp.{_uuid.uuid4().hex[:8]}"
     corpus = (
         load_table(spark, sf_dir, "documents")
@@ -8583,7 +8608,12 @@ def _minhash_index_dir(spark: SparkSession, sf_dir: str) -> str:
     try:
         os.rename(tmp, out)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+        # a concurrent builder won the rename: serve the winner only if
+        # it is complete, else serve our fresh build from its tmp path
+        if _complete(out):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return out
+        return tmp
     return out
 
 
@@ -8729,23 +8759,8 @@ def ext_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     exact_copies = corpus.filter(F.col("doc_id") % 13 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    did = F.col("doc_id").cast("string")
-    near_copies = (
-        corpus.filter(F.col("doc_id") % 23 == 0)
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.transform(
-                    _toks("text"),
-                    lambda t, i: F.when(
-                        i % 19 == 0,
-                        F.concat(F.lit("n"), did, F.lit("e"), i.cast("string")),
-                    ).otherwise(t),
-                ),
-            ).alias("text"),
-        )
-        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    near_copies = _planted_near_copies(
+        corpus.filter(F.col("doc_id") % 23 == 0), "n", 2000000
     )
     delta = fresh.unionAll(exact_copies).unionAll(near_copies)
     band_index = spark.read.parquet(_minhash_index_dir(spark, sf_dir))
@@ -8988,23 +9003,10 @@ def ext_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(~F.pmod(F.col("doc_id"), F.lit(10)).isin(3, 7))
     delta1 = docs.filter(F.col("doc_id") % 10 == 3)
-    did = F.col("doc_id").cast("string")
-    d2_plants = (
-        docs.filter((F.col("doc_id") % 10 == 3) & (F.col("doc_id") % 3 == 0))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.transform(
-                    _toks("text"),
-                    lambda t, i: F.when(
-                        i % 19 == 0,
-                        F.concat(F.lit("m"), did, F.lit("e"), i.cast("string")),
-                    ).otherwise(t),
-                ),
-            ).alias("text"),
-        )
-        .select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    d2_plants = _planted_near_copies(
+        docs.filter((F.col("doc_id") % 10 == 3) & (F.col("doc_id") % 3 == 0)),
+        "m",
+        3000000,
     )
     delta2 = docs.filter(F.col("doc_id") % 10 == 7).unionAll(d2_plants)
 
@@ -9189,23 +9191,8 @@ def ext_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     exact_copies = corpus.filter(F.col("doc_id") % 17 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    did = F.col("doc_id").cast("string")
-    near_copies = (
-        corpus.filter(F.col("doc_id") % 29 == 0)
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.transform(
-                    _toks("text"),
-                    lambda t, i: F.when(
-                        i % 19 == 0,
-                        F.concat(F.lit("k"), did, F.lit("e"), i.cast("string")),
-                    ).otherwise(t),
-                ),
-            ).alias("text"),
-        )
-        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    near_copies = _planted_near_copies(
+        corpus.filter(F.col("doc_id") % 29 == 0), "k", 2000000
     )
     delta = fresh.unionAll(exact_copies).unionAll(near_copies)
 
@@ -9666,23 +9653,10 @@ def ext_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(~F.pmod(F.col("doc_id"), F.lit(10)).isin(1, 5))
     delta1 = docs.filter(F.col("doc_id") % 10 == 1)
-    did = F.col("doc_id").cast("string")
-    plants = (
-        docs.filter((F.col("doc_id") % 10 == 1) & (F.col("doc_id") % 3 == 0))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.transform(
-                    _toks("text"),
-                    lambda t, i: F.when(
-                        i % 19 == 0,
-                        F.concat(F.lit("j"), did, F.lit("e"), i.cast("string")),
-                    ).otherwise(t),
-                ),
-            ).alias("text"),
-        )
-        .select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    plants = _planted_near_copies(
+        docs.filter((F.col("doc_id") % 10 == 1) & (F.col("doc_id") % 3 == 0)),
+        "j",
+        3000000,
     )
     delta2 = docs.filter(F.col("doc_id") % 10 == 5).unionAll(plants)
 
@@ -9856,23 +9830,8 @@ def ext_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_copies = docs.filter(F.col("doc_id") % 13 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    did = F.col("doc_id").cast("string")
-    near_copies = (
-        docs.filter(F.col("doc_id") % 23 == 0)
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.transform(
-                    _toks("text"),
-                    lambda t, i: F.when(
-                        i % 19 == 0,
-                        F.concat(F.lit("n"), did, F.lit("e"), i.cast("string")),
-                    ).otherwise(t),
-                ),
-            ).alias("text"),
-        )
-        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    near_copies = _planted_near_copies(
+        docs.filter(F.col("doc_id") % 23 == 0), "n", 2000000
     )
     corpus = donors.unionAll(exact_copies).unionAll(near_copies)
     tk = corpus.select(
@@ -10282,17 +10241,29 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
         f"ivfidx1|{real}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"rss_ivfidx_{key}")
-    if os.path.isdir(out) and os.path.exists(
-        os.path.join(out, "codes", "_SUCCESS")
-    ):
+
+    def _complete(d: str) -> bool:
+        return os.path.isdir(d) and all(
+            os.path.exists(os.path.join(d, sub, "_SUCCESS"))
+            for sub in ("codes", "centroids", "codebook")
+        )
+
+    if _complete(out):
         return out
+    # incomplete cache dirs are rebuilt, never served or allowed to block
+    # the fresh build's rename (self-review r11, same as _minhash_index_dir)
+    if os.path.isdir(out):
+        shutil.rmtree(out, ignore_errors=True)
     tmp = f"{out}.tmp.{_uuid.uuid4().hex[:8]}"
     emb = load_table(spark, sf_dir, "embeddings")
     ivf_pq_write_index(emb, "vec_id", "embedding", tmp)
     try:
         os.rename(tmp, out)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if _complete(out):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return out
+        return tmp
     return out
 
 

@@ -1123,12 +1123,17 @@ def ivf_pq_write_index(
     m = num_subspaces
 
     qdf = df.select(F.col(id_col).alias("_id"), _ivfq(vec_col, scale).alias("_q"))
-    cellc = F.broadcast(
+    # model tables are <= num_centroids rows but DERIVE from a full-corpus
+    # top-k — materialize each once so the encode job, and the two model
+    # writes below, don't re-run that scan (3x measured before; the build
+    # is then the advertised single corpus pass plus tiny-frame jobs)
+    cellc = (
         qdf.orderBy("_id")
         .limit(num_cells)
         .select(F.col("_id").alias("cid"), F.col("_q").alias("cv"))
+        .localCheckpoint(eager=True)
     )
-    cents = F.broadcast(
+    cents = (
         qdf.orderBy("_id")
         .limit(num_centroids)
         .select(
@@ -1140,6 +1145,7 @@ def ivf_pq_write_index(
                 )
             ).alias("s", "cv"),
         )
+        .localCheckpoint(eager=True)
     )
     codes = _ivf_encode(qdf, cellc, cents, m=m, d_sub=d_sub)
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
@@ -1264,7 +1270,12 @@ def ivf_pq_indexed_topk(
 
     Returns (probe_id, scanned, rank, id, adc_dist) — ``scanned`` is the
     per-probe candidate count (the row-level pruning audit), ranks 1..k
-    by integer ADC distance with ties to smallest id.
+    by integer ADC distance with ties to smallest id.  A probe whose
+    probed cells hold NO other vectors yields no output rows (a top-k
+    table has nowhere to put an empty result): callers that must
+    distinguish "no neighbors" from "request lost" should left-join
+    their probe list against the result, exactly as the oracle does not
+    need to — the contract is symmetric on both engines.
 
     Scale shape: model tables (centroids, codebook, LUTs) broadcast;
     the pruned code scan is ``num_subspaces`` small ints per row; the

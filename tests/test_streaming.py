@@ -878,10 +878,28 @@ def _retry_once_on_load_flake(fn):
     def _is_load_flake(exc: Exception) -> bool:
         if isinstance(exc, _RETRYABLE):
             return True
-        # Py4J wraps JVM-side socket failures in its own exception types;
-        # match by name to avoid importing py4j internals here.
+        # Py4J wraps JVM-side failures; only NETWORK-layer ones are load
+        # flakes.  Py4JJavaError carries arbitrary JVM exceptions (an NPE
+        # or AnalysisException from a real protocol regression must
+        # re-raise immediately), so for it match the observed socket-drain
+        # message signatures only.  Matched by name to avoid importing
+        # py4j internals here.
         name = type(exc).__name__
-        return name in ("Py4JError", "Py4JJavaError", "Py4JNetworkError")
+        if name == "Py4JNetworkError":
+            return True
+        if name in ("Py4JError", "Py4JJavaError"):
+            msg = str(exc)
+            return any(
+                sig in msg
+                for sig in (
+                    "No more data to read",
+                    "Connection reset",
+                    "Connection refused",
+                    "Answer from Java side is empty",
+                    "SocketTimeoutException",
+                )
+            )
+        return False
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
