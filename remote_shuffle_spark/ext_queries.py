@@ -11401,3 +11401,239 @@ def ext_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct[2], 6).alias("p75_sec"),
         F.round(F.max("delta_sec"), 6).alias("max_sec"),
     )
+
+
+# --- hypertable-style rollups & robust stats (round 11b) -------------------
+
+# cents view of the 2-decimal `value` double: exact DECIMAL(18,4) first,
+# then ×100 (an integral scale-4 decimal), then an exact integer cast —
+# the product is integral so Spark's truncating cast and DuckDB's
+# rounding cast agree by construction.
+_CENTS_SQL = "CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)"
+
+
+def _event_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with an exact integer-cents view of `value` (NULL-guarded
+    symmetrically with the oracles: window null-ordering differs between
+    engines, so rows with NULL order/value columns are excluded on BOTH
+    sides before any window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        (dec("value") * 100).cast("long").alias("cents"),
+    )
+
+
+@declared(
+    "ext_time_weighted_avg",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type,
+             {_CENTS_SQL} AS cents,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS dt_us
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(cents * (dt_us // 1000000)) AS BIGINT) AS tw_num,
+           CAST(SUM(dt_us // 1000000) AS BIGINT) AS tw_den_sec
+    FROM t
+    WHERE dt_us IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("ext", "rollup"),
+)
+def ext_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per event type (operators/stats.py:
+    time_weighted_sums) — the TimescaleDB ``time_weight`` hypertable
+    primitive re-expressed as one lead() window over each user timeline
+    plus a combinable grouped sum.  Each event's value holds until the
+    user's NEXT event (LOCF); the query reports the integer
+    numerator/denominator sums (cents·seconds, seconds) so the compared
+    result is engine-exact — the consumer divides.
+
+    100 TB: one window shuffle keyed by the timeline column + one
+    map-side-combined agg over a 4-column projection; the sums widen to
+    DECIMAL(38,0) beyond ~1e10 rows (docstring bound in the operator).
+    """
+    from remote_shuffle_spark.operators import stats
+
+    out = stats.time_weighted_sums(
+        _event_cents(spark, sf_dir),
+        timeline_col="user_id",
+        ts_col="ts",
+        cents_col="cents",
+        group_col="event_type",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        F.col("group").alias("event_type"), "n_intervals", "tw_num", "tw_den_sec"
+    ).orderBy("event_type")
+
+
+@declared(
+    "ext_median_mad_outliers",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type AS g, {_CENTS_SQL} AS v
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM c
+    ),
+    m AS (
+      SELECT g, MAX(n) AS n,
+             SUM(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+               + SUM(CASE WHEN rn = (n + 2) // 2 THEN v ELSE 0 END) AS med2
+      FROM r GROUP BY g
+    ),
+    d AS (
+      SELECT c.g, ABS(2 * c.v - m.med2) AS dv
+      FROM c JOIN m ON c.g = m.g
+    ),
+    rd AS (
+      SELECT g, dv,
+             row_number() OVER (PARTITION BY g ORDER BY dv) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM d
+    ),
+    md AS (
+      SELECT g,
+             SUM(CASE WHEN rn = (n + 1) // 2 THEN dv ELSE 0 END)
+               + SUM(CASE WHEN rn = (n + 2) // 2 THEN dv ELSE 0 END) AS mad2
+      FROM rd GROUP BY g
+    ),
+    o AS (
+      SELECT d.g,
+             COUNT(*) FILTER (WHERE 2 * d.dv > 3 * md.mad2) AS n_outliers
+      FROM d JOIN md ON d.g = md.g
+      GROUP BY d.g
+    )
+    SELECT m.g AS event_type,
+           CAST(m.n AS BIGINT) AS n,
+           CAST(m.med2 AS BIGINT) AS med2,
+           CAST(md.mad2 AS BIGINT) AS mad2,
+           CAST(o.n_outliers AS BIGINT) AS n_outliers
+    FROM m JOIN md ON m.g = md.g JOIN o ON m.g = o.g
+    ORDER BY 1
+    """,
+    tags=("ext", "stats"),
+)
+def ext_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via EXACT distributed median +
+    MAD (operators/stats.py:grouped_median2), entirely in integers: the
+    operator returns 2·median of the cents view, deviations are the
+    integers |2·x − med2|, MAD arrives as 2·median of those, and the
+    outlier rule |x − med| > 1.5·MAD is the integer comparison
+    2·d > 3·mad2 — no division anywhere, so the whole statistic is
+    engine-exact.  This is the median/MAD audit a data-quality pipeline
+    runs per source/shard to catch value drift that 3-sigma misses on
+    heavy-tailed columns (the ext_burst_detection complement).
+
+    Plan: two window sorts per group (median of values, median of
+    deviations) + two broadcast joins of the tiny per-group stats frame.
+    Exact medians are inherently per-group sorts; the approx path at
+    100 TB is percentile_approx (ext_kll_quantiles) — this query is the
+    exact-gate variant over bounded groups.
+    """
+    from remote_shuffle_spark.operators import stats
+
+    ev = _event_cents(spark, sf_dir).select("event_type", "cents")
+    med = stats.grouped_median2(ev, "event_type", "cents")  # group, n, med2
+    dev = ev.join(
+        F.broadcast(med), ev["event_type"] == med["group"]
+    ).select(
+        F.col("group").alias("g"),
+        F.abs(F.lit(2) * F.col("cents") - F.col("med2")).alias("dv"),
+    )
+    mad = stats.grouped_median2(dev, "g", "dv", out_col="mad2").select(
+        F.col("group").alias("gm"), F.col("mad2")
+    )
+    outl = (
+        dev.join(F.broadcast(mad), dev["g"] == mad["gm"])
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.lit(2) * F.col("dv") > F.lit(3) * F.col("mad2"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, med["group"] == mad["gm"])
+        .join(outl, med["group"] == outl["g"])
+        .select(
+            F.col("group").alias("event_type"),
+            F.col("n").cast("long").alias("n"),
+            F.col("med2").cast("long").alias("med2"),
+            F.col("mad2").cast("long").alias("mad2"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
+    "ext_state_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM t
+    WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("ext", "events"),
+)
+def ext_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Markov transition counts over time-ordered event streams:
+    one lead() window keyed by user (total order: ts, event_id) and one
+    combinable count over the (from, to) grid — the session-analysis /
+    behavioral-model fit primitive (transition matrices, next-event
+    prediction baselines).  Result cardinality is |types|², never corpus
+    scale; counts are exact integers.
+
+    100 TB: the window shuffle is the only corpus-sized exchange, keyed
+    by the same timeline column every session-family query uses — on a
+    bucketed-by-user layout it becomes exchange-free.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            F.col("event_type").alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )

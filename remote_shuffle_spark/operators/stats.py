@@ -134,6 +134,99 @@ def hll_distinct_rollup(
     )
 
 
+def time_weighted_sums(
+    df: DataFrame,
+    *,
+    timeline_col: str,
+    ts_col: str,
+    cents_col: str,
+    group_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-weighted-average building blocks (the TimescaleDB
+    ``time_weight`` / hypertable-rollup primitive): each observation's
+    value holds from its timestamp until the SAME timeline's next
+    observation (LOCF — last observation carried forward); the
+    interval-weighted sums are grouped by the ``group_col`` of the
+    observation that OWNS the interval.
+
+    Returns (group, n_intervals, tw_num, tw_den_sec) where
+    tw_num = Σ cents·dt_sec and tw_den_sec = Σ dt_sec over closed
+    intervals (each timeline's last observation has no successor and is
+    excluded).  Emitting the integer sums instead of the ratio keeps the
+    result engine-exact end to end — the consumer divides.
+
+    Determinism: the per-timeline order is (ts, tiebreak) — a TOTAL
+    order, so simultaneous observations get deterministic intervals.
+    dt_sec is the microsecond difference under integer division
+    (Spark ``div`` == DuckDB ``//`` for the non-negative diffs here).
+
+    Shape at 100 TB: ONE shuffle (window over timeline) + one combinable
+    grouped sum over a narrow projection.  Sums are int64 — bounded by
+    cents ≤ 1e5 × dt ≤ 2.6e6 s × rows; at ≫1e10 rows widen the two sums
+    to DECIMAL(38,0) (one cast, same plan).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(timeline_col).orderBy(ts_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col))
+    closed = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.col(cents_col).alias("_cents"),
+            (F.lead(us).over(w) - us).alias("_dt_us"),
+        )
+        .filter(F.col("_dt_us").isNotNull())
+        .withColumn("_dt_sec", F.expr("_dt_us div 1000000"))
+    )
+    return (
+        closed.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("_cents") * F.col("_dt_sec")).alias("tw_num"),
+            F.sum("_dt_sec").alias("tw_den_sec"),
+        )
+        .orderBy("group")
+    )
+
+
+def grouped_median2(
+    df: DataFrame, group_col: str, value_col: str, *, out_col: str = "med2"
+) -> DataFrame:
+    """EXACT distributed per-group median, integer-safe: returns
+    (group, n, ``out_col``) where ``out_col`` is TWICE the median —
+    x[(n+1) div 2] + x[(n+2) div 2] in 1-indexed sorted order — so an
+    even-count median of integer values needs no fractional type and
+    the statistic is engine-exact by construction (the MAD/outlier
+    consumers compare 2·|x − med| against it without ever dividing).
+
+    Plan: one window sort per group (row_number + count over the group)
+    plus a combinable conditional sum.  Ranks among tied values are
+    arbitrary but the PROJECTED value at any rank is unique, so the
+    result is deterministic.  Exact median is inherently a per-group
+    sort; at 100 TB prefer approx_percentile unless the pipeline needs
+    exactness — this operator exists for the exact path (data audits,
+    gate fixtures, robust-stat thresholds on bounded groups).
+    """
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("group")
+    ranked = (
+        df.select(F.col(group_col).alias("group"), F.col(value_col).alias("v"))
+        .withColumn("rn", F.row_number().over(wg.orderBy("v")))
+        .withColumn("n", F.count(F.lit(1)).over(wg))
+        .withColumn("lo", F.expr("(n + 1) div 2"))
+        .withColumn("hi", F.expr("(n + 2) div 2"))
+    )
+    return ranked.groupBy("group").agg(
+        F.max("n").alias("n"),
+        (
+            F.sum(F.when(F.col("rn") == F.col("lo"), F.col("v")).otherwise(F.lit(0)))
+            + F.sum(F.when(F.col("rn") == F.col("hi"), F.col("v")).otherwise(F.lit(0)))
+        ).alias(out_col),
+    )
+
+
 def chi_square_independence(
     df: DataFrame, row_col: str, col_col: str, *, round_to: int = 6
 ) -> DataFrame:

@@ -271,3 +271,51 @@ def test_burst_detection_integer_rule_matches_float_3sigma(spark):
         for r in REGISTRY["ext_burst_detection"].fn(spark, d).collect()
     }
     assert out["spiky"] == (61, 1, 50), out
+
+
+def test_grouped_median2_odd_even_and_ties(spark):
+    from remote_shuffle_spark.operators.stats import grouped_median2
+
+    df = spark.createDataFrame(
+        [("odd", v) for v in [5, 1, 9, 3, 7]]          # median 5 -> med2 10
+        + [("even", v) for v in [4, 1, 3, 2]]          # median 2.5 -> med2 5
+        + [("ties", v) for v in [2, 2, 2, 8]]          # median 2 -> med2 4
+        + [("one", 42)],                               # med2 84
+        ["g", "v"],
+    )
+    out = {r.group: (r.n, r.med2) for r in grouped_median2(df, "g", "v").collect()}
+    assert out == {"odd": (5, 10), "even": (4, 5), "ties": (4, 4), "one": (1, 84)}
+
+
+def test_time_weighted_sums_locf(spark):
+    from remote_shuffle_spark.operators.stats import time_weighted_sums
+
+    # user 1: value 100 cents holds 10s, then 300 holds 5s; last row open.
+    # user 2: single observation -> no closed interval.
+    # simultaneous pair (user 3): tiebreak gives event 30 a 0s interval,
+    # event 31 a 4s one -- deterministic under (ts, event_id).
+    rows = [
+        (10, 0, 1, "a", 100),
+        (11, 10_000_000, 1, "a", 300),
+        (12, 15_000_000, 1, "b", 999),
+        (20, 0, 2, "a", 500),
+        (30, 0, 3, "b", 7),
+        (31, 0, 3, "b", 11),
+        (32, 4_000_000, 3, "b", 13),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, t_us long, user long, g string, cents long"
+    ).select("event_id", F.timestamp_micros("t_us").alias("ts"), "user", "g", "cents")
+    out = {
+        r.group: (r.n_intervals, r.tw_num, r.tw_den_sec)
+        for r in time_weighted_sums(
+            df,
+            timeline_col="user",
+            ts_col="ts",
+            cents_col="cents",
+            group_col="g",
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    # a: 100*10 + 300*5 = 2500 over 15s; b: 7*0 + 11*4 = 44 over 4s
+    assert out == {"a": (2, 2500, 15), "b": (2, 44, 4)}
