@@ -11637,3 +11637,150 @@ def ext_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("from_type", "to_type")
     )
+
+
+@declared(
+    "ext_link_prediction",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+    ),
+    edges AS (
+      SELECT DISTINCT a.sk AS src, b.sk AS dst
+      FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.sk < b.sk
+    ),
+    adj AS (
+      SELECT src AS u, dst AS n FROM edges
+      UNION ALL
+      SELECT dst AS u, src AS n FROM edges
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
+    cn AS (
+      SELECT a.u AS u, b.u AS v, COUNT(*) AS common
+      FROM adj a JOIN adj b ON a.n = b.n AND a.u < b.u
+      GROUP BY 1, 2
+    ),
+    nonedge AS (
+      SELECT cn.u, cn.v, cn.common
+      FROM cn LEFT JOIN edges e ON cn.u = e.src AND cn.v = e.dst
+      WHERE e.src IS NULL
+    )
+    SELECT ne.u, ne.v, ne.common,
+           du.d + dv.d - ne.common AS jacc_den
+    FROM nonedge ne
+    JOIN deg du ON ne.u = du.u
+    JOIN deg dv ON ne.v = dv.u
+    ORDER BY ne.common DESC, ne.u, ne.v
+    LIMIT 20
+    """,
+    tags=("ext", "graph"),
+)
+def ext_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (operators/graph.py:
+    common_neighbor_scores) over the one-month supplier co-supply slice
+    (the ext_triangle_count graph): the 20 strongest NON-adjacent
+    supplier pairs by shared-neighbor count, with the integer Jaccard
+    denominator deg(u)+deg(v)−common alongside so the score is
+    engine-exact.  The missing-edge recommendation primitive
+    (who-should-co-supply, friend-of-friend, related-document).
+
+    Plan: one neighbor-keyed self-join (the wedge enumeration), one
+    left-anti join against the edge set, two broadcast degree joins,
+    then TakeOrdered(20) — no corpus-wide sort materializes.
+    """
+    from remote_shuffle_spark.operators.graph import common_neighbor_scores
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    pairs = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    edges = (
+        pairs.alias("a")
+        .join(pairs.alias("b"), "ok")
+        .filter(F.col("a.sk") < F.col("b.sk"))
+        .select(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
+    )
+    return common_neighbor_scores(edges, top_k=20)
+
+
+@declared(
+    "ext_length_percentile_cut",
+    oracle="""
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+      WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    thr AS (
+      SELECT lang, MAX(n) AS n,
+             MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN n_chars END) AS p95_chars
+      FROM r GROUP BY lang
+    )
+    SELECT t.lang, CAST(t.n AS BIGINT) AS n,
+           CAST(t.p95_chars AS BIGINT) AS p95_chars,
+           CAST(COUNT(*) FILTER (WHERE d.n_chars > t.p95_chars) AS BIGINT)
+             AS n_above,
+           CAST(COALESCE(SUM(d.n_chars) FILTER (WHERE d.n_chars > t.p95_chars), 0)
+             AS BIGINT) AS chars_above
+    FROM thr t
+    JOIN documents d ON d.lang = t.lang AND d.n_chars IS NOT NULL
+    GROUP BY t.lang, t.n, t.p95_chars
+    ORDER BY t.lang
+    """,
+    tags=("ext", "pipeline"),
+)
+def ext_length_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language p95 length threshold + tail audit — the
+    truncation-budget question a tokenization pipeline asks per stratum
+    ("how many docs exceed the p95 cut, how many chars would truncation
+    drop").  The threshold is EXACT: n_chars at ascending rank
+    ceil(0.95·n) computed as the all-integer (19n+19) div 20, so no
+    float percentile enters the compared result; the over-threshold
+    counts/sums join back against the corpus.
+
+    Plan: one window sort per language (exact rank — the
+    grouped_median2 discipline), broadcast the tiny per-lang threshold
+    table, one combinable filtered aggregation.  At 100 TB the exact
+    window swaps for percentile_approx with the same join-back shape.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    wg = Window.partitionBy("lang")
+    ranked = (
+        docs.select("lang", "n_chars")
+        .withColumn("rn", F.row_number().over(wg.orderBy("n_chars")))
+        .withColumn("n", F.count(F.lit(1)).over(wg))
+    )
+    thr = ranked.groupBy("lang").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("n_chars"))
+        ).alias("p95_chars"),
+    )
+    t = thr.select(
+        F.col("lang").alias("_t_lang"), "n", "p95_chars"
+    )
+    return (
+        docs.select("lang", "n_chars")
+        .join(F.broadcast(t), F.col("lang") == F.col("_t_lang"))
+        .groupBy("lang", "n", "p95_chars")
+        .agg(
+            F.sum(
+                F.when(F.col("n_chars") > F.col("p95_chars"), 1).otherwise(0)
+            ).alias("n_above"),
+            F.sum(
+                F.when(F.col("n_chars") > F.col("p95_chars"), F.col("n_chars")).otherwise(0)
+            ).alias("chars_above"),
+        )
+        .select("lang", "n", "p95_chars", "n_above", "chars_above")
+        .orderBy("lang")
+    )

@@ -511,3 +511,59 @@ def kcore_peel(
         "round int, removed_vertices long, remaining_vertices long, "
         "remaining_edges long",
     )
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int = 20,
+) -> DataFrame:
+    """Link prediction by common-neighbor counting: for every NON-adjacent
+    vertex pair (u < v) sharing at least one neighbor, emit
+    (u, v, common, jacc_den) where ``common`` is the number of shared
+    neighbors and ``jacc_den`` = deg(u) + deg(v) − common, so
+    common/jacc_den is the Jaccard link score — kept as the integer
+    numerator/denominator pair for engine-exact comparison.  Top
+    ``top_k`` by (common DESC, u, v): a total order, so the limit
+    boundary is deterministic.
+
+    Plan: symmetrize edges, self-join on the shared-neighbor column
+    (one hash shuffle keyed by neighbor), anti-join the existing edge
+    set, broadcast the degree table.  Wedge enumeration through hubs is
+    the same Θ(Σ deg²) bound as triangle counting — callers keep the
+    graph sliced/sparse (the ext_triangle_count discipline) or pre-cap
+    hub degrees at target scale.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    adj = e.select(F.col("src").alias("u"), F.col("dst").alias("n")).unionAll(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("n"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    cn = (
+        adj.alias("a")
+        .join(adj.alias("b"), F.col("a.n") == F.col("b.n"))
+        .filter(F.col("a.u") < F.col("b.u"))
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nonedge = cn.join(
+        e,
+        (cn["u"] == e["src"]) & (cn["v"] == e["dst"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("u").alias("_du_u"), F.col("d").alias("_du_d"))
+    dv = deg.select(F.col("u").alias("_dv_u"), F.col("d").alias("_dv_d"))
+    return (
+        nonedge.join(F.broadcast(du), nonedge["u"] == du["_du_u"])
+        .join(F.broadcast(dv), nonedge["v"] == dv["_dv_u"])
+        .select(
+            "u",
+            "v",
+            "common",
+            (F.col("_du_d") + F.col("_dv_d") - F.col("common")).alias("jacc_den"),
+        )
+        .orderBy(F.col("common").desc(), "u", "v")
+        .limit(top_k)
+    )

@@ -328,3 +328,22 @@ def test_kcore_peel_simultaneous_removal(spark):
     assert rows[1].removed_vertices == 4
     assert rows[1].remaining_vertices == 0 and rows[1].remaining_edges == 0
     assert rows[2].removed_vertices == 0
+
+
+def test_common_neighbor_scores_square_and_path(spark):
+    from remote_shuffle_spark.operators.graph import common_neighbor_scores
+
+    # square 1-2-3-4-1: diagonals (1,3) and (2,4) share two neighbors and
+    # are non-adjacent; every adjacent pair must be excluded.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["src", "dst"]
+    )
+    out = {(r.u, r.v): (r.common, r.jacc_den) for r in
+           common_neighbor_scores(edges, top_k=10).collect()}
+    assert out == {(1, 3): (2, 2), (2, 4): (2, 2)}
+
+    # path 1-2-3: single wedge -> one predicted link with Jaccard 1/1
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = {(r.u, r.v): (r.common, r.jacc_den) for r in
+           common_neighbor_scores(path, top_k=10).collect()}
+    assert out == {(1, 3): (1, 1)}
