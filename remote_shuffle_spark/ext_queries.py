@@ -11784,3 +11784,181 @@ def ext_length_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n", "p95_chars", "n_above", "chars_above")
         .orderBy("lang")
     )
+
+
+@declared(
+    "ext_cms_freq",
+    oracle="""
+    WITH keys AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS exact_cnt
+      FROM events GROUP BY 1
+    ),
+    rows_ AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+    counters AS (
+      SELECT r.d,
+             substring(md5(r.d || '|' || CAST(e.user_id AS VARCHAR)), 1, 2)
+               AS bucket,
+             COUNT(*) AS c
+      FROM events e CROSS JOIN rows_ r
+      GROUP BY 1, 2
+    ),
+    top10 AS (
+      SELECT k, exact_cnt FROM keys ORDER BY exact_cnt DESC, k LIMIT 10
+    ),
+    est AS (
+      SELECT t.k, t.exact_cnt,
+             MIN(c.c) AS cms_est
+      FROM top10 t
+      JOIN rows_ r ON TRUE
+      JOIN counters c
+        ON c.d = r.d AND c.bucket = substring(md5(r.d || '|' || t.k), 1, 2)
+      GROUP BY 1, 2
+    )
+    SELECT k AS user_key,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est >= exact_cnt AS INT) AS never_underestimates,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY exact_cnt DESC, user_key
+    """,
+    tags=("ext", "sketch"),
+)
+def ext_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch, ORACLE-REPLAYABLE: a 4-row × 256-bucket CMS over
+    event user keys where hash row d maps key k to bucket
+    md5(d || '|' || k)[:2] — the md5/DSIR engine-exact construction, so
+    DuckDB rebuilds the identical sketch and the gate hash-compares the
+    ESTIMATES, not just invariants.  Reports the 10 hottest keys' exact
+    counts vs CMS estimates, the (always-true) never-underestimates
+    flag, and the collision overestimate.
+
+    Plan: sketch construction is ONE combinable aggregation over a
+    4×-exploded narrow projection (counter table ≤ 1024 rows regardless
+    of corpus size — the whole point of CMS at 100 TB: frequency
+    estimates from kilobytes of state); estimation joins the broadcast
+    counter table.  No corpus-sized shuffle besides the exact-count
+    verification column (which target-scale callers drop).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    rows_d = F.array(*[F.lit(d) for d in range(4)])
+    hashed = ev.select(
+        "k", F.posexplode(rows_d).alias("pos", "d")
+    ).select(
+        "k",
+        "d",
+        F.substring(F.md5(F.concat_ws("|", F.col("d"), F.col("k"))), 1, 2).alias(
+            "bucket"
+        ),
+    )
+    counters = hashed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    top10 = (
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "k")
+        .limit(10)
+    )
+    probes = top10.select(
+        "k", "exact_cnt", F.posexplode(rows_d).alias("pos", "d")
+    ).select(
+        "k",
+        "exact_cnt",
+        "d",
+        F.substring(F.md5(F.concat_ws("|", F.col("d"), F.col("k"))), 1, 2).alias(
+            "bucket"
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        F.col("k").alias("user_key"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).cast("int").alias(
+            "never_underestimates"
+        ),
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+    ).orderBy(F.col("exact_cnt").desc(), "user_key")
+
+
+@declared(
+    "ext_cascade_delete",
+    oracle="""
+    WITH del_cust AS (
+      SELECT c_custkey FROM customer WHERE c_nationkey = 3
+    ),
+    del_ord AS (
+      SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+    ),
+    del_li AS (
+      SELECT l_orderkey FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM del_ord)
+    ),
+    u AS (
+      SELECT 'customer' AS entity,
+             (SELECT COUNT(*) FROM customer) AS rows_before,
+             (SELECT COUNT(*) FROM del_cust) AS rows_deleted
+      UNION ALL
+      SELECT 'orders',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM del_ord)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM del_li)
+    )
+    SELECT entity, CAST(rows_before AS BIGINT) AS rows_before,
+           CAST(rows_deleted AS BIGINT) AS rows_deleted,
+           CAST(rows_before - rows_deleted AS BIGINT) AS rows_after
+    FROM u
+    ORDER BY entity
+    """,
+    tags=("ext", "pipeline"),
+)
+def ext_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: deleting one nation's
+    customers must cascade through orders to line items; the query
+    reports per-entity before/deleted/after counts — the compliance
+    dry-run a lakehouse runs before an actual DELETE (the ext_upsert /
+    ext_scd2 family's destructive sibling, kept read-only so it is
+    gate-replayable).
+
+    Plan: two LEFT SEMI joins down the foreign-key chain (customer key
+    set is small → broadcast; the orders key set grows with SF → AQE
+    picks the join side), plus combinable counts.  No row is rewritten:
+    at 100 TB the same semi-join frontier feeds a copy-on-write DELETE
+    (the ext_compaction path).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_cust = cust.filter(F.col("c_nationkey") == 3).select("c_custkey")
+    del_ord = orders.join(
+        F.broadcast(del_cust), orders["o_custkey"] == del_cust["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        del_ord, li["l_orderkey"] == del_ord["o_orderkey"], "left_semi"
+    )
+
+    def _row(entity: str, total: DataFrame, deleted: DataFrame) -> DataFrame:
+        t = total.agg(F.count(F.lit(1)).alias("rows_before"))
+        d = deleted.agg(F.count(F.lit(1)).alias("rows_deleted"))
+        return t.crossJoin(d).select(
+            F.lit(entity).alias("entity"), "rows_before", "rows_deleted"
+        )
+
+    out = (
+        _row("customer", cust, del_cust)
+        .unionByName(_row("orders", orders, del_ord))
+        .unionByName(_row("lineitem", li, del_li))
+    )
+    return out.select(
+        "entity",
+        "rows_before",
+        "rows_deleted",
+        (F.col("rows_before") - F.col("rows_deleted")).alias("rows_after"),
+    ).orderBy("entity")
