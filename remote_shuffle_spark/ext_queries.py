@@ -11962,3 +11962,149 @@ def ext_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_deleted",
         (F.col("rows_before") - F.col("rows_deleted")).alias("rows_after"),
     ).orderBy("entity")
+
+
+@declared(
+    "ext_out_of_order_audit",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             epoch_us(ts) AS us,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE prev_max IS NOT NULL AND us < prev_max)
+             AS BIGINT) AS n_out_of_order,
+           CAST(COALESCE(MAX(CASE WHEN prev_max IS NOT NULL AND us < prev_max
+                                  THEN (prev_max - us) // 1000000 END), 0)
+             AS BIGINT) AS max_lateness_sec,
+           CAST(COALESCE(SUM(CASE WHEN prev_max IS NOT NULL AND us < prev_max
+                                  THEN (prev_max - us) // 1000000 END), 0)
+             AS BIGINT) AS sum_lateness_sec
+    FROM t
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("ext", "events", "streaming"),
+)
+def ext_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit — the measurement that SIZES a
+    streaming watermark: treating event_id as per-user ARRIVAL order and
+    ts as EVENT time, a row is late if its event time precedes the
+    running max of everything that already arrived on that timeline;
+    lateness is how far behind.  Reports per-type late counts and
+    max/total lateness seconds (integer-truncated micros — engine-exact).
+    Run this on history before choosing `withWatermark` bounds (the
+    ext_stream_late_drop / dedup-within-watermark family's calibration
+    input).
+
+    Plan: one running-max window per user timeline (frame: rows
+    unbounded-preceding to 1-preceding, so a row never compares against
+    itself) + one combinable agg.  Same single corpus shuffle as every
+    session-family query, bucketable away on a user-keyed layout.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t = ev.select(
+        "event_type", us.alias("us"), F.max(us).over(w).alias("prev_max")
+    )
+    late = F.col("prev_max").isNotNull() & (F.col("us") < F.col("prev_max"))
+    late_sec = F.expr("(prev_max - us) div 1000000")
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_out_of_order"),
+            F.coalesce(F.max(F.when(late, late_sec)), F.lit(0)).alias(
+                "max_lateness_sec"
+            ),
+            F.coalesce(F.sum(F.when(late, late_sec)), F.lit(0)).alias(
+                "sum_lateness_sec"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
+    "ext_rare_token_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+    docmin AS (
+      SELECT t.doc_id, MIN(freq.f) AS min_f
+      FROM toks t JOIN freq ON t.tok = freq.tok
+      GROUP BY t.doc_id
+    )
+    SELECT CASE WHEN min_f = 1 THEN 'hapax'
+                WHEN min_f < 10 THEN 'rare'
+                WHEN min_f < 100 THEN 'uncommon'
+                ELSE 'common' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(min_f) AS BIGINT) AS sum_min_freq
+    FROM docmin
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("ext", "text", "pipeline"),
+)
+def ext_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-vocabulary exposure histogram: for every document, the corpus
+    frequency of its RAREST token, bucketed (hapax / rare<10 /
+    uncommon<100 / common) — the OOV-risk audit a tokenizer-training
+    pipeline runs to find documents dominated by tail tokens (typos,
+    boilerplate IDs, non-linguistic noise score 'hapax'; clean prose
+    scores 'common').
+
+    Plan: explode to (doc, token), ONE token-keyed count (map-side
+    combined — token frequency table ≪ corpus), join the frequency back
+    on the token key, per-doc MIN, then a 4-row histogram.  The
+    explode+join is the inverted-index / TF-IDF shuffle shape; at 100 TB
+    the frequency table is the broadcast side once pruned to the tail
+    (a min over a broadcast-hash lookup).
+    """
+    from remote_shuffle_spark.functions.hashing import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    docmin = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(F.min("f").alias("min_f"))
+    )
+    bucket = (
+        F.when(F.col("min_f") == 1, "hapax")
+        .when(F.col("min_f") < 10, "rare")
+        .when(F.col("min_f") < 100, "uncommon")
+        .otherwise("common")
+    )
+    return (
+        docmin.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("min_f").alias("sum_min_freq"),
+        )
+        .orderBy("bucket")
+    )
