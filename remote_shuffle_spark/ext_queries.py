@@ -12108,3 +12108,195 @@ def ext_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@declared(
+    "ext_blocking_quality",
+    oracle=f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, {_NORM} AS nt FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000,
+             array_to_string(list_transform(string_split({_NORM}, ' '),
+               (t, i) -> CASE WHEN (i-1) % 19 = 0
+                              THEN 'bq'||doc_id||'e'||CAST(i-1 AS VARCHAR)
+                              ELSE t END), ' ')
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    keyed AS MATERIALIZED (
+      SELECT doc_id,
+             len(string_split(nt, ' ')) // 8 AS len_band,
+             string_split(nt, ' ')[1] AS first_tok
+      FROM corpus
+    ),
+    n_all AS (SELECT COUNT(*) AS n FROM keyed),
+    planted AS (
+      SELECT a.doc_id AS orig, b.doc_id AS copy_id
+      FROM keyed a JOIN keyed b ON b.doc_id = a.doc_id + 5000000
+      WHERE a.doc_id % 11 = 0 AND a.doc_id < 5000000
+    ),
+    cand AS (
+      SELECT 'len_band' AS scheme,
+             CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+      FROM (SELECT COUNT(*) AS c FROM keyed GROUP BY len_band)
+      UNION ALL
+      SELECT 'first_token',
+             CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+      FROM (SELECT COUNT(*) AS c FROM keyed GROUP BY first_tok)
+    ),
+    found AS (
+      SELECT 'len_band' AS scheme,
+             CAST(COUNT(*) FILTER (WHERE ka.len_band = kb.len_band) AS BIGINT)
+               AS planted_found,
+             COUNT(*) AS planted_total
+      FROM planted p
+      JOIN keyed ka ON ka.doc_id = p.orig
+      JOIN keyed kb ON kb.doc_id = p.copy_id
+      UNION ALL
+      SELECT 'first_token',
+             CAST(COUNT(*) FILTER (WHERE ka.first_tok = kb.first_tok) AS BIGINT),
+             COUNT(*)
+      FROM planted p
+      JOIN keyed ka ON ka.doc_id = p.orig
+      JOIN keyed kb ON kb.doc_id = p.copy_id
+    )
+    SELECT c.scheme, c.candidate_pairs,
+           CAST(n.n * (n.n - 1) // 2 AS BIGINT) AS all_pairs,
+           f.planted_found, f.planted_total
+    FROM cand c JOIN found f ON c.scheme = f.scheme CROSS JOIN n_all n
+    ORDER BY c.scheme
+    """,
+    tags=("ext", "dedup", "eval"),
+)
+def ext_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution BLOCKING audit — the reduction-ratio /
+    pair-completeness tradeoff measured on planted near-copies: two
+    candidate-generation schemes over the augmented corpus
+    (token-count band ``n_tokens div 8`` vs first-token equality) each
+    report how many candidate pairs they'd generate (vs the all-pairs
+    denominator) and how many of the planted near-dup pairs their
+    blocks retain.  The plant edits token 0, so first-token blocking
+    PROVABLY misses every planted pair while the length band keeps all
+    of them (edits replace tokens 1:1) — the query quantifies why
+    blocking keys must be edit-insensitive, with the full tradeoff
+    table engine-verified.
+
+    Plan: block sizes are ONE combinable count per scheme (candidate
+    count is Σ c·(c−1)/2 over the size table — never materializing the
+    pairs); planted recall is a keyed self-join on doc ids.  This is
+    the audit to run BEFORE ext_fuzzy_join at 100 TB: candidate_pairs
+    is the exact cost forecast of the downstream quadratic stage.
+    """
+    from remote_shuffle_spark.functions.hashing import normalized_text
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    donors = docs.filter(F.col("doc_id") % 11 == 0)
+    aug = docs.select("doc_id", normalized_text(F.col("text")).alias("nt")).unionByName(
+        _planted_near_copies(donors, "bq", 5_000_000).select(
+            "doc_id", normalized_text(F.col("text")).alias("nt")
+        )
+    )
+    toks = F.split(F.col("nt"), " ")
+    keyed = aug.select(
+        "doc_id",
+        F.expr("size(split(nt, ' ')) div 8").alias("len_band"),
+        toks.getItem(0).alias("first_tok"),
+    ).localCheckpoint(eager=True)
+
+    n_all = keyed.count()
+    all_pairs = n_all * (n_all - 1) // 2
+
+    def _cand(scheme: str, key: str) -> DataFrame:
+        sizes = keyed.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        return sizes.agg(
+            F.lit(scheme).alias("scheme"),
+            F.sum(F.expr("c * (c - 1) div 2")).alias("candidate_pairs"),
+        )
+
+    ka = keyed.select(
+        F.col("doc_id").alias("orig"),
+        F.col("len_band").alias("lb_a"),
+        F.col("first_tok").alias("ft_a"),
+    ).filter((F.col("orig") % 11 == 0) & (F.col("orig") < 5_000_000))
+    kb = keyed.select(
+        (F.col("doc_id") - 5_000_000).alias("orig"),
+        F.col("len_band").alias("lb_b"),
+        F.col("first_tok").alias("ft_b"),
+    ).filter(F.col("doc_id") >= 5_000_000)
+    pairs = ka.join(kb, "orig")
+    found = pairs.agg(
+        F.sum(F.when(F.col("lb_a") == F.col("lb_b"), 1).otherwise(0)).alias(
+            "found_len"
+        ),
+        F.sum(F.when(F.col("ft_a") == F.col("ft_b"), 1).otherwise(0)).alias(
+            "found_ft"
+        ),
+        F.count(F.lit(1)).alias("planted_total"),
+    ).collect()[0]
+
+    cand = _cand("len_band", "len_band").unionByName(_cand("first_token", "first_tok"))
+    found_df = spark.createDataFrame(
+        [
+            ("len_band", int(found["found_len"]), int(found["planted_total"])),
+            ("first_token", int(found["found_ft"]), int(found["planted_total"])),
+        ],
+        "scheme string, planted_found long, planted_total long",
+    )
+    return (
+        cand.join(found_df, "scheme")
+        .select(
+            "scheme",
+            "candidate_pairs",
+            F.lit(all_pairs).cast("long").alias("all_pairs"),
+            "planted_found",
+            "planted_total",
+        )
+        .orderBy("scheme")
+    )
+
+
+@declared(
+    "ext_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT))
+             AS BIGINT) AS price_cents,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_ok
+    FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+    """,
+    tags=("ext", "api"),
+)
+def ext_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Dataset.observe`` / Observation-API coverage: named aggregate
+    metrics ride along INSIDE a pass-through pipeline (no second scan,
+    no extra shuffle — the accumulators collect per-task and merge on
+    the driver) and surface after the action completes.  This is how a
+    100 TB ingest job gets row counts / checksums / bounds for its audit
+    manifest without re-reading what it just wrote (the
+    python_datasource_write commit-protocol's metrics half).
+
+    The query runs a filter pipeline over lineitem with four observed
+    metrics, drives it with a count() action, then returns the observed
+    values as a one-row frame — engine-exact (integer count/bounds, the
+    dec()*100 cents sum).
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("ingest_audit")
+    cents = (dec("l_extendedprice") * 100).cast("long")
+    piped = li.filter(F.col("l_shipdate") >= "1996-01-01").observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("price_cents"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+    )
+    piped.count()  # the action that drives the pipeline; metrics then final
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n"]), int(m["price_cents"]), int(m["min_ok"]), int(m["max_ok"]))],
+        "n long, price_cents long, min_ok long, max_ok long",
+    )
