@@ -12300,3 +12300,167 @@ def ext_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n"]), int(m["price_cents"]), int(m["min_ok"]), int(m["max_ok"]))],
         "n long, price_cents long, min_ok long, max_ok long",
     )
+
+
+@declared(
+    "ext_source_overlap_matrix",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT source, unnest({_sql_grams(3)}) AS g
+      FROM (SELECT source, string_split({_NORM}, ' ') AS toks FROM documents)
+    ),
+    per_src AS (SELECT source, COUNT(*) AS n_grams FROM sh GROUP BY source),
+    ov AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_grams
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT o.source_a, o.source_b, o.shared_grams,
+           pa.n_grams AS grams_a, pb.n_grams AS grams_b
+    FROM ov o
+    JOIN per_src pa ON o.source_a = pa.source
+    JOIN per_src pb ON o.source_b = pb.source
+    ORDER BY o.shared_grams DESC, o.source_a, o.source_b
+    LIMIT 20
+    """,
+    tags=("ext", "dedup", "pipeline"),
+)
+def ext_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: the 20 source pairs sharing the
+    most distinct word 3-grams, with each side's distinct-gram count so
+    the Jaccard overlap is derivable — the corpus-level audit that
+    catches one source republishing another (mirror sites, scraped
+    duplicates across crawls) BEFORE per-document dedup runs.  Exact
+    integer counts; the limit boundary is a total order
+    (shared DESC, source_a, source_b).
+
+    Plan: distinct-(source, gram) is one combinable aggregation; the
+    pair counts are ONE gram-keyed self-join (the inverted-index /
+    decontamination shuffle shape — at 100 TB join on xxhash64(gram)
+    digests and keep a DISTINCT gram-per-source projection so the join
+    side is the distinct-gram set, never the corpus).
+    """
+    from remote_shuffle_spark.functions.hashing import (
+        tokens as _toks,
+        word_shingles_from_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("source", _toks("text").alias("_tk"))
+        .select("source", F.explode(word_shingles_from_tokens(F.col("_tk"), 3)).alias("g"))
+        .distinct()
+    )
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), "g")
+    ov = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    pa = per_src.select(F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a"))
+    pb = per_src.select(F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b"))
+    return (
+        ov.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select("source_a", "source_b", "shared_grams", "grams_a", "grams_b")
+        .orderBy(F.col("shared_grams").desc(), "source_a", "source_b")
+        .limit(20)
+    )
+
+
+@declared(
+    "ext_degree_assortativity",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+    ),
+    edges AS (
+      SELECT DISTINCT a.sk AS src, b.sk AS dst
+      FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.sk < b.sk
+    ),
+    adj AS (
+      SELECT src AS u, dst AS v FROM edges
+      UNION ALL
+      SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
+    dd AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM adj JOIN deg du ON adj.u = du.u JOIN deg dv ON adj.v = dv.u
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM dd
+    )
+    SELECT n AS n_directed_edges,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             AS assortativity
+    FROM mom
+    """,
+    tags=("ext", "graph"),
+)
+def ext_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the one-month co-supply graph — Pearson
+    correlation of endpoint degrees over directed edge instances
+    (Newman 2002), the one-number structural fingerprint that separates
+    hub-to-hub networks (positive) from hub-to-leaf ones (negative).
+    The moments are EXACT integer sums (degrees are integers), so both
+    engines evaluate the identical closed form on identical operands —
+    the pairwise_corr discipline with the decimal cast not even needed.
+
+    Plan: degree table via one count, two broadcast degree joins onto
+    the edge list, one combinable 6-sum moment aggregation; no window,
+    no sort.  At 100 TB this is a cheap side statistic of any graph
+    pipeline that already materialized degrees (kcore, triangles).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    pairs = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    edges = (
+        pairs.alias("a")
+        .join(pairs.alias("b"), "ok")
+        .filter(F.col("a.sk") < F.col("b.sk"))
+        .select(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
+        .distinct()
+    )
+    adj = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("_u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("_v"), F.col("d").alias("y"))
+    dd = adj.join(F.broadcast(du), adj["u"] == du["_u"]).join(
+        F.broadcast(dv), adj["v"] == dv["_v"]
+    )
+    mom = dd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return mom.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(corr, 6).alias("assortativity"),
+    )
