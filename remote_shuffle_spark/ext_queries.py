@@ -12464,3 +12464,71 @@ def ext_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_directed_edges"),
         F.round(corr, 6).alias("assortativity"),
     )
+
+
+@declared(
+    "ext_stream_observe",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM events
+    """,
+    tags=("ext", "streaming", "api"),
+)
+def ext_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ``Dataset.observe``: named audit metrics (row count,
+    exact id checksum) ride inside a pass-through streaming pipeline
+    and surface per micro-batch in every StreamingQueryProgress — the
+    zero-extra-scan way a 100 TB ingest stream exports
+    rows/bytes/checksum counters to its monitoring plane.  The query
+    drains the ordered event split under Trigger.AvailableNow
+    (maxFilesPerTrigger=1, so the metrics provably accumulate across
+    MULTIPLE batches), sums the per-batch observed values, and returns
+    them as one engine-exact row equal to the batch aggregate —
+    exactly-once metric accounting, hash-verified.
+    """
+    import uuid as _uuid
+
+    from remote_shuffle_spark.streaming.latedrop import (
+        _ordered_events,
+        late_split_dir,
+    )
+    from remote_shuffle_spark.streaming.source import stream_session
+
+    split = late_split_dir(spark, sf_dir, late_every=None)
+    schema = _ordered_events(spark, sf_dir).schema
+    s2 = stream_session(spark, 4)
+    stream = (
+        s2.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(split)
+    )
+    observed = stream.observe(
+        "ingest_audit",
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("id_checksum"),
+    )
+    name = f"obs_{_uuid.uuid4().hex[:8]}"
+    q = (
+        observed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        assert not q.isActive, "AvailableNow trigger failed to self-terminate"
+    finally:
+        if q.isActive:
+            q.stop()
+    n_total, cents_total, n_batches = 0, 0, 0
+    for p in q.recentProgress:
+        m = p["observedMetrics"].get("ingest_audit") if p["observedMetrics"] else None
+        if m is None:
+            continue
+        n_batches += 1
+        n_total += int(m["n_events"])
+        cents_total += int(m["id_checksum"] or 0)
+    assert n_batches >= 2, f"expected multi-batch drain, saw {n_batches}"
+    return spark.createDataFrame(
+        [(n_total, cents_total)], "n_events long, id_checksum long"
+    )
