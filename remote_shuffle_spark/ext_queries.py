@@ -12532,3 +12532,91 @@ def ext_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_total, cents_total)], "n_events long, id_checksum long"
     )
+
+
+@declared(
+    "ext_format_roundtrip_matrix",
+    oracle="""
+    WITH base AS (
+      SELECT 'a_orc' AS fmt, COUNT(*) AS n_rows,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             CAST(SUM(length(text)) AS BIGINT) AS chars_sum
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT fmt, n_rows, id_sum, chars_sum FROM base
+    UNION ALL
+    SELECT 'b_json', n_rows, id_sum, chars_sum FROM base
+    UNION ALL
+    SELECT 'c_csv', n_rows, id_sum, chars_sum FROM base
+    ORDER BY fmt
+    """,
+    tags=("ext", "sources"),
+)
+def ext_format_roundtrip_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/source format matrix, oracle-checked: the same document slice
+    is written to ORC, JSON-lines, and CSV and read back through each
+    format's full escape path (the CSV leg uses multiLine + quote-escape
+    so embedded newlines/quotes survive — the classic silent-corruption
+    spot in text corpora); each leg reports (rows, id checksum, chars
+    checksum) which must equal the parquet truth.  Scratch dirs are
+    uuid-unique per invocation and removed afterward (the
+    ext_schema_evolution hygiene).
+
+    At 100 TB the matrix is the FORMAT qualification test a lake runs
+    before standardizing ingest; per-leg plans are scan→write→scan→agg
+    with no shuffle at all.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+    )
+    root = os.path.join(tempfile.gettempdir(), f"fmt_matrix_{uuid.uuid4().hex}")
+    legs = []
+    try:
+        p_orc = os.path.join(root, "orc")
+        docs.write.mode("overwrite").orc(p_orc)
+        back_orc = spark.read.orc(p_orc)
+
+        p_json = os.path.join(root, "json")
+        docs.write.mode("overwrite").json(p_json)
+        back_json = spark.read.schema("doc_id long, text string").json(p_json)
+
+        p_csv = os.path.join(root, "csv")
+        docs.write.mode("overwrite").option("header", "true").option(
+            "escape", '"'
+        ).csv(p_csv)
+        back_csv = (
+            spark.read.schema("doc_id long, text string")
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(p_csv)
+        )
+
+        for fmt, frame in (
+            ("a_orc", back_orc),
+            ("b_json", back_json),
+            ("c_csv", back_csv),
+        ):
+            legs.append(
+                frame.agg(
+                    F.lit(fmt).alias("fmt"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("doc_id").alias("id_sum"),
+                    F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias(
+                        "chars_sum"
+                    ),
+                ).collect()[0]
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["fmt"], r["n_rows"], r["id_sum"], r["chars_sum"]) for r in legs],
+        "fmt string, n_rows long, id_sum long, chars_sum long",
+    ).orderBy("fmt")
