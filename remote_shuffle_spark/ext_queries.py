@@ -12620,3 +12620,164 @@ def ext_format_roundtrip_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["fmt"], r["n_rows"], r["id_sum"], r["chars_sum"]) for r in legs],
         "fmt string, n_rows long, id_sum long, chars_sum long",
     ).orderBy("fmt")
+
+
+@declared(
+    "ext_locf_resample",
+    oracle=f"""
+    WITH grid AS (
+      SELECT u.user_id, g.gts
+      FROM (SELECT UNNEST([1, 2, 3]) AS user_id) u
+      CROSS JOIN (
+        SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-30 18:00:00',
+                                      INTERVAL 6 HOUR)) AS gts
+      ) g
+    ),
+    ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             {_CENTS_SQL} AS cents
+      FROM events WHERE user_id IN (1, 2, 3)
+    )
+    SELECT g.user_id,
+           strftime(g.gts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+           l.cents AS locf_cents
+    FROM grid g
+    LEFT JOIN LATERAL (
+      SELECT cents FROM ev
+      WHERE ev.user_id = g.user_id AND ev.ts <= g.gts
+      ORDER BY ev.ts DESC, ev.event_id DESC LIMIT 1
+    ) l ON TRUE
+    ORDER BY g.user_id, grid_ts
+    """,
+    tags=("ext", "rollup", "timeseries"),
+)
+def ext_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF resampling onto a regular grid — the hypertable
+    ``locf(time_bucket_gapfill(...))`` primitive: three user timelines
+    are resampled to a fixed 6-hour grid, each grid point carrying the
+    user's most recent observation at-or-before it (NULL before the
+    first).  Spark side is the SINGLE-PASS plan: union the grid markers
+    with the events and run one ``last(value, ignorenulls=True)`` window
+    per user ordered by (ts, is_event, event_id) — events at a grid
+    timestamp sort BEFORE the marker so they are visible to it, and
+    equal-timestamp events resolve to the largest event_id.  One shuffle
+    total; the oracle is the literal per-point LATERAL as-of lookup.
+
+    At 100 TB this is the gap-free feature-matrix builder for training
+    on irregular telemetry: grid cardinality = entities × buckets,
+    independent of event count, and the window is the same user-keyed
+    exchange the session family shares.
+    """
+    from pyspark.sql import Window
+
+    users = spark.range(1, 4).select(F.col("id").alias("user_id"))
+    grid = users.crossJoin(
+        spark.sql(
+            "SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00', "
+            "TIMESTAMP '2024-01-30 18:00:00', INTERVAL 6 HOURS)) AS gts"
+        )
+    ).select(
+        "user_id",
+        F.col("gts").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(0).alias("is_event"),
+    )
+    ev = (
+        _event_cents(spark, sf_dir)
+        .filter(F.col("user_id").isin(1, 2, 3))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "cents",
+            F.lit(1).alias("is_event"),
+        )
+    )
+    merged = ev.unionByName(grid)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_event").desc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "locf_cents", F.last("cents", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("is_event") == 0)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+            "locf_cents",
+        )
+        .orderBy("user_id", "grid_ts")
+    )
+
+
+@declared(
+    "ext_gap_distribution",
+    oracle="""
+    WITH gaps AS (
+      SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_sec
+      FROM events WHERE ts IS NOT NULL
+    ),
+    r AS (
+      SELECT gap_sec,
+             row_number() OVER (ORDER BY gap_sec) AS rn,
+             COUNT(*) OVER () AS n
+      FROM gaps WHERE gap_sec IS NOT NULL
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_sec END) AS BIGINT)
+             AS p50_sec,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_sec END) AS BIGINT)
+             AS p90_sec,
+           CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_sec END) AS BIGINT)
+             AS p99_sec,
+           CAST(MAX(gap_sec) AS BIGINT) AS max_sec
+    FROM r
+    """,
+    tags=("ext", "events", "stats"),
+)
+def ext_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT inter-event gap percentiles (p50/p90/p99/max seconds across
+    all user timelines) — the measurement that chooses a session gap
+    (ext_sessionize) and a state TTL (ext_stream_tws_ttl): the session
+    threshold should sit between p90 and p99 of within-user gaps.
+    Percentile ranks are all-integer ceil(q·n) forms ((9n+9) div 10,
+    ...), values are integer-truncated seconds — engine-exact, the
+    grouped_median2 discipline at fixed quantile points.
+
+    Plan: one lag() window per user (corpus shuffle #1) then one GLOBAL
+    rank sort of the gap multiset (#2).  The global sort is the exact
+    path; at 100 TB swap stage 2 for percentile_approx and keep stage 1.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (us - F.lag(us).over(wl)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull()).select(
+        F.expr("gap_us div 1000000").alias("gap_sec")
+    )
+    wg = Window.orderBy("gap_sec")
+    r = gaps.withColumn("rn", F.row_number().over(wg)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return r.agg(
+        F.max("n").alias("n_gaps"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_sec"))).alias(
+            "p50_sec"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("gap_sec"))
+        ).alias("p90_sec"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("gap_sec"))
+        ).alias("p99_sec"),
+        F.max("gap_sec").alias("max_sec"),
+    )
