@@ -12781,3 +12781,96 @@ def ext_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p99_sec"),
         F.max("gap_sec").alias("max_sec"),
     )
+
+
+@declared(
+    "ext_dataset_fingerprint",
+    oracle=f"""
+    WITH d AS (
+      SELECT SUM(CAST(concat('0x', substring(md5(
+               concat_ws('|', CAST(doc_id AS VARCHAR), COALESCE(text, ''),
+                              COALESCE(lang, ''), COALESCE(source, ''),
+                              CAST(n_chars AS VARCHAR))), 1, 12)) AS BIGINT))
+               AS fp,
+             COUNT(*) AS n
+      FROM documents
+    ),
+    e AS (
+      SELECT SUM(CAST(concat('0x', substring(md5(
+               concat_ws('|', CAST(event_id AS VARCHAR),
+                              CAST(epoch_us(ts) AS VARCHAR),
+                              CAST(user_id AS VARCHAR),
+                              COALESCE(event_type, ''),
+                              CAST({_CENTS_SQL} AS VARCHAR))), 1, 12)) AS BIGINT))
+               AS fp,
+             COUNT(*) AS n
+      FROM events
+    )
+    SELECT 'documents' AS tbl, CAST(n AS BIGINT) AS n_rows,
+           CAST(CAST(fp AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+    FROM d
+    UNION ALL
+    SELECT 'events', CAST(n AS BIGINT), CAST(CAST(fp AS DECIMAL(38,0)) AS VARCHAR)
+    FROM e
+    ORDER BY tbl
+    """,
+    tags=("ext", "pipeline", "sources"),
+)
+def ext_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive dataset fingerprint — the content checksum a
+    data-versioning manifest records per table/snapshot: each row hashes
+    to a 48-bit integer (12 hex chars of md5 over the canonicalized
+    column concat — engine-identical via conv/hex-cast), and the
+    fingerprint is the EXACT DECIMAL(38,0) sum of row hashes, emitted as
+    a string.  Sum-of-hashes is commutative, so the fingerprint is
+    independent of partitioning, row order, and file layout — two
+    snapshots match iff their multisets of rows match (mod negligible
+    48-bit collisions), which is what makes it the cheap equality check
+    between a migrated copy and its source (ext_snapshot_diff's O(1)
+    pre-screen).
+
+    Plan: one combinable aggregation per table, no shuffle beyond the
+    single-row partial merge; DECIMAL(38,0) keeps the sum exact past
+    1e23 rows.  Timestamps hash as epoch-micros and money as exact
+    cents so the canonical form is engine- and timezone-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # whole-table fingerprint: no NULL filtering (unlike _event_cents) —
+    # the canonical form COALESCEs instead, mirrored in the oracle
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        (dec("value") * 100).cast("long").alias("cents"),
+    )
+
+    def _fp(df: DataFrame, canon, tbl: str) -> DataFrame:
+        row_fp = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(row_fp.cast("decimal(38,0)")).cast("string").alias("fingerprint"),
+        )
+
+    doc_canon = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.col("n_chars").cast("string"),
+    )
+    ev_canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.unix_micros(F.col("ts")).cast("string"),
+        F.col("user_id").cast("string"),
+        F.coalesce(F.col("event_type"), F.lit("")),
+        F.col("cents").cast("string"),
+    )
+    return (
+        _fp(docs, doc_canon, "documents")
+        .unionByName(_fp(ev, ev_canon, "events"))
+        .orderBy("tbl")
+    )
