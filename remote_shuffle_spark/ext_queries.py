@@ -12874,3 +12874,94 @@ def ext_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_fp(ev, ev_canon, "events"))
         .orderBy("tbl")
     )
+
+
+@declared(
+    "ext_session_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ), l AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e
+    ), f AS (
+      SELECT *, CASE WHEN prev IS NULL
+                          OR date_diff('microsecond', prev, ts) > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS ns
+      FROM l
+    ), s AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS session_id
+      FROM f
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts, event_id) AS rn
+      FROM s
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM r WHERE rn <= 8
+      GROUP BY 1, 2
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+    tags=("ext", "events", "funnel"),
+)
+def ext_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 clickstream session PATHS: sessionize (30-min gap, the
+    ext_sessionize construction), take each session's first 8 events in
+    (ts, event_id) order, join their types into a path string, and count
+    path frequencies — the product-analytics staple (`view>click>buy`
+    funnels discovered from data rather than declared).  The 8-event cap
+    bounds path strings regardless of session length; ordering inside
+    the path comes from an array_sort over (ts, event_id, type) structs,
+    so the string is deterministic under any partitioning.
+
+    Plan: the session family's ONE user-keyed exchange feeds all three
+    windows (lag flag, cumulative session id, in-session rank — same
+    key, no re-shuffle), then a combinable path count and TakeOrdered.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "ns",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("ns").over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first8 = flagged.withColumn("rn", F.row_number().over(ws)).filter(F.col("rn") <= 8)
+    paths = first8.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
