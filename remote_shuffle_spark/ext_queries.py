@@ -12965,3 +12965,90 @@ def ext_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+@declared(
+    "ext_rfm_segments",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
+               - MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS rec_us,
+             COUNT(*) AS freq,
+             SUM({_CENTS_SQL}) AS mon_cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id,
+             rec_us // 86400000000 AS recency_days,
+             freq, mon_cents,
+             COUNT(*) OVER () AS n,
+             row_number() OVER (ORDER BY rec_us // 86400000000, user_id) AS rr,
+             row_number() OVER (ORDER BY freq, user_id) AS rf,
+             row_number() OVER (ORDER BY mon_cents, user_id) AS rm
+      FROM per_user
+    ),
+    seg AS (
+      SELECT (1 + (3 * (rr - 1)) // n) || (1 + (3 * (rf - 1)) // n)
+               || (1 + (3 * (rm - 1)) // n) AS segment,
+             mon_cents
+      FROM m
+    )
+    SELECT segment, COUNT(*) AS n_users,
+           CAST(SUM(mon_cents) AS BIGINT) AS sum_monetary_cents
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+    tags=("ext", "events", "stats"),
+)
+def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with EXACT terciles: per user, recency (whole
+    days behind the corpus max), frequency, and monetary cents reduce to
+    a 3-digit segment code via the all-integer tercile rank
+    1 + (3·(rank−1)) div n, ties broken by user_id so the assignment is
+    a total order — no approx percentile, no float.  Reports user count
+    and monetary mass per segment (≤27 rows), the marketing/cohort
+    workhorse applied to any entity scoring (documents by
+    freshness/length/quality works identically).
+
+    Plan: ONE corpus shuffle (per-user agg); the three rank windows run
+    over the user table, which is ≪ corpus (the per-entity profile
+    discipline) — at 1000 executors the corpus agg is map-side combined
+    and the window input is one executor's worth of rows.
+    """
+    from pyspark.sql import Window
+
+    ev = _event_cents(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("max_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("cents").alias("mon_cents"),
+    )
+    gmax = per_user.agg(F.max("max_us").alias("g_us"))
+    m = (
+        per_user.crossJoin(F.broadcast(gmax))
+        .withColumn("recency_days", F.expr("(g_us - max_us) div 86400000000"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "rr", F.row_number().over(Window.orderBy("recency_days", "user_id"))
+        )
+        .withColumn("rf", F.row_number().over(Window.orderBy("freq", "user_id")))
+        .withColumn("rm", F.row_number().over(Window.orderBy("mon_cents", "user_id")))
+    )
+    seg = m.select(
+        F.concat(
+            (1 + F.expr("(3 * (rr - 1)) div n")).cast("string"),
+            (1 + F.expr("(3 * (rf - 1)) div n")).cast("string"),
+            (1 + F.expr("(3 * (rm - 1)) div n")).cast("string"),
+        ).alias("segment"),
+        "mon_cents",
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("mon_cents").alias("sum_monetary_cents"),
+        )
+        .orderBy("segment")
+    )
