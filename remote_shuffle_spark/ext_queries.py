@@ -13052,3 +13052,80 @@ def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@declared(
+    "ext_last_touch_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    purchases AS (
+      SELECT * FROM e WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT p.event_id,
+             COALESCE(t.event_type, 'none') AS touch_type
+      FROM purchases p
+      LEFT JOIN LATERAL (
+        SELECT s.event_type
+        FROM e s
+        WHERE s.user_id = p.user_id
+          AND s.event_type IN ('view', 'click')
+          AND (s.ts < p.ts OR (s.ts = p.ts AND s.event_id < p.event_id))
+          AND date_diff('microsecond', s.ts, p.ts) <= CAST(7 AS BIGINT) * 86400 * 1000000
+        ORDER BY s.ts DESC, s.event_id DESC LIMIT 1
+      ) t ON TRUE
+    )
+    SELECT touch_type, COUNT(*) AS n_purchases
+    FROM attributed
+    GROUP BY touch_type
+    ORDER BY touch_type
+    """,
+    tags=("ext", "events", "funnel"),
+)
+def ext_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: every purchase credits the user's most
+    recent preceding view/click within a 7-day lookback, else 'none' —
+    the marketing-attribution primitive, expressed as ONE pass over each
+    user timeline instead of the oracle's per-purchase lateral lookup: a
+    last(ignorenulls) window carries the latest touch (ts, type) struct
+    forward in (ts, event_id) order, and purchase rows read it off with
+    the lookback filter.  Counts are exact integers.
+
+    Plan: the single session-family user-keyed exchange feeds the carry
+    window; no self-join materializes (the oracle's LATERAL is
+    O(purchases × timeline) — the window plan is O(timeline) total,
+    which is the 100 TB-safe form).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.struct(F.col("ts").alias("t_ts"), F.col("event_type").alias("t_type")),
+    )
+    carried = ev.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+    purchases = carried.filter(F.col("event_type") == "purchase")
+    in_window = F.col("last_touch").isNotNull() & (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_touch.t_ts"))
+        <= 7 * 86400 * 1_000_000
+    )
+    return (
+        purchases.select(
+            F.when(in_window, F.col("last_touch.t_type"))
+            .otherwise(F.lit("none"))
+            .alias("touch_type")
+        )
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("touch_type")
+    )
