@@ -180,3 +180,49 @@ def test_freshness_weight_table_is_literal_and_exact():
     for d, w, s in _FRESHNESS_ROWS:
         assert w == f"{round(math.exp(-d / 30.0), 6):.6f}"
         assert s == f"{round(float(w) * float(w), 6):.6f}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_assortativity_term_clear_of_midpoints(sf_dir):
+    """ext_degree_assortativity rounds one sqrt-based double to 6dp; screen
+    the pre-round value at both gate SFs (same margin rationale as the
+    ln-based screens above)."""
+    import duckdb
+
+    q = f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      FROM read_parquet('{sf_dir}/lineitem.parquet')
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+    ),
+    edges AS (
+      SELECT DISTINCT a.sk AS src, b.sk AS dst
+      FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.sk < b.sk
+    ),
+    adj AS (
+      SELECT src AS u, dst AS v FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
+    dd AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM adj JOIN deg du ON adj.u = du.u JOIN deg dv ON adj.v = dv.u
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM dd
+    )
+    SELECT (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS raw
+    FROM mom
+    """
+    rows = duckdb.sql(q).fetchall()
+    # a NULL corr (degenerate degree variance, e.g. the sf0.001 slice) is
+    # NULL in both engines — nothing to round, nothing to screen
+    values = [r[0] for r in rows if r[0] is not None]
+    if not values:
+        return
+    _assert_margin(values, 6, "ext_degree_assortativity corr")
