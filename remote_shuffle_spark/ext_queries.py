@@ -13129,3 +13129,89 @@ def ext_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("touch_type")
     )
+
+
+@declared(
+    "ext_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS c
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, day, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS prefix,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             SUM(c) OVER (PARTITION BY event_type) AS total,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    drift AS (
+      SELECT event_type, day,
+             n * prefix - i * total AS d,
+             n, total
+      FROM cum
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(COUNT(*) FILTER (WHERE 20 * ABS(d) > n * total) AS BIGINT)
+             AS n_flagged,
+           CAST(MAX(ABS(d)) AS BIGINT) AS max_abs_drift,
+           strftime(MIN(CASE WHEN 20 * ABS(d) > n * total THEN day END),
+                    '%Y-%m-%d') AS first_flag_day
+    FROM drift
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("ext", "events", "stats"),
+)
+def ext_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM rate-shift detection, ALL-INTEGER: per event type, the daily
+    count prefix sums are compared against the uniform-rate line via
+    drift_i = n·prefix_i − i·total (identically zero for a constant
+    rate), and a day flags when 20·|drift| > n·total — the exact
+    integer form of "cumulative deviation exceeds 5% of total mass",
+    so no mean/variance float enters the compared result.  Reports
+    per-type flag counts, the worst deviation, and the FIRST flagged
+    day (the changepoint estimate).  Complements ext_burst_detection
+    (point anomalies) with sustained-shift detection — the ingest-rate
+    regression alarm for a feed pipeline.
+
+    Plan: corpus → daily grid (one combinable count; grid = types ×
+    days ≪ corpus), then windows + final agg over the tiny grid only.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("day")
+    cum = (
+        daily.withColumn("prefix", F.sum("c").over(wo))
+        .withColumn("i", F.row_number().over(wo))
+        .withColumn("total", F.sum("c").over(wt))
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+        .withColumn("d", F.col("n") * F.col("prefix") - F.col("i") * F.col("total"))
+    )
+    flagged = 20 * F.abs(F.col("d")) > F.col("n") * F.col("total")
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.sum(F.when(flagged, 1).otherwise(0)).alias("n_flagged"),
+            F.max(F.abs(F.col("d"))).alias("max_abs_drift"),
+            F.date_format(F.min(F.when(flagged, F.col("day"))), "yyyy-MM-dd").alias(
+                "first_flag_day"
+            ),
+        )
+        .orderBy("event_type")
+    )
