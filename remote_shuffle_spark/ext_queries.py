@@ -12588,8 +12588,13 @@ def ext_format_roundtrip_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         back_json = spark.read.schema("doc_id long, text string").json(p_json)
 
         p_csv = os.path.join(root, "csv")
+        # the writer trims cell whitespace by default — disable both sides
+        # so whitespace-only / padded documents survive byte-exact (the
+        # edge-corpus pytest is the witness)
         docs.write.mode("overwrite").option("header", "true").option(
             "escape", '"'
+        ).option("ignoreLeadingWhiteSpace", "false").option(
+            "ignoreTrailingWhiteSpace", "false"
         ).csv(p_csv)
         back_csv = (
             spark.read.schema("doc_id long, text string")
