@@ -13220,3 +13220,105 @@ def ext_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "ext_bitmap_intersect",
+    oracle="""
+    WITH masks AS (
+      SELECT event_type, user_id // 63 AS bucket,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS mask
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             SUM(bit_count(a.mask & b.mask)) AS n_common
+      FROM masks a JOIN masks b
+        ON a.bucket = b.bucket AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_exact
+      FROM (SELECT DISTINCT event_type, user_id FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_common AS BIGINT) AS n_common_users,
+           CAST(p.n_common = e.n_exact AS INT) AS matches_exact
+    FROM pairs p JOIN exact e
+      ON p.type_a = e.type_a AND p.type_b = e.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+    tags=("ext", "sketch", "stats"),
+)
+def ext_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BITMAP-INDEX set intersection (the roaring-bitmap
+    technique): each event type's user set compresses to 63-bit words
+    keyed by user bucket (bit_or aggregate — combinable), and pairwise
+    audience overlap is Σ popcount(mask_a & mask_b) over co-bucketed
+    words — set intersection without a distinct-pair join.  Every pair
+    also carries the exact semi-join count and a matches_exact flag
+    (all 1), so the gate verifies the bitmap algebra against truth.
+    63-bit words sidestep the engines' disagreement on sign-bit shifts
+    (DuckDB raises on 1<<63, Spark wraps).
+
+    Scale shape: the mask table is |types| × |users|/63 rows — a
+    4000× compression of the membership list; the overlap join is
+    bucket-keyed and combinable.  This is how 100 TB audience-overlap /
+    cohort-intersection queries avoid the quadratic distinct join (the
+    exact branch here exists only as the verification column).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
+    masks = ev.groupBy(
+        "event_type", F.expr("user_id div 63").alias("bucket")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+        ).alias("mask")
+    )
+    ma = masks.select(
+        F.col("event_type").alias("type_a"), "bucket", F.col("mask").alias("mask_a")
+    )
+    mb = masks.select(
+        F.col("event_type").alias("type_b"), "bucket", F.col("mask").alias("mask_b")
+    )
+    pairs = (
+        ma.join(mb, "bucket")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))).alias(
+                "n_common"
+            )
+        )
+    )
+    dist = ev.distinct()
+    ea = dist.select(F.col("event_type").alias("type_a"), "user_id")
+    eb = dist.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ea.join(eb, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        pairs.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_common").alias("n_common_users"),
+            (F.col("n_common") == F.col("n_exact")).cast("int").alias("matches_exact"),
+        )
+        .orderBy("type_a", "type_b")
+    )
