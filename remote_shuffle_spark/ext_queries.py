@@ -13322,3 +13322,77 @@ def ext_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@declared(
+    "ext_ltv_triangle",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             {_CENTS_SQL} AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    base AS (
+      SELECT *,
+             (us - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+               // (CAST(7 AS BIGINT) * 86400 * 1000000) AS wk,
+             MIN((us - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+               // (CAST(7 AS BIGINT) * 86400 * 1000000))
+               OVER (PARTITION BY user_id) AS cohort_wk
+      FROM e
+    ),
+    cells AS (
+      SELECT cohort_wk, wk - cohort_wk AS age_wk,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             COUNT(DISTINCT user_id) AS n_active_users
+      FROM base GROUP BY 1, 2
+    )
+    SELECT cohort_wk, age_wk, cents,
+           CAST(SUM(cents) OVER (PARTITION BY cohort_wk ORDER BY age_wk)
+             AS BIGINT) AS cum_cents,
+           CAST(n_active_users AS BIGINT) AS n_active_users
+    FROM cells
+    ORDER BY cohort_wk, age_wk
+    """,
+    tags=("ext", "events", "stats"),
+)
+def ext_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV cohort triangle: users cohort by FIRST-event week, every
+    event lands in a (cohort, age-in-weeks) cell, and each cohort's
+    cumulative monetary value unrolls along age — the
+    customer-lifetime-value complement to ext_cohort_retention's
+    activity counts.  All integer (exact cents, integer week indexes
+    from epoch-micros div), so the triangle is engine-exact.
+
+    Plan: ONE user-keyed window computes each user's cohort week
+    in-stream (no separate first-event table + join-back), then a
+    combinable cell aggregation; the cumulative window runs over the
+    tiny cohort×age grid.  Same single corpus exchange as the session
+    family.
+    """
+    from pyspark.sql import Window
+
+    week_us = 7 * 86400 * 1_000_000
+    epoch0 = "unix_micros(TIMESTAMP '2024-01-01 00:00:00')"
+    ev = _event_cents(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"(unix_micros(ts) - {epoch0}) div {week_us}").alias("wk"),
+        "cents",
+    )
+    base = ev.withColumn(
+        "cohort_wk", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    cells = base.groupBy(
+        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk")
+    ).agg(
+        F.sum("cents").alias("cents"),
+        F.count_distinct("user_id").alias("n_active_users"),
+    )
+    wc = Window.partitionBy("cohort_wk").orderBy("age_wk")
+    return (
+        cells.withColumn("cum_cents", F.sum("cents").over(wc))
+        .select("cohort_wk", "age_wk", "cents", "cum_cents", "n_active_users")
+        .orderBy("cohort_wk", "age_wk")
+    )
