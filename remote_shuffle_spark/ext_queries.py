@@ -13396,3 +13396,87 @@ def ext_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cohort_wk", "age_wk", "cents", "cum_cents", "n_active_users")
         .orderBy("cohort_wk", "age_wk")
     )
+
+
+@declared(
+    "ext_malformed_quarantine",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_quarantined,
+           CAST(SUM(n_chars) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT)
+             AS chars_good,
+           CAST(SUM(doc_id) FILTER (WHERE doc_id % 7 = 0) AS BIGINT)
+             AS quarantined_id_sum
+    FROM documents WHERE doc_id < 2000
+    """,
+    tags=("ext", "sources"),
+)
+def ext_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode corrupt-record quarantine: a crafted CSV feed
+    where every 7th record is malformed (non-numeric field) is read
+    under a typed schema with ``columnNameOfCorruptRecord``; good rows
+    parse, bad rows land whole in the quarantine column — the
+    ingest-robustness pattern that keeps one poisoned record from
+    failing a 100 TB load, with the quarantine auditable (id sums are
+    recovered FROM the raw quarantined lines, proving nothing is lost).
+    The oracle recomputes all four audit numbers from the clean table.
+
+    Plan: the feed is generated from documents (deterministic, id-keyed
+    corruption), written as text, read once in PERMISSIVE mode;
+    aggregates are combinable counts/sums.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", "n_chars")
+    )
+    # every 7th line: n_chars field replaced by a non-numeric token
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(",", F.col("doc_id").cast("string"), F.lit("NOT_A_NUMBER")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",", F.col("doc_id").cast("string"), F.col("n_chars").cast("string")
+            )
+        )
+        .alias("value")
+    )
+    root = os.path.join(tempfile.gettempdir(), f"quarantine_{uuid.uuid4().hex}")
+    try:
+        lines.write.mode("overwrite").text(root)
+        parsed = (
+            spark.read.schema("doc_id long, n_chars long, _bad string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .csv(root)
+        )
+        out = parsed.agg(
+            F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0)).alias("n_good"),
+            F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0)).alias(
+                "n_quarantined"
+            ),
+            F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars"))).alias(
+                "chars_good"
+            ),
+            # audit the quarantine: ids recovered from the RAW bad lines
+            F.sum(
+                F.when(
+                    F.col("_bad").isNotNull(),
+                    F.split(F.col("_bad"), ",").getItem(0).cast("long"),
+                )
+            ).alias("quarantined_id_sum"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(int(out[c]) for c in
+               ("n_good", "n_quarantined", "chars_good", "quarantined_id_sum"))],
+        "n_good long, n_quarantined long, chars_good long, quarantined_id_sum long",
+    )
