@@ -13480,3 +13480,132 @@ def ext_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                ("n_good", "n_quarantined", "chars_good", "quarantined_id_sum"))],
         "n_good long, n_quarantined long, chars_good long, quarantined_id_sum long",
     )
+
+
+@declared(
+    "ext_pareto_frontier",
+    oracle=f"""
+    WITH prof AS (
+      SELECT user_id, COUNT(*) AS freq,
+             CAST(SUM({_CENTS_SQL}) AS BIGINT) AS mon_cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT p.user_id, p.freq, p.mon_cents
+    FROM prof p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM prof q
+      WHERE q.freq >= p.freq AND q.mon_cents >= p.mon_cents
+        AND (q.freq > p.freq OR q.mon_cents > p.mon_cents)
+    )
+    ORDER BY p.freq DESC, p.mon_cents, p.user_id
+    """,
+    tags=("ext", "stats", "pipeline"),
+)
+def ext_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (2-D skyline): the users no other user dominates
+    on (frequency, monetary) — multi-objective selection, the shape a
+    training pipeline uses to pick documents jointly optimal in
+    (quality, length) without collapsing them into one weighted score.
+    Exact integers throughout.
+
+    Plan: the corpus reduces to the per-entity profile FIRST (one
+    combinable agg — profile ≪ corpus), then dominance runs on the
+    profile alone.  Here it is the literal O(k²) NOT-EXISTS anti-join
+    Catalyst broadcasts (exactly SQL-mirrorable); beyond ~1e6 profile
+    rows switch to the sort-based O(k log k) sweep — sort (freq DESC,
+    mon DESC) and keep rows whose mon exceeds the running max over
+    strictly-higher freq — same frontier, window plan.
+    """
+    prof = (
+        _event_cents(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("mon_cents"),
+        )
+    )
+    q = prof.select(
+        F.col("freq").alias("q_freq"), F.col("mon_cents").alias("q_mon")
+    )
+    dominated = (
+        F.col("q_freq") >= F.col("freq")
+    ) & (
+        F.col("q_mon") >= F.col("mon_cents")
+    ) & ((F.col("q_freq") > F.col("freq")) | (F.col("q_mon") > F.col("mon_cents")))
+    frontier = prof.join(F.broadcast(q), dominated, "left_anti")
+    return frontier.select("user_id", "freq", "mon_cents").orderBy(
+        F.col("freq").desc(), "mon_cents", "user_id"
+    )
+
+
+@declared(
+    "ext_abtest_zscore",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN 5 * COUNT(*) FILTER (WHERE event_type = 'purchase')
+                       > COUNT(*)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_a,
+             CAST(SUM(converted) FILTER (WHERE grp = 0) AS BIGINT) AS c_a,
+             CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_b,
+             CAST(SUM(converted) FILTER (WHERE grp = 1) AS BIGINT) AS c_b
+      FROM assign
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 6)
+             AS z_score
+    FROM agg
+    """,
+    tags=("ext", "stats"),
+)
+def ext_abtest_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-score: users split by id parity, conversion
+    = above-baseline purchase share (5·purchases > events, scale-free
+    with real variance at any SF), and the pooled z statistic computes from four
+    exact integer counts in one double closed form rounded to 6dp —
+    the pairwise_corr/assortativity discipline applied to the
+    experimentation primitive (identical IEEE ops on identical exact
+    operands in both engines).  The four counts ride along so the gate
+    pins the inputs, not just the statistic.
+
+    Plan: one per-user conversion agg (corpus shuffle #1, combinable
+    max), one 4-sum reduction — no window, no join; at 100 TB the
+    profile agg is the only cost.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    assign = ev.groupBy("user_id").agg(
+        (
+            5 * F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.count(F.lit(1))
+        ).cast("int").alias("converted")
+    ).withColumn("grp", F.col("user_id") % 2)
+    agg = assign.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ca = F.col("c_a").cast("double")
+    cb = F.col("c_b").cast("double")
+    pool = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return agg.select(
+        "n_a", "c_a", "n_b", "c_b", F.round(z, 6).alias("z_score")
+    )

@@ -226,3 +226,39 @@ def test_assortativity_term_clear_of_midpoints(sf_dir):
     if not values:
         return
     _assert_margin(values, 6, "ext_degree_assortativity corr")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_abtest_zscore_term_clear_of_midpoints(sf_dir):
+    """ext_abtest_zscore rounds one sqrt-based double to 6dp; same screen
+    as the assortativity round."""
+    import duckdb
+
+    q = f"""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN 5 * COUNT(*) FILTER (WHERE event_type = 'purchase')
+                       > COUNT(*)
+                  THEN 1 ELSE 0 END AS converted
+      FROM read_parquet('{sf_dir}/events.parquet')
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_a,
+             CAST(SUM(converted) FILTER (WHERE grp = 0) AS BIGINT) AS c_a,
+             CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_b,
+             CAST(SUM(converted) FILTER (WHERE grp = 1) AS BIGINT) AS c_b
+      FROM assign
+    )
+    SELECT (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+           / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS raw
+    FROM agg
+    """
+    rows = duckdb.sql(q).fetchall()
+    values = [r[0] for r in rows if r[0] is not None]
+    if not values:
+        return
+    _assert_margin(values, 6, "ext_abtest_zscore z term")
