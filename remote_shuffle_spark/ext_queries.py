@@ -13609,3 +13609,59 @@ def ext_abtest_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_a", "c_a", "n_b", "c_b", F.round(z, 6).alias("z_score")
     )
+
+
+@declared(
+    "ext_langid_confusion",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split({_NORM},' '), x -> x IN ('the','and','of','to','is'))) AS s_en,
+        len(list_filter(string_split({_NORM},' '), x -> x IN ('der','die','und','ist','nicht'))) AS s_de,
+        len(list_filter(string_split({_NORM},' '), x -> x IN ('le','la','et','est','les'))) AS s_fr,
+        len(list_filter(string_split({_NORM},' '), x -> x IN ('el','la','que','de','es'))) AS s_es,
+        len(list_filter(string_split({_NORM},' '), x -> x IN ('的','是','了','在','我'))) AS s_zh
+      FROM documents WHERE lang IS NOT NULL
+    ), pred AS (
+      SELECT lang AS true_lang,
+             CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) < 1 THEN 'und'
+                  WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+                  WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+                  WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+                  ELSE 'de' END AS pred_lang
+      FROM scores
+    )
+    SELECT true_lang, pred_lang, COUNT(*) AS n,
+           CAST(COUNT(*) FILTER (WHERE true_lang = pred_lang) AS BIGINT)
+             AS n_correct
+    FROM pred
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("ext", "text", "eval"),
+)
+def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the marker-word heuristic
+    (functions in operators/text.py:identify_language — the exact
+    argmax the oracle mirrors) evaluated against the corpus's labeled
+    ``lang`` column, reported as (true, predicted) cell counts — the
+    ext_knn_eval pattern applied to the text classifier, closing the
+    eval loop on the heuristic every cleaning pipeline gates on.
+    Cardinality ≤ |langs|·(|langs|+1); exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    pred = text.identify_language("text")
+    cells = docs.select(
+        F.col("lang").alias("true_lang"), pred.alias("pred_lang")
+    )
+    return (
+        cells.groupBy("true_lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("true_lang") == F.col("pred_lang"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
