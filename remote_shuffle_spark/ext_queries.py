@@ -13665,3 +13665,71 @@ def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@declared(
+    "ext_oov_rate",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, unnest(string_split({_NORM}, ' ')) AS tok
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 1000
+      )
+    )
+    SELECT t.lang,
+           COUNT(*) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+           CAST(COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END)
+             AS BIGINT) AS n_oov_types
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.lang
+    ORDER BY t.lang
+    """,
+    tags=("ext", "text", "pipeline"),
+)
+def ext_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit under a FIXED vocab budget: with the
+    corpus's top-1000 tokens as the vocabulary (deterministic cut:
+    count DESC, token), report per-language token counts, OOV token
+    occurrences, and distinct OOV types — the coverage table that
+    decides a tokenizer's vocab size (ext_rare_token_docs asks about
+    each doc's rarest token; this asks what a budget LEAVES OUT, per
+    stratum).  Exact integers.
+
+    Plan: one token-count aggregation → TakeOrdered(1000) vocabulary →
+    broadcast LEFT join back onto the token stream → per-lang sums.
+    The vocab is always broadcast-sized BY CONSTRUCTION (that is what a
+    vocab budget is), so the corpus-side join is shuffle-free at any
+    scale.
+    """
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    toks = docs.select(
+        "lang", F.explode(_toks("text")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(1000)
+        .select(F.col("tok").alias("v_tok"))
+    )
+    joined = toks.join(
+        F.broadcast(vocab), toks["tok"] == vocab["v_tok"], "left_outer"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("v_tok").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.count_distinct(
+                F.when(F.col("v_tok").isNull(), F.col("tok"))
+            ).alias("n_oov_types"),
+        )
+        .orderBy("lang")
+    )
