@@ -13733,3 +13733,93 @@ def ext_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@declared(
+    "ext_graph_eccentricity",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+    ),
+    edges AS (
+      SELECT DISTINCT a.sk AS src, b.sk AS dst
+      FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.sk < b.sk
+    ),
+    sym AS (
+      SELECT src AS u, dst AS v FROM edges UNION SELECT dst, src FROM edges
+    ),
+    s0 AS (SELECT MIN(u) AS v0 FROM sym),
+    w1(v, lvl) AS (
+      SELECT v0, 0 FROM s0
+      UNION
+      SELECT sym.v, w1.lvl + 1 FROM w1 JOIN sym ON sym.u = w1.v
+      WHERE w1.lvl < 20
+    ),
+    l1 AS (SELECT v, MIN(lvl) AS lvl FROM w1 GROUP BY v),
+    far AS (
+      SELECT v AS v1 FROM l1 ORDER BY lvl DESC, v LIMIT 1
+    ),
+    w2(v, lvl) AS (
+      SELECT v1, 0 FROM far
+      UNION
+      SELECT sym.v, w2.lvl + 1 FROM w2 JOIN sym ON sym.u = w2.v
+      WHERE w2.lvl < 20
+    ),
+    l2 AS (SELECT v, MIN(lvl) AS lvl FROM w2 GROUP BY v)
+    SELECT (SELECT v0 FROM s0) AS start_vertex,
+           (SELECT v1 FROM far) AS far_vertex,
+           (SELECT MAX(lvl) FROM l1) AS ecc_start,
+           (SELECT MAX(lvl) FROM l2) AS diameter_lb,
+           (SELECT COUNT(*) FROM l2) AS n_reached
+    """,
+    tags=("ext", "graph"),
+)
+def ext_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-BFS diameter lower bound (the standard iFUB seed): BFS
+    from the smallest vertex of the SIX-MONTH co-supply slice (wide enough to be non-empty at every fixture SF), re-BFS from
+    the farthest vertex found (ties to the smallest id — a total
+    order), and report both eccentricities — ecc(far) lower-bounds the
+    graph diameter and in practice nails it on real topologies.
+    Composes the frontier BFS operator (operators/graph.py:bfs_levels)
+    twice with one bounded argmax collect between runs; the oracle
+    unrolls both walks as recursive CTEs.
+
+    Iteration discipline: each BFS round is a frontier-keyed hash join
+    + anti-join with durable localCheckpoints (the pagerank family);
+    wall scales with diameter × frontier-edge volume, not rounds ×
+    full-graph.
+    """
+    from remote_shuffle_spark.operators.graph import bfs_levels
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    pairs = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    edges = (
+        pairs.alias("a")
+        .join(pairs.alias("b"), "ok")
+        .filter(F.col("a.sk") < F.col("b.sk"))
+        .select(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)  # both BFS runs reuse the edge list
+    )
+    v0 = edges.select(
+        F.least(F.min("src"), F.min("dst")).alias("v")
+    ).collect()[0]["v"]
+    l1 = bfs_levels(edges, v0)
+    far_row = l1.orderBy(F.col("level").desc(), "vertex").limit(1).collect()[0]
+    v1, ecc_start = far_row["vertex"], far_row["level"]
+    l2 = bfs_levels(edges, v1)
+    stats = l2.agg(
+        F.max("level").alias("diameter_lb"), F.count(F.lit(1)).alias("n_reached")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(int(v0), int(v1), int(ecc_start), int(stats["diameter_lb"]),
+          int(stats["n_reached"]))],
+        "start_vertex long, far_vertex long, ecc_start int, diameter_lb int, "
+        "n_reached long",
+    )
