@@ -13823,3 +13823,146 @@ def ext_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_vertex long, far_vertex long, ecc_start int, diameter_lb int, "
         "n_reached long",
     )
+
+
+_INVIDX_TERMS = ["join", "hash", "merge"]
+
+_INVIDX_LOOKUP_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    p AS (
+      SELECT tok, doc_id, COUNT(*) AS tf
+      FROM toks WHERE tok IN ('join', 'hash', 'merge')
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_matched,
+           CAST(SUM(tf) AS BIGINT) AS tf_sum
+    FROM p GROUP BY doc_id
+    ORDER BY n_matched DESC, tf_sum DESC, doc_id
+    LIMIT 10
+    """
+
+
+def _invidx_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Cached PERSISTED inverted index of the documents table
+    (operators/text.py:write_inverted_index — postings partitionBy
+    md5-bucket), built once per documents snapshot (stat-keyed cache,
+    the _ivf_index_dir discipline)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from remote_shuffle_spark.operators.text import (
+        inverted_postings,
+        write_inverted_index,
+    )
+    from remote_shuffle_spark.sources.tables import table_path
+
+    src = table_path(sf_dir, "documents")
+    real = os.path.realpath(src)
+    st = os.stat(real)
+    key = hashlib.sha1(
+        f"invidx1|{real}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"rss_invidx_{key}")
+
+    def _complete(d: str) -> bool:
+        return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    if _complete(out):
+        return out
+    if os.path.isdir(out):
+        shutil.rmtree(out, ignore_errors=True)
+    tmp = f"{out}.tmp.{_uuid.uuid4().hex[:8]}"
+    docs = load_table(spark, sf_dir, "documents")
+    write_inverted_index(inverted_postings(docs, "doc_id", "text"), tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if _complete(out):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return out
+        return tmp
+    return out
+
+
+@declared(
+    "ext_inverted_index_persisted",
+    oracle=_INVIDX_LOOKUP_SQL,
+    tags=("ext", "text", "index"),
+)
+def ext_inverted_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term lookup over a PERSISTED inverted index — the third member of
+    the materialized-state family (MinHash band index, IVFADC index,
+    now text postings): postings live partitionBy(md5-bucket) on disk
+    (operators/text.py:write_inverted_index, stat-keyed cache per
+    snapshot), and a query's terms hash to their buckets DRIVER-SIDE so
+    the read prunes to those directories via static partition filters
+    (plan-pinned in tests/test_operators_text.py) — the raw corpus is
+    never touched at query time.  Conjunctive-first ranking: distinct
+    matched terms DESC, total tf DESC, doc_id — a total order, exact
+    integers; the oracle replays the lookup from the raw documents.
+
+    ext_inverted_index (in-query build) is the evaluation face; this is
+    the serving face — at 100 TB the index is bucketed AND sorted by
+    token, so a 3-term lookup reads 3 directory listings' worth of
+    row-group ranges, cost ∝ postings of the probed terms.
+    """
+    from remote_shuffle_spark.operators.text import inverted_index_lookup
+
+    return inverted_index_lookup(
+        spark, _invidx_dir(spark, sf_dir), _INVIDX_TERMS, k=10
+    )
+
+
+@declared(
+    "ext_inverted_index_upsert",
+    oracle=_INVIDX_LOOKUP_SQL,
+    tags=("ext", "text", "index"),
+)
+def ext_inverted_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index ingest: build the index WITHOUT the
+    doc_id%10==3 slice, APPEND that slice's postings (parquet append
+    under partitionBy touches only the buckets the new tokens hash to —
+    the ivf_pq_upsert contract for text), then run the same term lookup
+    — the result must equal the full-corpus oracle, proving
+    build+append ≡ full build.  Scratch dir is uuid-unique and removed.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from remote_shuffle_spark.operators.text import (
+        inverted_index_append,
+        inverted_index_lookup,
+        inverted_postings,
+        write_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), f"invidx_up_{_uuid.uuid4().hex}")
+    try:
+        write_inverted_index(
+            inverted_postings(
+                docs.filter(F.col("doc_id") % 10 != 3), "doc_id", "text"
+            ),
+            path,
+        )
+        inverted_index_append(
+            inverted_postings(
+                docs.filter(F.col("doc_id") % 10 == 3), "doc_id", "text"
+            ),
+            path,
+        )
+        out = inverted_index_lookup(spark, path, _INVIDX_TERMS, k=10).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["doc_id"], r["n_matched"], r["tf_sum"]) for r in out],
+        "doc_id long, n_matched long, tf_sum long",
+    )

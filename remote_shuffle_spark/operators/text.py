@@ -974,3 +974,81 @@ def dsir_log_weights(
             ).alias("log_w"),
         )
     )
+
+
+def inverted_postings(df, id_col: str, text_col: str):
+    """Postings list for a persisted inverted index: one row per
+    (token, doc) with term frequency, plus the index's PARTITION column
+    ``bucket`` = first hex char of md5(token) — 16 buckets, engine-
+    replayable (the md5/DSIR construction), so a DuckDB oracle rebuilds
+    the identical layout and a term lookup's bucket set is computable
+    driver-side without touching the index.
+
+    One explode + one combinable (token, doc) count; the postings
+    shuffle is token-keyed — the TF-IDF/inverted-index shape.
+    """
+    from pyspark.sql import functions as F
+
+    from remote_shuffle_spark.functions.hashing import tokens as _toks
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_toks(text_col)).alias("tok")
+    )
+    return (
+        toks.groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.substring(F.md5("tok"), 1, 1))
+    )
+
+
+def write_inverted_index(postings, path: str) -> None:
+    """Persist postings ``partitionBy(bucket)`` — 16 directories, so a
+    term lookup prunes to the probed terms' buckets via static partition
+    filters (directory listing, not scanning — the ivf_pq_write_index
+    layout discipline applied to text).  Within each bucket the postings
+    are sorted by token so row-group footer ranges stay tight (the
+    band-index footer-skipping mechanism)."""
+    (
+        postings.repartition("bucket")
+        .sortWithinPartitions("tok", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def inverted_index_append(postings, path: str) -> None:
+    """Incremental ingest: APPEND new docs' postings — parquet append
+    with partitionBy touches only the buckets the new tokens hash to;
+    untouched bucket directories keep their files byte-identical (the
+    ivf_pq_upsert contract for text)."""
+    postings.write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def inverted_index_lookup(spark, path: str, terms: list[str], *, k: int = 10):
+    """Conjunctive-first term lookup over the persisted index: docs
+    ranked by (distinct matched terms DESC, total tf DESC, doc_id) —
+    top ``k``, a total order.  The probed terms' md5 buckets are
+    computed DRIVER-SIDE and pushed as a static IN on the partition
+    column, so the read lists only those directories; the raw corpus is
+    never touched.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    buckets = sorted({hashlib.md5(t.encode()).hexdigest()[:1] for t in terms})
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("tok").isin(list(terms)))
+    )
+    return (
+        idx.groupBy("doc_id")
+        .agg(
+            F.count_distinct("tok").alias("n_matched"),
+            F.sum("tf").alias("tf_sum"),
+        )
+        .orderBy(F.col("n_matched").desc(), F.col("tf_sum").desc(), "doc_id")
+        .limit(k)
+    )

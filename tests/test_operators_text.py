@@ -384,3 +384,82 @@ def test_dsir_log_weights_hand_computed(spark):
     assert out[1] == (1, r_ab) and out[2] == (1, r_ab)
     assert out[3] == (1, r_cd)
     assert out[4] == (0, Decimal("0.000000"))  # <2 tokens: no features
+
+
+def test_inverted_index_prunes_buckets_and_append_preserves(spark, tmp_path):
+    """The persisted inverted index must (a) PLAN a term lookup as
+    partition pruning — the postings scan carries a PartitionFilters
+    entry on the bucket column, (b) leave untouched bucket directories
+    byte-identical under append (only the new tokens' buckets gain
+    files), and (c) return the same lookup as a full build."""
+    import os
+    import re
+
+    from remote_shuffle_spark.operators.text import (
+        inverted_index_append,
+        inverted_index_lookup,
+        inverted_postings,
+        write_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "beta delta"),
+            (3, "alpha epsilon zeta"),
+            (4, "eta theta iota"),
+        ],
+        ["doc_id", "text"],
+    )
+    full = str(tmp_path / "full")
+    write_inverted_index(inverted_postings(docs, "doc_id", "text"), full)
+
+    res = inverted_index_lookup(spark, full, ["alpha", "beta"], k=10)
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    bucket_filters = [f for f in filters if "bucket" in f]
+    assert bucket_filters and any("IN" in f.upper() for f in bucket_filters), filters
+
+    # incremental: build without doc 3, append doc 3; untouched buckets keep
+    # their files byte-identical and the lookup equals the full build
+    inc = str(tmp_path / "inc")
+    write_inverted_index(
+        inverted_postings(docs.filter("doc_id <> 3"), "doc_id", "text"), inc
+    )
+    def _files(root):
+        out = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    out[os.path.relpath(p, root)] = os.path.getmtime(p)
+        return out
+
+    before = _files(inc)
+    import hashlib
+    new_buckets = {
+        hashlib.md5(t.encode()).hexdigest()[:1]
+        for t in ("alpha", "epsilon", "zeta")
+    }
+    inverted_index_append(
+        inverted_postings(docs.filter("doc_id = 3"), "doc_id", "text"), inc
+    )
+    after = _files(inc)
+    for rel, mt in before.items():
+        assert after[rel] == mt, f"pre-existing file rewritten: {rel}"
+    touched_dirs = {
+        rel.split(os.sep)[0] for rel in after if rel not in before
+    }
+    assert touched_dirs <= {f"bucket={b}" for b in new_buckets}, touched_dirs
+
+    got = {
+        (r.doc_id, r.n_matched, r.tf_sum)
+        for r in inverted_index_lookup(spark, inc, ["alpha", "beta"], k=10).collect()
+    }
+    want = {
+        (r.doc_id, r.n_matched, r.tf_sum)
+        for r in inverted_index_lookup(spark, full, ["alpha", "beta"], k=10).collect()
+    }
+    assert got == want
