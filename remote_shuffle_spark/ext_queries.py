@@ -13966,3 +13966,76 @@ def ext_inverted_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["doc_id"], r["n_matched"], r["tf_sum"]) for r in out],
         "doc_id long, n_matched long, tf_sum long",
     )
+
+
+@declared(
+    "ext_inverted_index_compact",
+    oracle=_INVIDX_LOOKUP_SQL,
+    tags=("ext", "text", "index"),
+)
+def ext_inverted_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index COMPACTION via dynamic partition overwrite: after
+    an append-heavy ingest, the touched buckets' small file generations
+    are rewritten to one token-sorted file each
+    (operators/text.py:inverted_index_compact) — untouched buckets stay
+    byte-identical, content is unchanged (a pure layout rewrite), and
+    the post-compaction lookup still matches the full-corpus oracle.
+    The query runs the whole lifecycle — build (minus a slice), append
+    the slice, compact the appended buckets, look up — and asserts
+    in-stream that compaction actually reduced the touched buckets'
+    file counts (the pruned-lookup promise these rewrites keep honest).
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from remote_shuffle_spark.operators.text import (
+        inverted_index_append,
+        inverted_index_compact,
+        inverted_index_lookup,
+        inverted_postings,
+        write_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), f"invidx_cp_{_uuid.uuid4().hex}")
+
+    def _bucket_files(root: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for p in _glob.glob(os.path.join(root, "bucket=*", "*.parquet")):
+            b = os.path.basename(os.path.dirname(p))
+            out[b] = out.get(b, 0) + 1
+        return out
+
+    try:
+        write_inverted_index(
+            inverted_postings(
+                docs.filter(F.col("doc_id") % 10 != 3), "doc_id", "text"
+            ),
+            path,
+        )
+        base = _bucket_files(path)
+        inverted_index_append(
+            inverted_postings(
+                docs.filter(F.col("doc_id") % 10 == 3), "doc_id", "text"
+            ),
+            path,
+        )
+        appended = _bucket_files(path)
+        touched = sorted(b for b in appended if appended[b] > base.get(b, 0))
+        assert touched, "append touched no bucket — fixture degenerate"
+        inverted_index_compact(
+            spark, path, buckets=[b.split("=", 1)[1] for b in touched]
+        )
+        compacted = _bucket_files(path)
+        for b in touched:
+            assert compacted[b] < appended[b], (b, appended[b], compacted[b])
+        out = inverted_index_lookup(spark, path, _INVIDX_TERMS, k=10).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["doc_id"], r["n_matched"], r["tf_sum"]) for r in out],
+        "doc_id long, n_matched long, tf_sum long",
+    )

@@ -1052,3 +1052,31 @@ def inverted_index_lookup(spark, path: str, terms: list[str], *, k: int = 10):
         .orderBy(F.col("n_matched").desc(), F.col("tf_sum").desc(), "doc_id")
         .limit(k)
     )
+
+
+def inverted_index_compact(spark, path: str, *, buckets: list[str] | None = None,
+                           num_files_per_bucket: int = 1) -> None:
+    """Compact the small files :func:`inverted_index_append` accumulates —
+    each ingest adds a file generation to every touched ``bucket=``
+    directory, and lookup cost per bucket is (files × footer) + rows, so
+    periodic compaction keeps the pruned-lookup promise honest.  DYNAMIC
+    partition overwrite rewrites ONLY the bucket partitions it writes
+    (untouched buckets stay byte-identical — the ivf_pq_compact_cells
+    contract); content is unchanged (pure layout rewrite; the rewrite
+    re-sorts postings by token so footer ranges tighten back up).
+    ``buckets=None`` compacts every bucket."""
+    df = spark.read.parquet(path)
+    if buckets is not None:
+        df = df.filter(F.col("bucket").isin(list(buckets)))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(num_files_per_bucket, "bucket")
+            .sortWithinPartitions("tok", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -463,3 +463,66 @@ def test_inverted_index_prunes_buckets_and_append_preserves(spark, tmp_path):
         for r in inverted_index_lookup(spark, full, ["alpha", "beta"], k=10).collect()
     }
     assert got == want
+
+
+def test_inverted_index_compact_preserves_untouched_buckets(spark, tmp_path):
+    """Compaction of a bucket subset must leave every other bucket's
+    files byte-identical (dynamic partition overwrite) and not change
+    lookup content."""
+    import hashlib
+    import os
+
+    from remote_shuffle_spark.operators.text import (
+        inverted_index_append,
+        inverted_index_compact,
+        inverted_index_lookup,
+        inverted_postings,
+        write_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "beta delta"),
+            (3, "alpha epsilon zeta"),
+            (4, "eta theta iota"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "idx")
+    write_inverted_index(
+        inverted_postings(docs.filter("doc_id <> 3"), "doc_id", "text"), path
+    )
+    inverted_index_append(
+        inverted_postings(docs.filter("doc_id = 3"), "doc_id", "text"), path
+    )
+    before_lookup = {
+        (r.doc_id, r.n_matched, r.tf_sum)
+        for r in inverted_index_lookup(spark, path, ["alpha", "beta"], k=10).collect()
+    }
+
+    target = hashlib.md5(b"alpha").hexdigest()[:1]
+
+    def _files(root):
+        out = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    out[os.path.relpath(p, root)] = os.path.getmtime(p)
+        return out
+
+    before = _files(path)
+    inverted_index_compact(spark, path, buckets=[target])
+    after = _files(path)
+    for rel, mt in before.items():
+        if not rel.startswith(f"bucket={target}"):
+            assert after.get(rel) == mt, f"untouched bucket rewritten: {rel}"
+    assert (
+        len([r for r in after if r.startswith(f"bucket={target}")]) == 1
+    ), "target bucket not compacted to one file"
+    after_lookup = {
+        (r.doc_id, r.n_matched, r.tf_sum)
+        for r in inverted_index_lookup(spark, path, ["alpha", "beta"], k=10).collect()
+    }
+    assert after_lookup == before_lookup
