@@ -14039,3 +14039,74 @@ def ext_inverted_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["doc_id"], r["n_matched"], r["tf_sum"]) for r in out],
         "doc_id long, n_matched long, tf_sum long",
     )
+
+
+@declared(
+    "ext_stream_index_ingest",
+    oracle=_INVIDX_LOOKUP_SQL,
+    tags=("ext", "text", "index", "streaming"),
+)
+def ext_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest into the persisted inverted index — the
+    ext_stream_ingest_dedup loop applied to text search: a file-source
+    readStream drained by two Trigger.AvailableNow runs sharing one
+    checkpoint, where each micro-batch's postings APPEND to the index's
+    touched buckets (operators/text.py:inverted_index_append).  After
+    both deltas land, a term lookup over the index equals the
+    full-corpus oracle — the streaming proof that append-only ingest
+    converges to the batch-built truth, with state living in the
+    partitioned index directories, not executor memory (executor loss
+    replays nothing; the checkpoint dedups the source files).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from remote_shuffle_spark.operators.text import (
+        inverted_index_append,
+        inverted_index_lookup,
+        inverted_postings,
+        write_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus0 = docs.filter(~F.pmod(F.col("doc_id"), F.lit(10)).isin(3, 7))
+    delta1 = docs.filter(F.col("doc_id") % 10 == 3)
+    delta2 = docs.filter(F.col("doc_id") % 10 == 7)
+
+    base = os.path.join(tempfile.gettempdir(), f"stream_invidx_{uuid.uuid4().hex}")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    idx = os.path.join(base, "idx")
+    try:
+        write_inverted_index(inverted_postings(corpus0, "doc_id", "text"), idx)
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            inverted_index_append(
+                inverted_postings(batch_df, "doc_id", "text"), idx
+            )
+
+        def run_once() -> None:
+            q = (
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(src)
+                .writeStream.foreachBatch(handle)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        delta1.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        delta2.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+        out = inverted_index_lookup(spark, idx, _INVIDX_TERMS, k=10).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["doc_id"], r["n_matched"], r["tf_sum"]) for r in out],
+        "doc_id long, n_matched long, tf_sum long",
+    )
