@@ -14110,3 +14110,48 @@ def ext_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["doc_id"], r["n_matched"], r["tf_sum"]) for r in out],
         "doc_id long, n_matched long, tf_sum long",
     )
+
+
+@declared(
+    "ext_inverted_index_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    p AS (
+      SELECT tok, doc_id, COUNT(*) AS tf,
+             substring(md5(tok), 1, 1) AS bucket
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT bucket,
+           COUNT(*) AS n_postings,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms,
+           CAST(MAX(tf) AS BIGINT) AS max_tf,
+           CAST(SUM(tf) AS BIGINT) AS token_mass
+    FROM p
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("ext", "text", "index"),
+)
+def ext_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index health report — the band_index_stats /
+    ivf_cell_stats twin for text: per md5-bucket posting counts,
+    distinct terms, max term frequency, and token mass, straight off
+    the PERSISTED index (no corpus scan at report time; the oracle
+    replays the same numbers from raw documents).  Bucket balance is
+    what keeps the pruned-lookup promise honest: a hot bucket means a
+    hot directory, and this is the table a maintenance job reads to
+    decide which buckets to compact or split.
+    """
+    idx = spark.read.parquet(_invidx_dir(spark, sf_dir))
+    return (
+        idx.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.count_distinct("tok").alias("n_terms"),
+            F.max("tf").alias("max_tf"),
+            F.sum("tf").alias("token_mass"),
+        )
+        .orderBy("bucket")
+    )
