@@ -14155,3 +14155,132 @@ def ext_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@declared(
+    "ext_ewma_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS c
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN t = 0 THEN c
+                         ELSE c * (CAST(1 AS BIGINT) << CAST(t - 1 AS INTEGER))
+                    END) AS BIGINT) AS ewma_num,
+           CAST(CAST(1 AS BIGINT) << CAST(MAX(n) - 1 AS INTEGER) AS BIGINT)
+             AS ewma_den
+    FROM idx
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("ext", "events", "stats"),
+)
+def ext_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT exponential smoothing (alpha = 1/2): the next-day rate
+    forecast S_n over each type's daily counts, computed as the dyadic
+    rational M_n / 2^(n-1) where M_n = x_0 + Σ x_t·2^(t-1) — the EWMA
+    recurrence multiplied out to ONE integer weighted prefix sum, so
+    the forecast is engine-exact with no float accumulation (the
+    integer-CUSUM discipline applied to smoothing).  Emits the exact
+    numerator/denominator pair; 30 daily terms peak at ~2^29·count,
+    far inside int64.
+
+    Plan: corpus → daily grid (combinable count), then one window rank
+    + one conditional sum over the tiny types×days grid.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = Window.partitionBy("event_type")
+    idx = daily.withColumn(
+        "t", F.row_number().over(wt.orderBy("day")) - 1
+    ).withColumn("n", F.count(F.lit(1)).over(wt))
+    num = F.sum(
+        F.when(F.col("t") == 0, F.col("c")).otherwise(
+            F.col("c") * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(t - 1 AS INT))")
+        )
+    )
+    return (
+        idx.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_days"),
+            num.alias("ewma_num"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(max(n) - 1 AS INT))").alias(
+                "ewma_den"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
+    "ext_gini_index",
+    oracle=f"""
+    WITH prof AS (
+      SELECT user_id, SUM({_CENTS_SQL}) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
+    ),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+             COUNT(*) OVER () AS n
+      FROM prof
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(SUM(x) AS BIGINT) AS total_cents,
+           CAST(2 * SUM(i * x) - (MAX(n) + 1) * SUM(x) AS BIGINT) AS gini_num,
+           CAST(MAX(n) * SUM(x) AS BIGINT) AS gini_den
+    FROM r
+    """,
+    tags=("ext", "stats"),
+)
+def ext_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of per-user monetary contribution — the
+    inequality audit (what share of the corpus/revenue the top entities
+    own; the same math flags one source dominating a training mixture).
+    Uses the sorted-rank identity G = (2Σ i·x_i − (n+1)Σx) / (nΣx) with
+    a total order (value, user_id) and emits the integer
+    numerator/denominator — no division, engine-exact.
+
+    Plan: one per-entity agg (the only corpus shuffle) + one global
+    rank window over the profile table (≪ corpus; at extreme entity
+    counts swap the exact rank for a bucketed Lorenz approximation —
+    same identity over bucket sums).
+    """
+    from pyspark.sql import Window
+
+    prof = (
+        _event_cents(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("x"))
+    )
+    r = prof.withColumn(
+        "i", F.row_number().over(Window.orderBy("x", "user_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    return r.agg(
+        F.max("n").alias("n_users"),
+        F.sum("x").alias("total_cents"),
+        (2 * F.sum(F.col("i") * F.col("x")) - (F.max("n") + 1) * F.sum("x")).alias(
+            "gini_num"
+        ),
+        (F.max("n") * F.sum("x")).alias("gini_den"),
+    )
