@@ -14284,3 +14284,131 @@ def ext_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.max("n") * F.sum("x")).alias("gini_den"),
     )
+
+
+@declared(
+    "ext_trimmed_mean",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type AS g, {_CENTS_SQL} AS v
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v, v) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM c
+    )
+    SELECT g AS event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE rn > (n + 19) // 20
+                                   AND rn <= n - (n + 19) // 20) AS BIGINT)
+             AS n_kept,
+           CAST(COALESCE(SUM(v) FILTER (WHERE rn > (n + 19) // 20
+                                          AND rn <= n - (n + 19) // 20), 0)
+             AS BIGINT) AS trimmed_sum_cents
+    FROM r
+    GROUP BY g
+    ORDER BY g
+    """,
+    tags=("ext", "stats"),
+)
+def ext_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 5%-trimmed aggregates per group: drop each tail's
+    ceil(n/20) values by exact rank (total order — ranks among tied
+    values are arbitrary but the kept MULTISET is rank-invariant, so
+    the sum is deterministic) and emit the kept count and integer cents
+    sum — the robust-mean building block that, unlike median/MAD,
+    preserves additivity (trimmed sums roll up across shards by
+    re-trimming only the merged tails at target scale).
+
+    Plan: one window sort per group + one combinable filtered sum —
+    the grouped_median2 shape at different rank cutoffs.
+    """
+    from pyspark.sql import Window
+
+    ev = _event_cents(spark, sf_dir).select("event_type", "cents")
+    wg = Window.partitionBy("event_type")
+    r = (
+        ev.withColumn("rn", F.row_number().over(wg.orderBy("cents")))
+        .withColumn("n", F.count(F.lit(1)).over(wg))
+        .withColumn("cut", F.expr("(n + 19) div 20"))
+    )
+    kept = (F.col("rn") > F.col("cut")) & (F.col("rn") <= F.col("n") - F.col("cut"))
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("cents"))), F.lit(0)
+            ).alias("trimmed_sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
+    "ext_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS c
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    lagged AS (
+      SELECT c AS x, lag(c) OVER (ORDER BY day) AS y FROM daily
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL
+    )
+    SELECT n AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             AS acf1
+    FROM mom
+    """,
+    tags=("ext", "events", "stats"),
+)
+def ext_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event rate — the seasonality /
+    momentum screen run before trusting a naive forecast (ext_ewma):
+    Pearson over (day t, day t−1) count pairs from EXACT integer
+    moments, one rounded double closed form (the assortativity
+    discipline).  Windows run over the tiny daily grid only.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("timestamp").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lagged = daily.select(
+        F.col("c").alias("x"), F.lag("c").over(Window.orderBy("day")).alias("y")
+    ).filter(F.col("y").isNotNull())
+    mom = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return mom.select(
+        F.col("n").alias("n_pairs"), F.round(corr, 6).alias("acf1")
+    )

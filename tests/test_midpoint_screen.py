@@ -262,3 +262,35 @@ def test_abtest_zscore_term_clear_of_midpoints(sf_dir):
     if not values:
         return
     _assert_margin(values, 6, "ext_abtest_zscore z term")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_autocorr_lag1_term_clear_of_midpoints(sf_dir):
+    """ext_autocorr_lag1 rounds one sqrt-based double to 6dp; same screen
+    as assortativity / abtest."""
+    import duckdb
+
+    q = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS c
+      FROM read_parquet('{sf_dir}/events.parquet') WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    lagged AS (SELECT c AS x, lag(c) OVER (ORDER BY day) AS y FROM daily),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL
+    )
+    SELECT (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS raw
+    FROM mom
+    """
+    rows = duckdb.sql(q).fetchall()
+    values = [r[0] for r in rows if r[0] is not None]
+    if not values:
+        return
+    _assert_margin(values, 6, "ext_autocorr_lag1 corr")
