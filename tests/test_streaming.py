@@ -986,29 +986,36 @@ def test_tws_value_state_with_ttl_roundtrips_protocol(spark):
         # row count instead, then stop.
         import time
 
-        want_users = load_table(spark, sf, "events").select("user_id").distinct().count()
+        # Poll the TRUE fixed point (max totals == batch counts), not
+        # user-count + isDataAvailable: with maxFilesPerTrigger=1 the
+        # status flag flips False BETWEEN micro-batches, so every user can
+        # be present (each file spans all users) while later files are
+        # still queued — the exact premature-exit race this test hit twice
+        # under ambient load.
+        want = {
+            (r.user_id, r.n)
+            for r in load_table(spark, sf, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+        def _got() -> set:
+            return {
+                (r.user_id, r.total)
+                for r in s2.table(name)
+                .groupBy("user_id")
+                .agg(F.max("total").alias("total"))
+                .collect()
+            }
+
         deadline = time.time() + 240
-        while time.time() < deadline:
-            got_users = s2.table(name).select("user_id").distinct().count()
-            if got_users >= want_users and not q.status["isDataAvailable"]:
-                break
+        got = _got()
+        while got != want and time.time() < deadline:
             time.sleep(2)
+            got = _got()
     finally:
         q.stop()
-    got = {
-        (r.user_id, r.total)
-        for r in s2.table(name)
-        .groupBy("user_id")
-        .agg(F.max("total").alias("total"))
-        .collect()
-    }
-    want = {
-        (r.user_id, r.n)
-        for r in load_table(spark, sf, "events")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
     assert got == want
 
 
