@@ -3568,12 +3568,60 @@ _FRESHNESS_VALUES = ",\n      ".join(
     f"({d}, {w}, {s})" for d, w, s in _FRESHNESS_ROWS
 )
 
+# BIGINT micro-unit view of the same table: a 6-dp decimal string like
+# "0.967216" is EXACTLY the integer 967216 micro-units, so stripping the
+# point (string surgery, no float anywhere) gives an int64 weight table
+# whose sums stay int64 (441 * 1e6 * any realistic event count << 2^63).
+# Prescribed by the round-11 verdict: the compared result must contain NO
+# DECIMAL column at all, so the driver's hasher has only integers to
+# render.
+_FRESHNESS_ROWS_MICRO: list[tuple[int, int, int]] = [
+    (d, int(w.replace(".", "")), int(s.replace(".", "")))
+    for d, w, s in _FRESHNESS_ROWS
+]
+_FRESHNESS_VALUES_MICRO = ",\n      ".join(
+    f"({d}, {wm}, {sm})" for d, wm, sm in _FRESHNESS_ROWS_MICRO
+)
+
+
+@declared(
+    "ext_freshness_canary",
+    oracle=f"""
+    WITH wt_table(d, wt_micro, wt_sq_micro) AS (
+      VALUES {_FRESHNESS_VALUES_MICRO}
+    )
+    SELECT CAST(d AS BIGINT) AS d,
+           CAST(wt_micro AS BIGINT) AS wt_micro,
+           CAST(wt_sq_micro AS BIGINT) AS wt_sq_micro
+    FROM wt_table ORDER BY d
+    """,
+    tags=("ext", "stats", "sampling"),
+)
+def ext_freshness_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-INDEPENDENT canary for the freshness gate red (round-11
+    verdict prescription, What's wrong #1): selects the 441-row literal
+    recency-weight table itself — three BIGINT columns, zero table reads,
+    zero arithmetic beyond the ORDER BY.  Both engines emit the identical
+    Python-precomputed integers, so if the driver gate hashes THIS row
+    red, the comparison machinery is provably broken for literal-integer
+    shapes and the evidence is one page of SQL; if the canary greens while
+    ``ext_freshness_weights`` reds, the residue is isolated to the
+    events-dependent half of that query.  ``sf_dir`` is accepted and
+    ignored by design."""
+    del sf_dir  # data-independent by design
+    return (
+        spark.createDataFrame(
+            _FRESHNESS_ROWS_MICRO, "d long, wt_micro long, wt_sq_micro long"
+        )
+        .orderBy("d")
+    )
+
 
 @declared(
     "ext_freshness_weights",
     oracle=f"""
-    WITH wt_table(d, wt, wt_sq) AS MATERIALIZED (
-      VALUES {_FRESHNESS_VALUES}
+    WITH wt_table(d, wt_micro, wt_sq_micro) AS MATERIALIZED (
+      VALUES {_FRESHNESS_VALUES_MICRO}
     ), ev AS (
       SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
     ), mx AS (SELECT MAX(ts) AS m FROM ev),
@@ -3584,10 +3632,10 @@ _FRESHNESS_VALUES = ",\n      ".join(
     )
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(COALESCE(CAST(wt AS DECIMAL(18,6)), 0.000000))
-             AS DECIMAL(38,6)) AS total_weight,
-           CAST(SUM(COALESCE(CAST(wt_sq AS DECIMAL(18,6)), 0.000000))
-             AS DECIMAL(38,6)) AS sum_sq
+           CAST(SUM(COALESCE(wt_micro, 0)) AS BIGINT)
+             AS total_weight_millionths,
+           CAST(SUM(COALESCE(wt_sq_micro, 0)) AS BIGINT)
+             AS sum_sq_millionths
     FROM aged LEFT JOIN wt_table ON age_days = d
     GROUP BY event_type ORDER BY event_type
     """,
@@ -3597,30 +3645,32 @@ def ext_freshness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-decay sampling weights — the standard freshness weighting
     for training-data and feed sampling: each event's weight is
     exp(-age / 30 days) against the corpus max timestamp, quantized to
-    whole days, reported per event type as (n, total_weight, sum of
+    whole days, reported per event type as (n, total weight, sum of
     squared weights) — the two sums a sampler needs for
     effective-sample-size (ESS = total^2 / sum_sq) and normalization.
+    The weight sums are reported in exact integer MICRO-units
+    (millionths): the 6-dp literal weights are integers ×1e-6 by
+    construction, so ``total_weight_millionths / 1e6`` is the decimal
+    value with zero loss.
 
     Engine-exactness: ages are exact integer microsecond differences
     (events ts is TIMESTAMP_NTZ — cast first, the r8 pitfall) floored to
     whole days with integer DIV; the per-day weights are a
     Python-precomputed literal table (``_freshness_weight_table``)
     broadcast-joined here and inlined as a VALUES CTE in the oracle, so
-    NO transcendental is evaluated by either engine on the compared path
-    (the md5-minhash / DSIR engine-exact precedent — prescribed by the
-    round-10 verdict for the one gate red).  The only corpus-sized
-    shuffle is the final event_type aggregate; the 441-row weight table
-    (down to and past the first exact 0.000000 at d=436) broadcasts."""
+    NO transcendental is evaluated by either engine on the compared path.
+    Round-11 verdict prescription: the compared result now contains ONLY
+    BIGINT columns (int64 micro-unit sums — max possible value
+    441-day-table × 1e6 × corpus rows, far inside int64), eliminating
+    the DECIMAL rendering surface the three-round gate-only hash mismatch
+    implicated; ``ext_freshness_canary`` bisects any residue.  The only
+    corpus-sized shuffle is the final event_type aggregate; the 441-row
+    weight table (down to the first exact 0 at d=436) broadcasts."""
     events = load_table(spark, sf_dir, "events")
     ev = events.select("event_type", F.col("ts").cast("timestamp").alias("ts"))
     mx = ev.agg(F.max("ts").alias("m"))
     wt_tbl = spark.createDataFrame(
-        [(d, w, s) for d, w, s in _FRESHNESS_ROWS],
-        "d long, wt string, wt_sq string",
-    ).select(
-        "d",
-        F.col("wt").cast("decimal(18,6)").alias("wt"),
-        F.col("wt_sq").cast("decimal(18,6)").alias("wt_sq"),
+        _FRESHNESS_ROWS_MICRO, "d long, wt_micro long, wt_sq_micro long"
     )
     aged = (
         ev.crossJoin(F.broadcast(mx))
@@ -3631,18 +3681,17 @@ def ext_freshness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("age_days"),
         )
     )
-    zero = F.lit("0.000000").cast("decimal(18,6)")
     return (
         aged.join(F.broadcast(wt_tbl), aged.age_days == wt_tbl.d, "left")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.coalesce(F.col("wt"), zero))
-            .cast("decimal(38,6)")
-            .alias("total_weight"),
-            F.sum(F.coalesce(F.col("wt_sq"), zero))
-            .cast("decimal(38,6)")
-            .alias("sum_sq"),
+            F.sum(F.coalesce(F.col("wt_micro"), F.lit(0)))
+            .cast("long")
+            .alias("total_weight_millionths"),
+            F.sum(F.coalesce(F.col("wt_sq_micro"), F.lit(0)))
+            .cast("long")
+            .alias("sum_sq_millionths"),
         )
         .orderBy("event_type")
     )
@@ -6464,7 +6513,10 @@ def ext_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.awaitTermination(120)  # AvailableNow stops itself after draining
-        assert not q.isActive, "AvailableNow trigger failed to self-terminate"
+        if q.isActive:
+            raise RuntimeError(
+                "AvailableNow trigger failed to self-terminate"
+            )
     finally:
         if q.isActive:  # failure path: never leak a live query into the session
             q.stop()
@@ -7549,7 +7601,8 @@ def ext_stream_incremental_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.awaitTermination(240)
-            assert not q.isActive, "AvailableNow failed to self-terminate"
+            if q.isActive:
+                raise RuntimeError("AvailableNow failed to self-terminate")
         finally:
             if q.isActive:
                 q.stop()
@@ -12516,7 +12569,10 @@ def ext_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.awaitTermination(120)
-        assert not q.isActive, "AvailableNow trigger failed to self-terminate"
+        if q.isActive:
+            raise RuntimeError(
+                "AvailableNow trigger failed to self-terminate"
+            )
     finally:
         if q.isActive:
             q.stop()
@@ -12528,7 +12584,8 @@ def ext_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_batches += 1
         n_total += int(m["n_events"])
         cents_total += int(m["id_checksum"] or 0)
-    assert n_batches >= 2, f"expected multi-batch drain, saw {n_batches}"
+    if n_batches < 2:
+        raise RuntimeError(f"expected multi-batch drain, saw {n_batches}")
     return spark.createDataFrame(
         [(n_total, cents_total)], "n_events long, id_checksum long"
     )
@@ -14025,13 +14082,18 @@ def ext_inverted_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         appended = _bucket_files(path)
         touched = sorted(b for b in appended if appended[b] > base.get(b, 0))
-        assert touched, "append touched no bucket — fixture degenerate"
+        if not touched:
+            raise RuntimeError("append touched no bucket — fixture degenerate")
         inverted_index_compact(
             spark, path, buckets=[b.split("=", 1)[1] for b in touched]
         )
         compacted = _bucket_files(path)
         for b in touched:
-            assert compacted[b] < appended[b], (b, appended[b], compacted[b])
+            if compacted[b] >= appended[b]:
+                raise RuntimeError(
+                    f"compaction did not shrink {b}: "
+                    f"{appended[b]} -> {compacted[b]} files"
+                )
         out = inverted_index_lookup(spark, path, _INVIDX_TERMS, k=10).collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)

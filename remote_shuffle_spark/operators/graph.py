@@ -535,8 +535,19 @@ def common_neighbor_scores(
     the same Θ(Σ deg²) bound as triangle counting — callers keep the
     graph sliced/sparse (the ext_triangle_count discipline) or pre-cap
     hub degrees at target scale.
+
+    Input edges are normalized to canonical orientation (least, greatest)
+    + distinct INSIDE the operator, so a caller passing both (u,v) and
+    (v,u) gets the same adjacency/degree/anti-join semantics as one
+    passing canonical edges (the r11 ADVICE double-count hazard).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("src"),
+            F.greatest(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .distinct()
+    )
     adj = e.select(F.col("src").alias("u"), F.col("dst").alias("n")).unionAll(
         e.select(F.col("dst").alias("u"), F.col("src").alias("n"))
     )

@@ -1064,19 +1064,26 @@ def inverted_index_compact(spark, path: str, *, buckets: list[str] | None = None
     (untouched buckets stay byte-identical — the ivf_pq_compact_cells
     contract); content is unchanged (pure layout rewrite; the rewrite
     re-sorts postings by token so footer ranges tighten back up).
-    ``buckets=None`` compacts every bucket."""
+    ``buckets=None`` compacts every bucket.
+
+    The compacted postings are MATERIALIZED (eager localCheckpoint)
+    before the overwrite starts, so the write job never reads from the
+    path it is replacing (the r11 ADVICE read-then-overwrite-self
+    hazard: version-sensitive on some Spark releases, and a source-read
+    racing partition deletion could drop postings).  Dynamic overwrite
+    itself stages to a job-scoped directory and swaps partitions at
+    commit, so a mid-job failure leaves the previous generation intact."""
     df = spark.read.parquet(path)
     if buckets is not None:
         df = df.filter(F.col("bucket").isin(list(buckets)))
+    compacted = (
+        df.repartition(num_files_per_bucket, "bucket")
+        .sortWithinPartitions("tok", "doc_id")
+        .localCheckpoint(eager=True)
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        (
-            df.repartition(num_files_per_bucket, "bucket")
-            .sortWithinPartitions("tok", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(path)
-        )
+        compacted.write.mode("overwrite").partitionBy("bucket").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -62,6 +62,7 @@ def declared(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # After each round's gate runs, refresh this dict
 # (scripts/update_driver_verified.py prints the literal).
 DRIVER_VERIFIED_ROUND: dict[str, int] = {
+    "ext_abtest_zscore": 11,
     "ext_ann_filtered": 10,
     "ext_apply_in_arrow": 8,
     "ext_approx_top_k": 7,
@@ -69,9 +70,12 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_asof_join_forward": 5,
     "ext_asof_join_nearest": 5,
     "ext_audio_metadata": 7,
+    "ext_band_index_stats": 11,
     "ext_bfs_levels": 6,
     "ext_bigram_counts": 9,
     "ext_bigram_lm_quality": 9,
+    "ext_bitmap_intersect": 11,
+    "ext_blocking_quality": 11,
     "ext_bloom_anti_join": 8,
     "ext_bloom_semi_join": 8,
     "ext_bm25_topk": 9,
@@ -80,42 +84,56 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_bpe_train": 8,
     "ext_bucketed_join": 6,
     "ext_burst_detection": 10,
+    "ext_cascade_delete": 11,
     "ext_char_entropy": 9,
     "ext_chi_square": 9,
     "ext_chunk_overlap": 8,
     "ext_chunk_sequences": 7,
+    "ext_cms_freq": 11,
     "ext_cohort_retention": 8,
     "ext_collation": 7,
     "ext_compaction": 9,
     "ext_corpus_prep_pipeline": 5,
     "ext_corr_matrix": 9,
     "ext_cumulative_crossover": 8,
+    "ext_cusum_changepoint": 11,
     "ext_data_quality_audit": 9,
+    "ext_dataset_fingerprint": 11,
     "ext_dataset_mixture": 7,
     "ext_decontaminate": 9,
     "ext_dedup_exact": 7,
     "ext_dedup_groups": 8,
     "ext_dedup_incremental": 7,
+    "ext_dedup_incremental_bucketed": 11,
+    "ext_dedup_incremental_minhash": 11,
+    "ext_dedup_index_refresh": 11,
     "ext_dedup_ladder": 9,
     "ext_dedup_ladder_full": 10,
     "ext_dedup_minhash": 8,
     "ext_dedup_paragraph": 8,
     "ext_dedup_prefix_blocks": 7,
+    "ext_dedup_rate_estimate": 11,
     "ext_dedup_simhash": 8,
     "ext_dedup_substring": 9,
+    "ext_degree_assortativity": 11,
     "ext_doc_embedding_join": 7,
     "ext_doc_histogram": 8,
     "ext_dsir_weights": 10,
     "ext_embedding_neardup": 8,
     "ext_event_debounce": 9,
     "ext_event_runs": 9,
+    "ext_ewma_forecast": 11,
     "ext_fingerprint": 7,
+    "ext_format_roundtrip_matrix": 11,
     "ext_funnel": 9,
     "ext_fuzzy_join": 9,
     "ext_fuzzy_join_segments": 6,
     "ext_fuzzy_join_suffix": 10,
     "ext_fuzzy_link": 6,
+    "ext_gap_distribution": 11,
+    "ext_gini_index": 11,
     "ext_global_index": 8,
+    "ext_graph_eccentricity": 11,
     "ext_hard_negatives": 10,
     "ext_heavy_hitters": 5,
     "ext_hll_rolling_distinct": 5,
@@ -124,6 +142,14 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_incremental_agg": 9,
     "ext_interval_overlap_join": 5,
     "ext_inverted_index": 9,
+    "ext_inverted_index_compact": 11,
+    "ext_inverted_index_persisted": 11,
+    "ext_inverted_index_stats": 11,
+    "ext_inverted_index_upsert": 11,
+    "ext_ivf_cell_stats": 11,
+    "ext_ivf_index_compact": 11,
+    "ext_ivf_index_upsert": 11,
+    "ext_ivf_pq_indexed": 11,
     "ext_ivf_pq_recall": 10,
     "ext_join_size_estimate": 7,
     "ext_join_strategy_hints": 8,
@@ -139,10 +165,19 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_label_entropy": 9,
     "ext_label_propagation": 8,
     "ext_lang_id": 7,
+    "ext_langid_confusion": 11,
+    "ext_last_touch_attribution": 11,
+    "ext_length_percentile_cut": 11,
     "ext_line_cleaning": 10,
+    "ext_link_prediction": 11,
+    "ext_locf_resample": 11,
+    "ext_ltv_triangle": 11,
+    "ext_malformed_quarantine": 11,
     "ext_market_basket": 8,
     "ext_market_basket_triples": 9,
+    "ext_median_mad_outliers": 11,
     "ext_metadata_columns": 8,
+    "ext_minhash_estimate": 11,
     "ext_mixture_temperature": 8,
     "ext_mmr_select": 10,
     "ext_multimodal_decode": 7,
@@ -150,11 +185,15 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_multimodal_frames": 8,
     "ext_ngram_jaccard": 7,
     "ext_ngram_novelty": 10,
+    "ext_observe_metrics": 11,
+    "ext_oov_rate": 11,
+    "ext_out_of_order_audit": 11,
     "ext_pack_greedy": 9,
     "ext_pagerank": 6,
     "ext_pagerank_directed": 7,
     "ext_pandas_udaf": 8,
     "ext_parameterized_sql": 7,
+    "ext_pareto_frontier": 11,
     "ext_per_key_sample": 9,
     "ext_pii_scrub": 8,
     "ext_pmi_collocations": 10,
@@ -166,8 +205,10 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_quantile_bins": 9,
     "ext_quantized_recall": 8,
     "ext_range_join": 7,
+    "ext_rare_token_docs": 11,
     "ext_recursive_cte": 6,
     "ext_repetition": 7,
+    "ext_rfm_segments": 11,
     "ext_rolling_time_window": 9,
     "ext_rollup_topk": 8,
     "ext_salted_agg": 8,
@@ -178,6 +219,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_schema_evolution": 10,
     "ext_semantic_dedup": 9,
     "ext_session_funnel": 8,
+    "ext_session_paths": 11,
     "ext_session_window_dynamic": 10,
     "ext_session_window_native": 6,
     "ext_sessionize": 7,
@@ -188,11 +230,13 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_skew_report": 9,
     "ext_snapshot_diff": 9,
     "ext_snapshot_drift": 10,
+    "ext_source_overlap_matrix": 11,
     "ext_span_corruption": 10,
     "ext_sql_identifier": 8,
     "ext_sql_pipe": 8,
     "ext_sql_scripting": 7,
     "ext_sql_udf": 9,
+    "ext_state_transitions": 11,
     "ext_statestore_reader": 7,
     "ext_stratified_sample": 9,
     "ext_stream_available_now": 7,
@@ -205,7 +249,10 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_stream_full_outer_join": 6,
     "ext_stream_hopping_window": 6,
     "ext_stream_incremental_runs": 8,
+    "ext_stream_index_ingest": 11,
+    "ext_stream_ingest_dedup": 11,
     "ext_stream_late_drop": 5,
+    "ext_stream_observe": 11,
     "ext_stream_outer_join": 6,
     "ext_stream_python_datasource": 6,
     "ext_stream_session_dynamic": 10,
@@ -229,8 +276,10 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_theta_distinct": 6,
     "ext_theta_set_algebra": 6,
     "ext_time_to_convert": 9,
+    "ext_time_weighted_avg": 11,
     "ext_train_split": 9,
     "ext_triangle_count": 8,
+    "ext_trimmed_mean": 11,
     "ext_try_arithmetic": 8,
     "ext_udtf_polymorphic": 7,
     "ext_udtf_table_arg": 8,
@@ -332,11 +381,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q83_promotable_parts": 5,
 }
 
-# Names whose LATEST external gate check was NOT fully green (err or any
-# mismatch): these outrank merely-stale rows in the gate window below,
-# regardless of an older green round.  Refreshed by the same helper.
-# Round 10 gate was 49/50: ext_freshness_weights hash-only red (rebuilt
-# engine-exact in round 11) leads the window.
+# 1 names whose LATEST gate check failed — forced to the window head
 DRIVER_LATEST_FAILED: frozenset[str] = frozenset({
     "ext_freshness_weights",
 })

@@ -81,8 +81,10 @@ def dedup_state_snapshot(
         q.stop()
     try:
         meta = state_operator_metadata(spark, ckpt).collect()
-        assert len(meta) == 1 and meta[0].operatorName == "dedupe", meta
-        assert meta[0].numPartitions == (state_partitions or 4), meta
+        if len(meta) != 1 or meta[0].operatorName != "dedupe":
+            raise RuntimeError(f"unexpected state operator metadata: {meta}")
+        if meta[0].numPartitions != (state_partitions or 4):
+            raise RuntimeError(f"state partition count mismatch: {meta}")
         # materialize the key set BEFORE removing the checkpoint (the
         # statestore read is lazy over its files); keys are the state's
         # distinct user_ids — bounded driver data by construction

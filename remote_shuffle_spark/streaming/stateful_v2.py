@@ -189,7 +189,10 @@ def first_n_available_now_stream(
     )
     try:
         q.awaitTermination(240)  # AvailableNow stops itself after draining
-        assert not q.isActive, "AvailableNow trigger failed to self-terminate"
+        if q.isActive:
+            raise RuntimeError(
+                "AvailableNow trigger failed to self-terminate"
+            )
     finally:
         if q.isActive:  # failure path: never leak a live query into the session
             q.stop()
@@ -229,7 +232,10 @@ class TypeCountsProcessor(StatefulProcessor):
             # over the stream's life (measured: this was the bench's
             # slowest query at 10.2 s before the bound, 4 batches deep)
             n_seen = sum(1 for _ in self.seen.get())
-            assert n_seen == len(pdf)
+            if n_seen != len(pdf):
+                raise RuntimeError(
+                    f"ListState round-trip lost rows: {n_seen} != {len(pdf)}"
+                )
         out = []
         for etype, cnt in pdf.groupby("event_type").size().items():
             prev = self.counts.getValue((etype,)) if self.counts.containsKey((etype,)) else None
@@ -338,9 +344,11 @@ class FirstSeenTimerProcessor(StatefulProcessor):
             self.handle.registerTimer(expiry)
             self.handle.registerTimer(far)
             timers = list(self.handle.listTimers())
-            assert expiry in timers and far in timers, f"listTimers: {timers}"
+            if expiry not in timers or far not in timers:
+                raise RuntimeError(f"listTimers missing registration: {timers}")
             self.handle.deleteTimer(far)
-            assert far not in list(self.handle.listTimers())
+            if far in list(self.handle.listTimers()):
+                raise RuntimeError("deleteTimer left the far timer registered")
             self.registered.update((1,))
         return iter([])
 

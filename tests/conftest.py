@@ -13,6 +13,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sf01_gate: rotating sf0.1 oracle spot-gate (scale-dependent semantics)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from remote_shuffle_spark import EngineConfig, get_session

@@ -347,3 +347,24 @@ def test_common_neighbor_scores_square_and_path(spark):
     out = {(r.u, r.v): (r.common, r.jacc_den) for r in
            common_neighbor_scores(path, top_k=10).collect()}
     assert out == {(1, 3): (1, 1)}
+
+
+def test_common_neighbor_scores_both_orientations(spark):
+    """r11 ADVICE: feeding BOTH orientations of every edge must give the
+    same scores as canonical edges — the operator normalizes internally
+    (least/greatest + distinct), so degrees don't double-count and
+    reversed adjacency can't leak into the non-adjacent output."""
+    from remote_shuffle_spark.operators.graph import common_neighbor_scores
+
+    canon = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    both = canon + [(b, a) for a, b in canon]
+    edges = spark.createDataFrame(both, ["src", "dst"])
+    out = {(r.u, r.v): (r.common, r.jacc_den) for r in
+           common_neighbor_scores(edges, top_k=10).collect()}
+    assert out == {(1, 3): (2, 2), (2, 4): (2, 2)}
+
+    # reversed-only adjacency: edge stored as (3,1) must still exclude
+    # the pair (1,3) from predictions (triangle 1-2-3 plus edge 3-1).
+    tri = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    out = {(r.u, r.v) for r in common_neighbor_scores(tri, top_k=10).collect()}
+    assert out == set()
