@@ -106,7 +106,15 @@ def main() -> None:
     # to a repo file for round-over-round per-query comparison, and make the
     # FINAL stdout line a compact JSON — totals + the slowest-20 steady
     # times — that always fits in the tail.
-    fname = f"BENCH_family_{args.family}.json" if args.family else "BENCH_full.json"
+    # --queries subset runs must NOT clobber the full-map artifact the
+    # round-over-round compare reads (r12: a 5-query re-measure overwrote
+    # the fresh 320-query map) — they get their own scratch file.
+    if args.family:
+        fname = f"BENCH_family_{args.family}.json"
+    elif args.queries:
+        fname = "BENCH_subset.json"
+    else:
+        fname = "BENCH_full.json"
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     with open(full_path, "w") as fh:
         json.dump(result, fh, sort_keys=True)
