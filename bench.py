@@ -65,6 +65,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    if args.queries and args.family:
+        # selection would honor --queries while the artifact filename honors
+        # --family — a 1-query map silently replacing a family baseline
+        raise SystemExit("--queries and --family are mutually exclusive")
     if args.queries:
         names = args.queries.split(",")
     elif args.family:

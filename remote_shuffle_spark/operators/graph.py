@@ -540,9 +540,14 @@ def common_neighbor_scores(
     + distinct INSIDE the operator, so a caller passing both (u,v) and
     (v,u) gets the same adjacency/degree/anti-join semantics as one
     passing canonical edges (the r11 ADVICE double-count hazard).
+    NULL-endpoint rows are dropped first: they were inert before
+    canonicalization (a NULL never matches the wedge join) and
+    least/greatest would otherwise collapse them into degree-inflating
+    self-loops.
     """
     e = (
-        edges.select(
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
             F.least(F.col(src), F.col(dst)).alias("src"),
             F.greatest(F.col(src), F.col(dst)).alias("dst"),
         )

@@ -182,6 +182,47 @@ def test_freshness_weight_table_is_literal_and_exact():
         assert s == f"{round(float(w) * float(w), 6):.6f}"
 
 
+def test_freshness_micro_table_matches_strings():
+    """The r12 BIGINT micro-unit table must be the exact integer image of
+    the 6-dp literal strings (string surgery, no float in the derivation),
+    and the canary/weights results must carry ONLY integer columns — the
+    r11 verdict's prescription for the gate-only hash mismatch was to
+    remove every DECIMAL from the compared result; this pins it."""
+    from decimal import Decimal
+
+    from remote_shuffle_spark.ext_queries import (
+        _FRESHNESS_ROWS,
+        _FRESHNESS_ROWS_MICRO,
+    )
+
+    assert len(_FRESHNESS_ROWS_MICRO) == len(_FRESHNESS_ROWS) == 441
+    for (d, w, s), (d2, wm, sm) in zip(_FRESHNESS_ROWS, _FRESHNESS_ROWS_MICRO):
+        assert d == d2
+        assert Decimal(wm) == Decimal(w) * 1_000_000
+        assert Decimal(sm) == Decimal(s) * 1_000_000
+    assert _FRESHNESS_ROWS_MICRO[0] == (0, 1_000_000, 1_000_000)
+    assert _FRESHNESS_ROWS_MICRO[-1][1] == 0
+
+
+def test_freshness_results_are_integer_only(spark, sf_smoke):
+    """Schema guard: neither freshness query may ever reintroduce a
+    DECIMAL/DOUBLE column into the compared result."""
+    from remote_shuffle_spark.ext_queries import (
+        ext_freshness_canary,
+        ext_freshness_weights,
+    )
+
+    for fn in (ext_freshness_weights, ext_freshness_canary):
+        df = fn(spark, sf_smoke)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() not in ("bigint", "string")
+        ]
+        assert not bad, f"{fn.__name__} non-integer compared columns: {bad}"
+    assert ext_freshness_canary(spark, sf_smoke).count() == 441
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_assortativity_term_clear_of_midpoints(sf_dir):
     """ext_degree_assortativity rounds one sqrt-based double to 6dp; screen

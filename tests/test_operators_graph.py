@@ -368,3 +368,12 @@ def test_common_neighbor_scores_both_orientations(spark):
     tri = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
     out = {(r.u, r.v) for r in common_neighbor_scores(tri, top_k=10).collect()}
     assert out == set()
+
+    # NULL endpoints are inert, not self-loops: least/greatest would turn
+    # (NULL,2) into (2,2) and inflate deg(2) — the operator must drop them.
+    withnull = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 2)], "src long, dst long"
+    )
+    out = {(r.u, r.v): (r.common, r.jacc_den) for r in
+           common_neighbor_scores(withnull, top_k=10).collect()}
+    assert out == {(1, 3): (1, 1)}

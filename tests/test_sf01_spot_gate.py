@@ -8,50 +8,31 @@ disciplines (integer/cents arithmetic, md5 hashing, literal weight
 tables) should make every query SF-invariant, so any failure here is
 high-signal.
 
-Rotation: the cohort index is derived from the highest CORRECTNESS_r*.json
-round present in the repo root (i.e. the round currently being built),
-so each round exercises the next ``COHORT`` alphabetical slice with
-wraparound — all oracled queries get an sf0.1 check every
-``ceil(N / COHORT)`` rounds with zero bookkeeping.
+Rotation: shared with scripts/partition_invariance_probe.py via
+``tests.rotation`` (round = max CORRECTNESS_r*.json + 1, next alphabetical
+``COHORT``-slice with wraparound), so all oracled queries get an sf0.1
+check every ``ceil(N / COHORT)`` rounds with zero bookkeeping.  The cohort
+is round-dependent BY DESIGN (that's the sweep); to reproduce a specific
+round's cohort after its CORRECTNESS file lands, set
+``SPARK_GRAFT_SPOT_ROUND=<round>``.
 
 Run just this gate:  python -m pytest tests -q -m sf01_gate
 """
 
 from __future__ import annotations
 
-import glob
 import os
-import re
 
 import pytest
 
 import __spark_entry__ as entrymod
 from tests.parity import ParityResult, compare_frames, duckdb_connection
+from tests.rotation import rotating_cohort
 
 SF_SCALE = "/root/testdata/sf0.1"
 COHORT = 10
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _current_round() -> int:
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-    ]
-    return max(rounds, default=0) + 1
-
-
-def _cohort() -> list[str]:
-    names = sorted(entrymod.oracle_sql())
-    if not names:
-        return []
-    start = (_current_round() * COHORT) % len(names)
-    return [names[(start + i) % len(names)] for i in range(min(COHORT, len(names)))]
-
-
-SPOT_NAMES = _cohort()
+SPOT_NAMES = rotating_cohort(sorted(entrymod.oracle_sql()), COHORT)
 
 
 @pytest.fixture(scope="module")
