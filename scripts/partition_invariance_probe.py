@@ -10,7 +10,9 @@ fresh subprocesses pinned to genuinely different layouts and comparing
 canonical result hashes (column-name-sorted, row-sorted, string-rendered —
 tests/parity's normalization) across them.
 
-Each layout is ``CORESxPARTS``: the worker session runs on
+Each layout is ``CORESxPARTS`` with an optional ``na`` suffix (run the
+whole AQE framework OFF — catches results that silently depend on
+adaptive re-planning): the worker session runs on
 ``local[CORES]`` (which changes spark.range splits, parquet scan task
 layout, and default parallelism — the SOURCE partitioning) with
 ``spark.sql.shuffle.partitions=PARTS`` and AQE partition COALESCING
@@ -24,7 +26,7 @@ and red in a driver environment with different parallelism.
 
 Usage:
     python scripts/partition_invariance_probe.py [--names a,b,c]
-        [--layouts 32x32,5x7] [--sf-dir /root/testdata/sf0.01]
+        [--layouts 32x32,5x7,32x32na] [--sf-dir /root/testdata/sf0.01]
         [--cohort 30] [--all]
 
 Default cohort: rotating slice of the registry keyed to the current round
@@ -46,12 +48,13 @@ _WORKER = r"""
 import hashlib, json, sys
 sys.path.insert(0, %(root)r)
 names, sf_dir = json.loads(sys.argv[1]), sys.argv[2]
-cores, nparts = int(sys.argv[3]), int(sys.argv[4])
+cores, nparts, aqe = int(sys.argv[3]), int(sys.argv[4]), sys.argv[5] == "1"
 from remote_shuffle_spark import EngineConfig, get_session
 cfg = EngineConfig(
-    app_name="pinvar_%%dx%%d" %% (cores, nparts),
+    app_name="pinvar_%%dx%%d_%%s" %% (cores, nparts, "aqe" if aqe else "noaqe"),
     master="local[%%d]" %% cores,
     shuffle_partitions=nparts,
+    adaptive=aqe,
     extra={
         "spark.default.parallelism": str(cores),
         # keep skew-split etc. on, but stop AQE re-coalescing the layouts
@@ -79,7 +82,9 @@ def _registry_names() -> list[str]:
     return sorted(e.queries())
 
 
-def _run_layout(names: list[str], sf_dir: str, cores: int, nparts: int) -> dict[str, str]:
+def _run_layout(
+    names: list[str], sf_dir: str, cores: int, nparts: int, aqe: bool
+) -> dict[str, str]:
     proc = subprocess.run(
         [
             sys.executable,
@@ -89,6 +94,7 @@ def _run_layout(names: list[str], sf_dir: str, cores: int, nparts: int) -> dict[
             sf_dir,
             str(cores),
             str(nparts),
+            "1" if aqe else "0",
         ],
         capture_output=True,
         text=True,
@@ -98,7 +104,8 @@ def _run_layout(names: list[str], sf_dir: str, cores: int, nparts: int) -> dict[
         if line.startswith("PINVAR_JSON:"):
             return json.loads(line[len("PINVAR_JSON:"):])
     raise SystemExit(
-        f"worker for layout {cores}x{nparts} produced no result:\n{proc.stderr[-2000:]}"
+        f"worker for layout {cores}x{nparts} aqe={aqe} produced no result:\n"
+        f"{proc.stderr[-2000:]}"
     )
 
 
@@ -125,10 +132,16 @@ def main() -> None:
 
         names = rotating_cohort(registry, args.cohort)
 
-    layouts = [tuple(int(x) for x in spec.split("x")) for spec in args.layouts.split(",")]
-    hashes = {spec: _run_layout(names, args.sf_dir, c, p) for spec, (c, p) in zip(args.layouts.split(","), layouts)}
+    def _parse(spec: str) -> tuple[int, int, bool]:
+        aqe = not spec.endswith("na")
+        body = spec[:-2] if not aqe else spec
+        c, p = body.split("x")
+        return int(c), int(p), aqe
 
     specs = args.layouts.split(",")
+    hashes = {
+        spec: _run_layout(names, args.sf_dir, *_parse(spec)) for spec in specs
+    }
     base = specs[0]
     mismatched = [
         n for n in names if any(hashes[s][n] != hashes[base][n] for s in specs[1:])
