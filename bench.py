@@ -52,6 +52,13 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=2, help="executions per query; last one is the reported steady time")
     args = ap.parse_args()
 
+    # Validate flag combinations BEFORE the Spark import below — a usage
+    # error must not cost a full JVM/session startup (r12 ADVICE).
+    if args.queries and args.family:
+        # selection would honor --queries while the artifact filename honors
+        # --family — a 1-query map silently replacing a family baseline
+        raise SystemExit("--queries and --family are mutually exclusive")
+
     from remote_shuffle_spark import EngineConfig, get_session
 
     # 8g driver: local mode is driver-only, and a 199-query session
@@ -65,10 +72,6 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    if args.queries and args.family:
-        # selection would honor --queries while the artifact filename honors
-        # --family — a 1-query map silently replacing a family baseline
-        raise SystemExit("--queries and --family are mutually exclusive")
     if args.queries:
         names = args.queries.split(",")
     elif args.family:

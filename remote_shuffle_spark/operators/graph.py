@@ -543,10 +543,16 @@ def common_neighbor_scores(
     NULL-endpoint rows are dropped first: they were inert before
     canonicalization (a NULL never matches the wedge join) and
     least/greatest would otherwise collapse them into degree-inflating
-    self-loops.
+    self-loops.  Self-loop edges (u,u) are dropped too: unionAll would
+    put (u,u) into adj twice, inflating deg(u) by 2 and making u its
+    own wedge neighbor — simple-graph semantics, like the NULL rule.
     """
     e = (
-        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        edges.filter(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
         .select(
             F.least(F.col(src), F.col(dst)).alias("src"),
             F.greatest(F.col(src), F.col(dst)).alias("dst"),

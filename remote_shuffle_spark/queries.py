@@ -67,9 +67,10 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_apply_in_arrow": 8,
     "ext_approx_top_k": 7,
     "ext_asof_join": 7,
-    "ext_asof_join_forward": 5,
-    "ext_asof_join_nearest": 5,
+    "ext_asof_join_forward": 12,
+    "ext_asof_join_nearest": 12,
     "ext_audio_metadata": 7,
+    "ext_autocorr_lag1": 12,
     "ext_band_index_stats": 11,
     "ext_bfs_levels": 6,
     "ext_bigram_counts": 9,
@@ -93,7 +94,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_cohort_retention": 8,
     "ext_collation": 7,
     "ext_compaction": 9,
-    "ext_corpus_prep_pipeline": 5,
+    "ext_corpus_prep_pipeline": 12,
     "ext_corr_matrix": 9,
     "ext_cumulative_crossover": 8,
     "ext_cusum_changepoint": 11,
@@ -125,6 +126,8 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_ewma_forecast": 11,
     "ext_fingerprint": 7,
     "ext_format_roundtrip_matrix": 11,
+    "ext_freshness_canary": 12,
+    "ext_freshness_weights": 12,
     "ext_funnel": 9,
     "ext_fuzzy_join": 9,
     "ext_fuzzy_join_segments": 6,
@@ -135,12 +138,12 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_global_index": 8,
     "ext_graph_eccentricity": 11,
     "ext_hard_negatives": 10,
-    "ext_heavy_hitters": 5,
-    "ext_hll_rolling_distinct": 5,
+    "ext_heavy_hitters": 12,
+    "ext_hll_rolling_distinct": 12,
     "ext_hll_rollup": 9,
     "ext_hopping_window": 9,
     "ext_incremental_agg": 9,
-    "ext_interval_overlap_join": 5,
+    "ext_interval_overlap_join": 12,
     "ext_inverted_index": 9,
     "ext_inverted_index_compact": 11,
     "ext_inverted_index_persisted": 11,
@@ -212,7 +215,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_rolling_time_window": 9,
     "ext_rollup_topk": 8,
     "ext_salted_agg": 8,
-    "ext_salted_join": 5,
+    "ext_salted_join": 12,
     "ext_scalar_subquery_fanout": 7,
     "ext_scd2": 8,
     "ext_scd2_lookup": 9,
@@ -225,7 +228,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_sessionize": 7,
     "ext_shard_assignment": 9,
     "ext_similarity_ivf": 8,
-    "ext_similarity_lsh": 5,
+    "ext_similarity_lsh": 12,
     "ext_similarity_topk": 7,
     "ext_skew_report": 9,
     "ext_snapshot_diff": 9,
@@ -251,7 +254,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_stream_incremental_runs": 8,
     "ext_stream_index_ingest": 11,
     "ext_stream_ingest_dedup": 11,
-    "ext_stream_late_drop": 5,
+    "ext_stream_late_drop": 12,
     "ext_stream_observe": 11,
     "ext_stream_outer_join": 6,
     "ext_stream_python_datasource": 6,
@@ -317,33 +320,33 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q19_intersect": 10,
     "q20_except": 10,
     "q21_rollup": 10,
-    "q22_pivot": 6,
+    "q22_pivot": 12,
     "q23_json_scalar": 10,
     "q24_date_parts": 10,
     "q25_cube": 10,
     "q26_string_funcs": 10,
-    "q27_explode_unnest": 6,
-    "q28_percentiles": 6,
-    "q29_approx_agg": 6,
-    "q30_math_funcs": 6,
-    "q31_window_running": 6,
-    "q32_grouping_sets": 6,
-    "q33_scalar_subquery": 6,
-    "q34_array_funcs": 6,
-    "q35_map_funcs": 6,
-    "q36_case_null_funcs": 6,
-    "q37_regex_funcs": 6,
-    "q38_datetime_arith": 6,
-    "q39_window_misc": 6,
-    "q40_outer_join": 6,
-    "q41_shipping_priority": 6,
-    "q42_regional_revenue": 6,
-    "q43_correlated_scalar": 6,
-    "q44_exists_subquery": 6,
-    "q45_not_exists": 6,
-    "q46_range_frame": 6,
-    "q47_value_window_funcs": 6,
-    "q48_posexplode": 6,
+    "q27_explode_unnest": 12,
+    "q28_percentiles": 12,
+    "q29_approx_agg": 12,
+    "q30_math_funcs": 12,
+    "q31_window_running": 12,
+    "q32_grouping_sets": 12,
+    "q33_scalar_subquery": 12,
+    "q34_array_funcs": 12,
+    "q35_map_funcs": 12,
+    "q36_case_null_funcs": 12,
+    "q37_regex_funcs": 12,
+    "q38_datetime_arith": 12,
+    "q39_window_misc": 12,
+    "q40_outer_join": 12,
+    "q41_shipping_priority": 12,
+    "q42_regional_revenue": 12,
+    "q43_correlated_scalar": 12,
+    "q44_exists_subquery": 12,
+    "q45_not_exists": 12,
+    "q46_range_frame": 12,
+    "q47_value_window_funcs": 12,
+    "q48_posexplode": 12,
     "q49_median_mode": 6,
     "q50_string_agg": 6,
     "q51_conditional_agg": 8,
@@ -364,26 +367,25 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q66_small_quantity_revenue": 10,
     "q67_large_volume_orders": 10,
     "q68_disjunctive_revenue": 10,
-    "q69_idle_customer_balance": 5,
-    "q70_grouping_id": 5,
-    "q71_mom_growth": 5,
-    "q72_union_by_name": 5,
-    "q73_volume_shipping": 5,
-    "q74_market_share": 5,
-    "q75_returned_items": 5,
-    "q76_product_type_revenue": 5,
-    "q77_top_supplier": 5,
-    "q78_waiting_suppliers": 5,
-    "q79_forecast_revenue": 5,
-    "q80_min_cost_supplier": 5,
-    "q81_important_stock": 5,
-    "q82_supplier_cnt_by_part": 5,
-    "q83_promotable_parts": 5,
+    "q69_idle_customer_balance": 12,
+    "q70_grouping_id": 12,
+    "q71_mom_growth": 12,
+    "q72_union_by_name": 12,
+    "q73_volume_shipping": 12,
+    "q74_market_share": 12,
+    "q75_returned_items": 12,
+    "q76_product_type_revenue": 12,
+    "q77_top_supplier": 12,
+    "q78_waiting_suppliers": 12,
+    "q79_forecast_revenue": 12,
+    "q80_min_cost_supplier": 12,
+    "q81_important_stock": 12,
+    "q82_supplier_cnt_by_part": 12,
+    "q83_promotable_parts": 12,
 }
 
 # 1 names whose LATEST gate check failed — forced to the window head
 DRIVER_LATEST_FAILED: frozenset[str] = frozenset({
-    "ext_freshness_weights",
 })
 
 # Derived flat set (kept for tests / external callers).

@@ -139,6 +139,12 @@ def main() -> None:
         return int(c), int(p), aqe
 
     specs = args.layouts.split(",")
+    # Duplicate specs would silently collapse in the dict comprehension and
+    # report 0 mismatches while comparing a layout against itself — fail loud.
+    if len(set(specs)) != len(specs):
+        raise SystemExit(f"duplicate layout specs in --layouts: {args.layouts}")
+    if len(specs) < 2:
+        raise SystemExit("--layouts needs at least two distinct specs to compare")
     hashes = {
         spec: _run_layout(names, args.sf_dir, *_parse(spec)) for spec in specs
     }

@@ -212,14 +212,20 @@ def test_freshness_results_are_integer_only(spark, sf_smoke):
         ext_freshness_weights,
     )
 
+    # Pin the EXACT schema per query (r12 ADVICE): a dtype allowlist let a
+    # future DECIMAL/DOUBLE column rendered as string slip past the guard.
+    expected = {
+        "ext_freshness_weights": (
+            "struct<event_type:string,n_events:bigint,"
+            "total_weight_millionths:bigint,sum_sq_millionths:bigint>"
+        ),
+        "ext_freshness_canary": "struct<d:bigint,wt_micro:bigint,wt_sq_micro:bigint>",
+    }
     for fn in (ext_freshness_weights, ext_freshness_canary):
-        df = fn(spark, sf_smoke)
-        bad = [
-            f.name
-            for f in df.schema.fields
-            if f.dataType.simpleString() not in ("bigint", "string")
-        ]
-        assert not bad, f"{fn.__name__} non-integer compared columns: {bad}"
+        got = fn(spark, sf_smoke).schema.simpleString()
+        assert got == expected[fn.__name__], (
+            f"{fn.__name__} schema drifted: {got!r} != {expected[fn.__name__]!r}"
+        )
     assert ext_freshness_canary(spark, sf_smoke).count() == 441
 
 

@@ -377,3 +377,14 @@ def test_common_neighbor_scores_both_orientations(spark):
     out = {(r.u, r.v): (r.common, r.jacc_den) for r in
            common_neighbor_scores(withnull, top_k=10).collect()}
     assert out == {(1, 3): (1, 1)}
+
+    # Self-loop edges (u,u) are dropped (r12 ADVICE): (2,2) would enter
+    # adj twice, inflating deg(2) by 2 and making 2 its own wedge
+    # neighbor — with the filter, the path 1-2-3 scores exactly as if
+    # the loop were absent.
+    withloop = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 2)], "src long, dst long"
+    )
+    out = {(r.u, r.v): (r.common, r.jacc_den) for r in
+           common_neighbor_scores(withloop, top_k=10).collect()}
+    assert out == {(1, 3): (1, 1)}
