@@ -11797,26 +11797,38 @@ def ext_length_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     float percentile enters the compared result; the over-threshold
     counts/sums join back against the corpus.
 
-    Plan: one window sort per language (exact rank — the
-    grouped_median2 discipline), broadcast the tiny per-lang threshold
-    table, one combinable filtered aggregation.  At 100 TB the exact
-    window swaps for percentile_approx with the same join-back shape.
+    Plan (r13, the ext_trimmed_mean histogram discipline): the exact
+    per-lang rank reads off a (lang, n_chars) HISTOGRAM — map-side
+    combined, |langs| × |distinct lengths| ≪ corpus — with per-lang
+    running totals over that bounded table; the threshold is the
+    histogram row whose (cum − cnt, cum] interval contains
+    ceil(0.95·n), so corpus rows never flow through a per-lang window.
+    Then broadcast the tiny per-lang threshold table and one combinable
+    filtered aggregation over the corpus.
     """
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
     )
-    wg = Window.partitionBy("lang")
-    ranked = (
-        docs.select("lang", "n_chars")
-        .withColumn("rn", F.row_number().over(wg.orderBy("n_chars")))
-        .withColumn("n", F.count(F.lit(1)).over(wg))
+    hist = docs.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    thr = ranked.groupBy("lang").agg(
+    wg = Window.partitionBy("lang")
+    h = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            wg.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("n", F.sum("cnt").over(wg))
+    r95 = F.expr("(19 * n + 19) div 20")
+    thr = h.groupBy("lang").agg(
         F.max("n").alias("n"),
         F.max(
-            F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("n_chars"))
+            F.when(
+                ((F.col("cum") - F.col("cnt")) < r95) & (r95 <= F.col("cum")),
+                F.col("n_chars"),
+            )
         ).alias("p95_chars"),
     )
     t = thr.select(
@@ -12812,11 +12824,19 @@ def ext_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ...), values are integer-truncated seconds — engine-exact, the
     grouped_median2 discipline at fixed quantile points.
 
-    Plan: one lag() window per user (corpus shuffle #1) then one GLOBAL
-    rank sort of the gap multiset (#2).  The global sort is the exact
-    path; at 100 TB swap stage 2 for percentile_approx and keep stage 1.
+    Plan (r12 verdict item 2 — NO single-partition sort): one lag()
+    window per user (corpus shuffle #1), then stage 2 is the DISTRIBUTED
+    exact rank over the gap-second histogram (operators/stats.py:
+    histogram_cdf) — a map-side-combined groupBy collapses the multiset
+    to |distinct gap seconds| ≪ corpus rows, and the running total is
+    two-phase (range-partitioned local prefix sums + broadcast offsets),
+    so the r-th smallest gap is read off the histogram row whose
+    (cum − cnt, cum] interval contains r.  Every stage partition-
+    parallel; the old corpus-wide Window.orderBy rank is gone.
     """
     from pyspark.sql import Window
+
+    from remote_shuffle_spark.operators.stats import exact_rank_value, histogram_cdf
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -12826,22 +12846,77 @@ def ext_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap_us").isNotNull()).select(
         F.expr("gap_us div 1000000").alias("gap_sec")
     )
-    wg = Window.orderBy("gap_sec")
-    r = gaps.withColumn("rn", F.row_number().over(wg)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    hist = histogram_cdf(gaps, "gap_sec")
+    totals = hist.agg(
+        F.sum("cnt").alias("n"), F.max("gap_sec").alias("_mx")
     )
-    return r.agg(
+    j = hist.crossJoin(F.broadcast(totals))
+    return j.agg(
         F.max("n").alias("n_gaps"),
-        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_sec"))).alias(
-            "p50_sec"
+        exact_rank_value(j, F.expr("(n + 1) div 2"), "gap_sec").alias("p50_sec"),
+        exact_rank_value(j, F.expr("(9 * n + 9) div 10"), "gap_sec").alias("p90_sec"),
+        exact_rank_value(j, F.expr("(99 * n + 99) div 100"), "gap_sec").alias(
+            "p99_sec"
         ),
-        F.max(
-            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("gap_sec"))
-        ).alias("p90_sec"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("gap_sec"))
-        ).alias("p99_sec"),
-        F.max("gap_sec").alias("max_sec"),
+        F.max("_mx").alias("max_sec"),
+    )
+
+
+@declared(
+    "ext_doc_length_percentiles",
+    oracle="""
+    WITH r AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS BIGINT)
+             AS p25_chars,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT)
+             AS p50_chars,
+           CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END) AS BIGINT)
+             AS p75_chars,
+           CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN n_chars END) AS BIGINT)
+             AS p95_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM r
+    """,
+    tags=("ext", "pipeline", "stats"),
+)
+def ext_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide document-length quartiles + p95 — the length
+    audit that sizes chunking, packing, and truncation budgets before a
+    training run (the global companion to ext_length_percentile_cut's
+    per-language cut).  Ranks are the all-integer ceil(q·n) forms; no
+    float percentile enters the compared result.
+
+    Plan: the distributed exact rank (operators/stats.py:histogram_cdf
+    — map-side-combined length histogram + two-phase running total),
+    same discipline as ext_gap_distribution: the r-th smallest length
+    is the histogram row whose (cum − cnt, cum] interval contains r.
+    No unpartitioned Window anywhere (pinned in tests/test_plans.py).
+    """
+    from remote_shuffle_spark.operators.stats import exact_rank_value, histogram_cdf
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    hist = histogram_cdf(docs.select("n_chars"), "n_chars")
+    totals = hist.agg(F.sum("cnt").alias("n"), F.max("n_chars").alias("_mx"))
+    j = hist.crossJoin(F.broadcast(totals))
+    return j.agg(
+        F.max("n").alias("n_docs"),
+        exact_rank_value(j, F.expr("(n + 3) div 4"), "n_chars").alias("p25_chars"),
+        exact_rank_value(j, F.expr("(n + 1) div 2"), "n_chars").alias("p50_chars"),
+        exact_rank_value(j, F.expr("(3 * n + 3) div 4"), "n_chars").alias(
+            "p75_chars"
+        ),
+        exact_rank_value(j, F.expr("(19 * n + 19) div 20"), "n_chars").alias(
+            "p95_chars"
+        ),
+        F.max("_mx").alias("max_chars"),
     )
 
 
@@ -13074,12 +13149,17 @@ def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     workhorse applied to any entity scoring (documents by
     freshness/length/quality works identically).
 
-    Plan: ONE corpus shuffle (per-user agg); the three rank windows run
-    over the user table, which is ≪ corpus (the per-entity profile
-    discipline) — at 1000 executors the corpus agg is map-side combined
-    and the window input is one executor's worth of rows.
+    Plan (r12 verdict item 3 — no global rank windows): ONE corpus
+    shuffle (per-user agg), then each of the three exact ranks is a
+    DISTRIBUTED two-phase rank (operators/pipeline.py:with_global_index
+    over a repartitionByRange on the metric + user_id tiebreak): range
+    shuffle, per-partition row_number, broadcast partition offsets —
+    the profile table is never sorted on one task, so a billion-entity
+    run spreads across every executor.  The user_id tiebreak is kept
+    (tied metric values straddling a tercile boundary must split the
+    same way the oracle splits them).
     """
-    from pyspark.sql import Window
+    from remote_shuffle_spark.operators.pipeline import with_global_index
 
     ev = _event_cents(spark, sf_dir)
     per_user = ev.groupBy("user_id").agg(
@@ -13087,17 +13167,20 @@ def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum("cents").alias("mon_cents"),
     )
-    gmax = per_user.agg(F.max("max_us").alias("g_us"))
-    m = (
-        per_user.crossJoin(F.broadcast(gmax))
-        .withColumn("recency_days", F.expr("(g_us - max_us) div 86400000000"))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
-        .withColumn(
-            "rr", F.row_number().over(Window.orderBy("recency_days", "user_id"))
-        )
-        .withColumn("rf", F.row_number().over(Window.orderBy("freq", "user_id")))
-        .withColumn("rm", F.row_number().over(Window.orderBy("mon_cents", "user_id")))
+    gmax = per_user.agg(
+        F.max("max_us").alias("g_us"), F.count(F.lit(1)).alias("n")
     )
+    m = per_user.crossJoin(F.broadcast(gmax)).withColumn(
+        "recency_days", F.expr("(g_us - max_us) div 86400000000")
+    )
+    for metric, out in (("recency_days", "rr"), ("freq", "rf"), ("mon_cents", "rm")):
+        m = with_global_index(
+            m.repartitionByRange(32, metric, "user_id").sortWithinPartitions(
+                metric, "user_id"
+            ),
+            out_col=out,
+            order_by=[metric, "user_id"],
+        ).withColumn(out, F.col(out) + 1)
     seg = m.select(
         F.concat(
             (1 + F.expr("(3 * (rr - 1)) div n")).cast("string"),
@@ -14323,28 +14406,53 @@ def ext_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     a total order (value, user_id) and emits the integer
     numerator/denominator — no division, engine-exact.
 
-    Plan: one per-entity agg (the only corpus shuffle) + one global
-    rank window over the profile table (≪ corpus; at extreme entity
-    counts swap the exact rank for a bucketed Lorenz approximation —
-    same identity over bucket sums).
+    Plan (r12 verdict item 3 — the billion-entity path is now the ONLY
+    path): one per-entity agg (the only corpus shuffle), then the rank
+    sum reads off the DISTRIBUTED value histogram (operators/stats.py:
+    histogram_cdf) with NO per-row rank at all — ties on x occupy the
+    contiguous rank interval (cum − cnt, cum] and x is constant inside
+    it (the user_id tiebreak can't change Σ i·x), so
+    Σ i·x = Σ_v v·(cnt·(cum − cnt) + cnt·(cnt+1)/2) exactly.  Every
+    stage partition-parallel; the old global row_number over the
+    profile table is gone, and no approximation was needed.
+
+    Σ i·x grows as n²·E[x]/2 and blows past int64 near 10⁷ entities
+    (the 10x scale probe caught the overflow), while the oracle's SUM
+    accumulates in 128-bit — so the engine accumulates in
+    DECIMAL(38,0) and only the FINAL num/den cast to BIGINT, exactly
+    where the oracle's CAST sits.
     """
-    from pyspark.sql import Window
+    from remote_shuffle_spark.operators.stats import histogram_cdf
 
     prof = (
         _event_cents(spark, sf_dir)
         .groupBy("user_id")
         .agg(F.sum("cents").alias("x"))
     )
-    r = prof.withColumn(
-        "i", F.row_number().over(Window.orderBy("x", "user_id"))
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
-    return r.agg(
-        F.max("n").alias("n_users"),
-        F.sum("x").alias("total_cents"),
-        (2 * F.sum(F.col("i") * F.col("x")) - (F.max("n") + 1) * F.sum("x")).alias(
-            "gini_num"
-        ),
-        (F.max("n") * F.sum("x")).alias("gini_den"),
+    hist = histogram_cdf(prof, "x")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # triangular number cnt·(cnt+1)/2 without the int64 square: one of
+    # cnt, cnt+1 is even, so halve THAT factor first and multiply in
+    # decimal — no ceiling short of 38 digits.
+    tri = F.when(
+        F.col("cnt") % 2 == 0,
+        d(F.expr("cnt div 2")) * d(F.col("cnt") + 1),
+    ).otherwise(d(F.col("cnt")) * d(F.expr("(cnt + 1) div 2")))
+    rank_sum = d(F.col("x")) * (
+        d(F.col("cnt")) * d(F.col("cum") - F.col("cnt")) + tri
+    )
+    s = hist.agg(
+        F.sum("cnt").alias("n_users"),
+        F.sum(d(F.col("x")) * d(F.col("cnt"))).alias("_tot"),
+        F.sum(rank_sum).alias("_six"),
+    )
+    return s.select(
+        "n_users",
+        F.col("_tot").cast("long").alias("total_cents"),
+        (2 * F.col("_six") - d(F.col("n_users") + 1) * F.col("_tot"))
+        .cast("long")
+        .alias("gini_num"),
+        (d(F.col("n_users")) * F.col("_tot")).cast("long").alias("gini_den"),
     )
 
 
@@ -14385,27 +14493,45 @@ def ext_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserves additivity (trimmed sums roll up across shards by
     re-trimming only the merged tails at target scale).
 
-    Plan: one window sort per group + one combinable filtered sum —
-    the grouped_median2 shape at different rank cutoffs.
+    Plan (r12 verdict item 4 — no full-group row_number): a map-side-
+    combined (group, cents) histogram collapses the corpus to
+    |groups| × |distinct cents| (bounded by the VALUE DOMAIN, not the
+    row count — integer cents of bounded prices), then per-group
+    running totals over that histogram (the window input is the
+    bounded histogram, never corpus rows) and pure interval arithmetic:
+    a value at ranks (cum − cnt, cum] contributes
+    k = max(0, min(cum, n − cut) − max(cum − cnt, cut)) kept rows, so
+    the kept count and sum are combinable aggregates of k and k·v —
+    ranks of individual rows are never materialized.
     """
     from pyspark.sql import Window
 
     ev = _event_cents(spark, sf_dir).select("event_type", "cents")
+    hist = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
     wg = Window.partitionBy("event_type")
-    r = (
-        ev.withColumn("rn", F.row_number().over(wg.orderBy("cents")))
-        .withColumn("n", F.count(F.lit(1)).over(wg))
+    h = (
+        hist.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                wg.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("n", F.sum("cnt").over(wg))
         .withColumn("cut", F.expr("(n + 19) div 20"))
     )
-    kept = (F.col("rn") > F.col("cut")) & (F.col("rn") <= F.col("n") - F.col("cut"))
+    k = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - F.col("cut"))
+        - F.greatest(F.col("cum") - F.col("cnt"), F.col("cut")),
+    )
     return (
-        r.groupBy("event_type")
+        h.groupBy("event_type")
         .agg(
             F.max("n").alias("n"),
-            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
-            F.coalesce(
-                F.sum(F.when(kept, F.col("cents"))), F.lit(0)
-            ).alias("trimmed_sum_cents"),
+            F.sum(k).alias("n_kept"),
+            F.sum(k * F.col("cents")).alias("trimmed_sum_cents"),
         )
         .orderBy("event_type")
     )

@@ -532,11 +532,10 @@ def temperature_mixture(
     order anywhere — and the final share is one exact-integer division.
     Returns per source: (source, n_docs, weight_scaled, share).
 
-    One combinable count shuffle; the share window runs over the
-    source-cardinality frame (a handful of rows at any corpus size).
+    One combinable count shuffle; the share denominator is a one-row
+    aggregate broadcast back (the scalar-crossJoin idiom — no Window at
+    all, so the r13 no-global-window audit holds vacuously here).
     """
-    from pyspark.sql import Window as W
-
     counts = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -544,15 +543,17 @@ def temperature_mixture(
         "weight_scaled",
         F.floor(F.sqrt(F.col("n_docs").cast("double")) * scale).cast("long"),
     )
-    return w.select(
-        "source",
-        "n_docs",
-        "weight_scaled",
-        (
-            F.col("weight_scaled")
-            / F.sum("weight_scaled").over(W.partitionBy())
-        ).alias("share"),
-    ).orderBy("source")
+    tot = w.agg(F.sum("weight_scaled").alias("_tot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "weight_scaled",
+            (F.col("weight_scaled") / F.col("_tot")).alias("share"),
+        )
+        .orderBy("source")
+    )
 
 
 def assign_training_shards(

@@ -302,3 +302,92 @@ def chi_square_independence(
             "chi2",
         )
     )
+
+
+def histogram_cdf(
+    df: DataFrame,
+    value_col: str,
+    *,
+    weight_col: str | None = None,
+    cnt_col: str = "cnt",
+    cum_col: str = "cum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """(value, cnt, cum) histogram with an EXACT inclusive running total
+    in ascending ``value_col`` order — the distributed stage 2 of an
+    exact global rank (r12 verdict item 2).  Row ranks of a value v
+    occupy the interval (cum − cnt, cum], so the r-th smallest element
+    of the original multiset is the UNIQUE histogram row with
+    cum − cnt < r ≤ cum — exact quantiles, Lorenz/Gini prefix sums and
+    trimmed-tail walks all read off this table without ever ranking the
+    corpus row-by-row.
+
+    Plan (no single-partition sort anywhere): one map-side-combined
+    groupBy collapses the multiset to its distinct values (|distinct|
+    ≪ corpus); the running total over that histogram is two-phase in
+    the :func:`~remote_shuffle_spark.operators.pipeline.with_global_index`
+    discipline — repartitionByRange + sortWithinPartitions on the value
+    (eagerly localCheckpoint'ed so the subtotal phase and the window
+    phase see identical range boundaries), per-partition subtotals
+    collected driver-side (ONE row per partition, bounded by
+    ``num_partitions``), cumulative offsets broadcast back, and a
+    per-partition window adds the local prefix sum.  Every stage is
+    partition-parallel.
+
+    ``weight_col=None`` counts rows; otherwise ``cnt`` is the exact SUM
+    of the (integer) weight per distinct value.  NULL values are
+    excluded (a NULL has no rank).
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    agg = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    ).cast("long")
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(agg.alias(cnt_col))
+    )
+    part = (
+        hist.repartitionByRange(num_partitions, value_col)
+        .sortWithinPartitions(value_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    subtotals = part.groupBy("_pid").agg(F.sum(cnt_col).alias("_n")).collect()
+    offsets, running = [], 0
+    for r in sorted(subtotals, key=lambda r: r._pid):
+        offsets.append((int(r._pid), running))
+        running += int(r._n)
+    if not offsets:
+        return part.withColumn(cum_col, F.lit(None).cast("long")).drop("_pid")
+    offsets_df = F.broadcast(
+        spark.createDataFrame(offsets, "_pid int, _offset long")
+    )
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        part.join(offsets_df, "_pid")
+        .withColumn(cum_col, (F.sum(cnt_col).over(w) + F.col("_offset")).cast("long"))
+        .drop("_pid", "_offset")
+    )
+
+
+def exact_rank_value(hist: DataFrame, rank, value_col: str):
+    """Column expression: the value at 1-indexed global ``rank`` read off
+    a :func:`histogram_cdf` table — aggregate-usable, so several rank
+    probes (p50/p90/p99, trim boundaries) evaluate in ONE combinable
+    pass over the histogram.  ``rank`` is a Column (usually derived from
+    a broadcast total-count scalar); callers aggregate the returned
+    expression with the histogram's cnt/cum columns in scope.
+    """
+    return F.max(
+        F.when(
+            ((F.col("cum") - F.col("cnt")) < rank) & (rank <= F.col("cum")),
+            F.col(value_col),
+        )
+    )

@@ -58,6 +58,55 @@ def assert_no_shuffle_exchange(df: DataFrame) -> None:
             raise AssertionError(f"unexpected shuffle exchange:\n{line}\nfull plan:\n{plan}")
 
 
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Split ``[...], [...], [...]`` into its top-level bracket groups
+    (nested brackets inside window specs don't break the split)."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(s[start : i + 1])
+                start = None
+    return groups
+
+
+def assert_no_global_window(df: DataFrame) -> None:
+    """Assert no Window operator runs with an EMPTY partition spec.
+
+    ``Window.orderBy(...)`` without a partitionBy plans as
+    ``Exchange SinglePartition`` + a one-task Window over the whole
+    input — the classic hidden scale-killer (fine at sf0.01, one
+    reducer at 100 TB).  In ``simple``-mode plan text a Window node
+    prints ``Window [exprs], [partition], [order]`` when fully
+    specified and drops EMPTY specs, so a global window shows either
+    one trailing group that is an ORDERING (entries carry ASC/DESC)
+    or no trailing group at all, while a partition-only window's
+    trailing group is a plain column list.  (Global AGGREGATES also
+    plan an Exchange SinglePartition but carry one row per upstream
+    partition — those are fine and not flagged here.)
+    """
+    plan = physical_plan(df, mode="simple")
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-*: ").strip()
+        if not s.startswith("Window "):
+            continue
+        groups = _top_level_bracket_groups(s)
+        if len(groups) >= 3 and groups[1] != "[]":
+            continue  # explicit non-empty partition spec
+        if len(groups) == 2 and not (
+            groups[1] == "[]" or " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            continue  # partition-only window (trailing group is a column list)
+        raise AssertionError(
+            f"global (unpartitioned) Window in plan:\n{s}\nfull plan:\n{plan}"
+        )
+
+
 def count_shuffle_exchanges(df: DataFrame) -> int:
     plan = physical_plan(df, mode="simple")
     return sum(

@@ -912,6 +912,50 @@ def main():
         )
     )
 
+    def _exact_rank_probe():
+        # r12 verdict item 3: the exact-rank family (gini / rfm / gap
+        # percentiles) must stay bounded when ENTITY count grows 10x —
+        # probe the two rank disciplines directly on a synthetic
+        # per-entity profile (1M entities at scale 1), with heavy value
+        # ties so the histogram actually collapses.
+        from remote_shuffle_spark.operators.pipeline import with_global_index
+        from remote_shuffle_spark.operators.stats import histogram_cdf
+
+        n_ent = int(1_000_000 * s)
+        prof = spark.range(n_ent).select(
+            F.col("id").alias("user_id"),
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(500_000)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(5)), F.lit(1000)).alias("freq"),
+        )
+        # decimal(38,0) accumulation, same as ext_gini_index: the long
+        # form of SUM(i*x) overflows right at this probe's 10x point
+        # (n^2 * E[x] / 2 > 2^63 near 1e7 entities) — which is exactly
+        # why the query accumulates in decimal.
+        hist = histogram_cdf(prof, "x")
+        d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        g = hist.agg(
+            F.sum("cnt").alias("n"),
+            F.sum(
+                d(F.col("x"))
+                * (
+                    d(F.col("cnt")) * d(F.col("cum") - F.col("cnt"))
+                    + d(F.expr("cnt * (cnt + 1) div 2"))
+                )
+            ).alias("six"),
+        ).collect()[0]
+        ranked = with_global_index(
+            prof.repartitionByRange(32, "freq", "user_id").sortWithinPartitions(
+                "freq", "user_id"
+            ),
+            out_col="r",
+            order_by=["freq", "user_id"],
+        )
+        mx = ranked.agg(F.max("r").alias("m")).collect()[0].m
+        assert int(g.n) == n_ent and int(mx) == n_ent - 1
+        return {"entities": n_ent}
+
+    results.append(probe(f"exact_rank_{int(1_000_000 * s)}_entities", _exact_rank_probe))
+
     print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
 
 

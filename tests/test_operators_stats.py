@@ -319,3 +319,52 @@ def test_time_weighted_sums_locf(spark):
     }
     # a: 100*10 + 300*5 = 2500 over 15s; b: 7*0 + 11*4 = 44 over 4s
     assert out == {"a": (2, 2500, 15), "b": (2, 44, 4)}
+
+
+def test_histogram_cdf_counts_weights_and_ranks(spark):
+    from remote_shuffle_spark.operators.stats import histogram_cdf
+
+    # multiset {1,1,2,5,5,5,9} -> hist (1,2,2),(2,1,3),(5,3,6),(9,1,7)
+    df = spark.createDataFrame([(v,) for v in [5, 1, 9, 5, 2, 1, 5]], "v long")
+    out = {r.v: (r.cnt, r.cum) for r in histogram_cdf(df, "v").collect()}
+    assert out == {1: (2, 2), 2: (1, 3), 5: (3, 6), 9: (1, 7)}
+
+    # rank r lives in (cum-cnt, cum]: r=4 -> 5 (4th smallest), r=2 -> 1
+    for rank, want in [(1, 1), (2, 1), (3, 2), (4, 5), (6, 5), (7, 9)]:
+        hit = [v for v, (c, m) in out.items() if m - c < rank <= m]
+        assert hit == [want], (rank, hit)
+
+    # weighted mode: pre-aggregated counts give the same CDF
+    w = spark.createDataFrame([(1, 2), (2, 1), (5, 3), (9, 1)], "v long, w long")
+    out_w = {
+        r.v: (r.cnt, r.cum)
+        for r in histogram_cdf(w, "v", weight_col="w").collect()
+    }
+    assert out_w == out
+
+    # NULL values carry no rank
+    withnull = spark.createDataFrame([(1,), (None,), (2,)], "v long")
+    out_n = {r.v: r.cum for r in histogram_cdf(withnull, "v").collect()}
+    assert out_n == {1: 1, 2: 2}
+
+    # empty input -> empty histogram (no crash on the offsets collect)
+    empty = spark.createDataFrame([], "v long")
+    assert histogram_cdf(empty, "v").count() == 0
+
+    # more partitions than distinct values still sums to n
+    out_p = {
+        r.v: (r.cnt, r.cum)
+        for r in histogram_cdf(df, "v", num_partitions=16).collect()
+    }
+    assert out_p == out
+
+
+def test_histogram_cdf_plan_has_no_global_window(spark):
+    """The whole point (r12 verdict item 2): the running total must come
+    from per-partition windows keyed by the range-partition id, never a
+    corpus-wide Window.orderBy."""
+    from remote_shuffle_spark.operators.stats import histogram_cdf
+    from remote_shuffle_spark.plans.explain import assert_no_global_window
+
+    df = spark.createDataFrame([(v,) for v in range(100)], "v long")
+    assert_no_global_window(histogram_cdf(df, "v"))

@@ -747,3 +747,44 @@ def test_bucketed_band_index_join_eliminates_corpus_exchange(spark, sf_smoke, tm
         assert n_bucketed < n_parquet, (n_bucketed, n_parquet)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ext_gap_distribution",  # was: global rank of the corpus gap multiset
+        "ext_gini_index",  # was: global row_number over the user profile
+        "ext_rfm_segments",  # was: three global row_numbers over profiles
+        "ext_trimmed_mean",  # was: full-group row_number per event_type
+    ],
+)
+def test_exact_rank_family_no_global_window(spark, sf_smoke, name):
+    """r12 verdict items 2-4: the exact-rank family used to funnel its
+    rank stage through an unpartitioned Window (one task at scale); the
+    histogram_cdf / with_global_index rewrites must keep every Window
+    partitioned."""
+    df = REGISTRY[name].fn(spark, sf_smoke)
+    explain.assert_no_global_window(df)
+
+
+def test_global_window_detector_shapes(spark):
+    """The detector itself: fires on ordered AND order-free global
+    windows, stays quiet on partitioned and partition-only windows."""
+    from pyspark.sql import Window
+
+    base = spark.range(10).withColumn("g", F.col("id") % 2)
+    fires = [
+        base.withColumn("rn", F.row_number().over(Window.orderBy("id"))),
+        base.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy())),
+    ]
+    quiet = [
+        base.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+        ),
+        base.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g"))),
+    ]
+    for df in fires:
+        with pytest.raises(AssertionError):
+            explain.assert_no_global_window(df)
+    for df in quiet:
+        explain.assert_no_global_window(df)
