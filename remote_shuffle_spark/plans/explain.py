@@ -107,6 +107,21 @@ def assert_no_global_window(df: DataFrame) -> None:
         )
 
 
+def assert_no_cartesian_product(df: DataFrame) -> None:
+    """Assert the plan contains no CartesianProduct node — the shuffle-
+    based cartesian join Spark falls back to when neither side of a
+    join without equi-keys is broadcastable: O(|L|·|R|) rows through
+    every reducer.  The engine's intentional cross joins are all
+    broadcast-of-one-row-aggregate idioms (BroadcastNestedLoopJoin over
+    a 1-row side), which this check deliberately permits."""
+    plan = physical_plan(df, mode="simple")
+    if "CartesianProduct" in plan:
+        line = next(ln for ln in plan.splitlines() if "CartesianProduct" in ln)
+        raise AssertionError(
+            f"CartesianProduct in plan:\n{line.strip()}\nfull plan:\n{plan}"
+        )
+
+
 def count_shuffle_exchanges(df: DataFrame) -> int:
     plan = physical_plan(df, mode="simple")
     return sum(

@@ -1,4 +1,4 @@
-"""Registry-wide global-window audit (round 13).
+"""Registry-wide plan audit: global windows + cartesian products (round 13).
 
 Sweeps declared queries' PHYSICAL PLANS for unpartitioned Window
 operators (plans/explain.py:assert_no_global_window) — the classic
@@ -32,8 +32,14 @@ a bench run (~7 min at sf0.001).  Default mode sweeps the rotating
 30-query cohort (tests/rotation.py — the sf0.1 spot-gate scheme);
 ``--all`` sweeps all declared queries.
 
+The same sweep also asserts no CartesianProduct node (the shuffle-based
+O(|L|*|R|) fallback join); the engine's intentional cross joins are all
+broadcast-of-one-row idioms (BroadcastNestedLoopJoin), which pass.
+CARTESIAN_ALLOWLIST names the deliberate exceptions (brute-force oracle
+hooks whose all-pairs shape IS the documented contract).
+
 Usage: python scripts/global_window_audit.py [--all] [--names a,b]
-Prints one JSON line: {"probe": "global_window_audit", ...}.
+Prints one JSON line: {"probe": "plan_audit", ...}.
 """
 
 from __future__ import annotations
@@ -53,6 +59,12 @@ ALLOWLIST = {
     "ext_snapshot_drift",
 }
 
+# Queries allowed to plan a CartesianProduct: none today — the
+# brute-force similarity oracles broadcast their small side, so even
+# they avoid the shuffle cartesian.  Add a name here ONLY with a
+# docstring-level justification in the query itself.
+CARTESIAN_ALLOWLIST: set[str] = set()
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -63,7 +75,10 @@ def main() -> None:
     args = ap.parse_args()
 
     from remote_shuffle_spark import get_session
-    from remote_shuffle_spark.plans.explain import assert_no_global_window
+    from remote_shuffle_spark.plans.explain import (
+        assert_no_cartesian_product,
+        assert_no_global_window,
+    )
 
     spark = get_session()
     import __spark_entry__ as entrymod
@@ -78,10 +93,15 @@ def main() -> None:
 
         names = rotating_cohort(sorted(qs), args.cohort)
 
-    violations, allowed_hits, errors = [], [], []
+    violations, allowed_hits, cart_violations, errors = [], [], [], []
     for name in names:
         try:
             df = qs[name](spark, args.sf_dir)
+        except Exception as ex:  # noqa: BLE001 — audit must report, not die
+            errors.append(name)
+            print(f"  ERR {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
+            continue
+        try:
             assert_no_global_window(df)
         except AssertionError as ex:
             if name in ALLOWLIST:
@@ -89,23 +109,27 @@ def main() -> None:
             else:
                 violations.append(name)
                 print(f"  VIOLATION {name}: {str(ex).splitlines()[1]}", file=sys.stderr)
-        except Exception as ex:  # noqa: BLE001 — audit must report, not die
-            errors.append(name)
-            print(f"  ERR {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
+        try:
+            assert_no_cartesian_product(df)
+        except AssertionError as ex:
+            if name not in CARTESIAN_ALLOWLIST:
+                cart_violations.append(name)
+                print(f"  CARTESIAN {name}: {str(ex).splitlines()[1]}", file=sys.stderr)
 
     print(
         json.dumps(
             {
-                "probe": "global_window_audit",
+                "probe": "plan_audit",
                 "sf_dir": args.sf_dir,
                 "n_queries": len(names),
                 "violations": violations,
+                "cartesian_violations": cart_violations,
                 "allowlisted_hits": allowed_hits,
                 "errors": errors,
             }
         )
     )
-    if violations or errors:
+    if violations or cart_violations or errors:
         raise SystemExit(1)
 
 
