@@ -14457,6 +14457,81 @@ def ext_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_lorenz_topshare",
+    oracle=f"""
+    WITH prof AS (
+      SELECT user_id, SUM({_CENTS_SQL}) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
+    ),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+             COUNT(*) OVER () AS n
+      FROM prof
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(SUM(x) AS BIGINT) AS total_cents,
+           CAST((MAX(n) + 99) // 100 AS BIGINT) AS top1_users,
+           CAST(COALESCE(SUM(x) FILTER (WHERE i > n - (n + 99) // 100), 0)
+             AS BIGINT) AS top1_cents,
+           CAST((MAX(n) + 9) // 10 AS BIGINT) AS top10_users,
+           CAST(COALESCE(SUM(x) FILTER (WHERE i > n - (n + 9) // 10), 0)
+             AS BIGINT) AS top10_cents
+    FROM r
+    """,
+    tags=("ext", "stats"),
+)
+def ext_lorenz_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Lorenz top-share points: the monetary mass held by the top
+    ceil(1%) and top ceil(10%) of users — the "what fraction of the
+    corpus does the head own" audit that complements ext_gini_index's
+    single-number summary (same math flags a handful of sources
+    dominating a training mixture).  Counts ceil to integers; sums are
+    exact cents — engine-exact, no division in the compared result.
+
+    Plan: identical shape to ext_gini_index — per-entity agg, then the
+    DISTRIBUTED value histogram (operators/stats.py:histogram_cdf) and
+    pure interval arithmetic: ranks of value v occupy (cum − cnt, cum],
+    so the top-k mass contribution of a histogram row is
+    x · max(0, cum − max(cum − cnt, n − k)) — ties at the k-boundary
+    split exactly the way the oracle's (x, user_id) rank splits them,
+    because every tied row carries the same x.  No per-row rank, no
+    unpartitioned Window; DECIMAL(38,0) accumulation (the gini overflow
+    lesson), BIGINT only at the output casts where the oracle's sit.
+    """
+    from remote_shuffle_spark.operators.stats import histogram_cdf
+
+    prof = (
+        _event_cents(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("x"))
+    )
+    hist = histogram_cdf(prof, "x")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    totals = hist.agg(F.sum("cnt").alias("n"))
+    j = hist.crossJoin(F.broadcast(totals))
+
+    def top_mass(k):
+        ov = F.greatest(
+            F.lit(0).cast("long"),
+            F.col("cum") - F.greatest(F.col("cum") - F.col("cnt"), F.col("n") - k),
+        )
+        return F.sum(d(F.col("x")) * d(ov)).cast("long")
+
+    k1 = F.expr("(n + 99) div 100")
+    k10 = F.expr("(n + 9) div 10")
+    return j.agg(
+        F.max("n").alias("n_users"),
+        F.sum(d(F.col("x")) * d(F.col("cnt"))).cast("long").alias("total_cents"),
+        F.max(k1).alias("top1_users"),
+        top_mass(k1).alias("top1_cents"),
+        F.max(k10).alias("top10_users"),
+        top_mass(k10).alias("top10_cents"),
+    )
+
+
+@declared(
     "ext_trimmed_mean",
     oracle=f"""
     WITH c AS (

@@ -756,6 +756,8 @@ def test_bucketed_band_index_join_eliminates_corpus_exchange(spark, sf_smoke, tm
         "ext_gini_index",  # was: global row_number over the user profile
         "ext_rfm_segments",  # was: three global row_numbers over profiles
         "ext_trimmed_mean",  # was: full-group row_number per event_type
+        "ext_doc_length_percentiles",  # born on histogram_cdf (r13)
+        "ext_lorenz_topshare",  # born on histogram_cdf (r13)
     ],
 )
 def test_exact_rank_family_no_global_window(spark, sf_smoke, name):
