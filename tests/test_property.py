@@ -298,3 +298,99 @@ def test_bpe_merge_fold_matches_reference_greedy(spark, cases):
             .m
         )
         assert got.split("|") == reference(symbols, a, b), (symbols, (a, b), got)
+
+
+@SLOW
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60))
+def test_histogram_cdf_matches_sorted_ranks(spark, vals):
+    """r13 primitive: for ANY integer multiset, histogram_cdf's
+    (cum − cnt, cum] intervals must reproduce every 1-indexed rank of the
+    sorted multiset, cum must be the exact inclusive prefix count, and
+    the interval containing rank r must hold sorted(vals)[r-1]."""
+    from remote_shuffle_spark.operators.stats import histogram_cdf
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = sorted(
+        histogram_cdf(df, "v", num_partitions=4).collect(), key=lambda r: r.v
+    )
+    s = sorted(vals)
+    # cum is the inclusive prefix count in value order
+    running = 0
+    for r in rows:
+        running += r.cnt
+        assert r.cum == running, (r, running)
+    assert running == len(vals)
+    # every rank maps to the correct sorted element
+    for rank in range(1, len(vals) + 1):
+        hit = [r.v for r in rows if r.cum - r.cnt < rank <= r.cum]
+        assert hit == [s[rank - 1]], (rank, hit, s)
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),
+                  st.integers(min_value=-1000, max_value=1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_trimmed_interval_arithmetic_matches_bruteforce(spark, vals):
+    """The per-group histogram interval-overlap form of the 5%-trim
+    (ext_trimmed_mean's r13 plan) must equal the brute-force sorted-list
+    trim for any grouped integer multiset."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(vals, "g int, v long")
+    hist = df.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wg = Window.partitionBy("g")
+    h = (
+        hist.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                wg.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("n", F.sum("cnt").over(wg))
+        .withColumn("cut", F.expr("(n + 19) div 20"))
+    )
+    k = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - F.col("cut"))
+        - F.greatest(F.col("cum") - F.col("cnt"), F.col("cut")),
+    )
+    got = {
+        r.g: (r.n_kept, r.s)
+        for r in h.groupBy("g")
+        .agg(F.sum(k).alias("n_kept"), F.sum(k * F.col("v")).alias("s"))
+        .collect()
+    }
+    for g in {g for g, _ in vals}:
+        xs = sorted(v for gg, v in vals if gg == g)
+        cut = (len(xs) + 19) // 20
+        kept = xs[cut : len(xs) - cut]
+        assert got[g] == (len(kept), sum(kept)), (g, got[g], kept)
+
+
+@SLOW
+@given(vals=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60))
+def test_gini_rank_sum_identity_matches_bruteforce(spark, vals):
+    """Σ i·x computed from the histogram (ties contribute
+    x·(cnt·(cum−cnt) + cnt(cnt+1)/2)) must equal the brute-force
+    Σ of rank·value over the sorted multiset — the ext_gini_index
+    identity, for any multiset and any tie structure."""
+    from remote_shuffle_spark.operators.stats import histogram_cdf
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    hist = histogram_cdf(df, "v", num_partitions=4)
+    six = hist.agg(
+        F.sum(
+            F.col("v")
+            * (
+                F.col("cnt") * (F.col("cum") - F.col("cnt"))
+                + F.expr("cnt * (cnt + 1) div 2")
+            )
+        ).alias("six")
+    ).collect()[0].six
+    expect = sum(i * x for i, x in enumerate(sorted(vals), start=1))
+    assert six == expect
