@@ -12853,9 +12853,9 @@ def ext_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = hist.crossJoin(F.broadcast(totals))
     return j.agg(
         F.max("n").alias("n_gaps"),
-        exact_rank_value(j, F.expr("(n + 1) div 2"), "gap_sec").alias("p50_sec"),
-        exact_rank_value(j, F.expr("(9 * n + 9) div 10"), "gap_sec").alias("p90_sec"),
-        exact_rank_value(j, F.expr("(99 * n + 99) div 100"), "gap_sec").alias(
+        exact_rank_value(F.expr("(n + 1) div 2"), "gap_sec").alias("p50_sec"),
+        exact_rank_value(F.expr("(9 * n + 9) div 10"), "gap_sec").alias("p90_sec"),
+        exact_rank_value(F.expr("(99 * n + 99) div 100"), "gap_sec").alias(
             "p99_sec"
         ),
         F.max("_mx").alias("max_sec"),
@@ -12908,12 +12908,12 @@ def ext_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = hist.crossJoin(F.broadcast(totals))
     return j.agg(
         F.max("n").alias("n_docs"),
-        exact_rank_value(j, F.expr("(n + 3) div 4"), "n_chars").alias("p25_chars"),
-        exact_rank_value(j, F.expr("(n + 1) div 2"), "n_chars").alias("p50_chars"),
-        exact_rank_value(j, F.expr("(3 * n + 3) div 4"), "n_chars").alias(
+        exact_rank_value(F.expr("(n + 3) div 4"), "n_chars").alias("p25_chars"),
+        exact_rank_value(F.expr("(n + 1) div 2"), "n_chars").alias("p50_chars"),
+        exact_rank_value(F.expr("(3 * n + 3) div 4"), "n_chars").alias(
             "p75_chars"
         ),
-        exact_rank_value(j, F.expr("(19 * n + 19) div 20"), "n_chars").alias(
+        exact_rank_value(F.expr("(19 * n + 19) div 20"), "n_chars").alias(
             "p95_chars"
         ),
         F.max("_mx").alias("max_chars"),

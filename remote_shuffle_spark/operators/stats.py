@@ -377,17 +377,18 @@ def histogram_cdf(
     )
 
 
-def exact_rank_value(hist: DataFrame, rank, value_col: str):
+def exact_rank_value(rank, value_col: str, *, cnt_col: str = "cnt", cum_col: str = "cum"):
     """Column expression: the value at 1-indexed global ``rank`` read off
     a :func:`histogram_cdf` table — aggregate-usable, so several rank
     probes (p50/p90/p99, trim boundaries) evaluate in ONE combinable
     pass over the histogram.  ``rank`` is a Column (usually derived from
     a broadcast total-count scalar); callers aggregate the returned
-    expression with the histogram's cnt/cum columns in scope.
+    expression over a frame with the histogram's cnt/cum columns in
+    scope.
     """
     return F.max(
         F.when(
-            ((F.col("cum") - F.col("cnt")) < rank) & (rank <= F.col("cum")),
+            ((F.col(cum_col) - F.col(cnt_col)) < rank) & (rank <= F.col(cum_col)),
             F.col(value_col),
         )
     )
