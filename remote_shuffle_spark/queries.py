@@ -66,13 +66,13 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_ann_filtered": 10,
     "ext_apply_in_arrow": 8,
     "ext_approx_top_k": 7,
-    "ext_asof_join": 7,
+    "ext_asof_join": 13,
     "ext_asof_join_forward": 12,
     "ext_asof_join_nearest": 12,
     "ext_audio_metadata": 7,
     "ext_autocorr_lag1": 12,
     "ext_band_index_stats": 11,
-    "ext_bfs_levels": 6,
+    "ext_bfs_levels": 13,
     "ext_bigram_counts": 9,
     "ext_bigram_lm_quality": 9,
     "ext_bitmap_intersect": 11,
@@ -83,13 +83,13 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_bpe_apply": 9,
     "ext_bpe_tokens": 8,
     "ext_bpe_train": 8,
-    "ext_bucketed_join": 6,
+    "ext_bucketed_join": 13,
     "ext_burst_detection": 10,
     "ext_cascade_delete": 11,
     "ext_char_entropy": 9,
     "ext_chi_square": 9,
     "ext_chunk_overlap": 8,
-    "ext_chunk_sequences": 7,
+    "ext_chunk_sequences": 13,
     "ext_cms_freq": 11,
     "ext_cohort_retention": 8,
     "ext_collation": 7,
@@ -100,11 +100,11 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_cusum_changepoint": 11,
     "ext_data_quality_audit": 9,
     "ext_dataset_fingerprint": 11,
-    "ext_dataset_mixture": 7,
+    "ext_dataset_mixture": 13,
     "ext_decontaminate": 9,
-    "ext_dedup_exact": 7,
+    "ext_dedup_exact": 13,
     "ext_dedup_groups": 8,
-    "ext_dedup_incremental": 7,
+    "ext_dedup_incremental": 13,
     "ext_dedup_incremental_bucketed": 11,
     "ext_dedup_incremental_minhash": 11,
     "ext_dedup_index_refresh": 11,
@@ -112,27 +112,28 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_dedup_ladder_full": 10,
     "ext_dedup_minhash": 8,
     "ext_dedup_paragraph": 8,
-    "ext_dedup_prefix_blocks": 7,
+    "ext_dedup_prefix_blocks": 13,
     "ext_dedup_rate_estimate": 11,
     "ext_dedup_simhash": 8,
     "ext_dedup_substring": 9,
     "ext_degree_assortativity": 11,
     "ext_doc_embedding_join": 7,
     "ext_doc_histogram": 8,
+    "ext_doc_length_percentiles": 13,
     "ext_dsir_weights": 10,
     "ext_embedding_neardup": 8,
     "ext_event_debounce": 9,
     "ext_event_runs": 9,
     "ext_ewma_forecast": 11,
-    "ext_fingerprint": 7,
+    "ext_fingerprint": 13,
     "ext_format_roundtrip_matrix": 11,
     "ext_freshness_canary": 12,
     "ext_freshness_weights": 12,
     "ext_funnel": 9,
     "ext_fuzzy_join": 9,
-    "ext_fuzzy_join_segments": 6,
+    "ext_fuzzy_join_segments": 13,
     "ext_fuzzy_join_suffix": 10,
-    "ext_fuzzy_link": 6,
+    "ext_fuzzy_link": 13,
     "ext_gap_distribution": 11,
     "ext_gini_index": 11,
     "ext_global_index": 8,
@@ -158,22 +159,23 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_join_strategy_hints": 8,
     "ext_kcore": 9,
     "ext_kfold_split": 9,
-    "ext_kll_quantiles": 6,
-    "ext_kll_rolling_quantile": 6,
+    "ext_kll_quantiles": 13,
+    "ext_kll_rolling_quantile": 13,
     "ext_kmeans_cells": 9,
     "ext_knn_eval": 10,
-    "ext_knn_join": 6,
+    "ext_knn_join": 13,
     "ext_knn_join_lsh": 7,
     "ext_label_centroids": 8,
     "ext_label_entropy": 9,
     "ext_label_propagation": 8,
-    "ext_lang_id": 7,
+    "ext_lang_id": 13,
     "ext_langid_confusion": 11,
     "ext_last_touch_attribution": 11,
     "ext_length_percentile_cut": 11,
     "ext_line_cleaning": 10,
     "ext_link_prediction": 11,
     "ext_locf_resample": 11,
+    "ext_lorenz_topshare": 13,
     "ext_ltv_triangle": 11,
     "ext_malformed_quarantine": 11,
     "ext_market_basket": 8,
@@ -183,16 +185,16 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_minhash_estimate": 11,
     "ext_mixture_temperature": 8,
     "ext_mmr_select": 10,
-    "ext_multimodal_decode": 7,
+    "ext_multimodal_decode": 13,
     "ext_multimodal_features": 8,
     "ext_multimodal_frames": 8,
-    "ext_ngram_jaccard": 7,
+    "ext_ngram_jaccard": 13,
     "ext_ngram_novelty": 10,
     "ext_observe_metrics": 11,
     "ext_oov_rate": 11,
     "ext_out_of_order_audit": 11,
     "ext_pack_greedy": 9,
-    "ext_pagerank": 6,
+    "ext_pagerank": 13,
     "ext_pagerank_directed": 7,
     "ext_pandas_udaf": 8,
     "ext_parameterized_sql": 7,
@@ -201,15 +203,15 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_pii_scrub": 8,
     "ext_pmi_collocations": 10,
     "ext_pq_recall": 9,
-    "ext_python_datasource": 6,
+    "ext_python_datasource": 13,
     "ext_python_datasource_write": 8,
     "ext_quality_classifier": 8,
     "ext_quality_features": 8,
     "ext_quantile_bins": 9,
     "ext_quantized_recall": 8,
-    "ext_range_join": 7,
+    "ext_range_join": 13,
     "ext_rare_token_docs": 11,
-    "ext_recursive_cte": 6,
+    "ext_recursive_cte": 13,
     "ext_repetition": 7,
     "ext_rfm_segments": 11,
     "ext_rolling_time_window": 9,
@@ -224,12 +226,12 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_session_funnel": 8,
     "ext_session_paths": 11,
     "ext_session_window_dynamic": 10,
-    "ext_session_window_native": 6,
+    "ext_session_window_native": 13,
     "ext_sessionize": 7,
     "ext_shard_assignment": 9,
     "ext_similarity_ivf": 8,
     "ext_similarity_lsh": 12,
-    "ext_similarity_topk": 7,
+    "ext_similarity_topk": 13,
     "ext_skew_report": 9,
     "ext_snapshot_diff": 9,
     "ext_snapshot_drift": 10,
@@ -249,17 +251,17 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_stream_dedup": 7,
     "ext_stream_dedup_within_watermark": 7,
     "ext_stream_enrich": 9,
-    "ext_stream_full_outer_join": 6,
-    "ext_stream_hopping_window": 6,
+    "ext_stream_full_outer_join": 13,
+    "ext_stream_hopping_window": 13,
     "ext_stream_incremental_runs": 8,
     "ext_stream_index_ingest": 11,
     "ext_stream_ingest_dedup": 11,
     "ext_stream_late_drop": 12,
     "ext_stream_observe": 11,
-    "ext_stream_outer_join": 6,
-    "ext_stream_python_datasource": 6,
+    "ext_stream_outer_join": 13,
+    "ext_stream_python_datasource": 13,
     "ext_stream_session_dynamic": 10,
-    "ext_stream_session_window": 6,
+    "ext_stream_session_window": 13,
     "ext_stream_sessionize": 7,
     "ext_stream_stream_join": 9,
     "ext_stream_tws_available_now": 8,
@@ -270,14 +272,14 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_stream_tws_timers": 8,
     "ext_stream_tws_ttl": 8,
     "ext_stream_tws_type_counts": 8,
-    "ext_stream_window": 7,
+    "ext_stream_window": 13,
     "ext_stream_window_filesink": 9,
     "ext_table_profile": 9,
-    "ext_text_quality": 7,
-    "ext_text_stats": 7,
-    "ext_tf_idf": 7,
-    "ext_theta_distinct": 6,
-    "ext_theta_set_algebra": 6,
+    "ext_text_quality": 13,
+    "ext_text_stats": 13,
+    "ext_tf_idf": 13,
+    "ext_theta_distinct": 13,
+    "ext_theta_set_algebra": 13,
     "ext_time_to_convert": 9,
     "ext_time_weighted_avg": 11,
     "ext_train_split": 9,
@@ -287,10 +289,10 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_udtf_polymorphic": 7,
     "ext_udtf_table_arg": 8,
     "ext_upsert": 7,
-    "ext_variant_json": 6,
+    "ext_variant_json": 13,
     "ext_vector_normalize": 7,
     "ext_video_metadata": 8,
-    "ext_vocab": 7,
+    "ext_vocab": 13,
     "ext_weighted_sample": 9,
     "ext_window_rank_family": 9,
     "ext_window_zscore": 9,
@@ -347,19 +349,19 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q46_range_frame": 12,
     "q47_value_window_funcs": 12,
     "q48_posexplode": 12,
-    "q49_median_mode": 6,
-    "q50_string_agg": 6,
+    "q49_median_mode": 13,
+    "q50_string_agg": 13,
     "q51_conditional_agg": 8,
-    "q52_levenshtein": 6,
-    "q53_gap_fill": 6,
-    "q54_set_ops_all": 6,
-    "q55_unpivot": 6,
-    "q56_multi_distinct": 6,
-    "q57_null_safe_join": 6,
-    "q58_ignore_nulls_window": 7,
-    "q59_keep_latest": 7,
-    "q60_sql_entry": 7,
-    "q61_lateral_join": 7,
+    "q52_levenshtein": 13,
+    "q53_gap_fill": 13,
+    "q54_set_ops_all": 13,
+    "q55_unpivot": 13,
+    "q56_multi_distinct": 13,
+    "q57_null_safe_join": 13,
+    "q58_ignore_nulls_window": 13,
+    "q59_keep_latest": 13,
+    "q60_sql_entry": 13,
+    "q61_lateral_join": 13,
     "q62_order_priority_exists": 10,
     "q63_conditional_priority_agg": 10,
     "q64_customer_order_histogram": 10,
@@ -384,7 +386,11 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q83_promotable_parts": 12,
 }
 
-# 1 names whose LATEST gate check failed — forced to the window head
+# 0 names whose LATEST gate check failed — forced to the window head
+DRIVER_LATEST_FAILED: frozenset[str] = frozenset({
+})
+
+# 0 names whose LATEST gate check failed — forced to the window head
 DRIVER_LATEST_FAILED: frozenset[str] = frozenset({
 })
 
