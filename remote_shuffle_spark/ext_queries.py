@@ -13149,15 +13149,20 @@ def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     workhorse applied to any entity scoring (documents by
     freshness/length/quality works identically).
 
-    Plan (r12 verdict item 3 — no global rank windows): ONE corpus
-    shuffle (per-user agg), then each of the three exact ranks is a
-    DISTRIBUTED two-phase rank (operators/pipeline.py:with_global_index
-    over a repartitionByRange on the metric + user_id tiebreak): range
-    shuffle, per-partition row_number, broadcast partition offsets —
+    Plan (r12 verdict item 3, fixed cost amortized per the r13 verdict):
+    ONE corpus shuffle (per-user agg), then the three exact ranks ride
+    ONE two-phase rank instead of three — the profile melts to 3n rows
+    tagged (kind∈{0,1,2}, val) via ``stack``, range-partitioned on
+    (kind, val, user_id).  Each kind occupies a contiguous block of
+    EXACTLY n global ranks, so the per-metric 1-based rank is simply
+    global_rank+1 − kind·n: one range shuffle, one eager
+    localCheckpoint, one bounded offset collect where the old plan paid
+    three of each (the dominant local fixed cost).  A final user_id
+    hash agg folds the three tercile digits back to one row per user.
+    The user_id tiebreak is kept (tied metric values straddling a
+    tercile boundary must split the same way the oracle splits them);
     the profile table is never sorted on one task, so a billion-entity
-    run spreads across every executor.  The user_id tiebreak is kept
-    (tied metric values straddling a tercile boundary must split the
-    same way the oracle splits them).
+    run spreads across every executor.
     """
     from remote_shuffle_spark.operators.pipeline import with_global_index
 
@@ -13166,28 +13171,40 @@ def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.unix_micros(F.col("ts"))).alias("max_us"),
         F.count(F.lit(1)).alias("freq"),
         F.sum("cents").alias("mon_cents"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the profile is entity-level (tiny vs the corpus) and read 3+ times
+    # downstream (gmax scalar, range-boundary sampling, the rank shuffle);
+    # without the cut each reader re-runs the corpus scan + agg.
     gmax = per_user.agg(
         F.max("max_us").alias("g_us"), F.count(F.lit(1)).alias("n")
     )
     m = per_user.crossJoin(F.broadcast(gmax)).withColumn(
         "recency_days", F.expr("(g_us - max_us) div 86400000000")
     )
-    for metric, out in (("recency_days", "rr"), ("freq", "rf"), ("mon_cents", "rm")):
-        m = with_global_index(
-            m.repartitionByRange(32, metric, "user_id").sortWithinPartitions(
-                metric, "user_id"
-            ),
-            out_col=out,
-            order_by=[metric, "user_id"],
-        ).withColumn(out, F.col(out) + 1)
-    seg = m.select(
-        F.concat(
-            (1 + F.expr("(3 * (rr - 1)) div n")).cast("string"),
-            (1 + F.expr("(3 * (rf - 1)) div n")).cast("string"),
-            (1 + F.expr("(3 * (rm - 1)) div n")).cast("string"),
-        ).alias("segment"),
+    melted = m.select(
+        "user_id",
         "mon_cents",
+        "n",
+        F.expr(
+            "stack(3, 0L, recency_days, 1L, freq, 2L, mon_cents) AS (kind, val)"
+        ),
+    )
+    ranked = with_global_index(
+        melted.repartitionByRange("kind", "val", "user_id").sortWithinPartitions(
+            "kind", "val", "user_id"
+        ),
+        out_col="gr",
+        order_by=["kind", "val", "user_id"],
+    ).withColumn("r", F.col("gr") + 1 - F.col("kind") * F.col("n"))
+    terc = (1 + F.expr("(3 * (r - 1)) div n")).cast("string")
+    per_user_seg = ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("kind") == 0, terc)).alias("tr"),
+        F.max(F.when(F.col("kind") == 1, terc)).alias("tf"),
+        F.max(F.when(F.col("kind") == 2, terc)).alias("tm"),
+        F.max("mon_cents").alias("mon_cents"),
+    )
+    seg = per_user_seg.select(
+        F.concat("tr", "tf", "tm").alias("segment"), "mon_cents"
     )
     return (
         seg.groupBy("segment")
@@ -14420,7 +14437,13 @@ def ext_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 10x scale probe caught the overflow), while the oracle's SUM
     accumulates in 128-bit — so the engine accumulates in
     DECIMAL(38,0) and only the FINAL num/den cast to BIGINT, exactly
-    where the oracle's CAST sits.
+    where the oracle's CAST sits.  Known divergence PAST int64 outputs
+    (r13 advice, unreachable at any shipped SF): Spark's non-ANSI
+    decimal→long cast yields NULL on overflow while DuckDB's CAST
+    raises — if gini_num/gini_den themselves ever exceed int64 the
+    engine emits NULL where the oracle errors.  The cluster preset
+    (session.py for_cluster) can set spark.sql.ansi.enabled=true to
+    restore fail-loud parity.
     """
     from remote_shuffle_spark.operators.stats import histogram_cdf
 
@@ -14517,7 +14540,11 @@ def ext_lorenz_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             F.col("cum") - F.greatest(F.col("cum") - F.col("cnt"), F.col("n") - k),
         )
-        return F.sum(d(F.col("x")) * d(ov)).cast("long")
+        # COALESCE mirrors the oracle: on an empty profile table the sum is
+        # NULL there too, and the oracle pins the answer to 0 (r13 advice).
+        return F.coalesce(
+            F.sum(d(F.col("x")) * d(ov)), F.lit(0).cast("decimal(38,0)")
+        ).cast("long")
 
     k1 = F.expr("(n + 99) div 100")
     k10 = F.expr("(n + 9) div 10")

@@ -311,7 +311,7 @@ def histogram_cdf(
     weight_col: str | None = None,
     cnt_col: str = "cnt",
     cum_col: str = "cum",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(value, cnt, cum) histogram with an EXACT inclusive running total
     in ascending ``value_col`` order — the distributed stage 2 of an
@@ -329,14 +329,23 @@ def histogram_cdf(
     discipline — repartitionByRange + sortWithinPartitions on the value
     (eagerly localCheckpoint'ed so the subtotal phase and the window
     phase see identical range boundaries), per-partition subtotals
-    collected driver-side (ONE row per partition, bounded by
-    ``num_partitions``), cumulative offsets broadcast back, and a
+    collected driver-side (ONE row per partition, bounded by the range
+    exchange's width — ``num_partitions`` when given, else the session's
+    shuffle-partition setting), cumulative offsets broadcast back, and a
     per-partition window adds the local prefix sum.  Every stage is
     partition-parallel.
 
     ``weight_col=None`` counts rows; otherwise ``cnt`` is the exact SUM
     of the (integer) weight per distinct value.  NULL values are
     excluded (a NULL has no rank).
+
+    CONTRACT: weights must be STRICTLY POSITIVE integers — ``cnt`` is a
+    multiplicity ("this value appears cnt times").  A zero or negative
+    weight makes ``cum`` non-monotonic and silently breaks the
+    (cum − cnt, cum] rank-interval identity that
+    :func:`exact_rank_value` and every exact-rank caller rely on.
+    Callers with zero-weight rows must filter them out first (a value
+    with multiplicity 0 simply isn't in the multiset).
     """
     from pyspark.sql import Window as W
 
@@ -349,9 +358,23 @@ def histogram_cdf(
         .groupBy(value_col)
         .agg(agg.alias(cnt_col))
     )
+    # num_partitions=None (the default) leaves the range-exchange width to
+    # the session: spark.sql.shuffle.partitions is the starting point (the
+    # cluster preset scales it to ~2.5x total cores) and AQE may coalesce
+    # the exchange when the histogram is small — so the per-partition
+    # window input stays bounded as the distinct-value domain grows,
+    # instead of a hard-coded 32 (r13 verdict item 6).  The eager
+    # localCheckpoint below pins whatever layout was chosen for both the
+    # subtotal and window phases, so results are layout-invariant either
+    # way (scripts/partition_invariance_probe.py).  The offsets collect is
+    # one row per partition — bounded by the exchange width.
+    ranged = (
+        hist.repartitionByRange(value_col)
+        if num_partitions is None
+        else hist.repartitionByRange(num_partitions, value_col)
+    )
     part = (
-        hist.repartitionByRange(num_partitions, value_col)
-        .sortWithinPartitions(value_col)
+        ranged.sortWithinPartitions(value_col)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )

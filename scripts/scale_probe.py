@@ -956,6 +956,39 @@ def main():
 
     results.append(probe(f"exact_rank_{int(1_000_000 * s)}_entities", _exact_rank_probe))
 
+    def _hist_distinct_probe(domain):
+        # r13 verdict item 6: histogram_cdf's range-exchange width is no
+        # longer a hard-coded 32 — it follows the session's shuffle
+        # partitions (AQE-coalescible).  This probe grows the DISTINCT
+        # value count 10x at fixed entity count (the axis the fixed width
+        # left unbounded: per-partition window input ~ distinct/width)
+        # and checks wall stays bounded and the running total stays exact.
+        def run():
+            from remote_shuffle_spark.operators.stats import histogram_cdf
+
+            n_ent = int(1_000_000 * s)
+            x = (
+                F.col("id")  # every value distinct: |hist| == entities
+                if domain is None
+                else F.pmod(F.xxhash64("id", F.lit(7)), F.lit(domain))
+            )
+            prof = spark.range(n_ent).select(
+                F.col("id").alias("user_id"), x.alias("x")
+            )
+            hist = histogram_cdf(prof, "x")
+            g = hist.agg(
+                F.sum("cnt").alias("n"),
+                F.count(F.lit(1)).alias("nv"),
+                F.max("cum").alias("mx"),
+            ).collect()[0]
+            assert int(g.n) == n_ent and int(g.mx) == n_ent
+            return {"entities": n_ent, "distinct_values": int(g.nv)}
+
+        return run
+
+    for dom, tag in ((100_000, "100k"), (None, "all")):
+        results.append(probe(f"hist_cdf_distinct_{tag}", _hist_distinct_probe(dom)))
+
     print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
 
 
