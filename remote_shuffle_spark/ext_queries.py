@@ -2438,6 +2438,69 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_decontaminate_semantic",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+      FROM e ORDER BY vec_id LIMIT 16
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cid DESC
+               ) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), sides AS (
+      SELECT a.vec_id, a.cell, e.v, (a.vec_id % 17 = 0) AS is_eval
+      FROM assign a JOIN e USING (vec_id)
+    )
+    SELECT t.vec_id, COUNT(*) AS n_hits
+    FROM sides t JOIN sides b ON t.cell = b.cell
+    WHERE NOT t.is_eval AND b.is_eval
+      AND ROUND(list_cosine_similarity(t.v, b.v), 6) >= 0.35
+    GROUP BY t.vec_id ORDER BY t.vec_id
+    """,
+    tags=("ext", "pipeline", "similarity"),
+)
+def ext_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space benchmark decontamination (r13 verdict item 5):
+    per train vector (vec_id % 17 != 0), the count of eval-set vectors
+    (vec_id % 17 == 0) in the SAME 16-cell blocking at cosine ≥ 0.35 —
+    the paraphrase-contamination audit that ext_decontaminate's n-gram
+    overlap cannot see.  The oracle replicates the deterministic
+    seed-centroid assignment (argmax of 6dp-rounded cosine, larger cid
+    on ties) and the same-cell join, so the external check covers the
+    real blocked pipeline.  τ=0.35 sits inside the fixture's same-cell
+    cross-side cosine range at EVERY shipped SF (max pair cosine at
+    sf0.001 is ~0.40, so ext_semantic_dedup's 0.45 would make the
+    smallest fixture's check vacuously empty).
+
+    Plan (operators/decontam.py:semantic_contamination_hits): the eval
+    side collapses to broadcast per-cell numpy matrices (benchmark-sized
+    by contract, fail-loud cap); the train corpus streams through ONE
+    narrow mapInPandas — batch × eval-cell matmuls, no corpus shuffle,
+    no per-cell group materialization, no train-side size cap."""
+    from remote_shuffle_spark.operators.decontam import semantic_contamination_hits
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.seed_centroids(emb, "vec_id", "embedding", k=16)
+    hits = semantic_contamination_hits(
+        emb.filter(F.col("vec_id") % 17 != 0),
+        emb.filter(F.col("vec_id") % 17 == 0),
+        cents,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.35,
+    )
+    return hits.orderBy("vec_id")
+
+
+@declared(
     "ext_funnel",
     oracle="""
     WITH s1 AS (

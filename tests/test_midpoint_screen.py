@@ -341,3 +341,48 @@ def test_autocorr_lag1_term_clear_of_midpoints(sf_dir):
     if not values:
         return
     _assert_margin(values, 6, "ext_autocorr_lag1 corr")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_semantic_decontam_tau_boundary_clear(sf_dir):
+    """ext_decontaminate_semantic compares ROUND(cosine, 6) >= 0.35 and
+    hash-compares only integer hit counts — the single flippable decision
+    is a raw cosine close enough to the 0.3499995 rounding midpoint for a
+    1-ULP numpy-vs-DuckDB skew to move a pair across τ.  Assert every
+    same-cell train×eval raw cosine keeps its distance from that midpoint
+    (same contract as the ln/corr screens above, specialized to the one
+    boundary that matters)."""
+    import duckdb
+
+    q = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM read_parquet('{sf_dir}/embeddings.parquet')
+    ), cents AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+      FROM e ORDER BY vec_id LIMIT 16
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cid DESC
+               ) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), sides AS (
+      SELECT a.vec_id, a.cell, e.v, (a.vec_id % 17 = 0) AS is_eval
+      FROM assign a JOIN e USING (vec_id)
+    )
+    SELECT list_cosine_similarity(t.v, b.v) AS raw
+    FROM sides t JOIN sides b ON t.cell = b.cell
+    WHERE NOT t.is_eval AND b.is_eval
+    """
+    values = [r[0] for r in duckdb.sql(q).fetchall() if r[0] is not None]
+    assert values, "screen query returned no same-cell pairs"
+    worst = min(abs(v - 0.3499995) for v in values)
+    assert worst > SCALED_MARGIN / 1e6, (
+        f"a train×eval cosine sits {worst:.3e} from the τ=0.35 rounding "
+        f"midpoint — a 1-ULP skew could flip a hit count; re-quantize τ"
+    )

@@ -49,6 +49,74 @@ def test_contamination_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_semantic_contamination_planted_paraphrase(spark):
+    """A train vector that is a small perturbation of an eval vector (a
+    paraphrase in embedding space) is flagged; an orthogonal one is not —
+    and the n-gram detector would see NOTHING here (no text at all)."""
+    from remote_shuffle_spark.operators.decontam import semantic_contamination_hits
+    from remote_shuffle_spark.operators.similarity import seed_centroids
+
+    # eval "benchmark" vectors along axes 0 and 1
+    evalset = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (17, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    train = spark.createDataFrame(
+        [
+            (10, [0.98, 0.02, 0.0, 0.0]),   # near-copy of eval 0 -> flagged
+            (11, [0.0, 0.0, 1.0, 0.0]),     # orthogonal -> clean
+            (12, [0.03, 0.99, 0.0, 0.0]),   # near-copy of eval 17 -> flagged
+        ],
+        ["vec_id", "embedding"],
+    )
+    # centroids = the two eval axes, so each paraphrase lands in its
+    # original's cell (seeding from the union would instead pick vecs 0
+    # and 10 — two near-identical centroids that split the planted pair)
+    cents = seed_centroids(evalset, "vec_id", "embedding", k=2)
+    hits = semantic_contamination_hits(
+        train, evalset, cents, id_col="vec_id", vec_col="embedding", threshold=0.9
+    ).collect()
+    assert {r.vec_id: r.n_hits for r in hits} == {10: 1, 12: 1}
+
+
+def test_semantic_contamination_eval_cap_fails_loud(spark):
+    from remote_shuffle_spark.operators.decontam import semantic_contamination_hits
+    from remote_shuffle_spark.operators.similarity import seed_centroids
+    import pytest
+
+    evalset = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], ["vec_id", "embedding"]
+    )
+    cents = seed_centroids(evalset, "vec_id", "embedding", k=2)
+    with pytest.raises(ValueError, match="max_eval_rows"):
+        semantic_contamination_hits(
+            evalset, evalset, cents, id_col="vec_id", vec_col="embedding",
+            max_eval_rows=3,
+        )
+
+
+def test_semantic_contamination_no_corpus_shuffle(spark):
+    """The train side must stay narrow: assignment + mapInPandas, no
+    Exchange originating from the corpus (the eval side is a driver-side
+    broadcast, not a join)."""
+    from remote_shuffle_spark.operators.decontam import semantic_contamination_hits
+    from remote_shuffle_spark.operators.similarity import seed_centroids
+
+    evalset = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    train = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9])], ["vec_id", "embedding"]
+    )
+    cents = seed_centroids(evalset, "vec_id", "embedding", k=2)
+    out = semantic_contamination_hits(
+        train, evalset, cents, id_col="vec_id", vec_col="embedding", threshold=0.8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert {r.vec_id for r in out.collect()} == {10, 11}
+
+
 def test_inverted_index_postings(spark):
     df = spark.createDataFrame(
         [(3, "apple banana"), (1, "apple"), (2, "apple banana apple")],
