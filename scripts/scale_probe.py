@@ -268,6 +268,30 @@ def main():
             },
         )
     )
+    def _semantic_decontam_probe():
+        # embedding-space decontamination (r13 verdict item 5): eval side
+        # is a FIXED-size benchmark (10k vectors, the operator's actual
+        # contract — a probe that grows eval with the corpus measures
+        # n^2/K, not the operator), broadcast as per-cell matrices; the
+        # train corpus streams through mapInPandas — wall should track
+        # the train row count.
+        from remote_shuffle_spark.operators.decontam import semantic_contamination_hits
+        from remote_shuffle_spark.operators.similarity import seed_centroids
+
+        cents = seed_centroids(emb, "vec_id", "embedding", k=k_cells)
+        hits = semantic_contamination_hits(
+            emb.filter(F.col("vec_id") >= 10_000),
+            emb.filter(F.col("vec_id") < 10_000),
+            cents,
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.35,
+        )
+        return {"flagged": hits.count()}
+
+    results.append(
+        probe(f"semantic_decontam_{n_vec}_vecs_K{k_cells}", _semantic_decontam_probe)
+    )
     results.append(
         probe(
             "bm25_200k_docs",
