@@ -61,6 +61,39 @@ def contamination_hits(
     return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
 
 
+def contamination_matches(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    head: int = 5,
+) -> DataFrame:
+    """Contamination LOCALIZATION: per contaminated train document, the
+    distinct-hit count plus the first ``head`` matched n-grams in
+    lexicographic order — the audit view behind
+    :func:`contamination_hits`'s counts (a reviewer deciding drop vs
+    keep needs to SEE the overlap, not just its size).
+
+    Same broadcast-semi shape as the counter, but the matched grams ride
+    the join (plain inner semi-on-gram) into a per-document
+    sort_array + slice: per-doc state is bounded by the document's own
+    distinct contaminated grams (≤ its token count), never by the corpus
+    — the corpus still never shuffles; only (id, gram) hit pairs do.
+    """
+    bench_grams = _doc_grams(bench, id_col, text_col, n).select("gram").distinct()
+    hits = _doc_grams(train, id_col, text_col, n).join(
+        F.broadcast(bench_grams), "gram", "left_semi"
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_set("gram")), 1, head), ","
+        ).alias("grams_head"),
+    )
+
+
 def semantic_contamination_hits(
     train: DataFrame,
     evalset: DataFrame,

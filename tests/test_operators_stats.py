@@ -49,6 +49,34 @@ def test_contamination_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_contamination_matches_planted(spark):
+    """Localization view: the matched grams surface, capped and sorted."""
+    from remote_shuffle_spark.operators.decontam import contamination_matches
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            # contains two distinct bench 4-grams
+            (10, "alpha beta gamma delta epsilon zz"),
+            (11, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: (r.n_hits, r.grams_head)
+        for r in contamination_matches(
+            train, bench, id_col="doc_id", text_col="text", n=4, head=1
+        ).collect()
+    }
+    assert set(rows) == {10}
+    n_hits, head = rows[10]
+    assert n_hits == 2
+    # head=1 keeps only the lexicographically first matched gram
+    assert head == "alpha beta gamma delta"
+
+
 def test_semantic_contamination_planted_paraphrase(spark):
     """A train vector that is a small perturbation of an eval vector (a
     paraphrase in embedding space) is flagged; an orthogonal one is not —
