@@ -89,6 +89,51 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def keep_best_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score_col: str,
+    *,
+    min_group: int = 2,
+) -> DataFrame:
+    """Quality-aware keeper selection over exact-duplicate groups: for
+    each group of rows sharing a normalized text, the keeper is the
+    HIGHEST-``score_col`` member (ties to the smallest id) — the policy a
+    curation pipeline wants when duplicates differ in formatting,
+    extraction quality, or source trust, where keep-first
+    (:func:`exact_duplicates`) would keep an arbitrary-quality copy.
+
+    Returns one row per duplicate group of size >= ``min_group``:
+    (group_key = min id, group_size, keeper_id, keeper_score).  Rows
+    whose normalized text is empty are ineligible (never grouped).
+
+    Scale shape: identical to :func:`exact_duplicates` — a single
+    combinable groupBy on the 64-bit content hash; ``max_by`` over a
+    (score, -id) struct rides the same partial aggregation, so the
+    shuffle carries one candidate keeper per (hash, map partition), never
+    the documents.
+    """
+    norm = normalized_text(text_col)
+    elig = df.filter(F.length(norm) > 0)
+    return (
+        elig.select(
+            F.xxhash64(norm).alias("_h"), F.col(id_col), F.col(score_col)
+        )
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("group_key"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.max_by(
+                F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+            ).alias("keeper_id"),
+            F.max(score_col).alias("keeper_score"),
+        )
+        .filter(F.col("group_size") >= min_group)
+        .drop("_h")
+    )
+
+
 def incremental_new_texts(
     new_df: DataFrame, corpus_df: DataFrame, text_col: str
 ) -> DataFrame:

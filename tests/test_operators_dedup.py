@@ -543,3 +543,23 @@ def test_band_index_files_have_disjoint_bkey_ranges(spark, tmp_path):
     bounds.sort()
     for (_, hi_prev), (lo_next, _) in zip(bounds, bounds[1:]):
         assert hi_prev <= lo_next, (hi_prev, lo_next)
+
+
+def test_keep_best_exact_planted(spark):
+    """Keeper is the argmax-score member; ties break to the smallest id;
+    singletons and empty-normalized rows never form groups."""
+    df = spark.createDataFrame(
+        [
+            (1, "The  cat sat", 5),
+            (2, "the cat SAT", 9),   # same normalized text, best score
+            (3, "the cat sat ", 9),  # tie on score -> id 2 wins
+            (4, "a singleton doc", 100),
+            (5, "   ", 50),          # empty after normalization: ineligible
+            (6, "", 50),
+        ],
+        ["doc_id", "text", "score"],
+    )
+    rows = dedup.keep_best_exact(df, "doc_id", "text", "score").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.group_key, r.group_size, r.keeper_id, r.keeper_score) == (1, 3, 2, 9)
