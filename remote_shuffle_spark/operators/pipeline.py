@@ -305,6 +305,94 @@ def chunk_sequences(
     )
 
 
+def running_total(
+    df: DataFrame,
+    weight_col: str,
+    order_by: list,
+    *,
+    partition_by: list[str] | None = None,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running total of ``weight_col`` in ``order_by``
+    order — the primitive behind budget cuts ("take documents by quality
+    until the token budget is spent") and exact CDF positions.
+
+    ``order_by`` is a list of Column expressions (sort order allowed,
+    e.g. ``F.col("score").desc()``) that must totally order the frame
+    (within each group when ``partition_by`` is given); pass a unique
+    tiebreaker (id) last or equal rows get an arbitrary relative cum.
+
+    ``partition_by`` (list of column NAMES) restarts the total per
+    group — per-language / per-source quota cuts.  The range exchange
+    then keys on (groups, order keys) so each group occupies a
+    contiguous partition run, and the broadcast offset table grows to
+    one row per (group, partition) — driver-bounded by
+    |groups| x partitions, meant for low-cardinality strata (langs,
+    sources, shards), not per-document groups.
+
+    Two-phase like :func:`chunk_sequences`: range-partition, per-partition
+    window cumsum, broadcast per-partition offsets — no single global
+    window, and the per-group window is still bounded by one physical
+    partition.  The ``_pid``-stamped frame is eagerly localCheckpoint'ed
+    once so the totals job and the window pass see the same physical
+    partitioning (range boundaries are sampled per execution — see
+    chunk_sequences' correctness note).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    groups = list(partition_by or [])
+    gcols = [F.col(c) for c in groups]
+    part = (
+        df.repartitionByRange(n_parts, *gcols, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per_part = (
+        part.groupBy(*groups, "_pid").agg(F.sum(F.col(weight_col)).alias("_w")).collect()
+    )
+    running: dict[tuple, int] = {}
+    rows = []
+    sort_key = lambda r: (  # noqa: E731 — NULL groups first, then pid
+        tuple((r[c] is not None, r[c]) for c in groups),
+        r._pid,
+    )
+    for r in sorted(per_part, key=sort_key):
+        key = tuple(r[c] for c in groups)
+        rows.append((*key, int(r._pid), int(running.get(key, 0))))
+        running[key] = running.get(key, 0) + r._w
+    schema = StructType(
+        [part.schema[c] for c in groups]
+        + [StructField("_pid", IntegerType()), StructField("_offset", LongType())]
+    )
+    offsets_df = F.broadcast(
+        spark.createDataFrame(rows, schema).withColumnsRenamed(
+            {c: f"_g_{c}" for c in groups}
+        )
+    )
+    # NULL-safe equality on the group keys: a NULL stratum is a real
+    # stratum (plain join-on-names would silently drop its rows)
+    cond = part["_pid"] == offsets_df["_pid"]
+    for c in groups:
+        cond = cond & part[c].eqNullSafe(offsets_df[f"_g_{c}"])
+    w = W.partitionBy(*groups, "_pid").orderBy(*order_by)
+    return (
+        part.join(offsets_df, cond)
+        .drop(offsets_df["_pid"])
+        .drop(*[f"_g_{c}" for c in groups])
+        .withColumn(
+            out_col,
+            (F.sum(F.col(weight_col)).over(w) + F.col("_offset")).cast("long"),
+        )
+        .drop("_pid", "_offset")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

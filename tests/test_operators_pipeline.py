@@ -308,3 +308,55 @@ def test_assign_training_shards_serpentine_order(spark):
         8: 0, 9: 1, 10: 2, 11: 3,
         12: 3, 13: 2, 14: 1, 15: 0,
     }
+
+
+def test_running_total_inclusive_desc_order(spark):
+    """Exact inclusive cumsum in (score desc, id) order, multi-partition."""
+    rows = [(i, (i * 7) % 5 + 1, (i * 13) % 4) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, ["id", "w", "score"])
+    out = {
+        r.id: r.cum
+        for r in P.running_total(
+            df, "w", [F.col("score").desc(), F.col("id")], num_partitions=3
+        ).collect()
+    }
+    expected, cum = {}, 0
+    for i, w, _s in sorted(rows, key=lambda r: (-r[2], r[0])):
+        cum += w
+        expected[i] = cum
+    assert out == expected
+
+
+def test_running_total_no_global_window(spark):
+    from remote_shuffle_spark.plans import explain
+
+    df = spark.createDataFrame([(1, 2, 3)], ["id", "w", "score"])
+    out = P.running_total(df, "w", [F.col("score").desc(), F.col("id")])
+    explain.assert_no_global_window(out)
+
+
+def test_running_total_partitioned_with_null_group(spark):
+    """Per-group cums restart per stratum; a NULL stratum is a real
+    stratum (null-safe offset join), groups split across partitions sum
+    correctly."""
+    rows = [(i, 1 + (i % 3), ["a", "b", None][i % 3], (i * 13) % 4) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, ["id", "w", "grp", "score"])
+    out = {
+        r.id: r.cum
+        for r in P.running_total(
+            df,
+            "w",
+            [F.col("score").desc(), F.col("id")],
+            partition_by=["grp"],
+            num_partitions=4,
+        ).collect()
+    }
+    expected = {}
+    for g in ("a", "b", None):
+        cum = 0
+        for i, w, grp, _s in sorted(
+            (r for r in rows if r[2] == g), key=lambda r: (-r[3], r[0])
+        ):
+            cum += w
+            expected[i] = cum
+    assert out == expected
