@@ -27,6 +27,15 @@ from remote_shuffle_spark.streaming import windowed_event_counts
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
+def _sql_grams(n: int, toks: str = "toks") -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {n} "
+        f"THEN list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
 @declared(
     "ext_dedup_exact",
     oracle=f"""
@@ -184,6 +193,53 @@ def _exact_pair_count_sql(min_tokens: int) -> str:
       SELECT {_NORM} AS norm FROM aug
       WHERE len({_NORM}) > 0 AND len(string_split({_NORM}, ' ')) >= {min_tokens}
     ), g AS (SELECT norm, COUNT(*) AS c FROM pre GROUP BY norm)"""
+
+
+@declared(
+    "ext_dedup_keep_best",
+    oracle=f"""
+    WITH {_AUG_DOCS},
+    pre AS (
+      SELECT doc_id, (doc_id * 1103515245 + 12345) % 1000 AS score,
+             {_NORM} AS norm
+      FROM aug WHERE len({_NORM}) > 0
+    ), g AS (
+      SELECT norm, MIN(doc_id) AS group_key, COUNT(*) AS group_size
+      FROM pre GROUP BY norm HAVING COUNT(*) >= 2
+    ), k AS (
+      SELECT norm, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY norm ORDER BY score DESC, doc_id) AS rn
+      FROM pre
+    )
+    SELECT g.group_key, g.group_size, k.doc_id AS keeper_id, k.score AS keeper_score
+    FROM g JOIN k ON k.norm = g.norm AND k.rn = 1
+    ORDER BY group_key
+    """,
+    tags=("ext", "dedup", "pipeline"),
+)
+def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: per duplicate group, keep the
+    HIGHEST-quality member, not the first (operators/dedup.py:
+    keep_best_exact) — the policy a curation pipeline wants when the
+    same text arrives via extractors of different fidelity.  The quality
+    column here is a deterministic LCG pseudo-score standing in for a
+    model score, so the keeper choice is non-trivially exercised (the
+    planted copies get different scores than their originals) and both
+    engines derive it from doc_id with exact integer arithmetic.
+
+    Scale shape: one combinable groupBy on the 64-bit content hash —
+    ``max_by`` over a (score, -id) struct rides the partial aggregation,
+    so the shuffle carries one candidate keeper per (hash, map
+    partition); the oracle groups on the raw text, so a hash collision
+    would surface as a mismatch."""
+    aug = _augmented_docs(spark, sf_dir).withColumn(
+        "score", (F.col("doc_id") * 1103515245 + 12345) % 1000
+    )
+    return (
+        dedup.keep_best_exact(aug, "doc_id", "text", "score")
+        .select("group_key", "group_size", "keeper_id", "keeper_score")
+        .orderBy("group_key")
+    )
 
 
 @declared(
@@ -1016,6 +1072,258 @@ def ext_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("seq_tokens") > 512) & (F.col("seq_docs") > 1), 1).otherwise(0)
         ).alias("n_overfull_seqs"),
         F.sum(F.when(bad_pos, 1).otherwise(0)).alias("n_bad_pos_seqs"),
+    )
+
+
+@declared(
+    "ext_token_budget_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tok,
+             (doc_id * 1103515245 + 12345) % 1000 AS score
+      FROM documents
+    ), c AS (
+      SELECT lang, n_tok,
+             SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+    FROM c, (SELECT (3 * SUM(n_tok)) // 5 AS b FROM t) bt
+    WHERE cum <= bt.b
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("ext", "pipeline"),
+)
+def ext_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped data selection: rank documents by a quality score
+    (deterministic LCG stand-in for a model score, exact integer
+    arithmetic in both engines) and keep the best until 60% of the
+    corpus token mass is spent — the "train on the best N tokens" cut
+    every data-curation pipeline ends with.  Reports the surviving mix
+    per language.
+
+    The exact inclusive running total comes from
+    operators/pipeline.py:running_total — range-partition on
+    (score desc, doc_id), per-partition window cumsum, broadcast
+    per-partition offsets — NOT a corpus-wide window, so no one-task
+    funnel at scale.  The total token mass (= max cum) is read back as a
+    single scalar off the already-checkpointed frame, then applied as a
+    literal filter; the oracle replays the same cut with a global window
+    + scalar subquery.
+    """
+    from remote_shuffle_spark.functions.hashing import tokens
+    from remote_shuffle_spark.operators.pipeline import running_total
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tok")
+        )
+        .withColumn("score", (F.col("doc_id") * 1103515245 + 12345) % 1000)
+    )
+    cum = running_total(docs, "n_tok", [F.col("score").desc(), F.col("doc_id")])
+    total = cum.agg(F.max("cum")).collect()[0][0] or 0
+    budget = (3 * int(total)) // 5
+    return (
+        cum.filter(F.col("cum") <= budget)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@declared(
+    "ext_lang_budget_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tok,
+             (doc_id * 1103515245 + 12345) % 1000 AS score
+      FROM documents
+    ), c AS (
+      SELECT lang, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n_tok) OVER (PARTITION BY lang) AS lang_total
+      FROM t
+    )
+    SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+    FROM c WHERE cum <= lang_total // 2
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+    tags=("ext", "pipeline"),
+)
+def ext_lang_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota cut: within EACH language keep the
+    best-scoring documents until half that language's token mass is
+    spent — the per-stratum form of ext_token_budget_select (real
+    mixtures cap each language/source separately so one dominant
+    stratum can't eat the global budget).  Reports the surviving mix
+    per (lang, source).
+
+    The per-group exact running total is
+    operators/pipeline.py:running_total(partition_by=["lang"]) — the
+    range exchange keys on (lang, score desc, doc_id) so each language
+    occupies a contiguous partition run, per-group offsets broadcast
+    (|langs| x partitions longs).  Each language's budget (half its
+    total mass) is a combinable groupBy aggregate broadcast-joined back
+    — no corpus-wide window anywhere; the oracle replays both as global
+    windows."""
+    from remote_shuffle_spark.functions.hashing import tokens
+    from remote_shuffle_spark.operators.pipeline import running_total
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(tokens("text")).cast("long").alias("n_tok"),
+        )
+        .withColumn("score", (F.col("doc_id") * 1103515245 + 12345) % 1000)
+    )
+    cum = running_total(
+        docs, "n_tok", [F.col("score").desc(), F.col("doc_id")], partition_by=["lang"]
+    )
+    lang_budget = F.broadcast(
+        docs.groupBy("lang").agg(
+            # integral DIV, not /2-through-double: exact past 2^53 tokens
+            F.expr("CAST(sum(n_tok) DIV 2 AS BIGINT)").alias("_lang_budget")
+        )
+    )
+    return (
+        cum.join(lang_budget, "lang")
+        .filter(F.col("cum") <= F.col("_lang_budget"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@declared(
+    "ext_curation_pipeline",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_DUP_OFF} AS doc_id, lang, text FROM documents
+      WHERE doc_id % {_DUP_EVERY} = 0
+    ), base AS (
+      SELECT doc_id, lang, {_NORM} AS norm,
+             (doc_id * 1103515245 + 12345) % 1000 AS score
+      FROM aug
+    ), corpus AS (
+      SELECT * FROM base WHERE doc_id % 17 <> 0 AND len(norm) > 0
+    ), keep AS (
+      SELECT doc_id, lang, norm, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY score DESC, doc_id) AS rn
+        FROM corpus
+      ) WHERE rn = 1
+    ), bgrams AS (
+      SELECT DISTINCT gram FROM (
+        SELECT unnest(list_distinct({_sql_grams(4)})) AS gram
+        FROM (SELECT string_split(norm, ' ') AS toks
+              FROM base WHERE doc_id % 17 = 0)
+      )
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest(list_distinct({_sql_grams(4)})) AS gram
+        FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM keep)
+      ) kg JOIN bgrams USING (gram)
+    ), clean AS (
+      SELECT doc_id, lang, score,
+             CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tok
+      FROM keep WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), c AS (
+      SELECT lang, n_tok,
+             SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM clean
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+    FROM c, (SELECT (3 * SUM(n_tok)) // 5 AS b FROM clean) bt
+    WHERE cum <= bt.b
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("ext", "pipeline", "dedup"),
+)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline in one call — the composition a
+    reference user actually runs before training: quality-aware exact
+    dedup (keep the best-scoring copy, operators/dedup.py machinery) →
+    benchmark decontamination (4-gram overlap vs the held-out split,
+    operators/decontam.py:contamination_hits) → token-budget cut (best
+    survivors until 60% of the clean token mass is spent,
+    operators/pipeline.py:running_total) → per-language report.
+
+    Runs over the copy-augmented corpus (every 10th doc gets an exact
+    copy at a different id ⇒ different LCG score) so the keep-best stage
+    makes non-trivial choices; the %17 split donates a bench set so
+    decontamination drops real rows (including surviving copies of bench
+    docs — dedup keeps them, decontamination catches them).
+
+    Scale shape of each stage is the shape of its standalone query:
+    hash-groupBy keeper selection (8-byte shuffle keys), broadcast-semi
+    gram join (corpus never shuffles), two-phase range-partitioned
+    prefix sum (no corpus-wide window).  The oracle replays all four
+    stages as SQL CTEs."""
+    from remote_shuffle_spark.functions.hashing import normalized_text, tokens
+    from remote_shuffle_spark.operators.decontam import contamination_hits
+    from remote_shuffle_spark.operators.pipeline import running_total
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    copies = docs.filter(F.col("doc_id") % _DUP_EVERY == 0).withColumn(
+        "doc_id", F.col("doc_id") + _DUP_OFF
+    )
+    aug = docs.unionByName(copies).withColumn(
+        "score", (F.col("doc_id") * 1103515245 + 12345) % 1000
+    )
+    bench = aug.filter(F.col("doc_id") % 17 == 0)
+    corpus = aug.filter(
+        (F.col("doc_id") % 17 != 0) & (F.length(normalized_text("text")) > 0)
+    )
+    # stage 1: keep-best exact dedup — keeper ids via the combinable
+    # hash groupBy, then a semi join carries the full surviving rows
+    keeper_ids = (
+        corpus.select(
+            F.xxhash64(normalized_text("text")).alias("_h"), "doc_id", "score"
+        )
+        .groupBy("_h")
+        .agg(
+            F.max_by(
+                F.col("doc_id"), F.struct(F.col("score"), -F.col("doc_id"))
+            ).alias("doc_id")
+        )
+        .select("doc_id")
+    )
+    survivors = corpus.join(keeper_ids, "doc_id", "left_semi")
+    # stage 2: decontamination — broadcast bench grams, anti-join hits
+    hits = contamination_hits(
+        survivors, bench, id_col="doc_id", text_col="text", n=4
+    )
+    clean = survivors.join(hits.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", "lang", "score", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    # stage 3: budget cut — exact running total, 60% of the clean mass
+    cum = running_total(clean, "n_tok", [F.col("score").desc(), F.col("doc_id")])
+    total = cum.agg(F.max("cum")).collect()[0][0] or 0
+    budget = (3 * int(total)) // 5
+    return (
+        cum.filter(F.col("cum") <= budget)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -1962,15 +2270,6 @@ def ext_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # CASE-mirror of functions.hashing.word_shingles_from_tokens for DuckDB:
 # n-grams when the doc has >= n tokens, else one whole-text shingle.
-def _sql_grams(n: int, toks: str = "toks") -> str:
-    return (
-        f"CASE WHEN len({toks}) >= {n} "
-        f"THEN list_transform(range(1, len({toks}) - {n - 2}), "
-        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
-        f"ELSE [array_to_string({toks}, ' ')] END"
-    )
-
-
 @declared(
     "ext_decontaminate",
     oracle=f"""
@@ -2000,6 +2299,44 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(train, bench, id_col="doc_id", text_col="text", n=4).orderBy(
         "doc_id"
     )
+
+
+@declared(
+    "ext_decontaminate_spans",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct({_sql_grams(4)})) AS gram
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0
+    ), hits AS (
+      SELECT g.doc_id, g.gram
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % 17 <> 0
+    )
+    SELECT doc_id, COUNT(*) AS n_hits,
+           array_to_string(list_sort(list(gram))[1:5], ',') AS grams_head
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("ext", "pipeline", "dedup"),
+)
+def ext_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination LOCALIZATION: per contaminated train document, the
+    distinct-hit count AND the first five matched 4-grams in
+    lexicographic order — the evidence view a human auditor (or a
+    drop-vs-keep policy) reads behind ext_decontaminate's bare counts
+    (operators/decontam.py:contamination_matches).  Same broadcast-semi
+    shape as the counter: the corpus never shuffles, only the matched
+    (id, gram) pairs do, and per-document state is bounded by the
+    document's own distinct contaminated grams."""
+    from remote_shuffle_spark.operators.decontam import contamination_matches
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_matches(
+        train, bench, id_col="doc_id", text_col="text", n=4, head=5
+    ).orderBy("doc_id")
 
 
 @declared(
@@ -2498,6 +2835,113 @@ def ext_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.35,
     )
     return hits.orderBy("vec_id")
+
+
+@declared(
+    "ext_contamination_report",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct({_sql_grams(4)})) AS gram
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0
+    ), ng AS (
+      SELECT g.doc_id, COUNT(*) AS ngram_hits
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % 17 <> 0 GROUP BY g.doc_id
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+      FROM e ORDER BY vec_id LIMIT 16
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cid DESC
+               ) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), sides AS (
+      SELECT a.vec_id, a.cell, e.v, (a.vec_id % 17 = 0) AS is_eval
+      FROM assign a JOIN e USING (vec_id)
+    ), sem AS (
+      SELECT t.vec_id AS doc_id, COUNT(*) AS semantic_hits
+      FROM sides t JOIN sides b2 ON t.cell = b2.cell
+      WHERE NOT t.is_eval AND b2.is_eval
+        AND ROUND(list_cosine_similarity(t.v, b2.v), 6) >= 0.35
+      GROUP BY t.vec_id
+    )
+    SELECT COALESCE(ng.doc_id, sem.doc_id) AS doc_id,
+           COALESCE(ng.ngram_hits, 0) AS ngram_hits,
+           COALESCE(sem.semantic_hits, 0) AS semantic_hits,
+           CASE WHEN ng.doc_id IS NOT NULL AND sem.doc_id IS NOT NULL THEN 'both'
+                WHEN ng.doc_id IS NOT NULL THEN 'ngram'
+                ELSE 'semantic' END AS flagged_by
+    FROM ng FULL OUTER JOIN sem ON ng.doc_id = sem.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("ext", "pipeline", "similarity"),
+)
+def ext_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFIED contamination report: every train document flagged by
+    EITHER detector — verbatim n-gram overlap (ext_decontaminate) or
+    embedding-space similarity (ext_decontaminate_semantic, riding
+    documents.doc_id == embeddings.vec_id) — with both hit counts and a
+    flagged_by discriminator.  This is the decision table a pipeline
+    actually drops/audits from: 'both' is near-certain inclusion,
+    'semantic'-only is the paraphrase class n-grams miss, 'ngram'-only
+    is boilerplate overlap worth a lighter policy.
+
+    Plan: the two detector outputs are tiny relative to the corpus
+    (flagged docs only), so the FULL OUTER join between them is a
+    small-side shuffle; each detector keeps its own scale shape
+    (broadcast gram semi / broadcast eval matrices + mapInPandas)."""
+    from remote_shuffle_spark.operators.decontam import (
+        contamination_hits,
+        semantic_contamination_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ng = contamination_hits(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0),
+        id_col="doc_id",
+        text_col="text",
+        n=4,
+    ).withColumnRenamed("n_hits", "ngram_hits")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.seed_centroids(emb, "vec_id", "embedding", k=16)
+    sem = (
+        semantic_contamination_hits(
+            emb.filter(F.col("vec_id") % 17 != 0),
+            emb.filter(F.col("vec_id") % 17 == 0),
+            cents,
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.35,
+        )
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumnRenamed("n_hits", "semantic_hits")
+    )
+    return (
+        ng.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("ngram_hits", F.lit(0)).alias("ngram_hits"),
+            F.coalesce("semantic_hits", F.lit(0)).alias("semantic_hits"),
+            F.when(
+                F.col("ngram_hits").isNotNull() & F.col("semantic_hits").isNotNull(),
+                "both",
+            )
+            .when(F.col("ngram_hits").isNotNull(), "ngram")
+            .otherwise("semantic")
+            .alias("flagged_by"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @declared(
