@@ -1013,6 +1013,37 @@ def main():
     for dom, tag in ((100_000, "100k"), (None, "all")):
         results.append(probe(f"hist_cdf_distinct_{tag}", _hist_distinct_probe(dom)))
 
+    def _running_total_probe():
+        # r14: budget-cut primitive (ext_token_budget_select /
+        # ext_lang_budget_select / ext_curation_pipeline) — exact
+        # inclusive prefix sums must stay two-phase (range partitions +
+        # broadcast offsets, no corpus-wide window) as rows grow 10x, in
+        # both the global and the per-stratum form.  Exactness asserted
+        # against independently-computed totals.
+        from remote_shuffle_spark.operators.pipeline import running_total
+
+        n = int(1_000_000 * s)
+        df = spark.range(n).select(
+            F.col("id"),
+            (F.pmod(F.xxhash64("id", F.lit(11)), F.lit(97)) + 1).alias("w"),
+            F.pmod(F.xxhash64("id", F.lit(13)), F.lit(1000)).alias("score"),
+            F.pmod(F.xxhash64("id", F.lit(17)), F.lit(8)).cast("string").alias("lang"),
+        )
+        tot = int(df.agg(F.sum("w")).collect()[0][0])
+        cum = running_total(df, "w", [F.col("score").desc(), F.col("id")])
+        assert int(cum.agg(F.max("cum")).collect()[0][0]) == tot
+        gcum = running_total(
+            df, "w", [F.col("score").desc(), F.col("id")], partition_by=["lang"]
+        )
+        gmax = gcum.groupBy("lang").agg(F.max("cum").alias("m"))
+        gtot = df.groupBy("lang").agg(F.sum("w").alias("t"))
+        assert gmax.join(gtot, "lang").filter(F.col("m") != F.col("t")).count() == 0
+        return {"rows": n, "strata": 8}
+
+    results.append(
+        probe(f"running_total_{int(1_000_000 * s)}_rows", _running_total_probe)
+    )
+
     print(json.dumps({"scale": s, "probes": [(n, t) for n, t, _ in results]}))
 
 
