@@ -15147,6 +15147,157 @@ def ext_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ext_winsorized_mean",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type AS g, {_CENTS_SQL} AS v
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM c
+    ),
+    g2 AS (
+      SELECT g, MAX(n) AS n, (MAX(n) + 19) // 20 AS cut,
+             MAX(CASE WHEN rn = (n + 19) // 20 + 1 THEN v END) AS lo,
+             MAX(CASE WHEN rn = n - (n + 19) // 20 THEN v END) AS hi,
+             COALESCE(SUM(v) FILTER (WHERE rn > (n + 19) // 20
+                                       AND rn <= n - (n + 19) // 20), 0) AS mid
+      FROM r GROUP BY g
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(lo AS BIGINT) AS lo_clamp_cents,
+           CAST(hi AS BIGINT) AS hi_clamp_cents,
+           CAST(mid + cut * (lo + hi) AS BIGINT) AS winsor_sum_cents
+    FROM g2 ORDER BY event_type
+    """,
+    tags=("ext", "stats"),
+)
+def ext_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 5%-winsorized aggregates per group: instead of DROPPING each
+    tail's ceil(n/20) values (ext_trimmed_mean), CLAMP them to the
+    boundary values — the robust mean that keeps n constant, which is
+    what monitoring dashboards want when group sizes must stay
+    comparable.  Emits the clamp values and the exact winsorized integer
+    cents sum.
+
+    Plan: the SAME bounded (group, cents) histogram + per-group running
+    totals as ext_trimmed_mean — the middle mass is the identical
+    interval-overlap arithmetic, and the two clamp values are
+    operators/stats.py:exact_rank_value probes (rank cut+1 and n−cut)
+    riding the SAME combinable aggregation pass, so winsorizing costs
+    nothing beyond the trim: no per-row ranks, window input bounded by
+    the value domain, never corpus rows."""
+    from pyspark.sql import Window
+
+    from remote_shuffle_spark.operators.stats import exact_rank_value
+
+    ev = _event_cents(spark, sf_dir).select("event_type", "cents")
+    hist = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wg = Window.partitionBy("event_type")
+    h = (
+        hist.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                wg.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("n", F.sum("cnt").over(wg))
+        .withColumn("cut", F.expr("(n + 19) div 20"))
+    )
+    k = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - F.col("cut"))
+        - F.greatest(F.col("cum") - F.col("cnt"), F.col("cut")),
+    )
+    per = h.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("cut").alias("_cut"),
+        exact_rank_value(F.col("cut") + 1, "cents").alias("lo_clamp_cents"),
+        exact_rank_value(F.col("n") - F.col("cut"), "cents").alias("hi_clamp_cents"),
+        F.sum(k * F.col("cents")).alias("_mid"),
+    )
+    return per.select(
+        "event_type",
+        "n",
+        "lo_clamp_cents",
+        "hi_clamp_cents",
+        (
+            F.col("_mid")
+            + F.col("_cut") * (F.col("lo_clamp_cents") + F.col("hi_clamp_cents"))
+        )
+        .cast("long")
+        .alias("winsor_sum_cents"),
+    ).orderBy("event_type")
+
+
+@declared(
+    "ext_weighted_quantiles",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+      WHERE CAST(l_quantity AS BIGINT) > 0 AND l_extendedprice IS NOT NULL
+    ),
+    h AS (SELECT v, SUM(w) AS cnt FROM c GROUP BY v),
+    r AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+    t AS (SELECT SUM(w) AS wt FROM c)
+    SELECT CAST(t.wt AS BIGINT) AS total_weight,
+           CAST(MAX(CASE WHEN cum - cnt < (wt + 3) // 4
+                          AND (wt + 3) // 4 <= cum THEN v END) AS BIGINT) AS p25_cents,
+           CAST(MAX(CASE WHEN cum - cnt < (wt + 1) // 2
+                          AND (wt + 1) // 2 <= cum THEN v END) AS BIGINT) AS p50_cents,
+           CAST(MAX(CASE WHEN cum - cnt < (3 * wt + 3) // 4
+                          AND (3 * wt + 3) // 4 <= cum THEN v END) AS BIGINT) AS p75_cents
+    FROM r, t GROUP BY t.wt
+    """,
+    tags=("ext", "stats"),
+)
+def ext_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted quantiles: the quantity-weighted quartiles of the
+    line-item price — "the price of the median UNIT SOLD", not the
+    median order line — the form every revenue/pricing dashboard
+    actually wants, and the declared exercise of histogram_cdf's
+    weighted path (weight_col sums integer multiplicities per distinct
+    value; the strictly-positive contract is enforced by the w > 0
+    filter on both sides).
+
+    Plan: one map-side-combined (value → Σweight) histogram, the
+    two-phase exact running total, then all three quartile probes are
+    exact_rank_value reads riding ONE combinable aggregation pass —
+    ranks ceil(W/4), ceil(W/2), ceil(3W/4) in the (cum−cnt, cum]
+    interval identity; the corpus is never ranked row-by-row."""
+    from remote_shuffle_spark.operators.stats import exact_rank_value, histogram_cdf
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)"
+            ).alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .filter((F.col("w") > 0) & F.col("cents").isNotNull())
+    )
+    hist = histogram_cdf(li, "cents", weight_col="w")
+    wt = int(hist.agg(F.max("cum")).collect()[0][0] or 0)
+    r25, r50, r75 = (wt + 3) // 4, (wt + 1) // 2, (3 * wt + 3) // 4
+    return hist.agg(
+        F.lit(wt).cast("long").alias("total_weight"),
+        exact_rank_value(F.lit(r25), "cents").alias("p25_cents"),
+        exact_rank_value(F.lit(r50), "cents").alias("p50_cents"),
+        exact_rank_value(F.lit(r75), "cents").alias("p75_cents"),
+    )
+
+
+@declared(
     "ext_autocorr_lag1",
     oracle="""
     WITH daily AS (
