@@ -15297,6 +15297,191 @@ def ext_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bootstrap_w(b: int):
+    """Deterministic Poisson(1) weight for replicate ``b``: LCG-uniform
+    on 0..1e6 from (event_id, b), quantized through the exact cumulative
+    thresholds P(0)=.367879, P(<=1)=.735759, ... — pure integer
+    arithmetic, replayed bit-for-bit by the SQL oracles."""
+    u = (F.col("event_id") * 2654435761 + b * 1000003) % 1000000
+    return (
+        F.when(u < 367879, 0)
+        .when(u < 735759, 1)
+        .when(u < 919699, 2)
+        .when(u < 981012, 3)
+        .when(u < 996340, 4)
+        .otherwise(5)
+    )
+
+
+def _bootstrap_replicate_means(ev: DataFrame, B: int, *group_cols: str) -> DataFrame:
+    """(group_cols..., mean_fp) integer fixed-point replicate means, one
+    row per (group, replicate), computed WITHOUT row expansion: 2·B
+    aggregate expressions (Σw_b, Σw_b·x) in one codegen pass, then a
+    stack() melt of the B replicate columns."""
+    aggs = []
+    for b in range(B):
+        wb = _bootstrap_w(b)
+        aggs.append(F.sum(wb).alias(f"_w{b}"))
+        aggs.append(F.sum(wb * F.col("cents")).alias(f"_x{b}"))
+    g = ev.groupBy(*group_cols).agg(*aggs) if group_cols else ev.agg(*aggs)
+    stack = (
+        f"stack({B}, "
+        + ", ".join(f"{b}, _w{b}, _x{b}" for b in range(B))
+        + ") as (b, w_sum, wx_sum)"
+    )
+    return g.select(
+        *group_cols, F.expr(stack)
+    ).select(
+        *group_cols,
+        "b",
+        F.expr("CAST((wx_sum * 10000) DIV w_sum AS BIGINT)").alias("mean_fp"),
+    )
+
+
+@declared(
+    "ext_bootstrap_ci",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, {_CENTS_SQL} AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    wts AS (
+      SELECT b, cents,
+             CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                  WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                  WHEN u < 996340 THEN 4 ELSE 5 END AS w
+      FROM (
+        SELECT b, cents,
+               (event_id * 2654435761 + b * 1000003) % 1000000 AS u
+        FROM c CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+      )
+    ),
+    m AS (
+      SELECT b, CAST((SUM(w * cents) * 10000) // SUM(w) AS BIGINT) AS mean_fp
+      FROM wts GROUP BY b
+    ),
+    pt AS (
+      SELECT CAST((SUM(cents) * 10000) // COUNT(*) AS BIGINT) AS point_mean_fp
+      FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           MAX(pt.point_mean_fp) AS point_mean_fp,
+           CAST(list_sort(list(mean_fp))[2] AS BIGINT) AS ci_lo_fp,
+           CAST(list_sort(list(mean_fp))[31] AS BIGINT) AS ci_hi_fp
+    FROM m CROSS JOIN pt
+    """,
+    tags=("ext", "stats"),
+)
+def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value —
+    THE scalable bootstrap (per-row independent Poisson(1) resample
+    weights instead of a multinomial over the corpus, so each replicate
+    is a combinable weighted aggregate; no resampled copies of the data
+    ever materialize).  32 replicates; the CI is the (2nd, 31st) order
+    statistics of the replicate means (~93.75% coverage).
+
+    Determinism: the Poisson(1) draw is an LCG-uniform on the 0..1e6
+    domain quantized through the exact cumulative thresholds
+    (P(0)=.367879, P(≤1)=.735759, ...), derived from (event_id, b) with
+    pure integer arithmetic — both engines replay it bit-for-bit.
+    Replicate means are INTEGER fixed-point (x10000, floor division), so
+    the whole output value-hashes without float compare.
+
+    Scale shape: NO row expansion — all 32 replicates' (Σw, Σw·x) pairs
+    are 64 aggregate expressions in ONE whole-stage-codegen pass over
+    the corpus (the oracle's 32x CROSS JOIN is the replay, not the
+    plan); the 1-row result stacks into the 32-row replicate frame for
+    the order-statistics agg.  Int64 ceiling: wx_sum x 10000 overflows
+    past ~9e14 cents-mass per replicate — at corpus scale accumulate
+    DECIMAL(38,0) exactly like ext_gini_index."""
+    ev = _event_cents(spark, sf_dir).select("event_id", "cents")
+    B = 32
+    means = _bootstrap_replicate_means(ev, B)
+    pt = ev.agg(
+        F.expr("CAST((SUM(cents) * 10000) DIV COUNT(*) AS BIGINT)").alias(
+            "point_mean_fp"
+        )
+    )
+    return means.crossJoin(F.broadcast(pt)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.max("point_mean_fp").alias("point_mean_fp"),
+        F.element_at(F.sort_array(F.collect_list("mean_fp")), 2).alias("ci_lo_fp"),
+        F.element_at(F.sort_array(F.collect_list("mean_fp")), 31).alias("ci_hi_fp"),
+    )
+
+
+@declared(
+    "ext_bootstrap_ci_grouped",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, event_type, {_CENTS_SQL} AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    wts AS (
+      SELECT b, event_type, cents,
+             CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                  WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                  WHEN u < 996340 THEN 4 ELSE 5 END AS w
+      FROM (
+        SELECT b, event_type, cents,
+               (event_id * 2654435761 + b * 1000003) % 1000000 AS u
+        FROM c CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+      )
+    ),
+    m AS (
+      SELECT event_type, b,
+             CAST((SUM(w * cents) * 10000) // SUM(w) AS BIGINT) AS mean_fp
+      FROM wts GROUP BY event_type, b
+    ),
+    pt AS (
+      SELECT event_type,
+             CAST((SUM(cents) * 10000) // COUNT(*) AS BIGINT) AS point_mean_fp
+      FROM c GROUP BY event_type
+    )
+    SELECT m.event_type, CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           MAX(pt.point_mean_fp) AS point_mean_fp,
+           CAST(list_sort(list(m.mean_fp))[2] AS BIGINT) AS ci_lo_fp,
+           CAST(list_sort(list(m.mean_fp))[31] AS BIGINT) AS ci_hi_fp
+    FROM m JOIN pt USING (event_type)
+    GROUP BY m.event_type
+    ORDER BY m.event_type
+    """,
+    tags=("ext", "stats"),
+)
+def ext_bootstrap_ci_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Poisson-bootstrap CIs: the grouped form of
+    ext_bootstrap_ci — one (point estimate, ~93.75% CI) row per
+    event_type, which is what a metrics dashboard actually renders
+    (error bars per segment, not one corpus-wide band).  Same
+    deterministic LCG-Poisson weights and integer fixed-point means.
+
+    Scale shape: like the global form, NO row expansion — the 64
+    replicate aggregates ride the one combinable groupBy(event_type)
+    pass, so the shuffle carries |groups| wide rows per map partition;
+    the order-statistics pass runs over the |groups| x 32 replicate
+    frame — bounded by segment cardinality, never corpus rows."""
+    ev = _event_cents(spark, sf_dir).select("event_id", "event_type", "cents")
+    means = _bootstrap_replicate_means(ev, 32, "event_type")
+    pt = ev.groupBy("event_type").agg(
+        F.expr("CAST((SUM(cents) * 10000) DIV COUNT(*) AS BIGINT)").alias(
+            "point_mean_fp"
+        )
+    )
+    return (
+        means.join(pt, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replicates"),
+            F.max("point_mean_fp").alias("point_mean_fp"),
+            F.element_at(F.sort_array(F.collect_list("mean_fp")), 2).alias("ci_lo_fp"),
+            F.element_at(F.sort_array(F.collect_list("mean_fp")), 31).alias("ci_hi_fp"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @declared(
     "ext_autocorr_lag1",
     oracle="""
