@@ -790,3 +790,20 @@ def test_global_window_detector_shapes(spark):
             explain.assert_no_global_window(df)
     for df in quiet:
         explain.assert_no_global_window(df)
+
+
+@pytest.mark.parametrize("name", ["ext_bootstrap_ci", "ext_bootstrap_ci_grouped"])
+def test_bootstrap_ci_no_row_expansion(spark, sf_smoke, name):
+    """r14: the Poisson-bootstrap replicates must ride 64 aggregate
+    expressions in one pass, never an explode of the corpus — a Generate
+    node (or any Window) in the plan means the 32x row expansion crept
+    back (measured 2x slower at sf0.1)."""
+    import __spark_entry__  # noqa: F401 — populate the EXT registry
+
+    df = REGISTRY[name].fn(spark, sf_smoke)
+    plan = _plan(df)
+    # the stack() melt IS a Generate, but over the post-aggregation
+    # replicate frame (1 or |groups| rows) — only an explode (the 32x
+    # corpus expansion) is the scale bug
+    assert "explode(" not in plan.lower(), plan[:800]
+    explain.assert_no_global_window(df)
