@@ -13353,19 +13353,22 @@ def ext_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap_us").isNotNull()).select(
         F.expr("gap_us div 1000000").alias("gap_sec")
     )
-    hist = histogram_cdf(gaps, "gap_sec")
-    totals = hist.agg(
-        F.sum("cnt").alias("n"), F.max("gap_sec").alias("_mx")
-    )
-    j = hist.crossJoin(F.broadcast(totals))
-    return j.agg(
-        F.max("n").alias("n_gaps"),
-        exact_rank_value(F.expr("(n + 1) div 2"), "gap_sec").alias("p50_sec"),
-        exact_rank_value(F.expr("(9 * n + 9) div 10"), "gap_sec").alias("p90_sec"),
-        exact_rank_value(F.expr("(99 * n + 99) div 100"), "gap_sec").alias(
+    # n comes out of histogram_cdf's driver-side subtotal sum (total_out)
+    # — the old totals frame paid a full extra aggregation pass over the
+    # cdf plus a broadcast crossJoin for numbers the driver already had.
+    # Rank probes become integer literals; F.max(F.lit(n)) keeps the
+    # empty-input row NULL exactly like the crossJoin-with-empty did.
+    tot: list = []
+    hist = histogram_cdf(gaps, "gap_sec", total_out=tot)
+    n = int(tot[0] if tot else 0)
+    return hist.agg(
+        F.max(F.lit(n).cast("long")).alias("n_gaps"),
+        exact_rank_value(F.lit((n + 1) // 2), "gap_sec").alias("p50_sec"),
+        exact_rank_value(F.lit((9 * n + 9) // 10), "gap_sec").alias("p90_sec"),
+        exact_rank_value(F.lit((99 * n + 99) // 100), "gap_sec").alias(
             "p99_sec"
         ),
-        F.max("_mx").alias("max_sec"),
+        F.max("gap_sec").alias("max_sec"),
     )
 
 
@@ -13410,20 +13413,23 @@ def ext_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars").isNotNull()
     )
-    hist = histogram_cdf(docs.select("n_chars"), "n_chars")
-    totals = hist.agg(F.sum("cnt").alias("n"), F.max("n_chars").alias("_mx"))
-    j = hist.crossJoin(F.broadcast(totals))
-    return j.agg(
-        F.max("n").alias("n_docs"),
-        exact_rank_value(F.expr("(n + 3) div 4"), "n_chars").alias("p25_chars"),
-        exact_rank_value(F.expr("(n + 1) div 2"), "n_chars").alias("p50_chars"),
-        exact_rank_value(F.expr("(3 * n + 3) div 4"), "n_chars").alias(
+    # same move as ext_gap_distribution: n from total_out, ranks as
+    # literals, max directly in the one final agg — the totals pass and
+    # its broadcast crossJoin are gone.
+    tot: list = []
+    hist = histogram_cdf(docs.select("n_chars"), "n_chars", total_out=tot)
+    n = int(tot[0] if tot else 0)
+    return hist.agg(
+        F.max(F.lit(n).cast("long")).alias("n_docs"),
+        exact_rank_value(F.lit((n + 3) // 4), "n_chars").alias("p25_chars"),
+        exact_rank_value(F.lit((n + 1) // 2), "n_chars").alias("p50_chars"),
+        exact_rank_value(F.lit((3 * n + 3) // 4), "n_chars").alias(
             "p75_chars"
         ),
-        exact_rank_value(F.expr("(19 * n + 19) div 20"), "n_chars").alias(
+        exact_rank_value(F.lit((19 * n + 19) // 20), "n_chars").alias(
             "p95_chars"
         ),
-        F.max("_mx").alias("max_chars"),
+        F.max("n_chars").alias("max_chars"),
     )
 
 
@@ -15037,15 +15043,18 @@ def ext_lorenz_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("cents").alias("x"))
     )
-    hist = histogram_cdf(prof, "x")
+    # n from histogram_cdf's driver-side subtotal sum (total_out): the
+    # totals aggregation pass and its broadcast crossJoin are gone; the
+    # k-boundaries are integer literals in the one remaining agg.
+    tot: list = []
+    hist = histogram_cdf(prof, "x", total_out=tot)
+    n = int(tot[0] if tot else 0)
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    totals = hist.agg(F.sum("cnt").alias("n"))
-    j = hist.crossJoin(F.broadcast(totals))
 
-    def top_mass(k):
+    def top_mass(k: int):
         ov = F.greatest(
             F.lit(0).cast("long"),
-            F.col("cum") - F.greatest(F.col("cum") - F.col("cnt"), F.col("n") - k),
+            F.col("cum") - F.greatest(F.col("cum") - F.col("cnt"), F.lit(n - k)),
         )
         # COALESCE mirrors the oracle: on an empty profile table the sum is
         # NULL there too, and the oracle pins the answer to 0 (r13 advice).
@@ -15053,14 +15062,16 @@ def ext_lorenz_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(d(F.col("x")) * d(ov)), F.lit(0).cast("decimal(38,0)")
         ).cast("long")
 
-    k1 = F.expr("(n + 99) div 100")
-    k10 = F.expr("(n + 9) div 10")
-    return j.agg(
-        F.max("n").alias("n_users"),
+    k1 = (n + 99) // 100
+    k10 = (n + 9) // 10
+    # F.max(F.lit(...)) keeps the empty-input row NULL exactly like the
+    # old crossJoin-with-empty-hist aggregation did.
+    return hist.agg(
+        F.max(F.lit(n).cast("long")).alias("n_users"),
         F.sum(d(F.col("x")) * d(F.col("cnt"))).cast("long").alias("total_cents"),
-        F.max(k1).alias("top1_users"),
+        F.max(F.lit(k1).cast("long")).alias("top1_users"),
         top_mass(k1).alias("top1_cents"),
-        F.max(k10).alias("top10_users"),
+        F.max(F.lit(k10).cast("long")).alias("top10_users"),
         top_mass(k10).alias("top10_cents"),
     )
 
@@ -15286,8 +15297,13 @@ def ext_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("w") > 0) & F.col("cents").isNotNull())
     )
-    hist = histogram_cdf(li, "cents", weight_col="w")
-    wt = int(hist.agg(F.max("cum")).collect()[0][0] or 0)
+    # total weight rides out of histogram_cdf's own driver-side subtotal
+    # sum (total_out) — the old max(cum) probe paid a whole extra
+    # broadcast-join + window pass over the cdf output for the same
+    # number (one full pass of the 3 the query ran; ~0 extra jobs now).
+    tot: list = []
+    hist = histogram_cdf(li, "cents", weight_col="w", total_out=tot)
+    wt = int(tot[0] if tot else 0)
     r25, r50, r75 = (wt + 3) // 4, (wt + 1) // 2, (3 * wt + 3) // 4
     return hist.agg(
         F.lit(wt).cast("long").alias("total_weight"),

@@ -259,14 +259,20 @@ def fuzzy_self_join_blocked(
             | ((F.col("la") == F.col("lb")) & (F.col("ka") < F.col("kb")))
         )
         first = F.col("ka") < F.col("kb")
+        # THRESHOLD form (Spark 3.5+): levenshtein(l, r, k) early-exits the
+        # DP once the distance provably exceeds k and returns -1 — O(n·k)
+        # per pair instead of O(n²), and the verify is the per-pair hot
+        # loop.  dist values for surviving pairs are identical to the
+        # unbounded form, so results are unchanged (filter >= 0 ≡ <= k).
         return cand.select(
             F.least("ka", "kb").alias("id_a"),
             F.greatest("ka", "kb").alias("id_b"),
             F.levenshtein(
                 F.when(first, F.col("ta")).otherwise(F.col("tb")),
                 F.when(first, F.col("tb")).otherwise(F.col("ta")),
+                max_distance,
             ).alias("dist"),
-        ).filter(F.col("dist") <= max_distance)
+        ).filter(F.col("dist") >= 0)
 
     prefix_pairs = _pass(F.substring(F.col(text_col), 1, block_prefix))
     if not suffix_block:
@@ -409,9 +415,11 @@ def fuzzy_self_join_segments(
         F.when(first, F.col("ta")).otherwise(F.col("tb")).alias("sa"),
         F.when(first, F.col("tb")).otherwise(F.col("ta")).alias("sb"),
     ).distinct()  # a pair can match in several (i, delta) blocks: verify once
+    # threshold form: early-exit DP at distance d, -1 past it — identical
+    # dist for surviving pairs (see fuzzy_self_join_blocked)
     return pairs.select(
-        "id_a", "id_b", F.levenshtein("sa", "sb").alias("dist")
-    ).filter(F.col("dist") <= d)
+        "id_a", "id_b", F.levenshtein("sa", "sb", d).alias("dist")
+    ).filter(F.col("dist") >= 0)
 
 
 def interval_overlap_join(

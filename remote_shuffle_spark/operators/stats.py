@@ -312,6 +312,7 @@ def histogram_cdf(
     cnt_col: str = "cnt",
     cum_col: str = "cum",
     num_partitions: int | None = None,
+    total_out: list | None = None,
 ) -> DataFrame:
     """(value, cnt, cum) histogram with an EXACT inclusive running total
     in ascending ``value_col`` order — the distributed stage 2 of an
@@ -346,6 +347,14 @@ def histogram_cdf(
     :func:`exact_rank_value` and every exact-rank caller rely on.
     Callers with zero-weight rows must filter them out first (a value
     with multiplicity 0 simply isn't in the multiset).
+
+    ``total_out``: pass an empty list to ALSO receive the total mass
+    (Σcnt == the final ``cum``) appended as ``total_out[0]`` — the
+    per-partition subtotals are summed on the driver anyway to build the
+    offset table, so the grand total is free; callers that need N for
+    rank arithmetic (quantile probes) read it here instead of paying a
+    max(cum) aggregation pass over the cdf output (or, worse, a second
+    corpus scan).
     """
     from pyspark.sql import Window as W
 
@@ -383,6 +392,8 @@ def histogram_cdf(
     for r in sorted(subtotals, key=lambda r: r._pid):
         offsets.append((int(r._pid), running))
         running += int(r._n)
+    if total_out is not None:
+        total_out.append(running)
     if not offsets:
         return part.withColumn(cum_col, F.lit(None).cast("long")).drop("_pid")
     offsets_df = F.broadcast(

@@ -75,10 +75,17 @@ class FirstNPerKey(StatefulProcessor):
         import pandas as pd
 
         pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
-        taken = self.count.get()[0] if self.count.exists() else 0
+        # ONE state read: get() returns None for an absent value (status 0,
+        # empty payload — probed against the JVM state server), so the
+        # exists()+get() pair folds into a single protocol round trip; and
+        # a batch that takes nothing leaves the count unchanged, so the
+        # write is skipped too.  Round trips per saturated key per batch:
+        # 3 -> 1 (the family's dominant cost is keys x batches x trips).
+        prev = self.count.get()
+        taken = prev[0] if prev is not None else 0
         take = pdf.head(max(0, self.n - taken))
-        self.count.update((taken + len(take),))
         if len(take):
+            self.count.update((taken + len(take),))
             yield take[["user_id", "event_id"]]
 
     def close(self) -> None:
@@ -244,9 +251,15 @@ class TypeCountsProcessor(StatefulProcessor):
                 raise RuntimeError(
                     f"ListState round-trip lost rows: {n_seen} != {len(pdf)}"
                 )
+            # ContainsKey protocol exercise ONCE per key (bounded, like
+            # the list walk above): the hot path below uses the
+            # one-round-trip getValue-returns-None contract instead of a
+            # containsKey+getValue pair per (key, etype, batch).
+            if self.counts.containsKey((str(pdf["event_type"].iloc[0]),)):
+                raise RuntimeError("containsKey true before first updateValue")
         out = []
         for etype, cnt in pdf.groupby("event_type").size().items():
-            prev = self.counts.getValue((etype,)) if self.counts.containsKey((etype,)) else None
+            prev = self.counts.getValue((etype,))
             total = (prev[0] if prev else 0) + int(cnt)
             self.counts.updateValue((etype,), (total,))
             out.append((key[0], etype, total))
@@ -443,7 +456,10 @@ class SeededCountProcessor(StatefulProcessor):
         import pandas as pd
 
         n = sum(len(pdf) for pdf in rows)
-        prev = self.total.get()[0] if self.total.exists() else 0
+        # get() returns None for absent state (one round trip instead of
+        # the exists()+get() pair — see FirstNPerKey)
+        got = self.total.get()
+        prev = got[0] if got is not None else 0
         self.total.update((prev + n,))
         yield pd.DataFrame([(int(key[0]), prev + n)], columns=["user_id", "total"])
 
@@ -541,8 +557,10 @@ class RowMinMaxProcessor(StatefulProcessor):
             hi = e if hi is None or e > hi else hi
         if lo is None:
             return
-        if self.bounds.exists():
-            plo, phi = self.bounds.get()
+        # one-round-trip read: get() is None for absent state
+        prev = self.bounds.get()
+        if prev is not None:
+            plo, phi = prev
             lo, hi = min(lo, plo), max(hi, phi)
         self.bounds.update((lo, hi))
         yield Row(user_id=key[0], min_event=lo, max_event=hi)
@@ -625,7 +643,11 @@ class TTLCountProcessor(StatefulProcessor):
         import pandas as pd
 
         add = sum(len(p) for p in rows)
-        prev = self.n.get()[0] if self.n.exists() else 0
+        # one-round-trip read (get() is None for absent state); the TTL
+        # path is still exercised — the read on later batches goes through
+        # the TTL-aware value state the same way exists() did
+        got = self.n.get()
+        prev = got[0] if got is not None else 0
         self.n.update((prev + add,))
         yield pd.DataFrame([(int(key[0]), prev + add)], columns=["user_id", "total"])
 

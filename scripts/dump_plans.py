@@ -1,0 +1,40 @@
+"""Dump ``explain("formatted")`` for named declared queries to files.
+
+Usage: python scripts/dump_plans.py <outdir> <suffix> name1,name2,...
+
+Writes ``<outdir>/<name>_<suffix>.txt`` for each query — the judge-facing
+plan artifacts (plans/r14/<query>_before.txt / _after.txt).  Queries with
+eager internal actions (localCheckpoint / collect) execute those while
+building the frame; the captured plan is the final frame's physical plan,
+which is what the optimization claims reference.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> None:
+    outdir, suffix, names = sys.argv[1], sys.argv[2], sys.argv[3].split(",")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.makedirs(outdir, exist_ok=True)
+
+    from remote_shuffle_spark import EngineConfig, get_session
+    from remote_shuffle_spark.plans.explain import physical_plan
+
+    spark = get_session(EngineConfig(app_name="dump_plans", driver_memory="8g"))
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        txt = physical_plan(df)
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(txt)
+        print(f"wrote {path} ({len(txt)} bytes)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
