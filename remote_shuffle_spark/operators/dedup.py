@@ -1335,9 +1335,10 @@ def incremental_minhash_dedup(
     if pushdown_keys_limit is not None:
         # the key collection below re-reads the band frame the join also
         # needs — materialize it once (∝ delta); the join-only path reads
-        # it once and skips the checkpoint job
+        # it once and skips the checkpoint job.  Lazy: the keys collect is
+        # the sole first consumer, so one job computes + persists.
         if materialize:
-            delta_bands = delta_bands.localCheckpoint(eager=True)
+            delta_bands = delta_bands.localCheckpoint(eager=False)
         keys = [
             r[0]
             for r in delta_bands.select("_mm_bucket")

@@ -101,10 +101,11 @@ def connected_components(
             )
         )
         # persist the new frontier: it feeds both the convergence count and
-        # the next iteration (and the count is the iteration's action, so
-        # materialization happens exactly once); truncate lineage so plans
-        # don't grow linearly with iterations
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # the next iteration, and lineage is truncated so plans don't grow
+        # with the loop.  LAZY checkpoint + count = ONE job per iteration
+        # (the count's job computes the frame and persists it as a side
+        # effect) where eager + count paid two driver round trips.
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("label") != F.col("_old")).count()
         labels = new_labels.drop("_old")
         if changed == 0:
@@ -256,7 +257,9 @@ def bfs_levels(
             .distinct()
             .join(levels, "u", "left_anti")
             .withColumn("level", F.lit(k))
-            .localCheckpoint(eager=True)
+            # lazy: the count below computes + persists in ONE job per
+            # round (eager + count was two driver round trips per round)
+            .localCheckpoint(eager=False)
         )
         if frontier.count() == 0:
             break
@@ -439,7 +442,12 @@ def label_propagation(
             counts.groupBy("u")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("m"))
             .select(F.col("u").alias("v"), F.col("m.label").alias("label"))
-        ).localCheckpoint(eager=True)
+            # lazy: no per-iteration action exists here, so the caller's
+            # ONE action computes the whole loop, persisting each round's
+            # frame as it goes — plans stay truncated (LogicalRDD swap
+            # happens at checkpoint-mark time), but the driver no longer
+            # pays an eager job per iteration.
+        ).localCheckpoint(eager=False)
     return labels
 
 
@@ -489,6 +497,11 @@ def kcore_peel(
             cur.join(keep.withColumnRenamed("v", "a"), "a")
             .join(keep.withColumnRenamed("v", "b"), "b")
             .select("a", "b")
+            # eager stays: the round's report action reads this frame via
+            # TWO parallel aggregate branches (new_sym agg + edge count) —
+            # a lazy checkpoint could compute it twice concurrently before
+            # the cache lands; the BFS/CC loops fold eager+count instead
+            # because their count is the frame's ONLY consumer.
         ).localCheckpoint(eager=True)
         new_sym = cur.union(
             cur.select(F.col("b").alias("a"), F.col("a").alias("b"))

@@ -77,10 +77,11 @@ def with_global_index(
     order rows WITHIN a partition — e.g. the keys of the
     repartitionByRange+sortWithinPartitions the caller just did): the
     local index is a per-partition ``row_number()`` window — pure JVM,
-    no Python in the data path.  The input is eagerly localCheckpoint'ed
-    first, both so the count phase and the window phase see identical
-    partitioning (range boundary sampling is per-execution) and so the
-    window's hash exchange on the partition id reads materialized blocks.
+    no Python in the data path.  The input is localCheckpoint'ed first
+    (lazily — the count phase's collect materializes it), both so the
+    count phase and the window phase see identical partitioning (range
+    boundary sampling is per-execution) and so the window's hash
+    exchange on the partition id reads materialized blocks.
 
     ``order_by=None`` falls back to tagging rows in raw iterator order
     via the RDD API — the only way to number an UNORDERED partition —
@@ -95,7 +96,11 @@ def with_global_index(
     spark = df.sparkSession
 
     if order_by is not None:
-        part = df.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+        # lazy checkpoint: the counts collect right below is the frame's
+        # sole first consumer, so it computes AND persists the frame in
+        # ONE job (eager + collect paid two); the window phase then reads
+        # the same persisted blocks — partitioning is pinned identically.
+        part = df.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
         counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
         offsets, running = {}, 0
         for r in sorted(counts, key=lambda r: r._pid):
@@ -283,7 +288,9 @@ def chunk_sequences(
     part = (
         df.repartitionByRange(n_parts, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy: the per_part collect computes + persists in one job (see
+        # with_global_index); the window phase reads the pinned blocks
+        .localCheckpoint(eager=False)
     )
     per_part = part.groupBy("_pid").agg(F.sum(F.col(weight_col)).alias("_w")).collect()
     offsets, running = {}, 0
@@ -351,7 +358,9 @@ def running_total(
     part = (
         df.repartitionByRange(n_parts, *gcols, *order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy: the per_part collect computes + persists in one job (see
+        # with_global_index); the window phase reads the pinned blocks
+        .localCheckpoint(eager=False)
     )
     per_part = (
         part.groupBy(*groups, "_pid").agg(F.sum(F.col(weight_col)).alias("_w")).collect()

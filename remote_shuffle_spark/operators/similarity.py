@@ -1298,7 +1298,10 @@ def ivf_pq_indexed_topk(
         )
         .filter(F.col("_rn") <= nprobe)
         .select("_pid", F.col("cid").alias("cell"))
-        .localCheckpoint(eager=True)  # probes x nprobe rows; read twice
+        # lazy (probes x nprobe rows; read twice): the cells collect is
+        # the sole first consumer — one job computes + persists; the
+        # broadcast build below reads the persisted blocks
+        .localCheckpoint(eager=False)
     )
     cells = [r[0] for r in probecells.select("cell").distinct().collect()]
 

@@ -328,8 +328,9 @@ def histogram_cdf(
     ≪ corpus); the running total over that histogram is two-phase in
     the :func:`~remote_shuffle_spark.operators.pipeline.with_global_index`
     discipline — repartitionByRange + sortWithinPartitions on the value
-    (eagerly localCheckpoint'ed so the subtotal phase and the window
-    phase see identical range boundaries), per-partition subtotals
+    (localCheckpoint'ed, materialized by the subtotal collect, so the
+    subtotal phase and the window phase see identical range boundaries),
+    per-partition subtotals
     collected driver-side (ONE row per partition, bounded by the range
     exchange's width — ``num_partitions`` when given, else the session's
     shuffle-partition setting), cumulative offsets broadcast back, and a
@@ -372,7 +373,7 @@ def histogram_cdf(
     # cluster preset scales it to ~2.5x total cores) and AQE may coalesce
     # the exchange when the histogram is small — so the per-partition
     # window input stays bounded as the distinct-value domain grows,
-    # instead of a hard-coded 32 (r13 verdict item 6).  The eager
+    # instead of a hard-coded 32 (r13 verdict item 6).  The
     # localCheckpoint below pins whatever layout was chosen for both the
     # subtotal and window phases, so results are layout-invariant either
     # way (scripts/partition_invariance_probe.py).  The offsets collect is
@@ -385,7 +386,12 @@ def histogram_cdf(
     part = (
         ranged.sortWithinPartitions(value_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy checkpoint: the subtotals collect below is the sole first
+        # consumer, so one job computes AND persists the frame (eager +
+        # collect paid two driver round trips); the window phase reads
+        # the same persisted blocks — the chosen range layout stays
+        # pinned for both phases exactly as before.
+        .localCheckpoint(eager=False)
     )
     subtotals = part.groupBy("_pid").agg(F.sum(cnt_col).alias("_n")).collect()
     offsets, running = [], 0

@@ -624,7 +624,10 @@ def bpe_train(
             F.array_join(F.split("word", ""), "|").alias("repr"), "cnt"
         )
     )
-    cur = vocab.localCheckpoint(eager=True)
+    # lazy: round 1's argmax collect is the sole first consumer — it
+    # computes + persists the vocab in its own job (same fold as the
+    # in-loop checkpoint below)
+    cur = vocab.localCheckpoint(eager=False)
     out_rows = []
     for rnd in range(1, num_merges + 1):
         sym = F.split("repr", r"\|")
@@ -650,7 +653,9 @@ def bpe_train(
         a, b, pc = best.a, best.b, int(best.pc)
         cur = cur.select(
             _bpe_merge_fold(F.split("repr", r"\|"), a, b).alias("repr"), "cnt"
-        ).localCheckpoint(eager=True)
+            # lazy: the total collect right below computes + persists the
+            # merged vocab in ONE job per round (eager + collect paid two)
+        ).localCheckpoint(eager=False)
         total = cur.select(
             F.sum(F.size(F.split("repr", r"\|")) * F.col("cnt")).alias("t")
         ).collect()[0].t
