@@ -9554,6 +9554,7 @@ def ext_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from remote_shuffle_spark.functions.hashing import tokens as _toks
     from remote_shuffle_spark.operators.dedup import (
+        corpus_text_hashes,
         incremental_minhash_dedup,
         minhash_band_index,
         minhash_band_index_refresh,
@@ -9578,12 +9579,19 @@ def ext_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_minhash_band_index(
             minhash_band_index(corpus, "doc_id", "text"), path, num_files=4
         )
+        # exact-tier hash set computed ONCE from the base corpus (lazy
+        # checkpoint — g1's anti-join materializes it) and EXTENDED with
+        # g2's new docs: distinct(distinct(A) ∪ B) = distinct(A ∪ B), so
+        # g2 sees the identical set while the corpus-proportional
+        # re-hash it used to pay becomes a delta-proportional union.
+        ch1 = corpus_text_hashes(corpus, "text").localCheckpoint(eager=False)
         r1 = incremental_minhash_dedup(
             delta1,
             corpus,
             "doc_id",
             "text",
             band_index=spark.read.parquet(path),
+            corpus_hashes=ch1,
         ).localCheckpoint(eager=True)  # statuses feed the report AND new1
         g1 = r1.groupBy("status").agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -9597,12 +9605,14 @@ def ext_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         minhash_band_index_refresh(spark, path, new1, "doc_id", "text")
         corpus2 = corpus.unionAll(new1)
+        ch2 = ch1.union(corpus_text_hashes(new1, "text")).distinct()
         r2 = incremental_minhash_dedup(
             delta2,
             corpus2,
             "doc_id",
             "text",
             band_index=spark.read.parquet(path),
+            corpus_hashes=ch2,
         )
         g2 = r2.groupBy("status").agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -10204,6 +10214,7 @@ def ext_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from remote_shuffle_spark.functions.hashing import tokens as _toks
     from remote_shuffle_spark.operators.dedup import (
+        corpus_text_hashes,
         incremental_minhash_dedup,
         minhash_band_index,
         minhash_band_index_refresh,
@@ -10232,9 +10243,21 @@ def ext_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         corpus.limit(0).write.parquet(extra)  # empty corpus-additions store
 
+        # exact-tier hash set of the BASE corpus, computed once for the
+        # whole streaming run (lazy checkpoint — batch 1's anti-join
+        # materializes it); each batch extends it with the hashes of the
+        # corpus-additions store instead of re-hashing the full corpus
+        # (distinct(distinct(A) ∪ B) = distinct(A ∪ B): identical set,
+        # delta-proportional work).  Durability note: the hash set is a
+        # per-invocation derivation — on executor loss it recomputes from
+        # the corpus, while the INGEST state proper stays in the
+        # persisted index/extra dirs exactly as before.
+        base_h = corpus_text_hashes(corpus, "text").localCheckpoint(eager=False)
+
         def handle(batch_df: DataFrame, batch_id: int) -> None:
             gen = f"g{batch_id + 1}"
-            corpus_now = corpus.unionByName(spark.read.parquet(extra))
+            extra_df = spark.read.parquet(extra)
+            corpus_now = corpus.unionByName(extra_df)
             res = (
                 incremental_minhash_dedup(
                     batch_df,
@@ -10242,6 +10265,9 @@ def ext_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id",
                     "text",
                     band_index=spark.read.parquet(idx),
+                    corpus_hashes=base_h.union(
+                        corpus_text_hashes(extra_df, "text")
+                    ).distinct(),
                 )
                 .withColumn("generation", F.lit(gen))
                 .localCheckpoint(eager=True)  # feeds statuses write + new1

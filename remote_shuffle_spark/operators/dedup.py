@@ -1238,6 +1238,18 @@ def write_minhash_band_index(index: DataFrame, path: str, *, num_files: int = 16
     )
 
 
+def corpus_text_hashes(df: DataFrame, text_col: str) -> DataFrame:
+    """The corpus's DISTINCT normalized-text xxhash64 set as a single
+    ``_h`` bigint column — the exact-tier key set of
+    :func:`incremental_minhash_dedup`, factored out so multi-generation
+    ingest loops build it ONCE from the base corpus and extend it per
+    generation (``hashes.union(corpus_text_hashes(new_docs, ...))
+    .distinct()``) instead of re-hashing the whole corpus every time."""
+    return df.select(
+        F.xxhash64(normalized_text(text_col)).alias("_h")
+    ).distinct()
+
+
 def incremental_minhash_dedup(
     delta_df: DataFrame,
     corpus_df: DataFrame,
@@ -1251,6 +1263,7 @@ def incremental_minhash_dedup(
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
     pushdown_keys_limit: int | None = None,
     materialize: bool = True,
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental EXACT + NEAR-dup dedup of an arriving delta against an
     existing corpus — the production ingest pattern (dedup the delta
@@ -1295,9 +1308,20 @@ def incremental_minhash_dedup(
     any post-hoc plan inspection) — used by the plan pins in
     tests/test_plans.py to audit the REAL pipeline; results are
     identical, production callers keep the default.
+
+    ``corpus_hashes``: optionally the corpus's DISTINCT normalized-text
+    xxhash64 set as a single ``_h`` bigint column
+    (:func:`corpus_text_hashes`) — multi-generation callers compute it
+    ONCE from the base corpus and extend it per ingest with the new
+    docs' hashes (``distinct(distinct(A) ∪ B) = distinct(A ∪ B)``, so
+    the exact-tier anti-join sees the identical set), replacing the
+    corpus-proportional re-hash every generation paid with a
+    delta-proportional union.  None (default) derives it from
+    ``corpus_df`` exactly as before.
     """
     h = F.xxhash64(normalized_text(text_col))
-    corpus_hashes = corpus_df.select(h.alias("_h")).distinct()
+    if corpus_hashes is None:
+        corpus_hashes = corpus_df.select(h.alias("_h")).distinct()
     # exact tier: LEFT SEMI marks exact dups, survivors continue
     delta_h = delta_df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text"), h.alias("_h")

@@ -489,6 +489,29 @@ def test_incremental_minhash_dedup_statuses_and_path_equivalence(spark, tmp_path
     }
     assert push_res == join_res
 
+    # corpus_hashes supplied externally (the multi-generation fast path:
+    # base-corpus hashes extended with the new docs' hashes) must see the
+    # identical exact-tier set — distinct(distinct(A) ∪ B) = distinct(A ∪ B)
+    base = corpus.filter(F.col("doc_id") < 3)
+    grown = corpus.filter(F.col("doc_id") >= 3)
+    extended = (
+        dedup.corpus_text_hashes(base, "text")
+        .union(dedup.corpus_text_hashes(grown, "text"))
+        .distinct()
+    )
+    ext_res = {
+        r.doc_id: r.status
+        for r in dedup.incremental_minhash_dedup(
+            delta,
+            corpus,
+            "doc_id",
+            "text",
+            band_index=index,
+            corpus_hashes=extended,
+        ).collect()
+    }
+    assert ext_res == join_res
+
 
 def test_incremental_minhash_index_drops_oversized_buckets_but_keeps_singletons(spark):
     """Index-build cap semantics: a bucket shared by more corpus docs than
