@@ -649,6 +649,20 @@ def pq_recall_at_k(
     vector — the structure a 100 TB vector store persists INSTEAD of raw
     floats; probes and LUTs broadcast.  Returns
     (probe_id, hits, recall_at_k).
+
+    Plan shape (same fold as :func:`_ivf_encode` / the indexed probe
+    path): the codebook is folded into ONE broadcast row of per-subspace
+    (j, cv) arrays, each corpus vector computes its m code argmins as a
+    per-row array expression, and ADC scoring is a per-row
+    ``aggregate(zip_with(codes, _lut))`` fold against a per-probe LUT-map
+    row — the corpus side plans no aggregation exchange.  A first cut
+    exploded every vector ×m subspaces against the codebook and
+    re-aggregated through ``groupBy(_id, _s)``, then re-aggregated ADC
+    through ``groupBy(_pid, _id)``; the argmin algebra is identical
+    (``array_min`` over (dist, id) structs ≡ ``min(struct)``:
+    lexicographic, ties to smallest id) and (_pid, _id) was unique under
+    the old grouping with exactly m integer addends, so the per-row fold
+    computes the identical sum — results unchanged.
     """
     d_sub = dim // num_subspaces
     m = num_subspaces
@@ -684,33 +698,72 @@ def pq_recall_at_k(
     # exactly num_centroids rows for any id domain.  On dense 0-based ids
     # (the fixture, and the oracle's WHERE id < n mirror) the two are
     # identical sets.
-    cents = F.broadcast(
-        _sub_explode(
-            df.orderBy(id_col).limit(num_centroids), "_j", id_col
-        ).select("_j", "_s", F.col("_sv").alias("_cv"))
+    book = F.broadcast(
+        _fold_codebook(
+            _sub_explode(
+                df.orderBy(id_col).limit(num_centroids), "_j", id_col
+            ).select(
+                F.col("_j").alias("j"), F.col("_s").alias("s"), F.col("_sv").alias("cv")
+            )
+        ).filter(F.size(F.col("_book")) > 0)
     )
+
+    def _codes_expr(vec):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.array_min(
+                F.transform(
+                    F.element_at(F.col("_book"), s + 1),
+                    lambda e: F.struct(
+                        _l2(F.slice(vec, s * d_sub + 1, d_sub), e["cv"]).alias("_d"),
+                        e["j"].alias("_j"),
+                    ),
+                )
+            )["_j"],
+        )
 
     codes = (
-        _sub_explode(df, "_id", id_col)
-        .join(cents, "_s")
-        .select("_id", "_s", "_j", _l2("_sv", "_cv").alias("_d"))
-        .groupBy("_id", "_s")
-        .agg(F.min(F.struct("_d", "_j")).alias("_m"))
-        .select("_id", "_s", F.col("_m._j").alias("_code"))
+        df.select(F.col(id_col).alias("_id"), _qvec(vec_col).alias("_cq"))
+        .crossJoin(book)
+        .select("_id", _codes_expr(F.col("_cq")).alias("_codes"))
     )
 
-    lut = F.broadcast(
-        _sub_explode(probes_df, "_pid", probe_id_col)
-        .join(cents, "_s")
-        .select("_pid", "_s", "_j", _l2("_sv", "_cv").alias("_ld"))
+    def _lut_expr(vec):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.map_from_entries(
+                F.transform(
+                    F.element_at(F.col("_book"), s + 1),
+                    lambda e: F.struct(
+                        e["j"].alias("_code"),
+                        _l2(F.slice(vec, s * d_sub + 1, d_sub), e["cv"]).alias("_ld"),
+                    ),
+                )
+            ),
+        )
+
+    plut = F.broadcast(
+        probes_df.select(
+            F.col(probe_id_col).alias("_pid"), _qvec(vec_col).alias("_ppq")
+        )
+        .crossJoin(book)
+        .select("_pid", _lut_expr(F.col("_ppq")).alias("_lut"))
     )
 
     adc = (
-        codes.join(lut, (codes["_s"] == lut["_s"]) & (codes["_code"] == lut["_j"]))
-        .select("_id", "_pid", "_ld")
+        codes.crossJoin(plut)
         .filter(F.col("_id") != F.col("_pid"))
-        .groupBy("_pid", "_id")
-        .agg(F.sum("_ld").alias("_dist"))
+        .select(
+            "_pid",
+            "_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_codes"), F.col("_lut"), lambda c, mp: F.element_at(mp, c)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("_dist"),
+        )
     )
 
     q = F.broadcast(
@@ -817,7 +870,16 @@ def ivf_pq_recall_at_k(
     ``num_subspaces`` small ints; probe-side tables (probed cells, LUTs)
     broadcast; the exact side is the evaluation harness — production
     persists codes + cell ids and skips it.  Returns
-    (probe_id, scanned, hits, recall_at_k)."""
+    (probe_id, scanned, hits, recall_at_k).
+
+    Plan shape (same fold as :func:`_ivf_encode`): cells + codebook fold
+    into ONE broadcast model row; each vector computes its cell argmin
+    and all m code argmins per-row (no ``groupBy(_id)`` cell-assignment
+    exchange, no ``groupBy(_id, _s)`` encode exchange), the candidate
+    join carries (id, codes) directly, and ADC is a per-row
+    ``aggregate(zip_with)`` fold against per-probe LUT maps (no
+    ``groupBy(_pid, _id)`` exchange).  Argmin/tie/sum algebra identical
+    to the old shuffled shape — see :func:`pq_recall_at_k`."""
     d_sub = dim // num_subspaces
     m = num_subspaces
 
@@ -846,33 +908,67 @@ def ivf_pq_recall_at_k(
 
     qdf = df.select(F.col(id_col).alias("_id"), _qvec(vec_col).alias("_q"))
     if cell_centroids is not None:
-        cellc = F.broadcast(
-            cell_centroids.select(
-                F.col("cid").cast("long").alias("_cid"),
-                F.transform(
-                    F.col("cvec"), lambda x: F.floor(x * scale).cast("long")
-                ).alias("_cv"),
-            )
+        cellc = cell_centroids.select(
+            F.col("cid").cast("long").alias("_cid"),
+            F.transform(
+                F.col("cvec"), lambda x: F.floor(x * scale).cast("long")
+            ).alias("_cv"),
         )
     else:
-        cellc = F.broadcast(
+        cellc = (
             qdf.orderBy("_id")
             .limit(num_cells)
             .select(F.col("_id").alias("_cid"), F.col("_q").alias("_cv"))
         )
-    assigned = (
-        qdf.crossJoin(cellc)
-        .select("_id", "_cid", _l2("_q", "_cv").alias("_cd"))
-        .groupBy("_id")
-        .agg(F.min(F.struct("_cd", "_cid")).alias("_m"))
-        .select("_id", F.col("_m._cid").alias("_cell"))
+
+    book = _fold_codebook(
+        _sub_explode(
+            df.orderBy(id_col).limit(num_centroids), "_j", id_col
+        ).select(
+            F.col("_j").alias("j"), F.col("_s").alias("s"), F.col("_sv").alias("cv")
+        )
+    )
+    cells_arr = cellc.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_cid"), F.col("_cv")))
+        ).alias("_cells")
+    )
+    model = F.broadcast(
+        cells_arr.crossJoin(book).filter(
+            (F.size(F.col("_cells")) > 0) & (F.size(F.col("_book")) > 0)
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cells"),
+            lambda c: F.struct(
+                _l2(F.col("_q"), c["_cv"]).alias("_cd"), c["_cid"].alias("_cid")
+            ),
+        )
+    )
+    codes_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.element_at(F.col("_book"), s + 1),
+                lambda e: F.struct(
+                    _l2(F.slice(F.col("_q"), s * d_sub + 1, d_sub), e["cv"]).alias(
+                        "_d"
+                    ),
+                    e["j"].alias("_j"),
+                ),
+            )
+        )["_j"],
+    )
+    enc = qdf.crossJoin(model).select(
+        "_id", best["_cid"].alias("_cell"), codes_expr.alias("_codes")
     )
 
     pq_probe = probes_df.select(
         F.col(probe_id_col).alias("_pid"), _qvec(vec_col).alias("_pq")
     )
     probecells = F.broadcast(
-        pq_probe.crossJoin(cellc)
+        pq_probe.crossJoin(F.broadcast(cellc))
         .select("_pid", "_cid", _l2("_pq", "_cv").alias("_cd"))
         .withColumn(
             "_rn",
@@ -882,43 +978,47 @@ def ivf_pq_recall_at_k(
         .select("_pid", F.col("_cid").alias("_cell"))
     )
     cand = (
-        assigned.join(probecells, "_cell")
+        enc.join(probecells, "_cell")
         .filter(F.col("_id") != F.col("_pid"))
-        .select("_pid", "_id")
+        .select("_pid", "_id", "_codes")
     )
     scanned = cand.groupBy("_pid").agg(
         F.count(F.lit(1)).cast("long").alias("scanned")
     )
 
-    cents = F.broadcast(
-        _sub_explode(
-            df.orderBy(id_col).limit(num_centroids), "_j", id_col
-        ).select("_j", "_s", F.col("_sv").alias("_cv2"))
-    )
-    codes = (
-        _sub_explode(df, "_id", id_col)
-        .join(cents, "_s")
-        .select("_id", "_s", "_j", _l2("_sv", "_cv2").alias("_d"))
-        .groupBy("_id", "_s")
-        .agg(F.min(F.struct("_d", "_j")).alias("_m"))
-        .select("_id", "_s", F.col("_m._j").alias("_code"))
-    )
-    lut = F.broadcast(
-        _sub_explode(probes_df, "_pid", probe_id_col)
-        .join(cents, "_s")
-        .select("_pid", "_s", "_j", _l2("_sv", "_cv2").alias("_ld"))
+    plut = F.broadcast(
+        pq_probe.crossJoin(F.broadcast(book))
+        .select(
+            "_pid",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.map_from_entries(
+                    F.transform(
+                        F.element_at(F.col("_book"), s + 1),
+                        lambda e: F.struct(
+                            e["j"].alias("_code"),
+                            _l2(
+                                F.slice(F.col("_pq"), s * d_sub + 1, d_sub), e["cv"]
+                            ).alias("_ld"),
+                        ),
+                    )
+                ),
+            ).alias("_lut"),
+        )
     )
     adc = (
-        cand.join(codes, "_id")
-        .join(
-            lut,
-            (cand["_pid"] == lut["_pid"])
-            & (codes["_s"] == lut["_s"])
-            & (codes["_code"] == lut["_j"]),
+        cand.join(plut, "_pid")
+        .select(
+            "_pid",
+            "_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_codes"), F.col("_lut"), lambda c, mp: F.element_at(mp, c)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("_dist"),
         )
-        .select(cand["_pid"], "_id", "_ld")
-        .groupBy("_pid", "_id")
-        .agg(F.sum("_ld").alias("_dist"))
     )
 
     q = F.broadcast(
@@ -1153,6 +1253,22 @@ def ivf_pq_write_index(
     cents.write.mode("overwrite").parquet(f"{path}/codebook")
 
 
+def _fold_codebook(cents: DataFrame) -> DataFrame:
+    """Fold the (j, s, cv) subspace codebook — ≤ num_centroids ×
+    num_subspaces rows — into ONE row holding ``_book``: an array indexed
+    by subspace ``s`` (ascending) of ``(j, cv)`` struct arrays sorted by
+    ``j``.  The fold is a constant-size aggregation (the exchanges it
+    plans carry ≤ m·k rows regardless of corpus size); broadcast-joining
+    the folded row lets encode and ADC scoring run as pure per-row array
+    math with NO corpus-proportional shuffle."""
+    return (
+        cents.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("cv")))).alias("_e"))
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("_e")))).alias("_sb"))
+        .select(F.transform(F.col("_sb"), lambda x: x["_e"]).alias("_book"))
+    )
+
+
 def _ivf_encode(
     qdf: DataFrame, cellc: DataFrame, cents: DataFrame, *, m: int, d_sub: int
 ) -> DataFrame:
@@ -1163,51 +1279,50 @@ def _ivf_encode(
     Both :func:`ivf_pq_write_index` (model trained from the corpus) and
     :func:`ivf_pq_upsert` (model FROZEN, read back from the index) run
     exactly this — the encode math cannot drift between build and
-    ingest."""
-    cellb = F.broadcast(
-        cellc.select(F.col("cid").alias("_cid"), F.col("cv").alias("_cv"))
+    ingest.
+
+    Plan shape: the model tables are folded into ONE broadcast row of
+    arrays (constant-size aggregations) and every vector computes its
+    cell argmin and all m code argmins as per-row array expressions —
+    the corpus side is exchange-free.  A first cut cross-joined each
+    vector against the centroid table and re-aggregated through
+    ``groupBy(_id)``, then exploded m subspaces against the codebook
+    through two more shuffled groupBys (~m·num_centroids× row expansion
+    through 3 corpus-wide exchanges); the argmin algebra here is
+    identical (``array_min`` over (dist, id) structs ≡ ``min(struct)``:
+    lexicographic, ties to smallest id) so results are unchanged.
+    An EMPTY centroid table yields zero output rows (the crossJoin
+    filter), exactly as the old inner-join pipeline did."""
+    cells_arr = cellc.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias("_cells")
     )
-    assigned = (
-        qdf.crossJoin(cellb)
-        .select("_id", "_q", "_cid", _ivfl2("_q", "_cv").alias("_cd"))
-        .groupBy("_id")
-        .agg(
-            F.min(F.struct("_cd", "_cid")).alias("_m"),
-            F.first("_q").alias("_q"),
+    model = F.broadcast(
+        cells_arr.crossJoin(_fold_codebook(cents)).filter(F.size(F.col("_cells")) > 0)
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cells"),
+            lambda c: F.struct(
+                _ivfl2(F.col("_q"), c["cv"]).alias("_cd"), c["cid"].alias("_cid")
+            ),
         )
-        .select("_id", F.col("_m._cid").alias("cell"), "_q")
     )
-    subs = assigned.select(
-        "_id",
-        "cell",
-        F.posexplode(
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(
             F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.slice(F.col("_q"), s * d_sub + 1, d_sub),
+                F.element_at(F.col("_book"), s + 1),
+                lambda e: F.struct(
+                    _ivfl2(F.slice(F.col("_q"), s * d_sub + 1, d_sub), e["cv"]).alias(
+                        "_d"
+                    ),
+                    e["j"].alias("_j"),
+                ),
             )
-        ).alias("_s", "_sv"),
+        )["_j"],
     )
-    centb = F.broadcast(
-        cents.select(
-            F.col("j").alias("_j"), F.col("s").alias("_s"), F.col("cv").alias("_cv2")
-        )
-    )
-    return (
-        subs.join(centb, "_s")
-        .select("_id", "cell", "_s", "_j", _ivfl2("_sv", "_cv2").alias("_d"))
-        .groupBy("_id", "cell", "_s")
-        .agg(F.min(F.struct("_d", "_j")).alias("_m"))
-        .groupBy("_id", "cell")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("_s", F.col("_m._j").alias("_j")))
-            ).alias("_sc")
-        )
-        .select(
-            F.col("_id").alias("id"),
-            "cell",
-            F.transform(F.col("_sc"), lambda x: x["_j"]).alias("codes"),
-        )
+    return qdf.crossJoin(model).select(
+        F.col("_id").alias("id"), best["_cid"].alias("cell"), codes.alias("codes")
     )
 
 
@@ -1277,10 +1392,12 @@ def ivf_pq_indexed_topk(
     their probe list against the result, exactly as the oracle does not
     need to — the contract is symmetric on both engines.
 
-    Scale shape: model tables (centroids, codebook, LUTs) broadcast;
-    the pruned code scan is ``num_subspaces`` small ints per row; the
-    only corpus-fraction shuffle is the (probe, id) ADC aggregate; top-k
-    uses the subgroup two-stage window (no single-partition sort)."""
+    Scale shape: model tables (centroids, codebook, per-probe LUT maps)
+    broadcast; the pruned code scan is ``num_subspaces`` small ints per
+    row; ADC scoring is a per-row array fold against the broadcast LUT
+    (no corpus-fraction shuffle — the only aggregation over candidates
+    is the combinable ``scanned`` count); top-k uses the subgroup
+    two-stage window (no single-partition sort)."""
     cents = spark.read.parquet(f"{path}/centroids")
     book = spark.read.parquet(f"{path}/codebook")
     d_sub = dim // num_subspaces
@@ -1317,26 +1434,49 @@ def ivf_pq_indexed_topk(
         F.count(F.lit(1)).cast("long").alias("scanned")
     )
 
-    lut = F.broadcast(
-        pq.select(
-            "_pid",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda s: F.slice(F.col("_pq"), s * d_sub + 1, d_sub),
-                )
-            ).alias("_s", "_sv"),
-        )
-        .join(F.broadcast(book), F.col("_s") == F.col("s"))
+    # per-probe ADC lookup table as ONE row per probe: _lut[s] is a
+    # (code j → partial distance) map for subspace s, built against the
+    # folded codebook (constant-size fold, broadcast).  Each candidate
+    # then scores itself per-row — sum over s of _lut[s][codes[s]] — so
+    # the only corpus-fraction work is a broadcast hash join on _pid
+    # plus an array fold per row.  A first cut exploded every candidate
+    # ×m subspaces against a (probe, s, code) LUT and re-aggregated
+    # through groupBy(_pid, id); (_pid, id) is unique in cand (one code
+    # row per id per probed cell) and integer addition is exact and
+    # commutative, so the per-row fold computes the identical sum.
+    plut = F.broadcast(
+        pq.crossJoin(F.broadcast(_fold_codebook(book)))
         .select(
-            "_pid", "_s", F.col("j").alias("_code"), _ivfl2("_sv", "cv").alias("_ld")
+            "_pid",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.map_from_entries(
+                    F.transform(
+                        F.element_at(F.col("_book"), s + 1),
+                        lambda e: F.struct(
+                            e["j"].alias("_code"),
+                            _ivfl2(
+                                F.slice(F.col("_pq"), s * d_sub + 1, d_sub), e["cv"]
+                            ).alias("_ld"),
+                        ),
+                    )
+                ),
+            ).alias("_lut"),
         )
     )
     adc = (
-        cand.select("_pid", "id", F.posexplode("codes").alias("_s", "_code"))
-        .join(lut, ["_pid", "_s", "_code"])
-        .groupBy("_pid", "id")
-        .agg(F.sum("_ld").alias("adc_dist"))
+        cand.join(plut, "_pid")
+        .select(
+            "_pid",
+            "id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"), F.col("_lut"), lambda c, mp: F.element_at(mp, c)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
     )
 
     sub = adc.withColumn("_sub", F.pmod(F.xxhash64("id"), F.lit(num_subgroups)))
