@@ -9581,9 +9581,11 @@ def ext_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # exact-tier hash set computed ONCE from the base corpus (lazy
         # checkpoint — g1's anti-join materializes it) and EXTENDED with
-        # g2's new docs: distinct(distinct(A) ∪ B) = distinct(A ∪ B), so
-        # g2 sees the identical set while the corpus-proportional
-        # re-hash it used to pay becomes a delta-proportional union.
+        # g2's new docs by a PLAIN union: the set is only the right side
+        # of a left-anti join, where duplicate keys cannot change the
+        # result, so no per-generation .distinct() — the O(corpus)
+        # re-dedup exchange g2 used to pay is gone outright and the
+        # corpus-proportional re-hash becomes a delta-proportional union.
         ch1 = corpus_text_hashes(corpus, "text").localCheckpoint(eager=False)
         r1 = incremental_minhash_dedup(
             delta1,
@@ -9605,7 +9607,7 @@ def ext_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         minhash_band_index_refresh(spark, path, new1, "doc_id", "text")
         corpus2 = corpus.unionAll(new1)
-        ch2 = ch1.union(corpus_text_hashes(new1, "text")).distinct()
+        ch2 = ch1.union(corpus_text_hashes(new1, "text", distinct=False))
         r2 = incremental_minhash_dedup(
             delta2,
             corpus2,
@@ -10246,12 +10248,14 @@ def ext_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact-tier hash set of the BASE corpus, computed once for the
         # whole streaming run (lazy checkpoint — batch 1's anti-join
         # materializes it); each batch extends it with the hashes of the
-        # corpus-additions store instead of re-hashing the full corpus
-        # (distinct(distinct(A) ∪ B) = distinct(A ∪ B): identical set,
-        # delta-proportional work).  Durability note: the hash set is a
-        # per-invocation derivation — on executor loss it recomputes from
-        # the corpus, while the INGEST state proper stays in the
-        # persisted index/extra dirs exactly as before.
+        # corpus-additions store by a PLAIN union instead of re-hashing
+        # the full corpus (the set only feeds a left-anti join, where
+        # duplicate right-side keys cannot change the result — so no
+        # per-batch .distinct(), and the O(corpus) re-dedup exchange
+        # each batch used to pay is gone).  Durability note: the hash
+        # set is a per-invocation derivation — on executor loss it
+        # recomputes from the corpus, while the INGEST state proper
+        # stays in the persisted index/extra dirs exactly as before.
         base_h = corpus_text_hashes(corpus, "text").localCheckpoint(eager=False)
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -10266,8 +10270,8 @@ def ext_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "text",
                     band_index=spark.read.parquet(idx),
                     corpus_hashes=base_h.union(
-                        corpus_text_hashes(extra_df, "text")
-                    ).distinct(),
+                        corpus_text_hashes(extra_df, "text", distinct=False)
+                    ),
                 )
                 .withColumn("generation", F.lit(gen))
                 .localCheckpoint(eager=True)  # feeds statuses write + new1

@@ -176,7 +176,10 @@ def bloom_semi_join(
         sketch = build_bloom(small, on, fpp=fpp)
     keys = [F.col(c) for c in on]
     survivors = large.filter(sketch.might_contain(large, *keys))
-    return survivors.join(small.select(*on).distinct(), on, "left_semi")
+    # no .distinct() on the small side: duplicate keys on a semi join's
+    # right side cannot change the result, and the dedup aggregation
+    # costs an Exchange + two HashAggregates per call (r15)
+    return survivors.join(small.select(*on), on, "left_semi")
 
 
 def bloom_anti_join(
@@ -203,5 +206,6 @@ def bloom_anti_join(
     misses = large.filter(~hit)
     hits = large.filter(hit)
     return misses.unionByName(
-        hits.join(small.select(*on).distinct(), on, "left_anti")
+        # no .distinct(): anti-join right sides tolerate duplicates (r15)
+        hits.join(small.select(*on), on, "left_anti")
     )

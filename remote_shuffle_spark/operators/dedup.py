@@ -143,14 +143,20 @@ def incremental_new_texts(
     without re-deduping the lake).
 
     The anti-join runs on 64-bit content hashes, so the exchange carries
-    8-byte keys, never documents; the corpus side reduces to its distinct
-    hash set first (combinable aggregation, shrinks map-side).  At lake
-    scale, persist the corpus hash set bucketed by hash
+    8-byte keys, never documents.  The corpus side is a PLAIN hash
+    projection — no ``.distinct()``: duplicate keys on a left-anti
+    join's right side cannot change the result, and in a
+    mostly-deduped corpus the dedup aggregation passes ~every row
+    through while costing an Exchange + two HashAggregates per call
+    (r15; a corpus with HEAVY text duplication feeding a sort-merge
+    anti-join is the one case where re-adding a distinct's map-side
+    partial agg would shrink the shuffle).  At lake scale, persist the
+    corpus hash set bucketed by hash
     (plans.shuffle_policy.write_bucketed) and the delta's anti-join
     becomes a zero-exchange merge on the bucket files.
     """
     h = F.xxhash64(normalized_text(text_col))
-    corpus_hashes = corpus_df.select(h.alias("_h")).distinct()
+    corpus_hashes = corpus_df.select(h.alias("_h"))
     return new_df.withColumn("_h", h).join(
         corpus_hashes, "_h", "left_anti"
     ).drop("_h")
@@ -281,10 +287,11 @@ def minhash_near_duplicates(
         max_bucket_size=max_bucket_size,
         reuse=reuse,
     ).localCheckpoint(eager=True)  # small (pairs of ids); feeds id set + verify join
-    cand_ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .union(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # no .distinct() on the id set: it only feeds a semi join, whose right
+    # side tolerates duplicate keys — deduping it cost an Exchange + two
+    # HashAggregates per call (r15)
+    cand_ids = cands.select(F.col("id_a").alias(id_col)).union(
+        cands.select(F.col("id_b").alias(id_col))
     )
     cand_docs = df.join(cand_ids, on=id_col, how="left_semi")
     sh = cand_docs.select(
@@ -1138,10 +1145,9 @@ def minhash_components_md5(
         num_bands=num_bands,
         max_bucket_size=max_bucket_size,
     ).localCheckpoint(eager=True)  # small (id pairs); feeds semi-join + verify
-    cand_ids = (
-        cands.select(F.col("id_a").alias("_mm_id"))
-        .union(cands.select(F.col("id_b")))
-        .distinct()
+    # plain union — semi-join right sides tolerate duplicate keys (r15)
+    cand_ids = cands.select(F.col("id_a").alias("_mm_id")).union(
+        cands.select(F.col("id_b"))
     )
     ss = (
         tk.join(cand_ids, "_mm_id", "left_semi")
@@ -1238,16 +1244,25 @@ def write_minhash_band_index(index: DataFrame, path: str, *, num_files: int = 16
     )
 
 
-def corpus_text_hashes(df: DataFrame, text_col: str) -> DataFrame:
-    """The corpus's DISTINCT normalized-text xxhash64 set as a single
-    ``_h`` bigint column — the exact-tier key set of
+def corpus_text_hashes(
+    df: DataFrame, text_col: str, *, distinct: bool = True
+) -> DataFrame:
+    """The corpus's normalized-text xxhash64 set as a single ``_h``
+    bigint column — the exact-tier key set of
     :func:`incremental_minhash_dedup`, factored out so multi-generation
     ingest loops build it ONCE from the base corpus and extend it per
-    generation (``hashes.union(corpus_text_hashes(new_docs, ...))
-    .distinct()``) instead of re-hashing the whole corpus every time."""
-    return df.select(
-        F.xxhash64(normalized_text(text_col)).alias("_h")
-    ).distinct()
+    generation with a PLAIN ``hashes.union(corpus_text_hashes(new_docs,
+    ..., distinct=False))`` instead of re-hashing the whole corpus
+    every time.  No ``.distinct()`` anywhere on the extension path: the
+    set only ever feeds the exact tier's left-anti join, where
+    duplicate right-side keys cannot change the result — re-deduping
+    per generation would put an exchange right back (O(corpus) for the
+    union, O(delta) for the extension hashes).  The default
+    ``distinct=True`` is for the BASE set a caller checkpoints and
+    reuses across generations, where deduping once keeps the persisted
+    blocks minimal."""
+    out = df.select(F.xxhash64(normalized_text(text_col)).alias("_h"))
+    return out.distinct() if distinct else out
 
 
 def incremental_minhash_dedup(
@@ -1309,19 +1324,21 @@ def incremental_minhash_dedup(
     tests/test_plans.py to audit the REAL pipeline; results are
     identical, production callers keep the default.
 
-    ``corpus_hashes``: optionally the corpus's DISTINCT normalized-text
-    xxhash64 set as a single ``_h`` bigint column
-    (:func:`corpus_text_hashes`) — multi-generation callers compute it
-    ONCE from the base corpus and extend it per ingest with the new
-    docs' hashes (``distinct(distinct(A) ∪ B) = distinct(A ∪ B)``, so
-    the exact-tier anti-join sees the identical set), replacing the
-    corpus-proportional re-hash every generation paid with a
-    delta-proportional union.  None (default) derives it from
-    ``corpus_df`` exactly as before.
+    ``corpus_hashes``: optionally the corpus's normalized-text xxhash64
+    set as a single ``_h`` bigint column (:func:`corpus_text_hashes`) —
+    multi-generation callers compute it ONCE from the base corpus and
+    extend it per ingest with a PLAIN union of the new docs' hashes (no
+    ``.distinct()``: the set is only ever the RIGHT side of a left-anti
+    join, and duplicate right-side keys cannot change an anti-join's
+    result — so the per-generation dedup shuffle the union used to pay
+    is dropped outright), replacing the corpus-proportional re-hash
+    every generation paid with a delta-proportional union.  None
+    (default) derives it from ``corpus_df`` — likewise without a
+    ``.distinct()``, for the same anti-join-semantics reason.
     """
     h = F.xxhash64(normalized_text(text_col))
     if corpus_hashes is None:
-        corpus_hashes = corpus_df.select(h.alias("_h")).distinct()
+        corpus_hashes = corpus_df.select(h.alias("_h"))
     # exact tier: LEFT SEMI marks exact dups, survivors continue
     delta_h = delta_df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text"), h.alias("_h")
@@ -1392,16 +1409,18 @@ def incremental_minhash_dedup(
             ).alias("_sset"),
         )
 
+    # no .distinct() on either candidate-id projection: they only feed
+    # semi joins, whose right sides tolerate duplicate keys (r15)
     dsets = _sets(
         survivors.join(
-            cands.select(F.col("_did").alias("_id")).distinct(), "_id", "left_semi"
+            cands.select(F.col("_did").alias("_id")), "_id", "left_semi"
         ),
         "_id",
         "_text",
     )
     csets = _sets(
         corpus_df.join(
-            cands.select(F.col("_cid").alias(id_col)).distinct(),
+            cands.select(F.col("_cid").alias(id_col)),
             id_col,
             "left_semi",
         ),

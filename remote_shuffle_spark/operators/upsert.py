@@ -40,7 +40,10 @@ def scd2_apply(
     already-closed history pass through untouched.
     """
     open_end = F.lit(open_end_ts).cast("timestamp_ntz")
-    changed_keys = changes.select(*key_cols).distinct()
+    # no .distinct(): changed_keys only ever feeds semi/anti joins, whose
+    # right sides tolerate duplicate keys — the dedup aggregation cost an
+    # Exchange + two HashAggregates per consuming join (r15)
+    changed_keys = changes.select(*key_cols)
 
     untouched = current.join(changed_keys, on=key_cols, how="left_anti")
     closed_history = current.filter(F.col(end_col) != open_end).join(

@@ -491,26 +491,36 @@ def test_incremental_minhash_dedup_statuses_and_path_equivalence(spark, tmp_path
 
     # corpus_hashes supplied externally (the multi-generation fast path:
     # base-corpus hashes extended with the new docs' hashes) must see the
-    # identical exact-tier set — distinct(distinct(A) ∪ B) = distinct(A ∪ B)
+    # identical exact-tier set — both with an explicit distinct and with
+    # the production PLAIN union (duplicate keys on an anti-join's right
+    # side cannot change the result, so the per-generation dedup shuffle
+    # is dropped); a frame with REPEATED hashes (grown union'd twice)
+    # pins the duplicate-tolerance directly.
     base = corpus.filter(F.col("doc_id") < 3)
     grown = corpus.filter(F.col("doc_id") >= 3)
-    extended = (
+    for extended in (
         dedup.corpus_text_hashes(base, "text")
         .union(dedup.corpus_text_hashes(grown, "text"))
-        .distinct()
-    )
-    ext_res = {
-        r.doc_id: r.status
-        for r in dedup.incremental_minhash_dedup(
-            delta,
-            corpus,
-            "doc_id",
-            "text",
-            band_index=index,
-            corpus_hashes=extended,
-        ).collect()
-    }
-    assert ext_res == join_res
+        .distinct(),
+        dedup.corpus_text_hashes(base, "text").union(
+            dedup.corpus_text_hashes(grown, "text", distinct=False)
+        ),
+        dedup.corpus_text_hashes(base, "text")
+        .union(dedup.corpus_text_hashes(grown, "text"))
+        .union(dedup.corpus_text_hashes(grown, "text")),
+    ):
+        ext_res = {
+            r.doc_id: r.status
+            for r in dedup.incremental_minhash_dedup(
+                delta,
+                corpus,
+                "doc_id",
+                "text",
+                band_index=index,
+                corpus_hashes=extended,
+            ).collect()
+        }
+        assert ext_res == join_res
 
 
 def test_incremental_minhash_index_drops_oversized_buckets_but_keeps_singletons(spark):
