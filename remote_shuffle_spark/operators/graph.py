@@ -177,8 +177,19 @@ def pagerank(
     driver hash-compares every rank exactly.  Total mass stays ≤ scale,
     so BIGINT never overflows.
 
-    Two shuffles per iteration (contribution join + sum); per-iteration
-    frontiers localCheckpoint to keep plans from growing with the loop.
+    One data shuffle per iteration (the contribution sum; the
+    contribution join broadcasts the rank vector) — in the SYMMETRIZED
+    graph every node in ``nodes`` has degree ≥ 1, so every node
+    receives at least one neighbor contribution and the key set of
+    ``sums`` is exactly ``nodes``: the per-iteration
+    ``nodes LEFT JOIN sums`` re-keying pass the loop used to pay (one
+    broadcast build + join stage per iteration, ~2 AQE stage jobs on a
+    latency-floor-bound query — r15 probe: 49 → 39 jobs) is redundant
+    and the new ranks read straight off the aggregate.  (The DIRECTED
+    variant keeps its left join: without symmetrization, nodes with no
+    in-edges exist and must still receive base + dangling mass.)
+    Per-iteration frontiers localCheckpoint to keep plans from growing
+    with the loop.
     Returns (vertex, rank_scaled BIGINT, rank DOUBLE = rank_scaled/scale
     — exact integer→double conversion below 2⁵³, one IEEE division).
     """
@@ -197,14 +208,13 @@ def pagerank(
         contrib = sym_deg.join(r, "u").select(
             F.col("v"), F.expr("rs div _deg").alias("_c")
         )
-        sums = contrib.groupBy("v").agg(F.sum("_c").alias("_s"))
         r = (
-            nodes.join(sums, nodes["u"] == sums["v"], "left")
+            contrib.groupBy("v")
+            .agg(F.sum("_c").alias("_s"))
             .select(
-                "u",
+                F.col("v").alias("u"),
                 (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * coalesce(_s, 0L)) div 100")
+                    F.lit(base) + F.expr(f"({damping_pct} * _s) div 100")
                 ).cast("long").alias("rs"),
             )
             .localCheckpoint(eager=False)
