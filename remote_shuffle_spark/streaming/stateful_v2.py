@@ -240,12 +240,15 @@ class TypeCountsProcessor(StatefulProcessor):
 
         pdf = pd.concat(list(rows))
         first_batch = not self.counts.exists()
-        self.seen.appendList([(int(e),) for e in pdf["event_id"]])
         if first_batch:
-            # ListStateGet protocol exercise ONCE per key: re-walking the
-            # whole list every batch is quadratic state-server traffic
-            # over the stream's life (measured: this was the bench's
-            # slowest query at 10.2 s before the bound, 4 batches deep)
+            # ListState protocol exercise ONCE per key — append AND walk
+            # (r15: the list is never read after this batch, so the
+            # per-batch appendList the processor used to pay was one
+            # dead state-server round trip per key per batch; re-walking
+            # every batch would additionally be quadratic traffic over
+            # the stream's life — measured at 10.2 s steady before the
+            # r13 bound, 4 batches deep)
+            self.seen.appendList([(int(e),) for e in pdf["event_id"]])
             n_seen = sum(1 for _ in self.seen.get())
             if n_seen != len(pdf):
                 raise RuntimeError(
