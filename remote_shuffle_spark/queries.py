@@ -65,11 +65,11 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_abtest_zscore": 11,
     "ext_ann_filtered": 10,
     "ext_apply_in_arrow": 8,
-    "ext_approx_top_k": 7,
+    "ext_approx_top_k": 14,
     "ext_asof_join": 13,
     "ext_asof_join_forward": 12,
     "ext_asof_join_nearest": 12,
-    "ext_audio_metadata": 7,
+    "ext_audio_metadata": 14,
     "ext_autocorr_lag1": 12,
     "ext_band_index_stats": 11,
     "ext_bfs_levels": 13,
@@ -77,11 +77,13 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_bigram_lm_quality": 9,
     "ext_bitmap_intersect": 11,
     "ext_blocking_quality": 11,
-    "ext_bloom_anti_join": 8,
-    "ext_bloom_semi_join": 8,
+    "ext_bloom_anti_join": 14,
+    "ext_bloom_semi_join": 14,
     "ext_bm25_topk": 9,
+    "ext_bootstrap_ci": 14,
+    "ext_bootstrap_ci_grouped": 14,
     "ext_bpe_apply": 9,
-    "ext_bpe_tokens": 8,
+    "ext_bpe_tokens": 14,
     "ext_bpe_train": 8,
     "ext_bucketed_join": 13,
     "ext_burst_detection": 10,
@@ -92,36 +94,41 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_chunk_sequences": 13,
     "ext_cms_freq": 11,
     "ext_cohort_retention": 8,
-    "ext_collation": 7,
+    "ext_collation": 14,
     "ext_compaction": 9,
+    "ext_contamination_report": 14,
     "ext_corpus_prep_pipeline": 12,
     "ext_corr_matrix": 9,
     "ext_cumulative_crossover": 8,
+    "ext_curation_pipeline": 14,
     "ext_cusum_changepoint": 11,
     "ext_data_quality_audit": 9,
     "ext_dataset_fingerprint": 11,
     "ext_dataset_mixture": 13,
     "ext_decontaminate": 9,
+    "ext_decontaminate_semantic": 14,
+    "ext_decontaminate_spans": 14,
     "ext_dedup_exact": 13,
-    "ext_dedup_groups": 8,
+    "ext_dedup_groups": 14,
     "ext_dedup_incremental": 13,
     "ext_dedup_incremental_bucketed": 11,
     "ext_dedup_incremental_minhash": 11,
     "ext_dedup_index_refresh": 11,
+    "ext_dedup_keep_best": 14,
     "ext_dedup_ladder": 9,
     "ext_dedup_ladder_full": 10,
-    "ext_dedup_minhash": 8,
+    "ext_dedup_minhash": 14,
     "ext_dedup_paragraph": 8,
     "ext_dedup_prefix_blocks": 13,
     "ext_dedup_rate_estimate": 11,
-    "ext_dedup_simhash": 8,
+    "ext_dedup_simhash": 14,
     "ext_dedup_substring": 9,
     "ext_degree_assortativity": 11,
-    "ext_doc_embedding_join": 7,
-    "ext_doc_histogram": 8,
+    "ext_doc_embedding_join": 14,
+    "ext_doc_histogram": 14,
     "ext_doc_length_percentiles": 13,
     "ext_dsir_weights": 10,
-    "ext_embedding_neardup": 8,
+    "ext_embedding_neardup": 14,
     "ext_event_debounce": 9,
     "ext_event_runs": 9,
     "ext_ewma_forecast": 11,
@@ -136,7 +143,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_fuzzy_link": 13,
     "ext_gap_distribution": 11,
     "ext_gini_index": 11,
-    "ext_global_index": 8,
+    "ext_global_index": 14,
     "ext_graph_eccentricity": 11,
     "ext_hard_negatives": 10,
     "ext_heavy_hitters": 12,
@@ -155,7 +162,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_ivf_index_upsert": 11,
     "ext_ivf_pq_indexed": 11,
     "ext_ivf_pq_recall": 10,
-    "ext_join_size_estimate": 7,
+    "ext_join_size_estimate": 14,
     "ext_join_strategy_hints": 8,
     "ext_kcore": 9,
     "ext_kfold_split": 9,
@@ -164,10 +171,11 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_kmeans_cells": 9,
     "ext_knn_eval": 10,
     "ext_knn_join": 13,
-    "ext_knn_join_lsh": 7,
-    "ext_label_centroids": 8,
+    "ext_knn_join_lsh": 14,
+    "ext_label_centroids": 14,
     "ext_label_entropy": 9,
     "ext_label_propagation": 8,
+    "ext_lang_budget_select": 14,
     "ext_lang_id": 13,
     "ext_langid_confusion": 11,
     "ext_last_touch_attribution": 11,
@@ -195,31 +203,31 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_out_of_order_audit": 11,
     "ext_pack_greedy": 9,
     "ext_pagerank": 13,
-    "ext_pagerank_directed": 7,
+    "ext_pagerank_directed": 14,
     "ext_pandas_udaf": 8,
-    "ext_parameterized_sql": 7,
+    "ext_parameterized_sql": 14,
     "ext_pareto_frontier": 11,
     "ext_per_key_sample": 9,
-    "ext_pii_scrub": 8,
+    "ext_pii_scrub": 14,
     "ext_pmi_collocations": 10,
     "ext_pq_recall": 9,
     "ext_python_datasource": 13,
     "ext_python_datasource_write": 8,
     "ext_quality_classifier": 8,
-    "ext_quality_features": 8,
+    "ext_quality_features": 14,
     "ext_quantile_bins": 9,
     "ext_quantized_recall": 8,
     "ext_range_join": 13,
     "ext_rare_token_docs": 11,
     "ext_recursive_cte": 13,
-    "ext_repetition": 7,
+    "ext_repetition": 14,
     "ext_rfm_segments": 11,
     "ext_rolling_time_window": 9,
     "ext_rollup_topk": 8,
     "ext_salted_agg": 8,
     "ext_salted_join": 12,
-    "ext_scalar_subquery_fanout": 7,
-    "ext_scd2": 8,
+    "ext_scalar_subquery_fanout": 14,
+    "ext_scd2": 14,
     "ext_scd2_lookup": 9,
     "ext_schema_evolution": 10,
     "ext_semantic_dedup": 9,
@@ -227,9 +235,9 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_session_paths": 11,
     "ext_session_window_dynamic": 10,
     "ext_session_window_native": 13,
-    "ext_sessionize": 7,
+    "ext_sessionize": 14,
     "ext_shard_assignment": 9,
-    "ext_similarity_ivf": 8,
+    "ext_similarity_ivf": 14,
     "ext_similarity_lsh": 12,
     "ext_similarity_topk": 13,
     "ext_skew_report": 9,
@@ -239,17 +247,17 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_span_corruption": 10,
     "ext_sql_identifier": 8,
     "ext_sql_pipe": 8,
-    "ext_sql_scripting": 7,
+    "ext_sql_scripting": 14,
     "ext_sql_udf": 9,
     "ext_state_transitions": 11,
-    "ext_statestore_reader": 7,
+    "ext_statestore_reader": 14,
     "ext_stratified_sample": 9,
-    "ext_stream_available_now": 7,
+    "ext_stream_available_now": 14,
     "ext_stream_cdc_upsert": 9,
-    "ext_stream_content_dedup": 7,
+    "ext_stream_content_dedup": 14,
     "ext_stream_corpus_prep": 9,
-    "ext_stream_dedup": 7,
-    "ext_stream_dedup_within_watermark": 7,
+    "ext_stream_dedup": 14,
+    "ext_stream_dedup_within_watermark": 14,
     "ext_stream_enrich": 9,
     "ext_stream_full_outer_join": 13,
     "ext_stream_hopping_window": 13,
@@ -262,7 +270,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_stream_python_datasource": 13,
     "ext_stream_session_dynamic": 10,
     "ext_stream_session_window": 13,
-    "ext_stream_sessionize": 7,
+    "ext_stream_sessionize": 14,
     "ext_stream_stream_join": 9,
     "ext_stream_tws_available_now": 8,
     "ext_stream_tws_initial_state": 8,
@@ -282,25 +290,28 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "ext_theta_set_algebra": 13,
     "ext_time_to_convert": 9,
     "ext_time_weighted_avg": 11,
+    "ext_token_budget_select": 14,
     "ext_train_split": 9,
     "ext_triangle_count": 8,
     "ext_trimmed_mean": 11,
     "ext_try_arithmetic": 8,
-    "ext_udtf_polymorphic": 7,
+    "ext_udtf_polymorphic": 14,
     "ext_udtf_table_arg": 8,
-    "ext_upsert": 7,
+    "ext_upsert": 14,
     "ext_variant_json": 13,
-    "ext_vector_normalize": 7,
+    "ext_vector_normalize": 14,
     "ext_video_metadata": 8,
     "ext_vocab": 13,
+    "ext_weighted_quantiles": 14,
     "ext_weighted_sample": 9,
     "ext_window_rank_family": 9,
     "ext_window_zscore": 9,
     "ext_winnowing": 8,
-    "ext_xml_roundtrip": 7,
-    "ext_year_over_year_cte": 7,
+    "ext_winsorized_mean": 14,
+    "ext_xml_roundtrip": 14,
+    "ext_year_over_year_cte": 14,
     "ext_zorder_key": 9,
-    "ext_zorder_layout": 7,
+    "ext_zorder_layout": 14,
     "q01_scan_filter_agg": 10,
     "q02_repartition": 10,
     "q03_repartition_empty": 10,
@@ -351,7 +362,7 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q48_posexplode": 12,
     "q49_median_mode": 13,
     "q50_string_agg": 13,
-    "q51_conditional_agg": 8,
+    "q51_conditional_agg": 14,
     "q52_levenshtein": 13,
     "q53_gap_fill": 13,
     "q54_set_ops_all": 13,
@@ -385,6 +396,10 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = {
     "q82_supplier_cnt_by_part": 12,
     "q83_promotable_parts": 12,
 }
+
+# 0 names whose LATEST gate check failed — forced to the window head
+DRIVER_LATEST_FAILED: frozenset[str] = frozenset({
+})
 
 # 0 names whose LATEST gate check failed — forced to the window head
 DRIVER_LATEST_FAILED: frozenset[str] = frozenset({

@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     outdir, suffix, names = sys.argv[1], sys.argv[2], sys.argv[3].split(",")
