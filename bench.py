@@ -107,6 +107,11 @@ def main() -> None:
         "queries_first_exec": first,
         "value_first_exec": round(sum(first.values()), 3),
         "sf": sf,
+        # r15: the driver runs this harness at TWO core counts and the
+        # second (8-core) run silently overwrote the 32-core settled map
+        # on disk after the r14 close — record the core count so any
+        # consumer can tell which regime a BENCH_full.json belongs to
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count()),
     }
     # The driver records only the LAST 2000 chars of output, which the full
     # 188-query map overflows (BENCH_r06 parsed:null).  Persist the full map
